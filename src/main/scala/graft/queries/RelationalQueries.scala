@@ -1,0 +1,361 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Generic relational operator coverage over the driver's TPC-H-ish tables.
+  *
+  * Conventions shared with the DuckDB oracles (driver hashes values after
+  * sorting columns by name, so types and names must line up):
+  *   - money/quantity sums go through DECIMAL so both engines do exact math;
+  *   - integer outputs are cast to BIGINT on both sides;
+  *   - every window/limit has a total order (unique tiebreak columns).
+  *
+  * These exercise the same operator classes the statement engine uses
+  * (SURVEY.md §2.3-2.7): equi/semi/anti joins, group-by aggregation, pivot,
+  * window top-N, sort+limit, set ops.
+  */
+object RelationalQueries extends QueryPack {
+
+  private def dec(c: Column, p: Int = 18, s: Int = 2): Column =
+    c.cast(DecimalType(p, s))
+
+  def defs: Map[String, QueryDef] = Map(
+    // --- aggregation -----------------------------------------------------
+    "q_agg_pricing" -> QueryDef(
+      (s, dir) => {
+        val li = Tables.table(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02"))
+        li.groupBy("l_returnflag", "l_linestatus").agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base"),
+          sum((dec(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+            .cast(DecimalType(28, 4))).cast("double").as("sum_disc"),
+          count(lit(1)).as("cnt"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+              CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc,
+              COUNT(*) AS cnt
+              FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+              GROUP BY l_returnflag, l_linestatus"""),
+    ),
+
+    "q_agg_distinct" -> QueryDef(
+      (s, dir) => {
+        Tables.table(s, dir, "orders").groupBy("o_orderpriority").agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      },
+      Some("""SELECT o_orderpriority,
+              CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+              COUNT(*) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+              FROM orders GROUP BY o_orderpriority"""),
+    ),
+
+    // --- joins -----------------------------------------------------------
+    "q_join_broadcast" -> QueryDef(
+      (s, dir) => {
+        val li = Tables.table(s, dir, "lineitem")
+        val part = Tables.table(s, dir, "part").filter(col("p_type") === "PROMO")
+        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand").agg(
+            sum((dec(col("l_extendedprice")) *
+              (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+              .cast(DecimalType(28, 4))).cast("double").as("revenue"),
+            count(lit(1)).as("n"))
+      },
+      Some("""SELECT p_brand,
+              CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+              COUNT(*) AS n
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_type = 'PROMO' GROUP BY p_brand"""),
+    ),
+
+    "q_join_pipeline" -> QueryDef(
+      (s, dir) => {
+        val cust = Tables.table(s, dir, "customer")
+        val ord = Tables.table(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1997-01-01"))
+        val li = Tables.table(s, dir, "lineitem")
+        val nat = Tables.table(s, dir, "nation")
+        val reg = Tables.table(s, dir, "region").filter(col("r_name") === "ASIA")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name").agg(
+            sum((dec(col("l_extendedprice")) *
+              (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+              .cast(DecimalType(28, 4))).cast("double").as("revenue"),
+            count(lit(1)).as("n"))
+      },
+      Some("""SELECT n_name,
+              CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+              COUNT(*) AS n
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1997-01-01'
+              GROUP BY n_name"""),
+    ),
+
+    "q_join_semi" -> QueryDef(
+      (s, dir) => {
+        val cust = Tables.table(s, dir, "customer")
+        val ord = Tables.table(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01") &&
+            col("o_orderdate") < lit("1998-01-01"))
+        cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy("c_mktsegment").agg(count(lit(1)).as("n_cust"))
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_cust FROM customer
+              WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01')
+              GROUP BY c_mktsegment"""),
+    ),
+
+    "q_join_anti" -> QueryDef(
+      (s, dir) => {
+        val cust = Tables.table(s, dir, "customer")
+        val ord = Tables.table(s, dir, "orders")
+        cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(broadcast(Tables.table(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name").agg(count(lit(1)).as("n_cust"))
+      },
+      Some("""SELECT n_name, COUNT(*) AS n_cust FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              GROUP BY n_name"""),
+    ),
+
+    // --- windows ---------------------------------------------------------
+    "q_window_topn" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("l_orderkey")
+          .orderBy(col("l_extendedprice").desc, col("l_linenumber").asc)
+        Tables.table(s, dir, "lineitem")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+            col("l_extendedprice").as("price"), col("rn").cast("long").as("rn"))
+      },
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+              l_extendedprice AS price, CAST(rn AS BIGINT) AS rn
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn FROM lineitem)
+              WHERE rn <= 2"""),
+    ),
+
+    "q_window_running" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.table(s, dir, "lineitem")
+          .withColumn("running_qty", sum(dec(col("l_quantity"))).over(w).cast("double"))
+          .select(col("l_suppkey"), col("l_orderkey"),
+            col("l_linenumber").cast("long").as("l_linenumber"), col("running_qty"))
+      },
+      Some("""SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey
+                ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+              FROM lineitem"""),
+    ),
+
+    // --- sort / top-k ----------------------------------------------------
+    "q_topk_global" -> QueryDef(
+      (s, dir) => {
+        Tables.table(s, dir, "lineitem")
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+            col("l_linenumber").asc)
+          .limit(100)
+          .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+            col("l_extendedprice").as("price"))
+      },
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+              l_extendedprice AS price
+              FROM lineitem
+              ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+              LIMIT 100"""),
+    ),
+
+    // --- set operations --------------------------------------------------
+    "q_set_union" -> QueryDef(
+      (s, dir) => {
+        val ord = Tables.table(s, dir, "orders")
+        def keys(y: Int) = ord
+          .filter(col("o_orderdate") >= lit(f"$y-01-01") &&
+            col("o_orderdate") < lit(f"${y + 1}-01-01"))
+          .select("o_custkey").distinct()
+        keys(1996).union(keys(1997)).distinct()
+      },
+      Some("""SELECT o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+              UNION
+              SELECT o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'"""),
+    ),
+
+    "q_set_intersect" -> QueryDef(
+      (s, dir) => {
+        val ord = Tables.table(s, dir, "orders")
+        def keys(y: Int) = ord
+          .filter(col("o_orderdate") >= lit(f"$y-01-01") &&
+            col("o_orderdate") < lit(f"${y + 1}-01-01"))
+          .select("o_custkey")
+        keys(1996).intersect(keys(1997))
+      },
+      Some("""SELECT o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+              INTERSECT
+              SELECT o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'"""),
+    ),
+
+    "q_set_except" -> QueryDef(
+      (s, dir) => {
+        val ord = Tables.table(s, dir, "orders")
+        def keys(y: Int) = ord
+          .filter(col("o_orderdate") >= lit(f"$y-01-01") &&
+            col("o_orderdate") < lit(f"${y + 1}-01-01"))
+          .select("o_custkey")
+        keys(1996).except(keys(1997))
+      },
+      Some("""SELECT o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+              EXCEPT
+              SELECT o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'"""),
+    ),
+
+    // --- pivot -----------------------------------------------------------
+    "q_pivot_status" -> QueryDef(
+      (s, dir) => {
+        Tables.table(s, dir, "orders")
+          .withColumn("yr", year(col("o_orderdate")).cast("long"))
+          .groupBy("yr").pivot("o_orderstatus", Seq("F", "O", "P")).count()
+          .na.fill(0L, Seq("F", "O", "P"))
+      },
+      Some("""SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+              COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+              COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+              COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+              FROM orders GROUP BY 1"""),
+    ),
+
+    // --- filters / expressions -------------------------------------------
+    "q_filter_pred" -> QueryDef(
+      (s, dir) => {
+        Tables.table(s, dir, "part")
+          .filter(col("p_size").between(10, 30) &&
+            col("p_type").isin("PROMO", "ECONOMY") &&
+            col("p_name").like("%a%") &&
+            dec(col("p_retailprice")) > lit(900))
+          .select(col("p_partkey"), col("p_brand"), col("p_size").cast("long").as("p_size"))
+      },
+      Some("""SELECT p_partkey, p_brand, CAST(p_size AS BIGINT) AS p_size FROM part
+              WHERE p_size BETWEEN 10 AND 30 AND p_type IN ('PROMO','ECONOMY')
+                AND p_name LIKE '%a%' AND CAST(p_retailprice AS DECIMAL(18,2)) > 900"""),
+    ),
+
+    "q_string_funcs" -> QueryDef(
+      (s, dir) => {
+        Tables.table(s, dir, "customer")
+          .select(col("c_custkey"),
+            lower(col("c_name")).as("lname"),
+            substring(col("c_name"), 1, 8).as("prefix"),
+            length(col("c_name")).cast("long").as("len"),
+            concat_ws("-", col("c_mktsegment"), col("c_nationkey").cast("string")).as("seg_nat"))
+      },
+      Some("""SELECT c_custkey, LOWER(c_name) AS lname, SUBSTRING(c_name, 1, 8) AS prefix,
+              CAST(LENGTH(c_name) AS BIGINT) AS len,
+              c_mktsegment || '-' || CAST(c_nationkey AS VARCHAR) AS seg_nat
+              FROM customer"""),
+    ),
+
+    "q_case_bucket" -> QueryDef(
+      (s, dir) => {
+        Tables.table(s, dir, "orders")
+          .withColumn("bucket",
+            when(col("o_totalprice") < 50000, "low")
+              .when(col("o_totalprice") < 150000, "mid")
+              .otherwise("high"))
+          .groupBy("bucket").agg(count(lit(1)).as("n"),
+            sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      },
+      Some("""SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                          WHEN o_totalprice < 150000 THEN 'mid'
+                          ELSE 'high' END AS bucket,
+              COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+              FROM orders GROUP BY 1"""),
+    ),
+
+    "q_distinct_proj" -> QueryDef(
+      (s, dir) =>
+        Tables.table(s, dir, "lineitem")
+          .select("l_returnflag", "l_linestatus").distinct(),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"),
+    ),
+
+    "q_scalar_subquery" -> QueryDef(
+      (s, dir) => {
+        val part = Tables.table(s, dir, "part")
+        val avgPrice = part.agg(avg(col("p_retailprice")).as("ap"))
+        part.join(broadcast(avgPrice))
+          .filter(col("p_retailprice") > col("ap"))
+          .groupBy("p_type").agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT p_type, COUNT(*) AS n FROM part
+              WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+              GROUP BY p_type"""),
+    ),
+
+    // --- events (temporal + json-ish props) ------------------------------
+    "q_events_hourly" -> QueryDef(
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(dec(col("value"), 18, 4)).cast("double").as("sum_value"))
+      },
+      Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+              event_type, COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+              FROM events GROUP BY 1, 2"""),
+    ),
+
+    "q_events_props" -> QueryDef(
+      (s, dir) => {
+        Tables.events(s, dir)
+          .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+          .groupBy("event_type").agg(
+            count(lit(1)).as("n"),
+            sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+              CAST(SUM(k) AS BIGINT) AS sum_k,
+              CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+              FROM (SELECT event_type,
+                CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k FROM events)
+              GROUP BY event_type"""),
+    ),
+  )
+}
