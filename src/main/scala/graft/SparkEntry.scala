@@ -13,6 +13,7 @@ object SparkEntry {
   /** All registered query packs. Order is irrelevant; names must be unique. */
   def packs: Seq[QueryPack] = Seq(
     RelationalQueries,
+    DslQueries,
   )
 
   private lazy val all: Map[String, QueryDef] =

@@ -1,0 +1,156 @@
+package graft.assembly
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.TypeRegistry
+import graft.querydsl.ReadonlyTables
+
+/** Normalized inputs to the readonly build — the Spark analog of the
+  * reference's principal-schema exports (FIXTURES.md §3):
+  *
+  *   - statements: mk_hash L, stype S, belief D        (pa_statements)
+  *   - evidence:   sid L, mk_hash L, src S, rid L, pmid L
+  *     (raw_statements ⨝ raw_unique_links ⨝ raw_stmt_src)
+  *   - agents:     mk_hash L, ag_num I, db_name S, db_id S, role_num I
+  *     (pa_agents, principal_schema.py:897-912)
+  *   - mesh:       sid L, mesh_num L, is_concept I     (raw_stmt_mesh_*)
+  *   - refs:       rid L, pmid L [, trid, tcid]        (reading_ref_link)
+  */
+final case class StatementWorld(
+    statements: DataFrame,
+    evidence: DataFrame,
+    agents: DataFrame,
+    mesh: DataFrame,
+    refs: DataFrame,
+)
+
+/** Builds the denormalized readonly layer from a [[StatementWorld]] — the
+  * Spark-first re-expression of the reference's readonly build DAG
+  * (readonly_dumping.py RUN_ORDER :64-82 / readonly_schema.py meta tables).
+  *
+  * Scale design:
+  *   - one shuffle per aggregation key (mk_hash); the per-(hash,src) counts
+  *     and the per-hash map roll up in a single chain with map-side partial
+  *     aggregation;
+  *   - src_json is a MapType column, not the reference's dynamic pivot —
+  *     stable schema, no second pass to discover source columns
+  *     (SURVEY.md §1.4);
+  *   - the type dictionary joins as a broadcast dimension (the reference
+  *     inlines it as a VALUES clause, readonly_schema.py:61-66);
+  *   - at deployment the outputs are written bucketed by mk_hash so the DSL
+  *     compiler's semi/anti joins co-locate.
+  */
+object ReadonlyBuilder {
+
+  /** Source-name classification (reference discovers these from db_info /
+    * reader registries; raw_stmt_src UNION, readonly_schema.py:400-408). */
+  def build(
+      spark: SparkSession,
+      world: StatementWorld,
+      types: TypeRegistry,
+      readerSources: Seq[String],
+      dbSources: Seq[String]): ReadonlyTables = {
+
+    // --- per-statement evidence aggregation -------------------------------
+    // groupBy (mk_hash, src) then (mk_hash): two stages, same key prefix, so
+    // the second agg reuses the first shuffle's partitioning.
+    val srcCounts = world.evidence
+      .groupBy("mk_hash", "src")
+      .agg(count(lit(1)).as("cnt"))
+    val evAgg = srcCounts
+      .groupBy("mk_hash")
+      .agg(
+        map_from_entries(collect_list(struct(col("src"), col("cnt"))))
+          .as("src_json"),
+        sum("cnt").as("ev_count"))
+
+    val agentAgg = world.agents
+      .groupBy("mk_hash")
+      .agg(countDistinct("ag_num").as("agent_count"))
+
+    val typeDim = types.toDF(spark)
+
+    // one row per hash with every sorting/grouping column the meta tables
+    // denormalize onto their rows (readonly_schema.py:139-157)
+    val stmtMeta = world.statements
+      .join(broadcast(typeDim), "stype")
+      .join(evAgg, "mk_hash")
+      .join(agentAgg, "mk_hash")
+      .select(
+        col("mk_hash"), col("type_num"), col("belief"), col("ev_count"),
+        col("agent_count"), col("src_json"))
+
+    // --- source_meta ------------------------------------------------------
+    // flags derived from the source map (readonly_schema.py:902-954):
+    // num_srcs, only_src, has_rd/has_db via key-overlap with the
+    // reader/db source lists.
+    val sourceMeta = stmtMeta
+      .withColumn("num_srcs", size(map_keys(col("src_json"))))
+      .withColumn("only_src",
+        when(col("num_srcs") === 1, element_at(map_keys(col("src_json")), 1)))
+      .withColumn("has_rd",
+        arrays_overlap(map_keys(col("src_json")),
+          lit(readerSources.toArray)))
+      .withColumn("has_db",
+        arrays_overlap(map_keys(col("src_json")),
+          lit(dbSources.toArray)))
+
+    // --- agent meta tables (name/text/other split) ------------------------
+    val stmtCols = stmtMeta.select("mk_hash", "type_num", "belief", "ev_count", "agent_count")
+    val agentMeta = world.agents.join(stmtCols, "mk_hash")
+    def split(pred: org.apache.spark.sql.Column, keepDbName: Boolean) = {
+      val f = agentMeta.filter(pred)
+      val cols = Seq("mk_hash", "ag_num", "db_id", "role_num", "type_num",
+        "ev_count", "belief", "agent_count")
+      if (keepDbName) f.select(("db_name" +: cols).map(col): _*)
+      else f.select(cols.map(col): _*)
+    }
+    val nameMeta = split(col("db_name") === "NAME", keepDbName = false)
+    val textMeta = split(col("db_name") === "TEXT", keepDbName = false)
+    val otherMeta = split(col("db_name") =!= "NAME" && col("db_name") =!= "TEXT",
+      keepDbName = true)
+
+    // --- mesh meta --------------------------------------------------------
+    // raw (sid, mesh) ⨝ evidence -> per (hash, mesh) distinct-PMID counts
+    // (mesh_*_ref_counts, readonly_schema.py:615-679) with the statement
+    // sorting columns attached (mesh_*_meta :1158-1255).
+    val meshJoined = world.mesh
+      .join(world.evidence.select("sid", "mk_hash", "pmid"), "sid")
+    def meshMeta(concept: Boolean) =
+      meshJoined
+        .filter(if (concept) col("is_concept") === 1 else col("is_concept") === 0)
+        .groupBy("mk_hash", "mesh_num")
+        .agg(countDistinct("pmid").as("ref_count"))
+        .join(stmtCols, "mk_hash")
+
+    // --- fast_raw_pa_link / reading_ref_link ------------------------------
+    val frpl = world.evidence.select("sid", "mk_hash", "src", "rid")
+
+    // --- agent_interactions ----------------------------------------------
+    // canonical sorted agent list per hash from NAME-namespace rows
+    // (reference builds agent_json from name_meta,
+    // readonly_schema.py:1286-1336)
+    val agentInteractions = world.agents
+      .filter(col("db_name") === "NAME")
+      .groupBy("mk_hash")
+      .agg(
+        array_join(
+          sort_array(collect_list(
+            concat(col("ag_num").cast("string"), lit(":"), col("db_id")))),
+          ";").as("agent_str"))
+      .join(sourceMeta.select("mk_hash", "type_num", "ev_count", "belief",
+        "agent_count", "src_json"), "mk_hash")
+
+    ReadonlyTables(
+      nameMeta = nameMeta,
+      textMeta = textMeta,
+      otherMeta = otherMeta,
+      sourceMeta = sourceMeta,
+      meshTermMeta = meshMeta(concept = false),
+      meshConceptMeta = meshMeta(concept = true),
+      fastRawPaLink = frpl,
+      readingRefLink = world.refs,
+      agentInteractions = agentInteractions,
+    )
+  }
+}

@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static helpers callable from generated code. */
+object HashUtil {
+  /** Stable 64-bit content hash: first 8 bytes of MD5 of the UTF-8 string,
+    * as a signed big-endian long. This is the engine's `mk_hash` analog —
+    * the reference derives mk_hash from an MD5 of the statement matches-key
+    * (INDRA `stmt.get_hash`, used via preassemble_db.py:662-669).
+    */
+  def md5Long(s: UTF8String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s.getBytes)
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
+}
+
+/** Codegen-friendly scalar expression: stays inside whole-stage codegen via
+  * a static call, unlike a Scala UDF (which forces serialization barriers).
+  */
+case class StableHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"stable_hash64 expects STRING, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    HashUtil.md5Long(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.md5Long($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): StableHash64 =
+    copy(child = newChild)
+}
+
+object exprs {
+  import org.apache.spark.sql.GraftBridge
+
+  /** Column wrapper for [[StableHash64]]. */
+  def stable_hash64(c: Column): Column =
+    GraftBridge.column(StableHash64(GraftBridge.expression(c)))
+}

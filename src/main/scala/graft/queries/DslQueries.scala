@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.querydsl._
+
+/** The statement-engine query DSL exercised end-to-end through the DuckDB
+  * gate: every query here (a) assembles the readonly layer from the TPC-H
+  * mapping ([[TpchWorld]]) with [[graft.assembly.ReadonlyBuilder]], then
+  * (b) compiles a [[StmtQuery]] tree with [[QueryCompiler]] / [[Results]].
+  * The oracles replicate the same semantics as relational SQL over a shared
+  * CTE prefix.
+  */
+object DslQueries extends QueryPack {
+
+  /** DuckDB CTE prefix replicating TpchWorld + ReadonlyBuilder. */
+  val PREFIX: String = """WITH li AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+            ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice) AS evn
+  FROM lineitem),
+ev AS (
+  SELECT l_orderkey AS mk_hash,
+         l_orderkey*100 + evn AS sid,
+         CASE l_returnflag WHEN 'A' THEN 'reach' WHEN 'N' THEN 'medscan' ELSE 'signor' END AS src,
+         l_suppkey AS pmid,
+         l_orderkey*100 + evn AS rid,
+         CAST(l_linenumber AS INTEGER) AS ag_num,
+         CASE WHEN l_returnflag='N' THEN 'NAME' WHEN l_returnflag='R' THEN 'TEXT'
+              WHEN l_linestatus='F' THEN 'CHEBI' ELSE 'HGNC' END AS db_name,
+         'P' || CAST(l_partkey AS VARCHAR) AS db_id,
+         CAST(l_linenumber % 3 - 1 AS INTEGER) AS role_num,
+         l_partkey % 100 AS mesh_num,
+         CAST(l_partkey % 2 AS INTEGER) AS is_concept
+  FROM li),
+stmt AS (
+  SELECT o_orderkey AS mk_hash,
+         CASE o_orderpriority WHEN '1-URGENT' THEN 0 WHEN '2-HIGH' THEN 1
+              WHEN '3-MEDIUM' THEN 2 WHEN '4-NOT SPECIFIED' THEN 3 ELSE 4 END AS type_num,
+         CAST(o_custkey % 1000 AS DOUBLE)/1000.0 AS belief
+  FROM orders),
+src_cnt AS (SELECT mk_hash, src, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+stmt_agg AS (
+  SELECT e.mk_hash, COUNT(*) AS ev_count,
+         CAST(COUNT(DISTINCT e.ag_num) AS BIGINT) AS agent_count,
+         CAST(COUNT(DISTINCT e.src) AS INTEGER) AS num_srcs,
+         CASE WHEN COUNT(DISTINCT e.src)=1 THEN MIN(e.src) END AS only_src,
+         BOOL_OR(e.src IN ('reach','medscan')) AS has_rd,
+         BOOL_OR(e.src = 'signor') AS has_db
+  FROM ev e GROUP BY e.mk_hash),
+meta AS (
+  SELECT s.mk_hash, s.type_num, s.belief, a.ev_count, a.agent_count,
+         a.num_srcs, a.only_src, a.has_rd, a.has_db
+  FROM stmt s JOIN stmt_agg a ON s.mk_hash = a.mk_hash),
+agent_meta AS (
+  SELECT e.mk_hash, e.ag_num, e.db_name, e.db_id, e.role_num,
+         m.type_num, m.ev_count, m.belief, m.agent_count
+  FROM ev e JOIN meta m ON e.mk_hash = m.mk_hash),
+ai AS (
+  SELECT e.mk_hash,
+         string_agg(CAST(e.ag_num AS VARCHAR) || ':' || e.db_id, ';'
+                    ORDER BY CAST(e.ag_num AS VARCHAR) || ':' || e.db_id) AS agent_str
+  FROM ev e WHERE e.db_name = 'NAME' GROUP BY e.mk_hash)
+"""
+
+  private def run(q: StmtQuery) =
+    (s: org.apache.spark.sql.SparkSession, dir: String) =>
+      QueryCompiler.compile(q, TpchWorld.readonly(s, dir), TpchWorld.types)
+
+  private val SEL = "SELECT DISTINCT mk_hash, ev_count, belief FROM "
+
+  def defs: Map[String, QueryDef] = Map(
+
+    "q_dsl_has_agent" -> QueryDef(
+      run(HasAgent("P5")),
+      Some(PREFIX + SEL +
+        "agent_meta WHERE db_name='NAME' AND db_id='P5'"),
+    ),
+
+    "q_dsl_has_agent_role" -> QueryDef(
+      run(HasAgent("P7", namespace = "CHEBI", role = Some("SUBJECT"))),
+      Some(PREFIX + SEL +
+        "agent_meta WHERE db_name='CHEBI' AND db_id='P7' AND role_num=-1"),
+    ),
+
+    // HasSources & flag & bound leaves fuse into ONE source_meta scan
+    // (SourceIntersection, query.py:1199-1345)
+    "q_dsl_source_fusion" -> QueryDef(
+      run(HasSources(Seq("reach", "signor")) & HasReadings() &
+        HasEvidenceBound(Seq(EvBound.parse(">= 3")))),
+      Some(PREFIX + """SELECT mk_hash, ev_count, belief FROM meta
+        WHERE has_rd AND ev_count >= 3
+          AND mk_hash IN (SELECT mk_hash FROM src_cnt WHERE src='reach')
+          AND mk_hash IN (SELECT mk_hash FROM src_cnt WHERE src='signor')"""),
+    ),
+
+    "q_dsl_only_source" -> QueryDef(
+      run(HasOnlySource("signor")),
+      Some(PREFIX + "SELECT mk_hash, ev_count, belief FROM meta WHERE only_src = 'signor'"),
+    ),
+
+    "q_dsl_not_only_source" -> QueryDef(
+      run(~HasOnlySource("medscan") & HasDatabases()),
+      Some(PREFIX + """SELECT mk_hash, ev_count, belief FROM meta
+        WHERE has_db AND (only_src IS NULL OR only_src <> 'medscan')"""),
+    ),
+
+    "q_dsl_union" -> QueryDef(
+      run(HasAgent("P3") | FromMeshIds(Seq("D8"))),
+      Some(PREFIX + """SELECT mk_hash, ev_count, belief FROM meta
+        WHERE mk_hash IN (SELECT mk_hash FROM agent_meta WHERE db_name='NAME' AND db_id='P3')
+           OR mk_hash IN (SELECT mk_hash FROM ev WHERE mesh_num=8 AND is_concept=0)"""),
+    ),
+
+    // inverted agent leaf -> anti-join, intrusive type pushed as predicate
+    "q_dsl_invert_agent" -> QueryDef(
+      run(HasType(Seq("2-HIGH")) & ~HasAgent("P3")),
+      Some(PREFIX + """SELECT mk_hash, ev_count, belief FROM meta
+        WHERE type_num = 1
+          AND mk_hash NOT IN (SELECT mk_hash FROM agent_meta
+                              WHERE db_name='NAME' AND db_id='P3')"""),
+    ),
+
+    "q_dsl_intersection" -> QueryDef(
+      run(HasAgent("P2") & HasType(Seq("1-URGENT", "3-MEDIUM")) &
+        HasEvidenceBound(Seq(EvBound.parse(">= 2")))),
+      Some(PREFIX + """SELECT DISTINCT mk_hash, ev_count, belief FROM agent_meta
+        WHERE db_name='NAME' AND db_id='P2' AND type_num IN (0, 2) AND ev_count >= 2"""),
+    ),
+
+    "q_dsl_from_papers" -> QueryDef(
+      run(FromPapers(Seq("pmid" -> "5", "pmid" -> "17"))),
+      Some(PREFIX + """SELECT mk_hash, ev_count, belief FROM meta
+        WHERE mk_hash IN (SELECT DISTINCT mk_hash FROM ev WHERE pmid IN (5, 17))"""),
+    ),
+
+    // mixed C/D mesh list auto-splits into a Union (query.py:1926-1949)
+    "q_dsl_mesh_mixed" -> QueryDef(
+      run(FromMeshIds(Seq("D8", "C7"))),
+      Some(PREFIX + """SELECT mk_hash, ev_count, belief FROM meta
+        WHERE mk_hash IN (SELECT mk_hash FROM ev WHERE mesh_num=8 AND is_concept=0)
+           OR mk_hash IN (SELECT mk_hash FROM ev WHERE mesh_num=7 AND is_concept=1)"""),
+    ),
+
+    "q_dsl_hashes" -> QueryDef(
+      run(HasHash(Set(1L, 2L, 3L, 500L))),
+      Some(PREFIX + "SELECT mk_hash, ev_count, belief FROM meta WHERE mk_hash IN (1,2,3,500)"),
+    ),
+
+    // compound algebra: (P2 | P3) & reach-sourced & not-only-reach
+    "q_dsl_algebra" -> QueryDef(
+      run((HasAgent("P2") | HasAgent("P3")) & HasSources(Seq("reach")) &
+        ~HasOnlySource("reach")),
+      Some(PREFIX + """SELECT mk_hash, ev_count, belief FROM meta
+        WHERE (mk_hash IN (SELECT mk_hash FROM agent_meta WHERE db_name='NAME' AND db_id='P2')
+            OR mk_hash IN (SELECT mk_hash FROM agent_meta WHERE db_name='NAME' AND db_id='P3'))
+          AND mk_hash IN (SELECT mk_hash FROM src_cnt WHERE src='reach')
+          AND (only_src IS NULL OR only_src <> 'reach')"""),
+    ),
+
+    // results layer: sorted/paged hash envelope
+    "q_dsl_top_hashes" -> QueryDef(
+      (s, dir) => Results.hashes(
+        HasSources(Seq("medscan")), TpchWorld.readonly(s, dir), TpchWorld.types,
+        sortBy = "ev_count", limit = 50),
+      Some(PREFIX + """SELECT mk_hash, ev_count, belief FROM meta
+        WHERE mk_hash IN (SELECT mk_hash FROM src_cnt WHERE src='medscan')
+        ORDER BY ev_count DESC, mk_hash ASC LIMIT 50"""),
+    ),
+
+    // results layer: evidence rows with per-statement ev_limit window
+    "q_dsl_statements" -> QueryDef(
+      (s, dir) => Results.statements(
+        HasAgent("P11"), TpchWorld.readonly(s, dir), TpchWorld.types, evLimit = 2),
+      Some(PREFIX + """SELECT mk_hash, sid, src, pmid, rn FROM (
+          SELECT e.mk_hash, e.sid, e.src, e.pmid,
+                 ROW_NUMBER() OVER (PARTITION BY e.mk_hash ORDER BY e.sid ASC) AS rn
+          FROM ev e
+          WHERE e.mk_hash IN (SELECT mk_hash FROM agent_meta
+                              WHERE db_name='NAME' AND db_id='P11'))
+        WHERE rn <= 2"""),
+    ),
+
+    // meta result layers over agent_interactions
+    "q_dsl_interactions" -> QueryDef(
+      (s, dir) => Results.interactions(
+        HasType(Seq("1-URGENT")), TpchWorld.readonly(s, dir), TpchWorld.types)
+        .select(col("mk_hash"), col("agent_str"),
+          col("type_num").cast("long").as("type_num"),
+          col("ev_count"), col("belief")),
+      Some(PREFIX + """SELECT i.mk_hash, i.agent_str,
+          CAST(m.type_num AS BIGINT) AS type_num, m.ev_count, m.belief
+        FROM ai i JOIN meta m ON i.mk_hash = m.mk_hash WHERE m.type_num = 0"""),
+    ),
+
+    "q_dsl_relations" -> QueryDef(
+      (s, dir) => Results.relations(
+        HasSources(Seq("reach")), TpchWorld.readonly(s, dir), TpchWorld.types)
+        .select(col("agent_str"), col("type_num").cast("long").as("type_num"),
+          col("total_ev"), col("max_belief"), col("n_hashes")),
+      Some(PREFIX + """SELECT i.agent_str, CAST(m.type_num AS BIGINT) AS type_num,
+          CAST(SUM(m.ev_count) AS BIGINT) AS total_ev,
+          MAX(m.belief) AS max_belief, COUNT(*) AS n_hashes
+        FROM ai i JOIN meta m ON i.mk_hash = m.mk_hash
+        WHERE m.mk_hash IN (SELECT mk_hash FROM src_cnt WHERE src='reach')
+        GROUP BY 1, 2"""),
+    ),
+
+    "q_dsl_agents_view" -> QueryDef(
+      (s, dir) => Results.agents(
+        HasNumAgents(Seq(2, 3)), TpchWorld.readonly(s, dir), TpchWorld.types),
+      Some(PREFIX + """SELECT i.agent_str,
+          CAST(COUNT(DISTINCT m.type_num) AS BIGINT) AS n_types,
+          CAST(SUM(m.ev_count) AS BIGINT) AS total_ev,
+          MAX(m.belief) AS max_belief, COUNT(*) AS n_hashes
+        FROM ai i JOIN meta m ON i.mk_hash = m.mk_hash
+        WHERE m.agent_count IN (2, 3)
+        GROUP BY 1"""),
+    ),
+  )
+}
