@@ -14,6 +14,7 @@ object SparkEntry {
   def packs: Seq[QueryPack] = Seq(
     RelationalQueries,
     DslQueries,
+    TextQueries,
   )
 
   private lazy val all: Map[String, QueryDef] =

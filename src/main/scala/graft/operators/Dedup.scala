@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed for
+  * the 100 TB regime:
+  *
+  *   - exact: hash-groupBy on a content digest — one shuffle on the digest,
+  *     never on the raw text;
+  *   - MinHash + LSH: shingle -> k minhashes -> banded signatures ->
+  *     bucket join. Candidate generation touches only (doc, band-signature)
+  *     pairs, so the quadratic explosion is confined to same-bucket groups;
+  *   - SimHash: 32-bit majority-vote fingerprint + Hamming verification;
+  *   - n-gram Jaccard: shingle inverted-index self-join (docs sharing at
+  *     least one shingle), exact Jaccard from co-occurrence counts.
+  *
+  * All hashing is deterministic integer math (see
+  * [[TextAnalysis.rollingHash]]) so every operator has a relational oracle.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content digest. Output: one row per
+    * duplicate doc: (canonical_id, dup_id) with canonical = min id.
+    * The shuffle key is the digest — raw text never moves. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df.select(col(idCol).as("doc_id"), md5(col(textCol)).as("digest"))
+    hashed
+      .groupBy("digest")
+      .agg(min("doc_id").as("canonical_id"), collect_list("doc_id").as("ids"),
+        count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(col("canonical_id"), explode(col("ids")).as("dup_id"))
+      .filter(col("dup_id") =!= col("canonical_id"))
+  }
+
+  /** Distinct (doc_id, token) pairs. */
+  def tokenSet(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .distinct()
+
+  /** Distinct word n-gram shingles per document, pre-hashed to a long so
+    * downstream joins/aggregations move 8 bytes, not strings. */
+  def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val shingles = transform(
+      sequence(lit(0), size(toks) - n),
+      i => array_join(slice(toks, i + 1, lit(n)), " "))
+    df.filter(size(toks) >= n) // sequence(0, negative) would walk backwards
+      .select(col(idCol).as("doc_id"), explode(shingles).as("shingle"))
+      .distinct()
+      .withColumn("sh_hash", TextAnalysis.rollingHash(col("shingle")))
+  }
+
+  /** k MinHash values per doc over its shingle hashes, using the affine
+    * family h_i(x) = (a_i x + b_i) mod p. Output: (doc_id, i, minh). */
+  def minhash(shingles: DataFrame, k: Int): DataFrame = {
+    val spark = shingles.sparkSession
+    import spark.implicits._
+    val params = (0 until k).map(i => (i, 131L * i + 7L, 97L * i + 3L))
+      .toDF("i", "a", "b")
+    shingles
+      .join(broadcast(params))
+      .groupBy("doc_id", "i")
+      .agg(min((col("a") * col("sh_hash") + col("b")) % TextAnalysis.HashMod)
+        .as("minh"))
+  }
+
+  /** LSH banding: signatures grouped into bands of `r` rows; docs sharing a
+    * band signature are candidates. Output: distinct (a_id, b_id), a < b. */
+  def lshCandidates(minhashes: DataFrame, r: Int): DataFrame = {
+    val sigs = minhashes
+      .withColumn("band", (col("i") / r).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("i"), col("minh")))),
+          s => s.getField("minh").cast("string")),
+        ",").as("sig"))
+    sigs.as("x").join(sigs.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over shingle sets for given candidate pairs.
+    * |A ∩ B| via co-occurrence join; |A ∪ B| = |A| + |B| - |A ∩ B|. */
+  def jaccard(candidates: DataFrame, shingles: DataFrame): DataFrame = {
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = candidates
+      .join(shingles.select(col("doc_id").as("a_id"), col("sh_hash")), "a_id")
+      .join(shingles.select(col("doc_id").as("b_id"), col("sh_hash")),
+        Seq("b_id", "sh_hash"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sz_a")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sz_b")), "b_id")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle -> minhash -> band ->
+    * candidates -> exact-Jaccard verification at `threshold`. */
+  def minhashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 12, r: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    val sh = shingleSet(df, idCol, textCol, n)
+    val cands = lshCandidates(minhash(sh, k), r)
+    jaccard(cands, sh)
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** 32-bit SimHash from token hashes: per bit, majority vote of token-hash
+    * bits; set bit where the vote is positive. Bit tests go through a
+    * broadcast (bit, mask) dimension so the same plan works as plain SQL. */
+  def simhash(tokens: DataFrame, bits: Int = 32): DataFrame = {
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    val bitIdx = (0 until bits).map(b => (b, 1L << b)).toDF("bit", "mask")
+    tokens
+      .withColumn("th", TextAnalysis.rollingHash(col("tok")))
+      .join(broadcast(bitIdx))
+      .groupBy("doc_id", "bit", "mask")
+      .agg(sum(when(col("th").bitwiseAND(col("mask")) =!= 0, 1).otherwise(-1))
+        .as("vote"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("vote") > 0, col("mask")).otherwise(0L)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: candidates sharing at least one of the four
+    * 8-bit bytes of the fingerprint (guarantees recall for Hamming
+    * distance <= 3 across the other bytes), verified at `maxHamming`. */
+  def simhashNearDups(simhashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val spark = simhashes.sparkSession
+    import spark.implicits._
+    val bytes = (0 until 4).map(i => (i, 255L << (8 * i))).toDF("byte_idx", "byte_mask")
+    val keyed = simhashes.join(broadcast(bytes))
+      .withColumn("byte_val", col("simhash").bitwiseAND(col("byte_mask")))
+    keyed.as("x").join(keyed.as("y"),
+        col("x.byte_idx") === col("y.byte_idx") &&
+          col("x.byte_val") === col("y.byte_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+}

@@ -1,0 +1,305 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Training-data pipeline operators over the `documents` and `embeddings`
+  * tables, each with a relational DuckDB oracle. Near-dup demos derive a
+  * corpus with controlled duplicates (exact copies / truncated copies of a
+  * deterministic subset) so the dedup output is non-trivial at every SF.
+  */
+object TextQueries extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String) =
+    Tables.table(s, dir, "documents")
+
+  /** documents ∪ exact copies of every 10th doc (ids shifted +100000). */
+  private def corpusExact(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionByName(
+      d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000))
+  }
+
+  private val CORPUS_EXACT = """corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)"""
+
+  /** documents ∪ near copies (last two tokens dropped) of every 5th doc. */
+  private def corpusNear(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val toks = TextAnalysis.tokens(col("text"))
+    d.unionByName(
+      d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          array_join(slice(toks, lit(1), size(toks) - 2), " ").as("text")))
+  }
+
+  private val CORPUS_NEAR = """corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1,
+           len(string_split_regex(trim(text), '\s+')) - 2), ' ')
+  FROM documents WHERE doc_id % 5 = 0)"""
+
+  /** DuckDB rolling hash identical to TextAnalysis.rollingHash. */
+  private def duckHash(expr: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       list_transform(string_split($expr, ''), c -> CAST(ascii(c) AS BIGINT))),
+       (a, b) -> (a * 31 + b) % 1000000007)"""
+
+  /** DuckDB shingle pipeline over `corpus` -> shh(doc_id, sh_hash). */
+  private val DUCK_SHINGLES = s"""
+sh0 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM corpus),
+sh1 AS (SELECT doc_id,
+          unnest(list_transform(range(1, len(toks) - 1),
+            i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingle
+        FROM sh0),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh1),
+shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // --- text analysis ---------------------------------------------------
+    "q_text_stats" -> QueryDef(
+      (s, dir) => TextAnalysis.qualityStats(
+          docs(s, dir).select("doc_id", "text"), "text",
+          TextAnalysis.langProfiles.head._2)
+        .select("doc_id", "n_tokens", "n_uniq", "n_stop", "ttr",
+          "mean_tok_len", "stop_ratio"),
+      Some("""WITH t AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        s AS (SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+          CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS n_stop,
+          CAST(length(list_reduce(toks, (x, y) -> x || y)) AS BIGINT) AS n_chars_tok
+          FROM t)
+        SELECT doc_id, n_tokens, n_uniq, n_stop,
+          CAST(n_uniq AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS ttr,
+          CAST(n_chars_tok AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS mean_tok_len,
+          CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS stop_ratio
+        FROM s"""),
+    ),
+
+    "q_text_langid" -> QueryDef(
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"),
+          TextAnalysis.approxBpeTokens(col("text")).as("bpe_tokens")),
+      Some("""WITH t AS (
+          SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS toks
+          FROM documents),
+        c AS (SELECT doc_id, text,
+          len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS c_en,
+          len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS c_de,
+          len(list_filter(toks, x -> x IN ('el','los','que','y','es'))) AS c_es,
+          len(list_filter(toks, x -> x IN ('le','les','et','est','une'))) AS c_fr
+          FROM t)
+        SELECT doc_id,
+          CASE WHEN greatest(c_en, c_de, c_es, c_fr) = 0 THEN 'und'
+               WHEN c_en = greatest(c_en, c_de, c_es, c_fr) THEN 'en'
+               WHEN c_de = greatest(c_en, c_de, c_es, c_fr) THEN 'de'
+               WHEN c_es = greatest(c_en, c_de, c_es, c_fr) THEN 'es'
+               ELSE 'fr' END AS lang_pred,
+          CAST(ceil(CAST(length(text) AS DOUBLE)/4.0) AS BIGINT) AS bpe_tokens
+        FROM c"""),
+    ),
+
+    "q_text_fingerprint" -> QueryDef(
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("fp")),
+      Some(s"SELECT doc_id, ${duckHash("text")} AS fp FROM documents"),
+    ),
+
+    // --- dedup -----------------------------------------------------------
+    "q_dedup_exact" -> QueryDef(
+      (s, dir) => Dedup.exact(corpusExact(s, dir), "doc_id", "text"),
+      Some(s"""WITH $CORPUS_EXACT,
+        g AS (SELECT md5(text) AS dg, min(doc_id) AS canonical_id, count(*) AS n
+              FROM corpus GROUP BY 1)
+        SELECT g.canonical_id, c.doc_id AS dup_id
+        FROM corpus c JOIN g ON md5(c.text) = g.dg
+        WHERE g.n > 1 AND c.doc_id <> g.canonical_id"""),
+    ),
+
+    "q_dedup_minhash" -> QueryDef(
+      (s, dir) => Dedup.minhashNearDups(corpusNear(s, dir), "doc_id", "text",
+        n = 3, k = 12, r = 3, threshold = 0.6),
+      Some(s"""WITH $CORPUS_NEAR, $DUCK_SHINGLES,
+        mh AS (SELECT s.doc_id, t.i,
+                 min(((131*t.i + 7) * s.sh_hash + (97*t.i + 3)) % 1000000007) AS minh
+               FROM shh s CROSS JOIN range(0, 12) t(i) GROUP BY 1, 2),
+        bands AS (SELECT doc_id, i // 3 AS band,
+                    string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS sig
+                  FROM mh GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                 FROM bands x JOIN bands y
+                   ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+        szs AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY 1),
+        inter AS (SELECT c.a_id, c.b_id, count(*) AS i_cnt
+                  FROM cand c
+                  JOIN shh p ON p.doc_id = c.a_id
+                  JOIN shh q ON q.doc_id = c.b_id AND q.sh_hash = p.sh_hash
+                  GROUP BY 1, 2)
+        SELECT i.a_id, i.b_id,
+          CAST(i.i_cnt AS DOUBLE)/CAST(s1.sz + s2.sz - i.i_cnt AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN szs s1 ON s1.doc_id = i.a_id
+        JOIN szs s2 ON s2.doc_id = i.b_id
+        WHERE CAST(i.i_cnt AS DOUBLE)/CAST(s1.sz + s2.sz - i.i_cnt AS DOUBLE) >= 0.6"""),
+    ),
+
+    "q_dedup_simhash" -> QueryDef(
+      (s, dir) => Dedup.simhash(
+        Dedup.tokenSet(docs(s, dir), "doc_id", "text")),
+      Some(s"""WITH tok AS (
+          SELECT DISTINCT doc_id,
+            unnest(string_split_regex(trim(text), '\\s+')) AS tok
+          FROM documents),
+        th AS (SELECT doc_id, ${duckHash("tok")} AS th FROM tok),
+        bits AS (SELECT bit, (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) AS mask
+                 FROM range(0, 32) b(bit)),
+        votes AS (SELECT doc_id, bit, mask,
+                    SUM(CASE WHEN (th & mask) <> 0 THEN 1 ELSE -1 END) AS vote
+                  FROM th CROSS JOIN bits GROUP BY 1, 2, 3)
+        SELECT doc_id,
+          CAST(SUM(CASE WHEN vote > 0 THEN mask ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY 1"""),
+    ),
+
+    "q_dedup_simhash_pairs" -> QueryDef(
+      (s, dir) => Dedup.simhashNearDups(
+        Dedup.simhash(Dedup.tokenSet(
+          corpusNear(s, dir).filter(col("doc_id") % 50 === 0 ||
+            (col("doc_id") >= 100000 && (col("doc_id") - 100000) % 50 === 0)),
+          "doc_id", "text")),
+        maxHamming = 3),
+      Some(s"""WITH $CORPUS_NEAR,
+        sub AS (SELECT * FROM corpus
+                WHERE doc_id % 50 = 0
+                   OR (doc_id >= 100000 AND (doc_id - 100000) % 50 = 0)),
+        tok AS (SELECT DISTINCT doc_id,
+                  unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM sub),
+        th AS (SELECT doc_id, ${duckHash("tok")} AS th FROM tok),
+        bits AS (SELECT bit, (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) AS mask
+                 FROM range(0, 32) b(bit)),
+        votes AS (SELECT doc_id, bit, mask,
+                    SUM(CASE WHEN (th & mask) <> 0 THEN 1 ELSE -1 END) AS vote
+                  FROM th CROSS JOIN bits GROUP BY 1, 2, 3),
+        sh AS (SELECT doc_id,
+                 CAST(SUM(CASE WHEN vote > 0 THEN mask ELSE 0 END) AS BIGINT) AS simhash
+               FROM votes GROUP BY 1),
+        bytes AS (SELECT i AS byte_idx,
+                    (CAST(255 AS BIGINT) << CAST(8*i AS INTEGER)) AS byte_mask
+                  FROM range(0, 4) t(i)),
+        keyed AS (SELECT doc_id, simhash, byte_idx, simhash & byte_mask AS byte_val
+                  FROM sh CROSS JOIN bytes),
+        cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+                   x.simhash AS sh_a, y.simhash AS sh_b
+                 FROM keyed x JOIN keyed y
+                   ON x.byte_idx = y.byte_idx AND x.byte_val = y.byte_val
+                      AND x.doc_id < y.doc_id)
+        SELECT a_id, b_id, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3"""),
+    ),
+
+    "q_dedup_ngram_jaccard" -> QueryDef(
+      (s, dir) => {
+        val sh = Dedup.shingleSet(corpusNear(s, dir), "doc_id", "text", 3)
+        val pairs = sh.as("p").join(sh.as("q"),
+            col("p.sh_hash") === col("q.sh_hash") &&
+              col("p.doc_id") < col("q.doc_id"))
+          .select(col("p.doc_id").as("a_id"), col("q.doc_id").as("b_id"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+          .filter(col("inter") >= 10)
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        pairs
+          .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sz_a")), "a_id")
+          .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sz_b")), "b_id")
+          .withColumn("jaccard", col("inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+          .filter(col("jaccard") >= 0.5)
+          .select("a_id", "b_id", "jaccard")
+      },
+      Some(s"""WITH $CORPUS_NEAR, $DUCK_SHINGLES,
+        pairs AS (SELECT p.doc_id AS a_id, q.doc_id AS b_id, count(*) AS i_cnt
+                  FROM shh p JOIN shh q
+                    ON p.sh_hash = q.sh_hash AND p.doc_id < q.doc_id
+                  GROUP BY 1, 2 HAVING count(*) >= 10),
+        szs AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY 1)
+        SELECT p.a_id, p.b_id,
+          CAST(p.i_cnt AS DOUBLE)/CAST(s1.sz + s2.sz - p.i_cnt AS DOUBLE) AS jaccard
+        FROM pairs p
+        JOIN szs s1 ON s1.doc_id = p.a_id
+        JOIN szs s2 ON s2.doc_id = p.b_id
+        WHERE CAST(p.i_cnt AS DOUBLE)/CAST(s1.sz + s2.sz - p.i_cnt AS DOUBLE) >= 0.5"""),
+    ),
+
+    // --- similarity search ----------------------------------------------
+    "q_embed_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding"))
+        Similarity.topK(emb.filter(col("id") < 20), emb, k = 3)
+      },
+      Some("""WITH v AS (SELECT vec_id AS id, embedding FROM embeddings),
+        n AS (SELECT id, embedding,
+          sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(range(1, len(embedding)+1),
+              p -> CAST(embedding[p] AS DOUBLE) * CAST(embedding[p] AS DOUBLE))),
+            (a, b) -> a + b)) AS nrm
+          FROM v),
+        scored AS (SELECT q.id AS q_id, c.id AS c_id,
+          round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(range(1, len(q.embedding)+1),
+              p -> CAST(q.embedding[p] AS DOUBLE) * CAST(c.embedding[p] AS DOUBLE))),
+            (a, b) -> a + b) / (q.nrm * c.nrm), 4) AS cos
+          FROM n q JOIN n c ON q.id <> c.id
+          WHERE q.id < 20),
+        ranked AS (SELECT q_id, c_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn
+          FROM scored)
+        SELECT q_id, c_id, cos, rn FROM ranked WHERE rn <= 3"""),
+    ),
+
+    "q_embed_lsh_pairs" -> QueryDef(
+      (s, dir) => Similarity.lshPairs(
+        Tables.table(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding")),
+        planes = 8, dim = 64, minCos = 0.3),
+      Some("""WITH v AS (SELECT vec_id AS id, embedding FROM embeddings),
+        planes AS (SELECT p FROM range(0, 8) t(p)),
+        dots AS (SELECT v.id, pl.p,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(range(1, 65),
+              d -> CAST(embedding[d] AS DOUBLE) *
+                   (CASE WHEN (pl.p * 7919 + d * 104729) % 3 = 0
+                         THEN -1.0 ELSE 1.0 END))),
+            (a, b) -> a + b) AS dp
+          FROM v CROSS JOIN planes pl),
+        buckets AS (SELECT id,
+          CAST(SUM(CASE WHEN dp > 0
+            THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT)
+            AS bucket
+          FROM dots GROUP BY 1),
+        n AS (SELECT v.id, v.embedding, b.bucket,
+          sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(range(1, 65),
+              p -> CAST(embedding[p] AS DOUBLE) * CAST(embedding[p] AS DOUBLE))),
+            (a, b) -> a + b)) AS nrm
+          FROM v JOIN buckets b ON v.id = b.id)
+        SELECT a_id, b_id, cos FROM (
+          SELECT x.id AS a_id, y.id AS b_id,
+            round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(range(1, 65),
+                p -> CAST(x.embedding[p] AS DOUBLE) * CAST(y.embedding[p] AS DOUBLE))),
+              (a, b) -> a + b) / (x.nrm * y.nrm), 4) AS cos
+          FROM n x JOIN n y ON x.bucket = y.bucket AND x.id < y.id)
+        WHERE cos >= 0.3"""),
+    ),
+  )
+}

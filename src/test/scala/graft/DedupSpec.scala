@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Semantics the DuckDB gate can't express: recall guarantees of the LSH
+  * paths against planted duplicates, and basic metric properties.
+  */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local("dedup-test")
+  val dir = "/root/testdata/sf0.001"
+
+  def docs = Tables.table(spark, dir, "documents").select("doc_id", "text")
+
+  def withExactCopies = {
+    val copies = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000)
+    docs.unionByName(copies)
+  }
+
+  test("exact dedup finds exactly the planted copies") {
+    val expected = docs.filter(col("doc_id") % 10 === 0).count()
+    val dups = Dedup.exact(withExactCopies, "doc_id", "text").collect()
+    assert(dups.length == expected)
+    assert(dups.forall(r => r.getLong(1) == r.getLong(0) + 100000))
+  }
+
+  test("minhash LSH recall: every exact copy is found with jaccard 1.0") {
+    val found = Dedup.minhashNearDups(withExactCopies, "doc_id", "text",
+        n = 3, k = 12, r = 3, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = docs.filter(col("doc_id") % 10 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(0) + 100000)).toSet
+    assert(planted.subsetOf(found),
+      s"missing: ${planted -- found}") // identical docs collide in every band
+  }
+
+  test("simhash of identical texts is identical; near-dup pairs found") {
+    val sh = Dedup.simhash(Dedup.tokenSet(withExactCopies, "doc_id", "text"))
+    val pairs = Dedup.simhashNearDups(sh, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = docs.filter(col("doc_id") % 10 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(0) + 100000)).toSet
+    assert(planted.subsetOf(pairs))
+  }
+
+  test("cosine is 1.0 for identical vectors and within [-1,1] everywhere") {
+    val emb = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val self = emb.select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .agg(min("c"), max("c")).collect().head
+    assert(math.abs(self.getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(self.getDouble(1) - 1.0) < 1e-9)
+    val topk = Similarity.topK(emb.filter(col("id") < 5), emb, k = 3)
+    val rows = topk.collect()
+    assert(rows.length == 15) // 5 queries x k=3
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0))
+  }
+
+  test("langId returns a profile language on English-marker text") {
+    import spark.implicits._
+    val df = Seq(
+      ("the cat sat on the mat and a dog", "en"),
+      ("der hund und die katze ist das", "de"),
+      ("xyzzy qwerty", "und"),
+    ).toDF("text", "expected")
+    val got = df.select(TextAnalysis.langId(col("text")).as("got"), col("expected"))
+      .collect()
+    assert(got.forall(r => r.getString(0) == r.getString(1)))
+  }
+}
