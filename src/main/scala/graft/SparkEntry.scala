@@ -15,6 +15,7 @@ object SparkEntry {
     RelationalQueries,
     DslQueries,
     TextQueries,
+    AssemblyQueries,
   )
 
   private lazy val all: Map[String, QueryDef] =

@@ -1,0 +1,60 @@
+package graft.assembly
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.StatementModel
+import graft.functions.exprs.stable_hash64
+
+/** Preassembly: raw statements -> unique statements keyed by content hash.
+  *
+  * The reference streams 77M raw statements through a single Python process
+  * in 10k batches accumulating seen-hash sets and source-count dicts
+  * (export_assembly.py:368-601, ~2.5-3h). Here it's three shuffle-free-or-
+  * single-shuffle columnar stages:
+  *
+  *   1. parse + canonicalize + hash (pure codegen'd map work, no shuffle);
+  *   2. dedup: one row per mk_hash keeping the lowest raw id's payload
+  *      (window row_number on the hash — the "first JSON wins" rule of
+  *      `deduplicate`, export_assembly.py:576-601);
+  *   3. source counts: groupBy (mk_hash, src) with map-side partial
+  *      aggregation, rolled into a MapType column.
+  */
+object Preassembly {
+
+  /** Parse raw statement rows: adds `stmt` struct, `matches_key`, `mk_hash`.
+    * Input needs a `raw_json` string column. */
+  def parse(raw: DataFrame): DataFrame = {
+    val stmt = StatementModel.parse(col("raw_json"))
+    raw.withColumn("stmt", stmt)
+      .withColumn("matches_key", StatementModel.matchesKey(col("stmt")))
+      .withColumn("mk_hash", stable_hash64(col("matches_key")))
+  }
+
+  /** One row per unique statement: lowest-raw-id payload wins.
+    * Input needs (raw_stmt_id, mk_hash) plus payload columns. */
+  def dedup(parsed: DataFrame): DataFrame = {
+    val w = Window.partitionBy("mk_hash").orderBy(col("raw_stmt_id").asc)
+    parsed
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** raw -> pa links (the raw_unique_links table,
+    * principal_schema.py:762-779). */
+  def links(parsed: DataFrame): DataFrame =
+    parsed.select(col("raw_stmt_id"), col("mk_hash"))
+
+  /** Per-hash source-count map + total evidence count. Input needs
+    * (mk_hash, src). */
+  def sourceCounts(parsed: DataFrame): DataFrame =
+    parsed
+      .groupBy("mk_hash", "src")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("mk_hash")
+      .agg(
+        map_from_entries(collect_list(struct(col("src"), col("cnt"))))
+          .as("src_json"),
+        sum("cnt").as("ev_count"))
+}

@@ -1,0 +1,65 @@
+package graft.assembly
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Refinement graph operators.
+  *
+  * The reference enumerates candidate pairs per statement type in an O(n²)
+  * process pool (export_assembly.py:759-784) and builds an nx.DiGraph with
+  * a cycle check (:858-877). Spark re-expression:
+  *
+  *   - candidate generation is a blocked self-join: equality on the
+  *     statement type plus a coarse agent-grounding block, so the quadratic
+  *     work is confined to same-block groups (SURVEY §7.4.1);
+  *   - transitive ancestors come from an iterative frontier join to
+  *     fixpoint — the DAG is shallow, so the loop runs few rounds, each a
+  *     single equi-join shuffled on the frontier key.
+  */
+object Refinement {
+
+  /** Candidate refinement pairs: same `blockCols` values, different hashes.
+    * The caller applies the domain refinement predicate to the paired rows.
+    */
+  def candidatePairs(stmts: DataFrame, blockCols: Seq[String]): DataFrame = {
+    val left = stmts.columns.foldLeft(stmts)((d, c) =>
+      if (blockCols.contains(c)) d else d.withColumnRenamed(c, "a_" + c))
+    val right = stmts.columns.foldLeft(stmts)((d, c) =>
+      if (blockCols.contains(c)) d else d.withColumnRenamed(c, "b_" + c))
+    left.join(right, blockCols).filter(col("a_mk_hash") =!= col("b_mk_hash"))
+  }
+
+  /** Transitive closure of a DAG given as (desc, anc) direct edges.
+    * Returns all (desc, anc) pairs with a path desc -> anc. Fails if a cycle
+    * appears within `maxIter` rounds (mirrors the reference's cycle check).
+    *
+    * Linear-frontier BFS: each round joins the frontier to the base edges —
+    * one shuffle per DAG level, not per pair.
+    */
+  def transitiveClosure(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // localCheckpoint (not cache): iterative plans must truncate lineage or
+    // Catalyst re-analyzes an exponentially growing logical plan each round.
+    def fresh(df: DataFrame): DataFrame =
+      df.localCheckpoint(true).toDF("desc", "anc") // new attr ids for self-joins
+    val base = fresh(edges.select(col("desc"), col("anc")).distinct())
+    var acc = base
+    var frontier = base
+    var i = 0
+    while (i < maxIter) {
+      val next = fresh(frontier.as("f")
+        .join(base.as("e"), col("f.anc") === col("e.desc"))
+        .select(col("f.desc").as("desc"), col("e.anc").as("anc"))
+        .distinct()
+        .join(acc, Seq("desc", "anc"), "left_anti"))
+      if (next.isEmpty) {
+        if (acc.filter(col("desc") === col("anc")).limit(1).count() > 0)
+          sys.error("refinement graph contains a cycle")
+        return acc
+      }
+      acc = fresh(acc.union(next))
+      frontier = next
+      i += 1
+    }
+    sys.error(s"transitive closure did not converge in $maxIter rounds (cycle?)")
+  }
+}

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.assembly.{Belief, Distill, Preassembly, Refinement}
+import graft.sources.Tables
+
+/** Assembly-pipeline operators through the gate: reading distillation
+  * (two-window priority), preassembly (statement JSON parse -> canonical
+  * matches-key -> 64-bit hash -> dedup -> source counts), belief scoring,
+  * and refinement transitive closure. The DuckDB oracles recompute the
+  * same semantics relationally — including the MD5-prefix hash, folded
+  * from hex digits into a signed BIGINT.
+  */
+object AssemblyQueries extends QueryPack {
+
+  /** DuckDB replica of StableHash64 given a VARCHAR expression: use in two
+    * stages (compute `u`, then sign-adjust). */
+  private def duckHashU(e: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        list_transform(string_split(substr(md5($e), 1, 16), ''),
+          c -> CAST(CASE WHEN c BETWEEN '0' AND '9' THEN ascii(c) - 48
+                         ELSE ascii(c) - 87 END AS HUGEINT))),
+        (a, b) -> a * 16 + b)"""
+
+  private val SIGN_ADJUST =
+    """CAST(u - CASE WHEN u > CAST(9223372036854775807 AS HUGEINT)
+        THEN CAST(18446744073709551616 AS HUGEINT)
+        ELSE CAST(0 AS HUGEINT) END AS BIGINT)"""
+
+  def defs: Map[String, QueryDef] = Map(
+
+    "q_distill" -> QueryDef(
+      (s, dir) => {
+        val k = regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+        val readings = Tables.events(s, dir).select(
+          col("event_id").as("rid"),
+          col("user_id").as("trid"),
+          col("event_type").as("reader"),
+          col("value").as("reader_version"),
+          concat(lit("s"), (k % 3).cast("string")).as("source"),
+          when(k % 2 === 0, "fulltext").otherwise("abstract").as("text_type"))
+        val prio = Seq(("fulltext", "s0"), ("fulltext", "s1"), ("fulltext", "s2"),
+          ("abstract", "s0"), ("abstract", "s1"), ("abstract", "s2"))
+        Distill.distill(readings, prio).select("rid", "trid", "reader")
+      },
+      Some("""WITH r AS (
+          SELECT event_id AS rid, user_id AS trid, event_type AS reader,
+            value AS ver,
+            's' || CAST(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 3 AS VARCHAR) AS source,
+            CASE WHEN CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 2 = 0
+                 THEN 'fulltext' ELSE 'abstract' END AS text_type
+          FROM events),
+        w1 AS (SELECT * FROM (
+            SELECT r.*, ROW_NUMBER() OVER (
+              PARTITION BY trid, reader, source, text_type
+              ORDER BY ver DESC, rid DESC) AS rn FROM r)
+          WHERE rn = 1),
+        w2 AS (SELECT *, CASE text_type || '/' || source
+            WHEN 'fulltext/s0' THEN 0 WHEN 'fulltext/s1' THEN 1
+            WHEN 'fulltext/s2' THEN 2 WHEN 'abstract/s0' THEN 3
+            WHEN 'abstract/s1' THEN 4 ELSE 5 END AS prio FROM w1)
+        SELECT rid, trid, reader FROM (
+          SELECT *, MIN(prio) OVER (PARTITION BY trid, reader) AS bp FROM w2)
+        WHERE prio = bp"""),
+    ),
+
+    "q_preassemble" -> QueryDef(
+      (s, dir) => {
+        // raw statement JSONs synthesized from lineitem, then the REAL
+        // ingest path: from_json parse -> canonical matches-key -> hash ->
+        // dedup (lowest raw id wins) -> per-hash evidence counts.
+        val w = Window.partitionBy("l_orderkey")
+          .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+            col("l_extendedprice"))
+        val li = Tables.table(s, dir, "lineitem")
+          .withColumn("evn", row_number().over(w))
+          .withColumn("raw_stmt_id", col("l_orderkey") * 100 + col("evn"))
+        val stype = when(col("l_returnflag") === "A", "Phosphorylation")
+          .when(col("l_returnflag") === "N", "Activation")
+          .otherwise("Inhibition")
+        val raw = li.select(
+          col("raw_stmt_id"),
+          when(col("l_returnflag") === "A", "reach")
+            .when(col("l_returnflag") === "N", "medscan")
+            .otherwise("signor").as("src"),
+          to_json(struct(
+            stype.as("type"),
+            struct(
+              concat(lit("pA"), (col("l_partkey") % 50).cast("string")).as("name"),
+              map(lit("HGNC"),
+                concat(lit("P"), (col("l_partkey") % 50).cast("string")))
+                .as("db_refs")).as("subj"),
+            struct(
+              concat(lit("pB"), (col("l_suppkey") % 20).cast("string")).as("name"),
+              map(lit("HGNC"),
+                concat(lit("S"), (col("l_suppkey") % 20).cast("string")))
+                .as("db_refs")).as("obj"))).as("raw_json"))
+        val parsed = Preassembly.parse(raw)
+        val uniq = Preassembly.dedup(parsed)
+          .select("mk_hash", "raw_stmt_id", "matches_key")
+        uniq.join(
+          Preassembly.sourceCounts(parsed).select("mk_hash", "ev_count"),
+          "mk_hash")
+      },
+      Some(s"""WITH li AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+            ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice) AS evn
+          FROM lineitem),
+        keyed AS (
+          SELECT l_orderkey*100 + evn AS raw_stmt_id,
+            (CASE l_returnflag WHEN 'A' THEN 'Phosphorylation'
+                 WHEN 'N' THEN 'Activation' ELSE 'Inhibition' END)
+            || '(HGNC:P' || CAST(l_partkey % 50 AS VARCHAR)
+            || ', HGNC:S' || CAST(l_suppkey % 20 AS VARCHAR) || ')' AS matches_key
+          FROM li),
+        hashed AS (SELECT raw_stmt_id, matches_key,
+            ${duckHashU("matches_key")} AS u FROM keyed),
+        signed AS (SELECT raw_stmt_id, matches_key,
+            $SIGN_ADJUST AS mk_hash FROM hashed)
+        SELECT mk_hash, min(raw_stmt_id) AS raw_stmt_id,
+          min(matches_key) AS matches_key, count(*) AS ev_count
+        FROM signed GROUP BY 1"""),
+    ),
+
+    "q_belief_prior" -> QueryDef(
+      (s, dir) => Belief.score(TpchWorld.readonly(s, dir).sourceMeta)
+        .select(col("mk_hash"), col("belief").as("belief_score")),
+      Some(DslQueries.PREFIX + """, terms AS (
+          SELECT mk_hash, src,
+            0.05 + list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+              list_transform(range(1, c + 1), x -> CAST(0.3 AS DOUBLE))),
+              (a, b) -> a * b) AS t
+          FROM src_cnt)
+        SELECT mk_hash,
+          1.0 - list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+            list(t ORDER BY src)), (a, b) -> a * b) AS belief_score
+        FROM terms GROUP BY mk_hash"""),
+    ),
+
+    "q_closure" -> QueryDef(
+      (s, dir) => {
+        val edges = Tables.table(s, dir, "part")
+          .filter(col("p_partkey") >= 2)
+          .select(col("p_partkey").cast("long").as("desc"),
+            ((col("p_partkey") - col("p_partkey") % 2) / 2).cast("long").as("anc"))
+        Refinement.transitiveClosure(edges)
+          .select(col("desc").as("node"), col("anc"))
+      },
+      Some("""WITH RECURSIVE e AS (
+          SELECT CAST(p_partkey AS BIGINT) AS node, CAST(p_partkey // 2 AS BIGINT) AS anc
+          FROM part WHERE p_partkey >= 2),
+        c AS (SELECT node, anc FROM e
+              UNION
+              SELECT c.node, e.anc FROM c JOIN e ON c.anc = e.node)
+        SELECT node, anc FROM c"""),
+    ),
+  )
+}

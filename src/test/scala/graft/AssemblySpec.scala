@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.assembly.{Belief, Distill, Preassembly, Refinement}
+import graft.core.StatementModel
+import graft.sources.Tables
+
+/** Assembly-pipeline semantics: statement JSON parse -> canonical
+  * matches-key -> golden hashes, distillation priority (the reference's
+  * DistillationTestSet spirit), belief golden values
+  * (tests/test_readonly_pipeline.py:34), refinement-aware belief
+  * (FIXTURES.md §4 chain), and TSV.gz ingest with \N nulls.
+  */
+class AssemblySpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local("assembly-test")
+
+  test("statement JSON -> matches-key -> golden mk_hash") {
+    import spark.implicits._
+    val raws = Seq(
+      ("""{"type":"Phosphorylation","enz":{"name":"MEK","db_refs":{"FPLX":"MEK"}},"sub":{"name":"ERK","db_refs":{"FPLX":"ERK"}}}""",
+        "Phosphorylation(FPLX:MEK, FPLX:ERK)", 3152578078487967521L),
+      ("""{"type":"Complex","members":[{"name":"B"},{"name":"A"}]}""",
+        "Complex(A|B)", -4393732411530184406L),
+      ("""{"type":"Activation","subj":{"name":"X","db_refs":{"HGNC":"1234","TEXT":"x"}},"obj":{"name":"ERK","db_refs":{}}}""",
+        "Activation(HGNC:1234, ERK)", -1332719244716284936L),
+    )
+    val got = Preassembly.parse(
+        raws.map(r => (1L, r._1)).toDF("raw_stmt_id", "raw_json"))
+      .select("matches_key", "mk_hash").collect()
+    got.zip(raws).foreach { case (row, (_, key, hash)) =>
+      assert(row.getString(0) == key)
+      assert(row.getLong(1) == hash)
+    }
+  }
+
+  test("dedup keeps lowest raw id; source counts aggregate") {
+    import spark.implicits._
+    val raw = Seq(
+      (10L, "reach", """{"type":"Complex","members":[{"name":"A"},{"name":"B"}]}"""),
+      (7L, "medscan", """{"type":"Complex","members":[{"name":"B"},{"name":"A"}]}"""),
+      (5L, "reach", """{"type":"Activation","subj":{"name":"X","db_refs":{}},"obj":{"name":"Y","db_refs":{}}}"""),
+    ).toDF("raw_stmt_id", "src", "raw_json")
+    val parsed = Preassembly.parse(raw)
+    val uniq = Preassembly.dedup(parsed)
+    assert(uniq.count() == 2)
+    val complexRow = uniq.filter(col("matches_key") === "Complex(A|B)").collect().head
+    assert(complexRow.getAs[Long]("raw_stmt_id") == 7L) // lowest id wins
+    val counts = Preassembly.sourceCounts(parsed)
+      .filter(col("ev_count") === 2).collect()
+    assert(counts.length == 1)
+    assert(counts.head.getAs[Map[String, Long]]("src_json") ==
+      Map("reach" -> 1L, "medscan" -> 1L))
+  }
+
+  test("distill: newest version per slot, then fulltext beats abstract") {
+    import spark.implicits._
+    val readings = Seq(
+      (1L, 1L, "reach", 1.0, "pubmed", "abstract"),
+      (2L, 1L, "reach", 2.0, "pubmed", "abstract"), // newer version of rid 1
+      (3L, 1L, "reach", 1.0, "pmc_oa", "fulltext"), // fulltext wins the reader
+      (4L, 2L, "sparser", 1.0, "pubmed", "abstract"),
+    ).toDF("rid", "trid", "reader", "reader_version", "source", "text_type")
+    val kept = Distill.distill(readings).select("rid")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L))
+    val dropped = Distill.dropReadings(readings)
+      .collect().map(_.getLong(0)).toSet
+    assert(dropped == Set(1L, 2L))
+  }
+
+  test("belief golden: 3x reach = 0.923") {
+    import spark.implicits._
+    val df = Seq((1L, Map("reach" -> 3L))).toDF("mk_hash", "src_json")
+    val b = Belief.score(df).select("belief").collect().head.getDouble(0)
+    assert(math.abs(b - 0.923) < 1e-9)
+  }
+
+  test("refinement-aware belief increases toward the general statement") {
+    import spark.implicits._
+    // A3 refines A2 refines A1 (FIXTURES §4); each has 1 reach evidence
+    val counts = Seq(
+      (1L, Map("reach" -> 1L)), (2L, Map("reach" -> 1L)), (3L, Map("reach" -> 1L)),
+    ).toDF("mk_hash", "src_json")
+    val edges = Seq((3L, 2L), (2L, 1L)).toDF("desc", "anc")
+    val closure = Refinement.transitiveClosure(edges)
+    assert(closure.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((3L, 2L), (2L, 1L), (3L, 1L)))
+    val scored = Belief.scoreWithRefinements(counts, closure)
+      .select("mk_hash", "belief").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(scored(3L) - 0.65) < 1e-9)  // 1 - (0.05 + 0.3)
+    assert(math.abs(scored(2L) - 0.86) < 1e-9)  // 1 - (0.05 + 0.09)
+    assert(math.abs(scored(1L) - 0.923) < 1e-9) // 1 - (0.05 + 0.027)
+    assert(scored(3L) < scored(2L) && scored(2L) < scored(1L))
+  }
+
+  test("cycle detection fails the closure") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("desc", "anc")
+    val e = intercept[RuntimeException](Refinement.transitiveClosure(edges))
+    assert(e.getMessage.contains("cycle"))
+  }
+
+  test("TSV.gz ingest with \\N nulls (principal dump format)") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-tsv").toFile
+    val f = new java.io.File(dir, "raw.tsv.gz")
+    val out = new java.io.PrintWriter(new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(f)))
+    out.println("1\t\\N\t42\tsome json")
+    out.println("2\t7\t\\N\tother json")
+    out.close()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("raw_stmt_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("db_info_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("reading_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("raw_json", org.apache.spark.sql.types.StringType)))
+    val df = Tables.tsv(spark, f.getAbsolutePath, schema)
+    val rows = df.orderBy("raw_stmt_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(1) && rows(0).getLong(2) == 42L)
+    assert(rows(1).getLong(1) == 7L && rows(1).isNullAt(2))
+  }
+}
