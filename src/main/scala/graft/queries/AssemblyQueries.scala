@@ -30,6 +30,16 @@ object AssemblyQueries extends QueryPack {
 
   def defs: Map[String, QueryDef] = Map(
 
+    // shared batch/stream transform (Streams.hourlyRollup): the same plan
+    // runs under readStream in StreamingSpec
+    "q_stream_rollup" -> QueryDef(
+      (s, dir) => graft.streaming.Streams.hourlyRollup(Tables.events(s, dir)),
+      Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+              event_type, COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+              FROM events GROUP BY 1, 2"""),
+    ),
+
     "q_distill" -> QueryDef(
       (s, dir) => {
         val k = regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")

@@ -1,0 +1,110 @@
+package graft.querydsl
+
+import org.json4s._
+import org.json4s.JsonDSL._
+import org.json4s.jackson.JsonMethods
+
+/** JSON wire format for the query DSL — the analog of the reference's
+  * `Query.to_json` / `from_json` (query.py:870-913): a {"class": ...,
+  * "constraint": {...}, "inverted": bool} envelope per node, merges carrying
+  * a "queries" array. Round-trip stability (`fromJson(toJson(q)) == q`) is a
+  * tested law, mirroring the reference's `dq` round-trip checks
+  * (tests/test_query.py:404-421).
+  */
+object QueryJson {
+
+  def toJson(q: StmtQuery): String =
+    JsonMethods.compact(JsonMethods.render(render(q)))
+
+  def fromJson(s: String): StmtQuery =
+    parse(JsonMethods.parse(s))
+
+  // -------------------------------------------------------------------------
+
+  private def render(q: StmtQuery): JObject = q match {
+    case EmptyQuery => ("class" -> "EmptyQuery") ~ ("inverted" -> false)
+    case FullQuery => ("class" -> "EmptyQuery") ~ ("inverted" -> true)
+    case HasAgent(id, ns, role, num, inv) =>
+      ("class" -> "HasAgent") ~ ("inverted" -> inv) ~
+        ("constraint" -> (("agent_id" -> id) ~ ("namespace" -> ns) ~
+          ("role" -> role) ~ ("agent_num" -> num)))
+    case HasHash(hs, inv) =>
+      ("class" -> "HasHash") ~ ("inverted" -> inv) ~
+        ("constraint" -> ("stmt_hashes" -> hs.toSeq.sorted))
+    case HasSources(srcs, inv) =>
+      ("class" -> "HasSources") ~ ("inverted" -> inv) ~
+        ("constraint" -> ("sources" -> srcs))
+    case HasOnlySource(src, inv) =>
+      ("class" -> "HasOnlySource") ~ ("inverted" -> inv) ~
+        ("constraint" -> ("only_source" -> src))
+    case HasReadings(inv) =>
+      ("class" -> "HasReadings") ~ ("inverted" -> inv)
+    case HasDatabases(inv) =>
+      ("class" -> "HasDatabases") ~ ("inverted" -> inv)
+    case HasType(ts, sub, inv) =>
+      ("class" -> "HasType") ~ ("inverted" -> inv) ~
+        ("constraint" -> (("types" -> ts) ~ ("include_subclasses" -> sub)))
+    case HasNumAgents(ns, inv) =>
+      ("class" -> "HasNumAgents") ~ ("inverted" -> inv) ~
+        ("constraint" -> ("agent_nums" -> ns))
+    case HasNumEvidence(ns, inv) =>
+      ("class" -> "HasNumEvidence") ~ ("inverted" -> inv) ~
+        ("constraint" -> ("evidence_nums" -> ns))
+    case HasEvidenceBound(bs, inv) =>
+      ("class" -> "HasEvidenceBound") ~ ("inverted" -> inv) ~
+        ("constraint" -> ("evidence_bounds" -> bs.map(b => s"${b.op} ${b.value}")))
+    case FromPapers(papers, inv) =>
+      ("class" -> "FromPapers") ~ ("inverted" -> inv) ~
+        ("constraint" -> ("paper_list" -> papers.map { case (t, i) =>
+          JArray(List(JString(t), JString(i))) }))
+    case m: FromMeshIds =>
+      ("class" -> "FromMeshIds") ~ ("inverted" -> m.inverted) ~
+        ("constraint" -> ("mesh_ids" -> m.meshIds))
+    case Intersection(qs) =>
+      ("class" -> "Intersection") ~ ("inverted" -> false) ~
+        ("queries" -> qs.map(render))
+    case Union(qs) =>
+      ("class" -> "Union") ~ ("inverted" -> false) ~
+        ("queries" -> qs.map(render))
+  }
+
+  private implicit val fmts: Formats = DefaultFormats
+
+  private def parse(j: JValue): StmtQuery = {
+    val inv = (j \ "inverted").extractOrElse[Boolean](false)
+    val c = j \ "constraint"
+    def rebuild(q: StmtQuery): StmtQuery = if (inv) q.invert else q
+    (j \ "class").extract[String] match {
+      case "EmptyQuery" => if (inv) FullQuery else EmptyQuery
+      case "HasAgent" => HasAgent(
+        (c \ "agent_id").extract[String],
+        (c \ "namespace").extractOrElse[String]("NAME"),
+        (c \ "role").extractOpt[String],
+        (c \ "agent_num").extractOpt[Int],
+        inv)
+      case "HasHash" => HasHash((c \ "stmt_hashes").extract[Set[Long]], inv)
+      case "HasSources" => HasSources((c \ "sources").extract[Seq[String]], inv)
+      case "HasOnlySource" =>
+        HasOnlySource((c \ "only_source").extract[String], inv)
+      case "HasReadings" => HasReadings(inv)
+      case "HasDatabases" => HasDatabases(inv)
+      case "HasType" => HasType(
+        (c \ "types").extract[Seq[String]],
+        (c \ "include_subclasses").extractOrElse[Boolean](false),
+        inv)
+      case "HasNumAgents" => HasNumAgents((c \ "agent_nums").extract[Seq[Int]], inv)
+      case "HasNumEvidence" =>
+        HasNumEvidence((c \ "evidence_nums").extract[Seq[Int]], inv)
+      case "HasEvidenceBound" => HasEvidenceBound(
+        (c \ "evidence_bounds").extract[Seq[String]].map(EvBound.parse), inv)
+      case "FromPapers" => FromPapers(
+        (c \ "paper_list").extract[Seq[Seq[String]]].map(p => (p(0), p(1))), inv)
+      case "FromMeshIds" => rebuild(FromMeshIds((c \ "mesh_ids").extract[Seq[String]]))
+      case "Intersection" =>
+        rebuild(Intersection.of((j \ "queries").extract[Seq[JValue]].map(parse)))
+      case "Union" =>
+        rebuild(Union.of((j \ "queries").extract[Seq[JValue]].map(parse)))
+      case other => sys.error(s"unknown query class: $other")
+    }
+  }
+}

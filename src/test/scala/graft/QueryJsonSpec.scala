@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.querydsl._
+
+/** JSON wire-format round-trip law: fromJson(toJson(q)) == q for every base
+  * query and composite (the reference's `dq` checks,
+  * tests/test_query.py:404-421).
+  */
+class QueryJsonSpec extends AnyFunSuite {
+
+  val cases: Seq[StmtQuery] = Seq(
+    HasAgent("MEK"),
+    HasAgent("CHEBI:63637", namespace = "CHEBI", role = Some("OBJECT"),
+      agentNum = Some(1)),
+    HasHash(Set(1L, -5L, 99L)),
+    HasSources(Seq("reach", "signor")),
+    HasOnlySource("medscan"),
+    HasReadings(), HasDatabases(),
+    HasType(Seq("Phosphorylation", "Activation"), includeSubclasses = true),
+    HasNumAgents(Seq(2, 3)),
+    HasNumEvidence(Seq(1)),
+    HasEvidenceBound(Seq(EvBound.parse("< 10"), EvBound.parse(">= 2"))),
+    FromPapers(Seq("pmid" -> "12345", "doi" -> "678")),
+    FromMeshIds(Seq("D000818")),
+    FromMeshIds(Seq("C0001243", "D000818")), // mixed -> Union
+    EmptyQuery, FullQuery,
+  )
+
+  test("round-trip identity for leaves") {
+    for (q <- cases)
+      assert(QueryJson.fromJson(QueryJson.toJson(q)) == q, s"round-trip: $q")
+  }
+
+  test("round-trip identity for inverted leaves") {
+    for (q <- cases)
+      assert(QueryJson.fromJson(QueryJson.toJson(~q)) == ~q, s"round-trip: ~$q")
+  }
+
+  test("round-trip identity for composites") {
+    val composites = Seq(
+      HasAgent("MEK") & HasType(Seq("Phosphorylation")),
+      (HasAgent("MEK") | HasAgent("ERK")) & ~HasOnlySource("medscan"),
+      HasSources(Seq("reach")) & HasReadings() & HasNumAgents(Seq(2)),
+      ~(HasAgent("MEK") & HasDatabases()),
+    )
+    for (q <- composites)
+      assert(QueryJson.fromJson(QueryJson.toJson(q)) == q, s"round-trip: $q")
+  }
+}

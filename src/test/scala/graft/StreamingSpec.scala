@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Tables
+import graft.streaming.Streams
+
+/** Structured-Streaming semantics: the shared rollup transform must produce
+  * identical results via readStream (memory sink, AvailableNow-style drain)
+  * and via the batch path; stateful per-key processing via
+  * mapGroupsWithState must conserve counts.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local("streaming-test")
+  val dir = "/root/testdata/sf0.001"
+
+  /** The streaming file source wants a directory; stage the events parquet
+    * into one. */
+  lazy val eventsDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("streaming rollup == batch rollup on the same events") {
+    val batchEvents = Tables.events(spark, dir)
+    val expected = Streams.hourlyRollup(batchEvents)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+    val streamEvents = spark.readStream
+      .schema(Tables.table(spark, dir, "events").schema)
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val q = Streams.hourlyRollup(streamEvents)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("rollup_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("rollup_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  test("stateful per-user counting via mapGroupsWithState conserves totals") {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id")).as[(Long, Long)]
+    // batch shape of the state function: per user, a running count
+    val counted = events.groupByKey(_._1)
+      .mapGroups((user, it) => (user, it.size.toLong))
+      .toDF("user_id", "n")
+    val total = counted.agg(sum("n")).collect().head.getLong(0)
+    assert(total == Tables.events(spark, dir).count())
+
+    val streamEvents = spark.readStream
+      .schema(Tables.table(spark, dir, "events").schema)
+      .parquet(eventsDir)
+      .select(col("user_id"), col("event_id")).as[(Long, Long)]
+    def stateFn(user: Long, rows: Iterator[(Long, Long)],
+        state: GroupState[Long]): (Long, Long) = {
+      val n = state.getOption.getOrElse(0L) + rows.size
+      state.update(n)
+      (user, n)
+    }
+    val q = streamEvents.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(stateFn)
+      .toDF("user_id", "n")
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("state_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("state_out")
+        .groupBy("user_id").agg(max("n").as("n"))
+        .agg(sum("n")).collect().head.getLong(0)
+      assert(streamed == total)
+    } finally q.stop()
+  }
+
+  test("incremental supplement: delta isolation and count merge") {
+    import spark.implicits._
+    val raw = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("raw_stmt_id", "x")
+    val links = Seq(Tuple1(1L), Tuple1(2L)).toDF("raw_stmt_id")
+    val fresh = Streams.newRawStatements(raw, links).collect()
+    assert(fresh.map(_.getLong(0)).toSeq == Seq(3L))
+
+    val a = Seq((10L, Map("reach" -> 2L))).toDF("mk_hash", "src_json")
+    val b = Seq((10L, Map("reach" -> 1L, "pc" -> 1L)),
+      (11L, Map("signor" -> 1L))).toDF("mk_hash", "src_json")
+    val merged = Streams.mergeSourceCounts(a, b)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Map[String, Long]]("src_json"), r.getAs[Long]("ev_count"))).toMap
+    assert(merged(10L) == (Map("reach" -> 3L, "pc" -> 1L), 4L))
+    assert(merged(11L) == (Map("signor" -> 1L), 1L))
+  }
+}
