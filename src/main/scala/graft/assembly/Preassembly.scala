@@ -41,6 +41,17 @@ object Preassembly {
       .drop("rn")
   }
 
+  /** Fused dedup + evidence count: one shuffle on mk_hash producing the
+    * unique-statement table (min raw id as the kept payload pointer,
+    * matches_key functional in the hash, total evidence count). Prefer this
+    * over dedup-then-join when the full parsed payload isn't needed — the
+    * parse subtree evaluates once instead of twice. */
+  def uniqueStatements(parsed: DataFrame): DataFrame =
+    parsed.groupBy("mk_hash").agg(
+      min("raw_stmt_id").as("raw_stmt_id"),
+      min("matches_key").as("matches_key"),
+      count(lit(1)).as("ev_count"))
+
   /** raw -> pa links (the raw_unique_links table,
     * principal_schema.py:762-779). */
   def links(parsed: DataFrame): DataFrame =

@@ -29,13 +29,17 @@ object Similarity {
 
   /** Brute-force cosine top-k neighbors for each query row. `queries` and
     * `corpus` need (id, embedding); block the corpus beforehand if O(|q|·|c|)
-    * is too large. Scores rounded to `scale` for deterministic ranking with
-    * id tie-breaks. */
+    * is too large. Norms are computed once per vector (not per pair) —
+    * O(n·d) instead of O(n²·d) norm work. Scores rounded to `scale` for
+    * deterministic ranking with id tie-breaks. */
   def topK(queries: DataFrame, corpus: DataFrame, k: Int, scale: Int = 4): DataFrame = {
-    val q = queries.select(col("id").as("q_id"), col("embedding").as("q_emb"))
-    val c = corpus.select(col("id").as("c_id"), col("embedding").as("c_emb"))
+    val q = queries.select(col("id").as("q_id"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("q_nrm"))
+    val c = corpus.select(col("id").as("c_id"), col("embedding").as("c_emb"),
+      norm(col("embedding")).as("c_nrm"))
     val scored = q.join(c, col("q_id") =!= col("c_id"))
-      .withColumn("cos", round(cosine(col("q_emb"), col("c_emb")), scale))
+      .withColumn("cos", round(
+        dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), scale))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
     scored
@@ -67,10 +71,13 @@ object Similarity {
       vectors: DataFrame, planes: Int, dim: Int,
       minCos: Double, scale: Int = 4): DataFrame = {
     val b = vectors.select(col("id"), col("embedding"),
-      signBucket(col("embedding"), planes, dim).as("bucket"))
+      signBucket(col("embedding"), planes, dim).as("bucket"),
+      norm(col("embedding")).as("nrm")) // once per vector, not per pair
     b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
-      .withColumn("cos", round(cosine(col("x.embedding"), col("y.embedding")), scale))
+      .withColumn("cos", round(
+        dot(col("x.embedding"), col("y.embedding")) /
+          (col("x.nrm") * col("y.nrm")), scale))
       .filter(col("cos") >= minCos)
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"), col("cos"))
   }

@@ -16,15 +16,13 @@ object TextAnalysis {
 
   /** Deterministic polynomial rolling hash of a string, mod 1e9+7.
     * `h = fold(chars)(acc * 31 + codepoint) % p` — a document fingerprint
-    * cheap enough to run at ingest on every row. The fold is sequential
-    * (array order), so the value is identical across engines.
-    */
+    * cheap enough to run at ingest on every row. Backed by the codegen'd
+    * [[graft.functions.PolyHashMod]] expression (an interpreted
+    * `aggregate` fold was ~4x slower on the shingle path); value identical
+    * across engines. */
   val HashMod = 1000000007L
   def rollingHash(text: Column): Column =
-    aggregate(
-      split(text, ""),
-      lit(0L),
-      (acc, ch) => (acc * 31L + ascii(ch)) % HashMod)
+    graft.functions.exprs.poly_hash(text)
 
   /** Per-language marker-word profiles for the n-gram/stopword language-ID
     * heuristic. Deliberately tiny: language ID at pipeline scale is a cheap

@@ -106,12 +106,8 @@ object AssemblyQueries extends QueryPack {
               map(lit("HGNC"),
                 concat(lit("S"), (col("l_suppkey") % 20).cast("string")))
                 .as("db_refs")).as("obj"))).as("raw_json"))
-        val parsed = Preassembly.parse(raw)
-        val uniq = Preassembly.dedup(parsed)
-          .select("mk_hash", "raw_stmt_id", "matches_key")
-        uniq.join(
-          Preassembly.sourceCounts(parsed).select("mk_hash", "ev_count"),
-          "mk_hash")
+        Preassembly.uniqueStatements(Preassembly.parse(raw))
+          .select("mk_hash", "raw_stmt_id", "matches_key", "ev_count")
       },
       Some(s"""WITH li AS (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
