@@ -42,6 +42,26 @@ final case class StatementWorld(
   */
 object ReadonlyBuilder {
 
+  /** Complex pair expansion (readonly_schema.py:1344-1377): for each
+    * statement with >= 2 agent rows, emit one row per ORDERED agent pair,
+    * flagged `is_complex_dup` — the flatMap/UDTF shape as a double explode
+    * over the per-statement agent array (no self-join shuffle: the
+    * quadratic expansion happens inside each already-grouped row). */
+  def complexPairs(agents: DataFrame): DataFrame = {
+    val arr = agents.groupBy("mk_hash")
+      .agg(collect_list(struct(col("ag_num"), col("db_id"))).as("ags"))
+    arr.filter(size(col("ags")) >= 2)
+      .withColumn("a", explode(col("ags")))
+      .withColumn("b", explode(col("ags")))
+      .filter(col("a.ag_num") =!= col("b.ag_num"))
+      .select(col("mk_hash"),
+        col("a.ag_num").cast("long").as("subj_num"),
+        col("a.db_id").as("subj_id"),
+        col("b.ag_num").cast("long").as("obj_num"),
+        col("b.db_id").as("obj_id"),
+        lit(true).as("is_complex_dup"))
+  }
+
   /** Source-name classification (reference discovers these from db_info /
     * reader registries; raw_stmt_src UNION, readonly_schema.py:400-408). */
   def build(
@@ -149,6 +169,7 @@ object ReadonlyBuilder {
       meshTermMeta = meshMeta(concept = false),
       meshConceptMeta = meshMeta(concept = true),
       fastRawPaLink = frpl,
+      rawStmtMesh = world.mesh,
       readingRefLink = world.refs,
       agentInteractions = agentInteractions,
     )

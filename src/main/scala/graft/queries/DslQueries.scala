@@ -204,6 +204,35 @@ ai AS (
         GROUP BY 1, 2"""),
     ),
 
+    // evidence-level filter: restrict returned evidence rows (not the
+    // statement selection) before the ev_limit window
+    "q_dsl_ev_filtered" -> QueryDef(
+      (s, dir) => Results.statements(
+        HasAgent("P11"), TpchWorld.readonly(s, dir), TpchWorld.types,
+        evLimit = 2,
+        evFilter = Some(EvSource(Seq("medscan")) | EvMesh(Seq(8L)))),
+      Some(PREFIX + """SELECT mk_hash, sid, src, pmid, rn FROM (
+          SELECT e.mk_hash, e.sid, e.src, e.pmid,
+                 ROW_NUMBER() OVER (PARTITION BY e.mk_hash ORDER BY e.sid ASC) AS rn
+          FROM ev e
+          WHERE e.mk_hash IN (SELECT mk_hash FROM agent_meta
+                              WHERE db_name='NAME' AND db_id='P11')
+            AND (e.src = 'medscan' OR (e.mesh_num = 8 AND e.is_concept = 0)))
+        WHERE rn <= 2"""),
+    ),
+
+    // Complex pair expansion: ordered agent pairs per statement
+    "q_complex_pairs" -> QueryDef(
+      (s, dir) => graft.assembly.ReadonlyBuilder.complexPairs(
+        TpchWorld.world(s, dir).agents.filter(col("db_name") === "NAME")),
+      Some(PREFIX + """SELECT a.mk_hash,
+          CAST(a.ag_num AS BIGINT) AS subj_num, a.db_id AS subj_id,
+          CAST(b.ag_num AS BIGINT) AS obj_num, b.db_id AS obj_id,
+          TRUE AS is_complex_dup
+        FROM ev a JOIN ev b ON a.mk_hash = b.mk_hash AND a.ag_num <> b.ag_num
+        WHERE a.db_name = 'NAME' AND b.db_name = 'NAME'"""),
+    ),
+
     "q_dsl_agents_view" -> QueryDef(
       (s, dir) => Results.agents(
         HasNumAgents(Seq(2, 3)), TpchWorld.readonly(s, dir), TpchWorld.types),

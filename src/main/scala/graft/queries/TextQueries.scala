@@ -239,6 +239,22 @@ shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
         WHERE CAST(p.i_cnt AS DOUBLE)/CAST(s1.sz + s2.sz - p.i_cnt AS DOUBLE) >= 0.5"""),
     ),
 
+    // --- multimodal plumbing ---------------------------------------------
+    // binary payload -> per-partition batched decode (stubbed codec) ->
+    // small feature rows; checksum is the byte-level rolling hash, which
+    // equals the char-level hash on this ASCII corpus, giving an oracle
+    "q_multimodal_features" -> QueryDef(
+      (s, dir) => graft.operators.Multimodal.extractFeatures(
+          graft.operators.Multimodal.syntheticMedia(s, docs(s, dir)), 32)
+        .toDF().select("media_id", "kind", "n_bytes", "checksum"),
+      Some(s"""SELECT doc_id AS media_id,
+          CASE WHEN doc_id % 3 = 0 THEN 'image'
+               WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+          CAST(length(text) AS BIGINT) AS n_bytes,
+          ${duckHash("text")} AS checksum
+        FROM documents"""),
+    ),
+
     // --- similarity search ----------------------------------------------
     "q_embed_topk" -> QueryDef(
       (s, dir) => {

@@ -23,6 +23,9 @@ import org.apache.spark.sql.DataFrame
   *   - meshTermMeta / meshConceptMeta: mk_hash L, mesh_num L, ref_count L,
   *     type_num I, ev_count L, belief D, agent_count L
   *   - fastRawPaLink: sid L, mk_hash L, src S, rid L
+  *   - rawStmtMesh: sid L, mesh_num L, is_concept I (raw_stmt_mesh_terms/
+  *     concepts, readonly_schema.py:683-757; drives evidence-level mesh
+  *     filters)
   *   - readingRefLink: rid L, pmid L (plus trid/tcid when present)
   *   - agentInteractions: mk_hash L, agent_str S (canonical sorted
   *     "ag_num:db_id" list), type_num I, ev_count L, belief D, agent_count L
@@ -35,6 +38,7 @@ final case class ReadonlyTables(
     meshTermMeta: DataFrame,
     meshConceptMeta: DataFrame,
     fastRawPaLink: DataFrame,
+    rawStmtMesh: DataFrame,
     readingRefLink: DataFrame,
     agentInteractions: DataFrame,
 ) {

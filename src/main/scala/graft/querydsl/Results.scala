@@ -38,11 +38,13 @@ object Results {
       q: StmtQuery,
       ro: ReadonlyTables,
       types: TypeRegistry,
-      evLimit: Int = 10): DataFrame = {
+      evLimit: Int = 10,
+      evFilter: Option[EvFilter] = None): DataFrame = {
     val sel = QueryCompiler.compile(q, ro, types).select("mk_hash")
     val w = Window.partitionBy("mk_hash").orderBy(col("sid").asc)
-    ro.fastRawPaLink
-      .join(sel, Seq("mk_hash"), "left_semi")
+    val evRows = ro.fastRawPaLink.join(sel, Seq("mk_hash"), "left_semi")
+    // evidence filters run BEFORE the ev_limit window (query.py:476-490)
+    evFilter.map(f => EvFilter(evRows, ro, f)).getOrElse(evRows)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= evLimit)
       .join(ro.readingRefLink, Seq("rid"), "left")
