@@ -95,6 +95,27 @@ class AssemblySpec extends AnyFunSuite {
     assert(scored(3L) < scored(2L) && scored(2L) < scored(1L))
   }
 
+  test("refinement candidates: blocked self-join + agent-subset predicate") {
+    import spark.implicits._
+    // blocking on statement type confines the quadratic pair space
+    // (export_assembly.py:90-106); the refinement predicate then marks
+    // (a refines b) when b's agent set is contained in a's
+    val stmts = Seq(
+      (1L, "Activation", Seq("A", "B")),
+      (2L, "Activation", Seq("A")),
+      (3L, "Activation", Seq("C")),
+      (4L, "Phosphorylation", Seq("A", "B")), // different block
+    ).toDF("mk_hash", "stype", "agents")
+    val pairs = Refinement.candidatePairs(stmts, Seq("stype"))
+    // all same-type ordered pairs: 3*2 = 6 for Activation, 0 for Phos
+    assert(pairs.count() == 6)
+    val refines = pairs.filter(
+      size(array_except(col("b_agents"), col("a_agents"))) === 0)
+      .select("a_mk_hash", "b_mk_hash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(refines == Set((1L, 2L))) // {A,B} refines {A}; C unrelated
+  }
+
   test("cycle detection fails the closure") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("desc", "anc")
