@@ -27,6 +27,7 @@ object GraftSession {
       // The driver testdata stores `events.ts` as parquet TIMESTAMP(NANOS);
       // Spark reads it as a nanosecond epoch long under this flag.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Paper-identifier decomposition — the reference's process_pmid /
+  * process_pmcid / process_doi mixin columns (principal_schema.py:233-239,
+  * schemas/mixins.py:253+): derive sortable/joinable numeric forms from the
+  * string identifiers at ingest so lookups hit numeric columns.
+  */
+object Ids {
+
+  /** "12345" -> 12345L; non-numeric -> null. */
+  def pmidNum(pmid: Column): Column =
+    when(pmid.rlike("^[0-9]+$"), pmid.cast("long"))
+
+  /** "PMC1234.5" -> (1234, version 5); "PMC1234" -> (1234, null). */
+  def pmcidNum(pmcid: Column): Column =
+    regexp_extract(pmcid, "^PMC([0-9]+)", 1).cast("long")
+  def pmcidVersion(pmcid: Column): Column =
+    when(regexp_extract(pmcid, "\\.([0-9]+)$", 1) =!= "",
+      regexp_extract(pmcid, "\\.([0-9]+)$", 1).cast("int"))
+
+  /** "10.1038/nature12373" -> namespace 1038, id "nature12373". */
+  def doiNs(doi: Column): Column =
+    regexp_extract(doi, "^10\\.([0-9]+)/", 1).cast("long")
+  def doiId(doi: Column): Column =
+    when(regexp_extract(doi, "^10\\.[0-9]+/(.+)$", 1) =!= "",
+      regexp_extract(doi, "^10\\.[0-9]+/(.+)$", 1))
+
+  /** MeSH id "D012345"/"C012345" -> (num, is_concept) —
+    * readonly_dumping.py:1848-1850. */
+  def meshNum(mesh: Column): Column = substring(mesh, 2, 100).cast("long")
+  def meshIsConcept(mesh: Column): Column = substring(mesh, 1, 1) === "C"
+}

@@ -2,7 +2,7 @@ package graft.querydsl
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.core.{Roles, TypeRegistry}
+import graft.core.{Grounder, Roles, TypeRegistry}
 
 /** Compiles a [[StmtQuery]] tree to a DataFrame of
   * `(mk_hash, ev_count, belief)` — the reference's hash-query compilation
@@ -109,12 +109,18 @@ object QueryCompiler {
       types: TypeRegistry,
       intr: Seq[Column]): DataFrame = q match {
 
-    case HasAgent(id, ns, role, agNum, _) =>
+    case HasAgent(id0, ns0, role, agNum, _) =>
+      // AUTO namespace resolves through the pluggable grounder (the
+      // reference runs gilda here, query.py:1687-1700); unresolved names
+      // fall back to NAME
+      val (ns, id) =
+        if (ns0 == "AUTO") Grounder.default.ground(id0).getOrElse(("NAME", id0))
+        else (ns0, id0)
       // namespace routes the scan (query.py:1717-1725): NAME and TEXT have
       // dedicated tables because they dominate the row count
       // (readonly_schema.py:991-1020).
       val (tbl, nsPred) = ns match {
-        case "NAME" | "AUTO" => (ro.nameMeta, None)
+        case "NAME" => (ro.nameMeta, None)
         case "TEXT" => (ro.textMeta, None)
         case other => (ro.otherMeta, Some(col("db_name") === other))
       }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.assembly.{Curation, Deploy}
+import graft.core.Grounder
+import graft.functions.Ids
+import graft.queries.TpchWorld
+import graft.querydsl._
+
+/** Bucketed deployment: after Deploy.write, mk_hash joins between readonly
+  * tables must run WITHOUT a shuffle exchange — the cluster-scale analog of
+  * the reference's per-table btree indexes. Plus curation, id
+  * decomposition, and AUTO grounding coverage.
+  */
+class DeploySpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local("deploy-test")
+  val dir = "/root/testdata/sf0.001"
+
+  test("bucketed readonly tables join on mk_hash with no shuffle") {
+    val ro = TpchWorld.readonly(spark, dir)
+    Deploy.write(spark, ro, "graft_test", buckets = 8)
+    val loaded = Deploy.load(spark, "graft_test")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = loaded.sourceMeta
+        .join(loaded.agentInteractions.select("mk_hash", "agent_str"), "mk_hash")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$p")
+      assert(joined.count() > 0)
+      // result parity with the in-memory layer
+      assert(joined.count() ==
+        ro.sourceMeta.join(
+          ro.agentInteractions.select("mk_hash", "agent_str"), "mk_hash").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("AUTO namespace grounds through the dictionary grounder") {
+    // TpchWorld ids are P<n>, unknown to the grounder -> falls back to NAME
+    val ro = TpchWorld.readonly(spark, dir)
+    val auto = QueryCompiler.compile(HasAgent("P5", "AUTO"), ro, TpchWorld.types)
+    val name = QueryCompiler.compile(HasAgent("P5", "NAME"), ro, TpchWorld.types)
+    assert(auto.collect().map(_.getLong(0)).toSet ==
+      name.collect().map(_.getLong(0)).toSet)
+    assert(Grounder.default.ground("erk").contains(("FPLX", "ERK")))
+  }
+
+  test("curation counts and anonymization") {
+    import spark.implicits._
+    val cur = Seq((1L, "alice"), (1L, "bob"), (2L, "alice"))
+      .toDF("pa_hash", "curator")
+    val results = Seq((1L, 5L), (2L, 3L), (3L, 1L)).toDF("mk_hash", "ev_count")
+    val got = Curation.attach(results, cur)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_curations")).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 0L))
+    val anon = cur.select(Curation.anonymizeCurator(col("curator"), "salt"))
+      .distinct().count()
+    assert(anon == 2)
+  }
+
+  test("paper id decomposition") {
+    import spark.implicits._
+    val df = Seq(("12345", "PMC999.2", "10.1038/nature12373", "D012345"))
+      .toDF("pmid", "pmcid", "doi", "mesh")
+    val r = df.select(
+      Ids.pmidNum(col("pmid")), Ids.pmcidNum(col("pmcid")),
+      Ids.pmcidVersion(col("pmcid")), Ids.doiNs(col("doi")),
+      Ids.doiId(col("doi")), Ids.meshNum(col("mesh")),
+      Ids.meshIsConcept(col("mesh"))).collect().head
+    assert(r.getLong(0) == 12345L && r.getLong(1) == 999L && r.getInt(2) == 2)
+    assert(r.getLong(3) == 1038L && r.getString(4) == "nature12373")
+    assert(r.getLong(5) == 12345L && !r.getBoolean(6))
+  }
+}
