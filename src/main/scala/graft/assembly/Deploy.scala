@@ -26,6 +26,7 @@ object Deploy {
     ("raw_stmt_mesh", ro.rawStmtMesh, "sid"),
     ("reading_ref_link", ro.readingRefLink, "rid"),
     ("agent_interactions", ro.agentInteractions, "mk_hash"),
+    ("pa_agents", ro.paAgents, "mk_hash"),
   )
 
   /** Write all tables into `db` with `buckets` buckets each. */
@@ -60,5 +61,6 @@ object Deploy {
     rawStmtMesh = spark.table(s"$db.raw_stmt_mesh"),
     readingRefLink = spark.table(s"$db.reading_ref_link"),
     agentInteractions = spark.table(s"$db.agent_interactions"),
+    paAgents = spark.table(s"$db.pa_agents"),
   )
 }

@@ -172,6 +172,7 @@ object ReadonlyBuilder {
       rawStmtMesh = world.mesh,
       readingRefLink = world.refs,
       agentInteractions = agentInteractions,
+      paAgents = world.agents,
     )
   }
 }

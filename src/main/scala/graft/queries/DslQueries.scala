@@ -221,6 +221,41 @@ ai AS (
         WHERE rn <= 2"""),
     ),
 
+    // agents view INCLUDING complex pairs with the complexes-covered dedup:
+    // each complex statement counts toward exactly one (best-ranked) group
+    "q_dsl_agents_complexes" -> QueryDef(
+      (s, dir) => Results.agentsWithComplexes(
+        HasReadings(), TpchWorld.readonly(s, dir), TpchWorld.types,
+        complexTypeNum = 3),
+      Some(PREFIX + """, sel AS (SELECT mk_hash FROM meta WHERE has_rd),
+        plainrows AS (
+          SELECT i.mk_hash, i.agent_str, m.ev_count, FALSE AS dup
+          FROM ai i JOIN meta m ON i.mk_hash = m.mk_hash
+          WHERE m.type_num <> 3 AND m.mk_hash IN (SELECT mk_hash FROM sel)),
+        pairrows AS (
+          SELECT a.mk_hash, a.db_id || '|' || b.db_id AS agent_str,
+                 m.ev_count, TRUE AS dup
+          FROM ev a
+          JOIN ev b ON a.mk_hash = b.mk_hash AND a.ag_num <> b.ag_num
+          JOIN meta m ON m.mk_hash = a.mk_hash
+          WHERE a.db_name = 'NAME' AND b.db_name = 'NAME'
+            AND m.type_num = 3 AND m.mk_hash IN (SELECT mk_hash FROM sel)),
+        rows_ AS (SELECT * FROM plainrows UNION ALL SELECT * FROM pairrows),
+        granks AS (SELECT agent_str,
+            ROW_NUMBER() OVER (ORDER BY SUM(ev_count) DESC, agent_str ASC) AS g_rank
+          FROM rows_ GROUP BY agent_str),
+        ranked AS (SELECT r.*, g.g_rank FROM rows_ r
+                   JOIN granks g ON r.agent_str = g.agent_str),
+        assigned AS (SELECT mk_hash, MIN(g_rank) AS keep_rank
+                     FROM ranked WHERE dup GROUP BY 1),
+        kept AS (SELECT r.* FROM ranked r
+                 LEFT JOIN assigned a ON r.mk_hash = a.mk_hash
+                 WHERE NOT r.dup OR r.g_rank = a.keep_rank)
+        SELECT agent_str, CAST(SUM(ev_count) AS BIGINT) AS total_ev,
+               COUNT(*) AS n_hashes
+        FROM kept GROUP BY 1"""),
+    ),
+
     // Complex pair expansion: ordered agent pairs per statement
     "q_complex_pairs" -> QueryDef(
       (s, dir) => graft.assembly.ReadonlyBuilder.complexPairs(

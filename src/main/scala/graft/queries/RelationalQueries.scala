@@ -326,6 +326,82 @@ object RelationalQueries extends QueryPack {
               GROUP BY p_type"""),
     ),
 
+    // --- correlated / outer-join shapes ----------------------------------
+    "q_having_groups" -> QueryDef(
+      (s, dir) => {
+        Tables.table(s, dir, "lineitem")
+          .groupBy("l_partkey").agg(
+            count(lit(1)).as("n"),
+            sum(dec(col("l_quantity"))).cast("double").as("qty"))
+          .filter(col("n") >= 40)
+      },
+      Some("""SELECT l_partkey, COUNT(*) AS n,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+              FROM lineitem GROUP BY 1 HAVING COUNT(*) >= 40"""),
+    ),
+
+    // Q13-ish: customer order-count distribution via left outer join
+    "q_outer_histogram" -> QueryDef(
+      (s, dir) => {
+        val cust = Tables.table(s, dir, "customer")
+        val ord = Tables.table(s, dir, "orders")
+          .filter(!col("o_orderpriority").startsWith("1"))
+        cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+      },
+      Some("""SELECT c_count, COUNT(*) AS custdist FROM (
+                SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders
+                  ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '1%'
+                GROUP BY c_custkey)
+              GROUP BY c_count"""),
+    ),
+
+    // Q17-ish: correlated per-group mean as the filter bound. The
+    // "qty < avg/2" predicate is cross-multiplied to exact decimal math
+    // (2*n*qty < sum) so both engines decide boundary rows identically.
+    "q_correlated_avg" -> QueryDef(
+      (s, dir) => {
+        val li = Tables.table(s, dir, "lineitem")
+        val perPart = li.groupBy(col("l_partkey").as("ap_partkey"))
+          .agg(sum(dec(col("l_quantity"))).as("s"), count(lit(1)).as("cnt"))
+        li.join(perPart, col("l_partkey") === col("ap_partkey"))
+          .filter(dec(col("l_quantity")) * 2 * col("cnt") < col("s"))
+          .agg(
+            sum(dec(col("l_extendedprice"))).cast("double").as("total"),
+            count(lit(1)).as("n"))
+      },
+      Some("""WITH pa AS (SELECT l_partkey AS pk,
+                SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s, COUNT(*) AS cnt
+              FROM lineitem GROUP BY 1)
+              SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                     COUNT(*) AS n
+              FROM lineitem JOIN pa ON l_partkey = pk
+              WHERE CAST(l_quantity AS DECIMAL(18,2)) * 2 * cnt < s"""),
+    ),
+
+    // hot-key aggregation via two-stage salting (Skew.saltedAggregate);
+    // result must equal the direct group-by
+    "q_skew_salted_agg" -> QueryDef(
+      (s, dir) => {
+        graft.operators.Skew.saltedAggregate(
+          Tables.table(s, dir, "lineitem"), "l_returnflag", salts = 16,
+          Map(
+            "n" -> (count(lit(1)), (c: Column) => sum(c)),
+            "qty" -> (sum(dec(col("l_quantity"))), (c: Column) => sum(c)),
+            "max_price" -> (max(col("l_extendedprice")), (c: Column) => max(c))))
+          .select(col("l_returnflag"), col("n"),
+            col("qty").cast("double").as("qty"), col("max_price"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+              MAX(l_extendedprice) AS max_price
+              FROM lineitem GROUP BY 1"""),
+    ),
+
     // --- events (temporal + json-ish props) ------------------------------
     "q_events_hourly" -> QueryDef(
       (s, dir) => {

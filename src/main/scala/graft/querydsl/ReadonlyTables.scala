@@ -41,6 +41,9 @@ final case class ReadonlyTables(
     rawStmtMesh: DataFrame,
     readingRefLink: DataFrame,
     agentInteractions: DataFrame,
+    /** normalized agent rows (pa_agents): mk_hash L, ag_num I, db_name S,
+      * db_id S, role_num I — drives complex pair expansion on demand */
+    paAgents: DataFrame,
 ) {
   def persistAll(): ReadonlyTables = {
     productIterator.foreach { case df: DataFrame => df.persist() }

@@ -68,8 +68,8 @@ object Results {
         max("belief").as("max_belief"),
         count(lit(1)).as("n_hashes"))
 
-  /** Grouped by agent set only (AgentSQL agg, query.py:224-344; the
-    * complex-dedup refinement is tracked separately). */
+  /** Grouped by agent set only (AgentSQL agg, query.py:224-344), complex
+    * duplicates excluded. */
   def agents(q: StmtQuery, ro: ReadonlyTables, types: TypeRegistry): DataFrame =
     interactions(q, ro, types)
       .groupBy("agent_str")
@@ -78,4 +78,55 @@ object Results {
         sum("ev_count").as("total_ev"),
         max("belief").as("max_belief"),
         count(lit(1)).as("n_hashes"))
+
+  /** Agents view INCLUDING complex pair rows, with the complexes-covered
+    * dedup: each complex statement contributes to exactly ONE pair group —
+    * the best-ranked one — instead of every pair it expands into.
+    *
+    * The reference implements this as a stateful pagination scan in Python
+    * (skip rows whose complex hashes were already covered,
+    * query.py:282-344). Set-wise Spark re-expression: rank agent groups by
+    * total evidence, assign each complex hash min(group rank) over its pair
+    * rows, drop its other appearances, then aggregate — two windows and
+    * one join, no driver-side state.
+    *
+    * `complexTypeNum` selects which statement type expands into pairs (the
+    * reference expands Complex statements).
+    */
+  def agentsWithComplexes(
+      q: StmtQuery,
+      ro: ReadonlyTables,
+      types: TypeRegistry,
+      complexTypeNum: Int): DataFrame = {
+    val sel = QueryCompiler.compile(q, ro, types).select("mk_hash")
+    val payload = ro.sourceMeta
+      .select("mk_hash", "type_num", "ev_count", "belief")
+    val plain = ro.agentInteractions
+      .join(sel, Seq("mk_hash"), "left_semi")
+      .filter(col("type_num") =!= complexTypeNum)
+      .select(col("mk_hash"), col("agent_str"), col("ev_count"),
+        lit(false).as("is_complex_dup"))
+    val pairs = graft.assembly.ReadonlyBuilder
+      .complexPairs(ro.paAgents.filter(col("db_name") === "NAME"))
+      .join(sel, Seq("mk_hash"), "left_semi")
+      .join(payload.filter(col("type_num") === complexTypeNum), "mk_hash")
+      .select(col("mk_hash"),
+        concat(col("subj_id"), lit("|"), col("obj_id")).as("agent_str"),
+        col("ev_count"), lit(true).as("is_complex_dup"))
+    val rows = plain.unionByName(pairs)
+    // group rank: total evidence desc, agent_str as the unique tiebreak
+    val groupEv = rows.groupBy("agent_str")
+      .agg(sum("ev_count").as("g_ev"))
+      .withColumn("g_rank", row_number().over(
+        Window.orderBy(col("g_ev").desc, col("agent_str").asc)))
+      .select("agent_str", "g_rank")
+    val ranked = rows.join(groupEv, "agent_str")
+    val assigned = ranked.filter(col("is_complex_dup"))
+      .groupBy("mk_hash").agg(min("g_rank").as("keep_rank"))
+    ranked
+      .join(assigned, Seq("mk_hash"), "left")
+      .filter(!col("is_complex_dup") || col("g_rank") === col("keep_rank"))
+      .groupBy("agent_str")
+      .agg(sum("ev_count").as("total_ev"), count(lit(1)).as("n_hashes"))
+  }
 }
