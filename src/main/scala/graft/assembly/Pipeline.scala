@@ -1,0 +1,125 @@
+package graft.assembly
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.TypeRegistry
+import graft.querydsl.ReadonlyTables
+
+/** The end-to-end assembly DAG — the reference's batch lifecycle (SURVEY
+  * §3.3: dump -> distill -> preassemble -> refine -> belief -> readonly
+  * build) as one composition of DataFrame stages with optional parquet
+  * checkpoints at the same artifact boundaries the reference uses.
+  *
+  * Inputs are the principal dumps (FIXTURES.md §3):
+  *   - rawStatements: raw_stmt_id L, reading_id L?, db_info_id L?, src S,
+  *     raw_json S (one evidence per row)
+  *   - readings: rid L, trid L, reader S, reader_version (orderable),
+  *     source S, text_type S
+  *   - textRefs: trid L, pmid L
+  *   - meshAnnotations: pmid L, mesh_num L, is_concept I
+  */
+final case class PrincipalDump(
+    rawStatements: DataFrame,
+    readings: DataFrame,
+    textRefs: DataFrame,
+    meshAnnotations: DataFrame,
+)
+
+object Pipeline {
+
+  /** Statement A refines B when same type, strictly more agent keys, and
+    * B's keys all appear in A's (the ontology-free core of the reference's
+    * refinement predicate; a real ontology walk slots in here). */
+  private def refinementEdges(
+      uniq: DataFrame, agents: DataFrame): DataFrame = {
+    val keySets = agents
+      .groupBy("mk_hash")
+      .agg(array_sort(collect_set(concat(col("db_name"), lit(":"), col("db_id"))))
+        .as("keys"))
+    val stmts = uniq.select(col("mk_hash"), col("stype"))
+      .join(keySets, "mk_hash")
+      // block on (type, first agent key): candidates must share both, which
+      // bounds the quadratic pair space (SURVEY §7.4.1)
+      .withColumn("block_key", element_at(col("keys"), 1))
+    Refinement.candidatePairs(stmts, Seq("stype", "block_key"))
+      .filter(size(col("a_keys")) > size(col("b_keys")) &&
+        size(array_except(col("b_keys"), col("a_keys"))) === 0)
+      .select(col("a_mk_hash").as("desc"), col("b_mk_hash").as("anc"))
+  }
+
+  private def checkpoint(df: DataFrame, dir: Option[String], name: String): DataFrame =
+    dir match {
+      case Some(d) =>
+        df.write.mode("overwrite").parquet(s"$d/$name")
+        df.sparkSession.read.parquet(s"$d/$name")
+      case None => df
+    }
+
+  /** Run the full DAG; returns the queryable readonly layer. */
+  def run(
+      spark: SparkSession,
+      dump: PrincipalDump,
+      types: TypeRegistry,
+      readerSources: Seq[String],
+      dbSources: Seq[String],
+      checkpointDir: Option[String] = None): ReadonlyTables = {
+
+    // 1. distill: authoritative reading per (paper, reader); raw statements
+    //    from dropped readings are discarded, KB rows (no reading) kept
+    val dropped = Distill.dropReadings(dump.readings)
+    val raw = dump.rawStatements.join(
+      dropped.withColumnRenamed("rid", "reading_id"),
+      Seq("reading_id"), "left_anti")
+
+    // 2. preassemble: parse -> canonical key -> hash
+    val parsed = checkpoint(
+      Preassembly.parse(raw).withColumn("stype", col("stmt.type")),
+      checkpointDir, "parsed")
+
+    val uniq = checkpoint(
+      Preassembly.dedup(parsed).select("mk_hash", "raw_stmt_id", "stype", "stmt"),
+      checkpointDir, "unique_statements")
+
+    val srcCounts = checkpoint(
+      Preassembly.sourceCounts(parsed), checkpointDir, "source_counts")
+
+    // 3. agents (pa_agents), from the kept payload of each unique statement
+    val agents = checkpoint(
+      Preassembly.agentRows(uniq), checkpointDir, "pa_agents")
+
+    // 4. refinement DAG + belief (ancestor-summed evidence)
+    val closure = Refinement.transitiveClosure(refinementEdges(uniq, agents))
+    val belief = Belief.scoreWithRefinements(
+      srcCounts.select("mk_hash", "src_json"), closure)
+      .select(col("mk_hash"), col("belief"))
+
+    // 5. evidence rows with paper links: rid -> trid -> pmid
+    val readingRefs = dump.readings.select("rid", "trid")
+      .join(dump.textRefs, "trid")
+    val evidence = parsed.select(
+      col("raw_stmt_id").as("sid"), col("mk_hash"), col("src"),
+      coalesce(col("reading_id"), -col("raw_stmt_id")).as("rid"))
+      .join(readingRefs.withColumnRenamed("rid", "reading_id")
+        .select(col("reading_id").as("rid_join"), col("pmid")),
+        col("rid") === col("rid_join"), "left")
+      .select(col("sid"), col("mk_hash"), col("src"), col("rid"),
+        coalesce(col("pmid"), lit(-1L)).as("pmid"))
+
+    // 6. mesh annotations attach per evidence via the paper id
+    val mesh = evidence.select("sid", "pmid")
+      .join(dump.meshAnnotations, "pmid")
+      .select("sid", "mesh_num", "is_concept")
+
+    // 7. statements with computed belief -> readonly build
+    val statements = uniq.select("mk_hash", "stype").join(belief, "mk_hash")
+    val world = StatementWorld(
+      statements = statements,
+      evidence = evidence,
+      agents = agents,
+      mesh = mesh,
+      refs = evidence.select(col("rid"), col("pmid"),
+        lit(null).cast("long").as("trid")).distinct(),
+    )
+    ReadonlyBuilder.build(spark, world, types, readerSources, dbSources)
+  }
+}

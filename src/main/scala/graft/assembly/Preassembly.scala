@@ -1,6 +1,6 @@
 package graft.assembly
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.StatementModel
@@ -39,6 +39,44 @@ object Preassembly {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")
+  }
+
+  /** Normalized agent rows from parsed statements — the pa_agents
+    * extraction (principal_schema.py:897-912): explode each statement's
+    * agents with position and role (subj/enz -> SUBJECT at position 0,
+    * obj/sub -> OBJECT at 1, members -> OTHER at their index), grounded to
+    * the priority namespace with NAME fallback.
+    */
+  def agentRows(parsed: DataFrame): DataFrame = {
+    val stmt = col("stmt")
+    def entry(agent: Column, agNum: Column, roleNum: Column) =
+      struct(agNum.cast("int").as("ag_num"), roleNum.cast("int").as("role_num"),
+        agent.as("agent"))
+    val binary = filter(
+      array(
+        entry(stmt.getField("subj"), lit(0), lit(-1)),
+        entry(stmt.getField("enz"), lit(0), lit(-1)),
+        entry(stmt.getField("obj"), lit(1), lit(1)),
+        entry(stmt.getField("sub"), lit(1), lit(1))),
+      e => e.getField("agent").isNotNull)
+    val members = coalesce(
+      transform(stmt.getField("members"),
+        (m, i) => entry(m, i, lit(0))),
+      array())
+    val refs = col("ag.agent").getField("db_refs")
+    val nsPairs = graft.core.StatementModel.groundingPriority.map(ns =>
+      when(element_at(refs, ns).isNotNull,
+        struct(lit(ns).as("db_name"), element_at(refs, ns).as("db_id"))))
+    val grounding = coalesce(nsPairs :+
+      struct(lit("NAME").as("db_name"),
+        col("ag.agent").getField("name").as("db_id")): _*)
+    parsed
+      .withColumn("ag", explode(concat(binary, members)))
+      .withColumn("g", grounding)
+      .select(col("mk_hash"), col("ag.ag_num").as("ag_num"),
+        col("g.db_name").as("db_name"), col("g.db_id").as("db_id"),
+        col("ag.role_num").as("role_num"))
+      .distinct()
   }
 
   /** Fused dedup + evidence count: one shuffle on mk_hash producing the
