@@ -166,6 +166,51 @@ ai AS (
         ORDER BY ev_count DESC, mk_hash ASC LIMIT 50"""),
     ),
 
+    // belief-sorted page 2 (offset + limit envelope)
+    "q_dsl_page_belief" -> QueryDef(
+      (s, dir) => Results.hashes(
+        HasSources(Seq("signor")), TpchWorld.readonly(s, dir), TpchWorld.types,
+        sortBy = "belief", limit = 40, offset = 20),
+      Some(PREFIX + """SELECT mk_hash, ev_count, belief FROM meta
+        WHERE mk_hash IN (SELECT mk_hash FROM src_cnt WHERE src='signor')
+        ORDER BY belief DESC, mk_hash ASC LIMIT 40 OFFSET 20"""),
+    ),
+
+    // evidence filter by paper ids (joins reading_ref_link on demand)
+    "q_dsl_ev_filter_papers" -> QueryDef(
+      (s, dir) => Results.statements(
+        HasAgent("P13"), TpchWorld.readonly(s, dir), TpchWorld.types,
+        evLimit = 3,
+        evFilter = Some(EvPapers((0L to 40L).toSeq))),
+      Some(PREFIX + """SELECT mk_hash, sid, src, pmid, rn FROM (
+          SELECT e.mk_hash, e.sid, e.src, e.pmid,
+                 ROW_NUMBER() OVER (PARTITION BY e.mk_hash ORDER BY e.sid ASC) AS rn
+          FROM ev e
+          WHERE e.mk_hash IN (SELECT mk_hash FROM agent_meta
+                              WHERE db_name='NAME' AND db_id='P13')
+            AND e.pmid BETWEEN 0 AND 40)
+        WHERE rn <= 3"""),
+    ),
+
+    // mesh_ref_counts service shape: per-hash matched mesh ids + distinct
+    // paper counts, require_all keeps fully-annotated hashes only
+    "q_dsl_mesh_counts" -> QueryDef(
+      (s, dir) => Results.meshRefCounts(
+        HasReadings(), TpchWorld.readonly(s, dir), TpchWorld.types,
+        meshNums = Seq(6L, 8L), requireAll = true),
+      Some(PREFIX + """, mt AS (
+          SELECT e.mk_hash, e.mesh_num, COUNT(DISTINCT e.pmid) AS ref_count
+          FROM ev e
+          WHERE e.is_concept = 0 AND e.mesh_num IN (6, 8)
+            AND e.mk_hash IN (SELECT mk_hash FROM meta WHERE has_rd)
+          GROUP BY 1, 2)
+        SELECT mk_hash,
+          string_agg(CAST(mesh_num AS VARCHAR) || ':' || CAST(ref_count AS VARCHAR),
+                     ';' ORDER BY CAST(mesh_num AS VARCHAR) || ':' || CAST(ref_count AS VARCHAR)) AS mesh_counts,
+          CAST(COUNT(DISTINCT mesh_num) AS BIGINT) AS n_mesh
+        FROM mt GROUP BY 1 HAVING COUNT(DISTINCT mesh_num) = 2"""),
+    ),
+
     // results layer: evidence rows with per-statement ev_limit window
     "q_dsl_statements" -> QueryDef(
       (s, dir) => Results.statements(

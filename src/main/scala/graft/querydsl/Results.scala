@@ -52,6 +52,32 @@ object Results {
         col("rn").cast("long").as("rn"))
   }
 
+  /** Per-hash mesh annotation summary — the mesh_ref_counts service shape
+    * (client/readonly/mesh_ref_counts.py:38-59): for each selected hash,
+    * the matched mesh ids with their distinct-paper counts; `requireAll`
+    * keeps only hashes annotated with EVERY requested id. */
+  def meshRefCounts(
+      q: StmtQuery,
+      ro: ReadonlyTables,
+      types: TypeRegistry,
+      meshNums: Seq[Long],
+      concept: Boolean = false,
+      requireAll: Boolean = false): DataFrame = {
+    val sel = QueryCompiler.compile(q, ro, types).select("mk_hash")
+    val tbl = if (concept) ro.meshConceptMeta else ro.meshTermMeta
+    val matched = tbl
+      .filter(col("mesh_num").isin(meshNums: _*))
+      .join(sel, Seq("mk_hash"), "left_semi")
+      .groupBy("mk_hash")
+      .agg(
+        array_join(array_sort(collect_list(
+          concat(col("mesh_num").cast("string"), lit(":"),
+            col("ref_count").cast("string")))), ";").as("mesh_counts"),
+        countDistinct("mesh_num").as("n_mesh"))
+    if (requireAll) matched.filter(col("n_mesh") === meshNums.distinct.size)
+    else matched
+  }
+
   /** Per-hash interaction rows (InteractionSQL, query.py:92-127). */
   def interactions(q: StmtQuery, ro: ReadonlyTables, types: TypeRegistry): DataFrame = {
     val sel = QueryCompiler.compile(q, ro, types).select("mk_hash")
