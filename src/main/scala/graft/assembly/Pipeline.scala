@@ -110,8 +110,11 @@ object Pipeline {
       .join(dump.meshAnnotations, "pmid")
       .select("sid", "mesh_num", "is_concept")
 
-    // 7. statements with computed belief -> readonly build
-    val statements = uniq.select("mk_hash", "stype").join(belief, "mk_hash")
+    // 7. statements with computed belief + serialized payload (pa_json
+    //    rides on fast_raw_pa_link for egress) -> readonly build
+    val statements = uniq
+      .select(col("mk_hash"), col("stype"), to_json(col("stmt")).as("pa_json"))
+      .join(belief, "mk_hash")
     val world = StatementWorld(
       statements = statements,
       evidence = evidence,

@@ -144,7 +144,16 @@ object ReadonlyBuilder {
         .join(stmtCols, "mk_hash")
 
     // --- fast_raw_pa_link / reading_ref_link ------------------------------
-    val frpl = world.evidence.select("sid", "mk_hash", "src", "rid")
+    // When the statement payload is available, denormalize it onto every
+    // evidence row — the reference's byte-blob carriage (pa_json BYTEA on
+    // fast_raw_pa_link, readonly_schema.py:349-353): the JSON rides through
+    // joins untouched and parses only at egress.
+    val frpl0 = world.evidence.select("sid", "mk_hash", "src", "rid")
+    val frpl =
+      if (world.statements.columns.contains("pa_json"))
+        frpl0.join(world.statements.select("mk_hash", "pa_json"),
+          Seq("mk_hash"), "left")
+      else frpl0
 
     // --- agent_interactions ----------------------------------------------
     // canonical sorted agent list per hash from NAME-namespace rows

@@ -52,6 +52,46 @@ object Results {
         col("rn").cast("long").as("rn"))
   }
 
+  /** Full statement result envelope — the StatementQueryResult analog
+    * (query.py:551-628): per selected statement one JSON document with the
+    * statement payload (pa_json carried through the joins, parsed only
+    * here at egress), the spliced evidence rows (ev_limit applied), total
+    * evidence count, belief, and source counts. All splicing is columnar —
+    * no driver-side row loops.
+    */
+  def statementJsonResult(
+      q: StmtQuery,
+      ro: ReadonlyTables,
+      types: TypeRegistry,
+      evLimit: Int = 10,
+      evFilter: Option[EvFilter] = None): DataFrame = {
+    val ev = statements(q, ro, types, evLimit, evFilter)
+    val collected = ev.groupBy("mk_hash").agg(
+      array_sort(collect_list(struct(
+        col("rn"), col("sid"), col("src"), col("pmid")))).as("evs"),
+      count(lit(1)).as("n_returned"))
+    val payload =
+      if (ro.fastRawPaLink.columns.contains("pa_json"))
+        ro.fastRawPaLink.select("mk_hash", "pa_json").dropDuplicates("mk_hash")
+      else ro.fastRawPaLink.select(col("mk_hash"),
+        lit(null).cast("string").as("pa_json")).dropDuplicates("mk_hash")
+    collected
+      .join(ro.sourceMeta.select("mk_hash", "ev_count", "belief", "src_json"),
+        "mk_hash")
+      .join(payload, Seq("mk_hash"), "left")
+      .select(col("mk_hash"), col("n_returned"),
+        to_json(struct(
+          col("mk_hash").as("matches_hash"),
+          col("belief"),
+          col("ev_count").as("ev_total"),
+          col("src_json").as("source_counts"),
+          col("pa_json").as("statement"),
+          transform(col("evs"), e => struct(
+            e.getField("sid").as("sid"), e.getField("src").as("source_api"),
+            e.getField("pmid").as("pmid"))).as("evidence"),
+        )).as("result_json"))
+  }
+
   /** Per-hash mesh annotation summary — the mesh_ref_counts service shape
     * (client/readonly/mesh_ref_counts.py:38-59): for each selected hash,
     * the matched mesh ids with their distinct-paper counts; `requireAll`

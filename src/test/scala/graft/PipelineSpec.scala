@@ -106,6 +106,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(sub.size == 1)
   }
 
+  test("statement JSON envelope: payload carried, evidence spliced, ev_limit applied") {
+    import spark.implicits._
+    val out = Results.statementJsonResult(
+      HasAgent("MEK", namespace = "FPLX"), ro, types, evLimit = 1)
+      .collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      val json = r.getString(2)
+      assert(r.getLong(1) == 1L) // ev_limit
+      assert(json.contains("\"matches_hash\""))
+      assert(json.contains("Phosphorylation")) // pa_json payload spliced
+      assert(json.contains("\"evidence\":[{"))
+      assert(json.contains("\"source_counts\""))
+    }
+    // ev_total reflects ALL evidence even when the page is capped at 1
+    val mekErk = out.map(_.getString(2)).find(_.contains("ERK")).get
+    assert(mekErk.contains("\"ev_total\":2"))
+  }
+
   test("belief with refinement: planted subset chain accumulates evidence") {
     import spark.implicits._
     // direct unit check of the pipeline's refinement edge builder through
