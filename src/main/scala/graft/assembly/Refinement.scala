@@ -30,25 +30,24 @@ object Refinement {
   }
 
   /** Transitive closure of a DAG given as (desc, anc) direct edges.
-    * Returns all (desc, anc) pairs with a path desc -> anc. Fails if a cycle
-    * appears within `maxIter` rounds (mirrors the reference's cycle check).
+    * Returns all (desc, anc) pairs with a path desc -> anc. Fails on cycles
+    * (mirrors the reference's cycle check, export_assembly.py:858-877).
     *
-    * Linear-frontier BFS: each round joins the frontier to the base edges —
-    * one shuffle per DAG level, not per pair.
+    * Path doubling: each round self-joins the accumulated closure, so a
+    * depth-D DAG converges in ceil(log2 D) rounds — each one equi-join
+    * shuffle — instead of D frontier rounds.
     */
-  def transitiveClosure(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def transitiveClosure(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     // localCheckpoint (not cache): iterative plans must truncate lineage or
     // Catalyst re-analyzes an exponentially growing logical plan each round.
     def fresh(df: DataFrame): DataFrame =
       df.localCheckpoint(true).toDF("desc", "anc") // new attr ids for self-joins
-    val base = fresh(edges.select(col("desc"), col("anc")).distinct())
-    var acc = base
-    var frontier = base
+    var acc = fresh(edges.select(col("desc"), col("anc")).distinct())
     var i = 0
     while (i < maxIter) {
-      val next = fresh(frontier.as("f")
-        .join(base.as("e"), col("f.anc") === col("e.desc"))
-        .select(col("f.desc").as("desc"), col("e.anc").as("anc"))
+      val next = fresh(acc.as("l")
+        .join(acc.as("r"), col("l.anc") === col("r.desc"))
+        .select(col("l.desc").as("desc"), col("r.anc").as("anc"))
         .distinct()
         .join(acc, Seq("desc", "anc"), "left_anti"))
       if (next.isEmpty) {
@@ -57,7 +56,6 @@ object Refinement {
         return acc
       }
       acc = fresh(acc.union(next))
-      frontier = next
       i += 1
     }
     sys.error(s"transitive closure did not converge in $maxIter rounds (cycle?)")

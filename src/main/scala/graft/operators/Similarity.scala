@@ -18,10 +18,10 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Sequential fold dot product of two equal-length float arrays, in
-    * double. */
+    * double — compiled kernel (graft.functions.FloatDot); identical bits
+    * to the interpreted `aggregate(zip_with(...))` fold. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.vectors.float_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -48,22 +48,11 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"), col("rn").cast("long").as("rn"))
   }
 
-  /** Deterministic pseudo-random ±1 hyperplane component for plane `p`,
-    * dimension `d` — pure integer math shared with the SQL oracle. */
-  private def planeSign(p: Column, d: Column): Column =
-    when(((p * 7919 + d * 104729) % 3) === 0, lit(-1.0)).otherwise(lit(1.0))
-
   /** Sign-LSH bucket id from `planes` hyperplanes: bit p set iff
-    * dot(v, plane_p) > 0. */
-  def signBucket(emb: Column, planes: Int, dim: Int): Column = {
-    (0 until planes).map { p =>
-      val d = aggregate(
-        zip_with(emb, sequence(lit(1), lit(dim)),
-          (x, i) => x.cast("double") * planeSign(lit(p), i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(d > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+    * dot(v, plane_p) > 0. Compiled kernel (graft.functions.SignLshBucket);
+    * `dim` is taken from the array itself. */
+  def signBucket(emb: Column, planes: Int, dim: Int): Column =
+    graft.functions.vectors.sign_lsh_bucket(emb, planes)
 
   /** Same-bucket candidate pairs with exact cosine — the scale path for
     * near-neighbor pairs. */

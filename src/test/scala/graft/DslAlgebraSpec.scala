@@ -181,6 +181,8 @@ class DslAlgebraSpec extends AnyFunSuite {
     HasDatabases(),
     HasType(Seq("Phosphorylation")),
     HasType(Seq("Activation", "Complex")),
+    HasType(Seq("Modification"), includeSubclasses = true), // expands to Phosphorylation
+    HasType(Seq("RegulateActivity"), includeSubclasses = true),
     HasNumAgents(Seq(2, 3)),
     HasNumEvidence(Seq(1, 2, 3)),
     HasEvidenceBound(Seq(EvBound.parse(">= 5"))),

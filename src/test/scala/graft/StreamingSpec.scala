@@ -97,5 +97,15 @@ class StreamingSpec extends AnyFunSuite {
         (r.getAs[Map[String, Long]]("src_json"), r.getAs[Long]("ev_count"))).toMap
     assert(merged(10L) == (Map("reach" -> 3L, "pc" -> 1L), 4L))
     assert(merged(11L) == (Map("signor" -> 1L), 1L))
+
+    // the typed MapSum aggregator gives the same pointwise merge without
+    // exploding rows
+    val viaAgg = a.unionByName(b)
+      .groupBy("mk_hash")
+      .agg(graft.functions.MapSum.map_sum(col("src_json")).as("src_json"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Map[String, Long]]("src_json"))
+      .toMap
+    assert(viaAgg(10L) == Map("reach" -> 3L, "pc" -> 1L))
+    assert(viaAgg(11L) == Map("signor" -> 1L))
   }
 }
