@@ -75,6 +75,39 @@ case class SignLshBucket(child: Expression, planes: Int)
     copy(child = newChild)
 }
 
+object MinHashKernel {
+  /** k affine minhashes h_i = min over hashes of (a_i*h + b_i) mod p with
+    * a_i = 131i+7, b_i = 97i+3 — one pass over the shingle-hash array,
+    * identical values to the params-join + groupBy-min formulation. */
+  def sig(hashes: org.apache.spark.sql.catalyst.util.ArrayData, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = hashes.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val h = hashes.getLong(j)
+      var i = 0
+      while (i < k) {
+        val v = ((131L * i + 7L) * h + (97L * i + 3L)) % 1000000007L
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+}
+
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    MinHashKernel.sig(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinHashKernel.sig($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
 object vectors {
   import org.apache.spark.sql.GraftBridge
 
@@ -83,4 +116,7 @@ object vectors {
 
   def sign_lsh_bucket(v: Column, planes: Int): Column =
     GraftBridge.column(SignLshBucket(GraftBridge.expression(v), planes))
+
+  def minhash_sig(hashes: Column, k: Int): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(hashes), k))
 }

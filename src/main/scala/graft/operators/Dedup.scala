@@ -54,18 +54,17 @@ object Dedup {
   }
 
   /** k MinHash values per doc over its shingle hashes, using the affine
-    * family h_i(x) = (a_i x + b_i) mod p. Output: (doc_id, i, minh). */
-  def minhash(shingles: DataFrame, k: Int): DataFrame = {
-    val spark = shingles.sparkSession
-    import spark.implicits._
-    val params = (0 until k).map(i => (i, 131L * i + 7L, 97L * i + 3L))
-      .toDF("i", "a", "b")
+    * family h_i(x) = (a_i x + b_i) mod p. Output: (doc_id, i, minh).
+    * One groupBy + a compiled single-pass signature kernel
+    * (graft.functions.MinHashSig) — the params-join formulation multiplied
+    * the shuffle by k. */
+  def minhash(shingles: DataFrame, k: Int): DataFrame =
     shingles
-      .join(broadcast(params))
-      .groupBy("doc_id", "i")
-      .agg(min((col("a") * col("sh_hash") + col("b")) % TextAnalysis.HashMod)
-        .as("minh"))
-  }
+      .groupBy("doc_id")
+      .agg(collect_list("sh_hash").as("hs"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.vectors.minhash_sig(col("hs"), k))
+          .as(Seq("i", "minh")))
 
   /** LSH banding: signatures grouped into bands of `r` rows; docs sharing a
     * band signature are candidates. Output: distinct (a_id, b_id), a < b. */
