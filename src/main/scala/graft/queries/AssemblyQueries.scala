@@ -40,6 +40,50 @@ object AssemblyQueries extends QueryPack {
               FROM events GROUP BY 1, 2"""),
     ),
 
+    // gap-based sessionization (lag -> running-sum session ids -> per-
+    // session rollup); the streaming twin uses flatMapGroupsWithState
+    "q_events_sessions" -> QueryDef(
+      (s, dir) => graft.streaming.Streams.sessionize(Tables.events(s, dir), 30),
+      Some("""WITH marked AS (
+          SELECT user_id, event_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                 THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        numbered AS (
+          SELECT user_id, ts,
+            SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          FROM marked)
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+          COUNT(*) AS n_events,
+          CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us
+        FROM numbered GROUP BY 1, 2"""),
+    ),
+
+    // window-function variety: lag delta, ntile quartile, dense_rank
+    "q_window_variety" -> QueryDef(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        Tables.table(s, dir, "orders")
+          .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+          .withColumn("delta",
+            (col("o_totalprice") - coalesce(col("prev_price"), lit(0.0))))
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .withColumn("rnk", dense_rank().over(w).cast("long"))
+          .select(col("o_orderkey"), col("o_custkey"), col("delta"),
+            col("quartile"), col("rnk"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+            o_totalprice - COALESCE(lag(o_totalprice) OVER w, 0.0) AS delta,
+            CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+            CAST(dense_rank() OVER w AS BIGINT) AS rnk
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)"""),
+    ),
+
     "q_distill" -> QueryDef(
       (s, dir) => {
         val k = regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")

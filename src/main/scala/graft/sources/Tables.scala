@@ -31,7 +31,9 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // integer division: `/` on longs is double division, and epoch-nano
+    // values exceed 2^53, so it would round the microsecond off by ±1
     table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }

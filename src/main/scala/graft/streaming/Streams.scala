@@ -30,6 +30,31 @@ object Streams {
         unix_timestamp(col("window.start")).as("hour_epoch"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Batch sessionization: a session breaks after `gapMinutes` of user
+    * inactivity. Two windows over the same (user_id, ts) partitioning: lag
+    * marks session starts, a running sum numbers them — the batch shape of
+    * the flatMapGroupsWithState streaming sessionizer. */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      // microsecond arithmetic: second-truncated deltas would misplace
+      // session boundaries within 1s of the gap
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+            gapMinutes * 60L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum("new_session").over(byUser.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_idx")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .as("duration_us"))
+  }
+
   /** Incremental supplement: raw statements not yet represented in the
     * links table (alls EXCEPT olds, preassemble_db.py:527-543). The delta
     * then flows through the normal Preassembly stages. */

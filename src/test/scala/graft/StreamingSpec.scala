@@ -34,7 +34,7 @@ class StreamingSpec extends AnyFunSuite {
     val streamEvents = spark.readStream
       .schema(Tables.table(spark, dir, "events").schema)
       .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val q = Streams.hourlyRollup(streamEvents)
       .writeStream.outputMode(OutputMode.Complete())
       .format("memory").queryName("rollup_out").start()
