@@ -71,9 +71,11 @@ object Pipeline {
       dropped.withColumnRenamed("rid", "reading_id"),
       Seq("reading_id"), "left_anti")
 
-    // 2. preassemble: parse -> canonical key -> hash
+    // 2. preassemble: parse -> validate (malformed/agent-less rows drop
+    //    out, the rejected_statements path) -> canonical key -> hash
+    val (valid, _) = Preassembly.partitionValid(Preassembly.parse(raw))
     val parsed = checkpoint(
-      Preassembly.parse(raw).withColumn("stype", col("stmt.type")),
+      valid.withColumn("stype", col("stmt.type")),
       checkpointDir, "parsed")
 
     val uniq = checkpoint(

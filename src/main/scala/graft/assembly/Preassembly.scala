@@ -31,6 +31,24 @@ object Preassembly {
       .withColumn("mk_hash", stable_hash64(col("matches_key")))
   }
 
+  /** Split parsed rows into (valid, rejected) — the semantic-validation
+    * gate (validate_statement_semantics, readonly_dumping/util.py:154-174,
+    * used at export_assembly.py:591, with rejects recorded like the
+    * rejected_statements table). A row is rejected when its JSON failed to
+    * parse (from_json yields a null struct — the clean_json_loads analog),
+    * it has no statement type, or it has no agent in any position.
+    */
+  def partitionValid(parsed: DataFrame): (DataFrame, DataFrame) = {
+    val stmt = col("stmt")
+    val hasAgent = stmt.getField("subj").isNotNull ||
+      stmt.getField("obj").isNotNull || stmt.getField("enz").isNotNull ||
+      stmt.getField("sub").isNotNull ||
+      (stmt.getField("members").isNotNull &&
+        size(stmt.getField("members")) > 0)
+    val ok = stmt.isNotNull && stmt.getField("type").isNotNull && hasAgent
+    (parsed.filter(ok), parsed.filter(!ok || ok.isNull))
+  }
+
   /** One row per unique statement: lowest-raw-id payload wins.
     * Input needs (raw_stmt_id, mk_hash) plus payload columns. */
   def dedup(parsed: DataFrame): DataFrame = {

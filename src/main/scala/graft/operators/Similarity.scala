@@ -54,6 +54,75 @@ object Similarity {
   def signBucket(emb: Column, planes: Int, dim: Int): Column =
     graft.functions.vectors.sign_lsh_bucket(emb, planes)
 
+  /** IVF (inverted-file) index: assign every vector to its nearest
+    * centroid cell; top-k search probes only the `nProbe` nearest cells —
+    * the coarse-quantization scale path (vs sign-LSH's hyperplane
+    * buckets). Centroids here are the deterministic seed set (vectors with
+    * id < nCells); a k-means refinement can replace the seeding without
+    * changing the search.
+    *
+    * Returns (id, embedding, cell). Assignment is by max rounded cosine
+    * with centroid-id tie-break, so it is engine-portable.
+    */
+  def ivfIndex(vectors: DataFrame, nCells: Int, scale: Int = 4): DataFrame = {
+    val cents = vectors.filter(col("id") < nCells)
+      .select(col("id").as("cent_id"), col("embedding").as("cent_emb"),
+        norm(col("embedding")).as("cent_nrm"))
+    val scored = vectors
+      .select(col("id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .join(broadcast(cents))
+      .withColumn("cos", round(
+        dot(col("embedding"), col("cent_emb")) / (col("nrm") * col("cent_nrm")),
+        scale))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("cos").desc, col("cent_id").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("embedding"), col("cent_id").as("cell"))
+  }
+
+  /** Top-k within the query vector's `nProbe` nearest cells. */
+  def ivfTopK(
+      index: DataFrame, queries: DataFrame,
+      nCells: Int, nProbe: Int, k: Int, scale: Int = 4): DataFrame = {
+    val cents = index.filter(col("id") < nCells)
+      .select(col("id").as("cent_id"), col("embedding").as("cent_emb"),
+        norm(col("embedding")).as("cent_nrm"))
+    // probe list per query: nProbe nearest centroids
+    val probes = queries
+      .select(col("id").as("q_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_nrm"))
+      .join(broadcast(cents))
+      .withColumn("cos", round(
+        dot(col("q_emb"), col("cent_emb")) / (col("q_nrm") * col("cent_nrm")),
+        scale))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("cent_id").asc)
+    val probeCells = probes
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        col("cent_id").as("cell"))
+    // search only the probed cells
+    val cands = probeCells.join(
+      index.select(col("id").as("c_id"), col("embedding").as("c_emb"),
+        col("cell")),
+      Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", round(
+        dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * norm(col("c_emb"))),
+        scale))
+      // a candidate reachable through two probed cells must count once
+      .dropDuplicates("q_id", "c_id")
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
+    cands
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rn").cast("long").as("rn"))
+  }
+
   /** Same-bucket candidate pairs with exact cosine — the scale path for
     * near-neighbor pairs. */
   def lshPairs(

@@ -282,6 +282,60 @@ shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
         SELECT q_id, c_id, cos, rn FROM ranked WHERE rn <= 3"""),
     ),
 
+    // IVF coarse quantization: assign to nearest seed centroid, probe the
+    // 2 nearest cells per query, exact top-3 within the probed cells
+    "q_embed_ivf_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding"))
+        val index = Similarity.ivfIndex(emb, nCells = 16)
+        Similarity.ivfTopK(index, emb.filter(col("id") < 10),
+          nCells = 16, nProbe = 2, k = 3)
+      },
+      Some("""WITH v AS (SELECT vec_id AS id, embedding FROM embeddings),
+        n AS (SELECT id, embedding,
+          sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(range(1, len(embedding)+1),
+              p -> CAST(embedding[p] AS DOUBLE) * CAST(embedding[p] AS DOUBLE))),
+            (a, b) -> a + b)) AS nrm
+          FROM v),
+        cents AS (SELECT id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm
+                  FROM n WHERE id < 16),
+        assign AS (SELECT id, embedding, cell FROM (
+          SELECT x.id, x.embedding, c.cent_id AS cell,
+            ROW_NUMBER() OVER (PARTITION BY x.id ORDER BY
+              round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(range(1, 65),
+                  p -> CAST(x.embedding[p] AS DOUBLE) * CAST(c.cent_emb[p] AS DOUBLE))),
+                (a, b) -> a + b) / (x.nrm * c.cent_nrm), 4) DESC,
+              c.cent_id ASC) AS rn
+          FROM n x CROSS JOIN cents c) WHERE rn = 1),
+        probes AS (SELECT q_id, cell FROM (
+          SELECT q.id AS q_id, c.cent_id AS cell,
+            ROW_NUMBER() OVER (PARTITION BY q.id ORDER BY
+              round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(range(1, 65),
+                  p -> CAST(q.embedding[p] AS DOUBLE) * CAST(c.cent_emb[p] AS DOUBLE))),
+                (a, b) -> a + b) / (q.nrm * c.cent_nrm), 4) DESC,
+              c.cent_id ASC) AS rn
+          FROM n q CROSS JOIN cents c WHERE q.id < 10) WHERE rn <= 2),
+        cand AS (SELECT DISTINCT p.q_id, a.id AS c_id,
+            round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(range(1, 65),
+                p2 -> CAST(qn.embedding[p2] AS DOUBLE) * CAST(a.embedding[p2] AS DOUBLE))),
+              (x, y) -> x + y) / (qn.nrm * an.nrm), 4) AS cos
+          FROM probes p
+          JOIN assign a ON a.cell = p.cell
+          JOIN n qn ON qn.id = p.q_id
+          JOIN n an ON an.id = a.id
+          WHERE p.q_id <> a.id)
+        SELECT q_id, c_id, cos, rn FROM (
+          SELECT q_id, c_id, cos,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn
+          FROM cand)
+        WHERE rn <= 3"""),
+    ),
+
     "q_embed_lsh_pairs" -> QueryDef(
       (s, dir) => Similarity.lshPairs(
         Tables.table(s, dir, "embeddings")

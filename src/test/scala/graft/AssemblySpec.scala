@@ -53,6 +53,20 @@ class AssemblySpec extends AnyFunSuite {
       Map("reach" -> 1L, "medscan" -> 1L))
   }
 
+  test("validation rejects malformed JSON and agent-less statements") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, """{"type":"Activation","subj":{"name":"A","db_refs":{}},"obj":{"name":"B","db_refs":{}}}"""),
+      (2L, """not json at all"""),
+      (3L, """{"type":"Activation"}"""), // no agents
+      (4L, """{"subj":{"name":"A","db_refs":{}}}"""), // no type
+    ).toDF("raw_stmt_id", "raw_json")
+    val (valid, rejected) = Preassembly.partitionValid(Preassembly.parse(raw))
+    assert(valid.select("raw_stmt_id").collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(rejected.select("raw_stmt_id").collect().map(_.getLong(0)).toSet ==
+      Set(2L, 3L, 4L))
+  }
+
   test("distill: newest version per slot, then fulltext beats abstract") {
     import spark.implicits._
     val readings = Seq(
