@@ -5,6 +5,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-bench")
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // warmup run first: measure steady-state execution, not whole-stage
+      // codegen compilation and JIT warmup
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -137,6 +137,23 @@ class AssemblySpec extends AnyFunSuite {
     assert(e.getMessage.contains("cycle"))
   }
 
+  test("PubMed XML mesh extraction") {
+    import spark.implicits._
+    val xml = """<PubmedArticle><PMID Version="1">123456</PMID>
+      <MeshHeadingList>
+        <MeshHeading><DescriptorName UI="D000818" MajorTopicYN="N">Animals</DescriptorName></MeshHeading>
+        <MeshHeading><DescriptorName UI="D002352" MajorTopicYN="Y">Carrier Proteins</DescriptorName></MeshHeading>
+        <MeshHeading><DescriptorName UI="C0001243" MajorTopicYN="N">Some Concept</DescriptorName></MeshHeading>
+      </MeshHeadingList></PubmedArticle>"""
+    val rows = graft.sources.PubmedXml.meshAnnotations(Seq(xml).toDF("xml"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+      .toSet
+    assert(rows == Set(
+      (123456L, 818L, 0, false),
+      (123456L, 2352L, 0, true),
+      (123456L, 1243L, 1, false)))
+  }
+
   test("TSV.gz ingest with \\N nulls (principal dump format)") {
     import spark.implicits._
     import java.nio.file.Files
