@@ -108,6 +108,46 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+object ShingleKernel {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Word n-gram shingles in one compiled pass: trim, split on whitespace
+    * runs, emit each n-token window joined by single spaces. Semantics
+    * identical to split(trim(text), "\\s+") + transform/slice/array_join.
+    */
+  def shingles(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = text.toString.trim.split("\\s+")
+    val count = toks.length - n + 1
+    if (count <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](count)
+    var i = 0
+    while (i < count) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ShingleKernel.shingles(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleKernel.shingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
 object vectors {
   import org.apache.spark.sql.GraftBridge
 
@@ -119,4 +159,7 @@ object vectors {
 
   def minhash_sig(hashes: Column, k: Int): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(hashes), k))
+
+  def word_shingles(text: Column, n: Int): Column =
+    GraftBridge.column(WordShingles(GraftBridge.expression(text), n))
 }

@@ -42,16 +42,12 @@ object Dedup {
 
   /** Distinct word n-gram shingles per document, pre-hashed to a long so
     * downstream joins/aggregations move 8 bytes, not strings. */
-  def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    val shingles = transform(
-      sequence(lit(0), size(toks) - n),
-      i => array_join(slice(toks, i + 1, lit(n)), " "))
-    df.filter(size(toks) >= n) // sequence(0, negative) would walk backwards
-      .select(col(idCol).as("doc_id"), explode(shingles).as("shingle"))
+  def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(graft.functions.vectors.word_shingles(col(textCol), n))
+          .as("shingle"))
       .distinct()
       .withColumn("sh_hash", TextAnalysis.rollingHash(col("shingle")))
-  }
 
   /** k MinHash values per doc over its shingle hashes, using the affine
     * family h_i(x) = (a_i x + b_i) mod p. Output: (doc_id, i, minh).

@@ -402,6 +402,44 @@ object RelationalQueries extends QueryPack {
               FROM lineitem GROUP BY 1"""),
     ),
 
+    // exact interpolated percentiles (both engines use linear
+    // interpolation between order statistics - no float-sum ordering risk)
+    "q_percentiles" -> QueryDef(
+      (s, dir) => Tables.table(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("median"),
+          expr("percentile(o_totalprice, 0.9)").as("p90")),
+      Some("""SELECT o_orderpriority,
+              quantile_cont(o_totalprice, 0.5) AS median,
+              quantile_cont(o_totalprice, 0.9) AS p90
+              FROM orders GROUP BY 1"""),
+    ),
+
+    // multi-level aggregation: ROLLUP with grouping_id
+    "q_rollup" -> QueryDef(
+      (s, dir) => Tables.table(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("qty"),
+          grouping_id().cast("long").as("gid")),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+              CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+              FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""),
+    ),
+
+    // sketch: HyperLogLog distinct estimate (implementation-specific, so
+    // no cross-engine oracle - the driver records a rows-only check; the
+    // spec asserts accuracy against the exact count)
+    "q_approx_distinct" -> QueryDef(
+      (s, dir) => Tables.table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts")),
+      None,
+    ),
+
     // --- events (temporal + json-ish props) ------------------------------
     "q_events_hourly" -> QueryDef(
       (s, dir) => {

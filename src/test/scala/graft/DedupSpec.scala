@@ -59,6 +59,16 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0))
   }
 
+  test("HLL sketch stays within its error bound of the exact count") {
+    val rows = graft.SparkEntry.queries("q_approx_distinct")(spark, dir).collect()
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"approx $approx vs exact $exact")
+    }
+  }
+
   test("langId returns a profile language on English-marker text") {
     import spark.implicits._
     val df = Seq(
