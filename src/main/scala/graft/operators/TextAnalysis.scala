@@ -69,4 +69,13 @@ object TextAnalysis {
     * budget accounting when no tokenizer is available. */
   def approxBpeTokens(text: Column): Column =
     ceil(length(text).cast("double") / 4.0).cast("long")
+
+  /** GPT-2-style pre-tokenizer regex, simplified to classes that behave
+    * identically under Java regex and RE2: runs of letters, digits, or
+    * other symbols, each optionally preceded by one space. Counting these
+    * pieces is the standard "BPE-ish" token estimate. */
+  val bpePattern = " ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+"
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(bpePattern), lit(0))
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text)).cast("long")
 }

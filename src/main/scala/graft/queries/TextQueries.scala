@@ -109,6 +109,14 @@ shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
         FROM c"""),
     ),
 
+    "q_text_bpe_tokens" -> QueryDef(
+      (s, dir) => docs(s, dir).select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe")),
+      Some("""SELECT doc_id,
+              CAST(len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+', 0)) AS BIGINT) AS n_bpe
+              FROM documents"""),
+    ),
+
     "q_text_fingerprint" -> QueryDef(
       (s, dir) => docs(s, dir)
         .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("fp")),
