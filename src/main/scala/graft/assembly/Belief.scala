@@ -21,20 +21,37 @@ import org.apache.spark.sql.functions._
   */
 object Belief {
 
-  final case class Params(randError: Double = 0.3, systError: Double = 0.05)
+  /** Default error rates plus optional per-source overrides — the shape of
+    * the reference's prior_probs dict (per-source rand/syst in INDRA's
+    * BeliefEngine; the HybridScorer wrapper supplies source-specific
+    * values). */
+  final case class Params(
+      randError: Double = 0.3,
+      systError: Double = 0.05,
+      perSource: Map[String, (Double, Double)] = Map.empty) {
+    def rand(src: String): Double = perSource.get(src).map(_._1).getOrElse(randError)
+    def syst(src: String): Double = perSource.get(src).map(_._2).getOrElse(systError)
+  }
 
-  /** Per-source term (syst + rand^n) with the power unrolled as a fold. */
-  private def term(cnt: Column, p: Params): Column =
-    lit(p.systError) + aggregate(
-      sequence(lit(1), cnt.cast("int")),
-      lit(1.0), (acc, _) => acc * p.randError)
+  /** Per-source term (syst_s + rand_s^n) with the power unrolled as a
+    * fold; per-source parameters select via a when-chain (codegen'd). */
+  private def term(src: Column, cnt: Column, p: Params): Column = {
+    val rand = p.perSource.foldRight(lit(p.randError)) {
+      case ((s, (r, _)), acc) => when(src === s, lit(r)).otherwise(acc)
+    }
+    val syst = p.perSource.foldRight(lit(p.systError)) {
+      case ((s, (_, sy)), acc) => when(src === s, lit(sy)).otherwise(acc)
+    }
+    syst + aggregate(sequence(lit(1), cnt.cast("int")), lit(1.0),
+      (acc, _) => acc * rand)
+  }
 
   /** Belief from a src_json map column. Entries fold in sorted-key order. */
   def beliefFromSrcJson(srcJson: Column, p: Params = Params()): Column =
     lit(1.0) - aggregate(
       array_sort(map_entries(srcJson)),
       lit(1.0),
-      (acc, e) => acc * term(e.getField("value"), p))
+      (acc, e) => acc * term(e.getField("key"), e.getField("value"), p))
 
   /** Attach a `belief` column to a DataFrame bearing src_json. */
   def score(df: DataFrame, p: Params = Params()): DataFrame =
