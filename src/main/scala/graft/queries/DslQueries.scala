@@ -75,6 +75,13 @@ ai AS (
         "agent_meta WHERE db_name='NAME' AND db_id='P5'"),
     ),
 
+    // LIKE-wildcard agent id (the reference compiles db_id.like(id))
+    "q_dsl_agent_like" -> QueryDef(
+      run(HasAgent("P19%")),
+      Some(PREFIX + SEL +
+        "agent_meta WHERE db_name='NAME' AND db_id LIKE 'P19%'"),
+    ),
+
     "q_dsl_has_agent_role" -> QueryDef(
       run(HasAgent("P7", namespace = "CHEBI", role = Some("SUBJECT"))),
       Some(PREFIX + SEL +

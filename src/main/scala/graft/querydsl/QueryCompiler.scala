@@ -124,7 +124,12 @@ object QueryCompiler {
         case "TEXT" => (ro.textMeta, None)
         case other => (ro.otherMeta, Some(col("db_name") === other))
       }
-      val preds = Seq(col("db_id") === regularizeAgentId(id, ns)) ++
+      val regId = regularizeAgentId(id, ns)
+      val idPred =
+        if (regId.contains('%') || regId.contains('_'))
+          col("db_id").like(regId)
+        else col("db_id") === regId // equality plans better than LIKE
+      val preds = Seq(idPred) ++
         nsPred ++
         role.map(r => col("role_num") === Roles.toNum(r)) ++
         agNum.map(n => col("ag_num") === n) ++

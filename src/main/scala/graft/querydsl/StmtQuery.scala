@@ -58,7 +58,15 @@ final case class HasAgent(
     agentNum: Option[Int] = None,
     inverted: Boolean = false,
 ) extends StmtQuery {
+  // the reference raises on both (query.py:1683-1685)
+  require(role.isEmpty || agentNum.isEmpty,
+    "specify role OR agent_num, not both")
   def invert: StmtQuery = copy(inverted = !inverted)
+
+  /** SQL LIKE wildcards in the id select pattern matching, as in the
+    * reference's `db_id.like(regularized_id)` (query.py:1731-1732);
+    * "%" alone matches any agent in the namespace. */
+  def hasWildcard: Boolean = agentId.contains('%') || agentId.contains('_')
 }
 
 /** mk_hash ∈ list (query.py:1520-1579). */

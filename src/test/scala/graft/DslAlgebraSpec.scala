@@ -75,8 +75,12 @@ object Fixture {
     case FullQuery => all
     case HasAgent(id, ns, role, agNum, inv) =>
       val rid = QueryCompiler.regularizeAgentId(id, ns)
+      def idMatch(s: String): Boolean =
+        if (rid.contains('%') || rid.contains('_'))
+          s.matches(rid.replace("%", ".*").replace("_", "."))
+        else s == rid
       val pos = stmts.filter(_.agents.exists { case (k, dn, di, rn) =>
-        dn == (if (ns == "AUTO") "NAME" else ns) && di == rid &&
+        dn == (if (ns == "AUTO") "NAME" else ns) && idMatch(di) &&
           role.forall(r => graft.core.Roles.toNum(r) == rn) &&
           agNum.forall(_ == k)
       }).map(_.hash).toSet
@@ -174,6 +178,7 @@ class DslAlgebraSpec extends AnyFunSuite {
     HasAgent("MEK", role = Some("SUBJECT")),
     HasAgent("TP53", namespace = "TEXT"),
     HasAgent("Vemurafenib", namespace = "CHEBI", agentNum = Some(0)),
+    HasAgent("%E%"), // LIKE wildcard: matches ERK and MEK names
     HasSources(Seq("reach")),
     HasSources(Seq("reach", "signor")),
     HasOnlySource("medscan"),

@@ -11,8 +11,8 @@ class QueryJsonSpec extends AnyFunSuite {
 
   val cases: Seq[StmtQuery] = Seq(
     HasAgent("MEK"),
-    HasAgent("CHEBI:63637", namespace = "CHEBI", role = Some("OBJECT"),
-      agentNum = Some(1)),
+    HasAgent("CHEBI:63637", namespace = "CHEBI", role = Some("OBJECT")),
+    HasAgent("MEK", agentNum = Some(1)),
     HasHash(Set(1L, -5L, 99L)),
     HasSources(Seq("reach", "signor")),
     HasOnlySource("medscan"),
