@@ -43,9 +43,12 @@ object TpchWorld {
       .partitionBy("l_orderkey")
       .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
         col("l_extendedprice"))
+    // four tables derive from this staged intermediate; persist it so the
+    // scan + window run once, not once per derivation
     val li = Tables.table(spark, dir, "lineitem")
       .withColumn("evn", row_number().over(w))
       .withColumn("sid", col("l_orderkey") * 100 + col("evn"))
+      .persist()
 
     val statements = orders.select(
       col("o_orderkey").as("mk_hash"),
