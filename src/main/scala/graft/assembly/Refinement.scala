@@ -29,6 +29,41 @@ object Refinement {
     left.join(right, blockCols).filter(col("a_mk_hash") =!= col("b_mk_hash"))
   }
 
+  /** Connected components over an undirected edge list (node, peer) — the
+    * reference partitions statements into components before belief calc
+    * (belief.py:171-193). Iterative min-label propagation: each round every
+    * node adopts the smallest label among itself and its neighbors; rounds
+    * are single equi-join shuffles, converging in O(component diameter).
+    * Returns (node, component) with component = min node id reachable.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    val sym = edges.select(col("node"), col("peer"))
+      .union(edges.select(col("peer").as("node"), col("node").as("peer")))
+      .distinct()
+      .localCheckpoint(true).toDF("node", "peer")
+    var labels = sym.select(col("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint(true).toDF("node", "component")
+    var i = 0
+    while (i < maxIter) {
+      val next = sym.as("e")
+        .join(labels.as("l"), col("e.peer") === col("l.node"))
+        .select(col("e.node").as("node"), col("l.component").as("component"))
+        .union(labels)
+        .groupBy("node")
+        .agg(min("component").as("component"))
+        .localCheckpoint(true).toDF("node", "component")
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.component") =!= col("o.component"))
+        .limit(1).count() > 0
+      labels = next
+      if (!changed) return labels
+      i += 1
+    }
+    sys.error(s"connected components did not converge in $maxIter rounds")
+  }
+
   /** Transitive closure of a DAG given as (desc, anc) direct edges.
     * Returns all (desc, anc) pairs with a path desc -> anc. Fails on cycles
     * (mirrors the reference's cycle check, export_assembly.py:858-877).

@@ -123,6 +123,16 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"), col("rn").cast("long").as("rn"))
   }
 
+  /** Embedding-cosine near-duplicate groups: sign-LSH candidate pairs at
+    * `minCos`, canonicalized to (canonical_id = smaller id, dup_id). The
+    * embedding-space member of the dedup family (exact / MinHash / SimHash
+    * / n-gram Jaccard / embedding-cosine). */
+  def embeddingNearDups(
+      vectors: DataFrame, planes: Int, dim: Int, minCos: Double): DataFrame =
+    lshPairs(vectors, planes, dim, minCos)
+      .select(col("a_id").as("canonical_id"), col("b_id").as("dup_id"),
+        col("cos"))
+
   /** Same-bucket candidate pairs with exact cosine — the scale path for
     * near-neighbor pairs. */
   def lshPairs(

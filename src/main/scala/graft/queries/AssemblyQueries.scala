@@ -188,6 +188,25 @@ object AssemblyQueries extends QueryPack {
         FROM terms GROUP BY mk_hash"""),
     ),
 
+    // connected components via generic min-label propagation; the planted
+    // chain graph (k -- k-1 within each decade) has the closed-form answer
+    // component = k - k%10, which the oracle states directly
+    "q_components" -> QueryDef(
+      (s, dir) => {
+        val edges = Tables.table(s, dir, "part")
+          .filter(col("p_partkey") % 10 =!= 0)
+          .select(col("p_partkey").cast("long").as("node"),
+            (col("p_partkey") - 1).cast("long").as("peer"))
+        Refinement.connectedComponents(edges)
+      },
+      Some("""SELECT CAST(p.n AS BIGINT) AS node,
+              CAST(p.n - p.n % 10 AS BIGINT) AS component
+              FROM (SELECT DISTINCT p_partkey AS n FROM part
+                    UNION SELECT DISTINCT p_partkey - 1 FROM part WHERE p_partkey % 10 <> 0) p
+              WHERE p.n IN (SELECT p_partkey FROM part WHERE p_partkey % 10 <> 0)
+                 OR p.n IN (SELECT p_partkey - 1 FROM part WHERE p_partkey % 10 <> 0)"""),
+    ),
+
     "q_closure" -> QueryDef(
       (s, dir) => {
         val edges = Tables.table(s, dir, "part")

@@ -290,6 +290,43 @@ shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
         SELECT q_id, c_id, cos, rn FROM ranked WHERE rn <= 3"""),
     ),
 
+    // embedding-cosine near-dup (dedup-family member over vector space)
+    "q_dedup_embed" -> QueryDef(
+      (s, dir) => Similarity.embeddingNearDups(
+        Tables.table(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding")),
+        planes = 8, dim = 64, minCos = 0.4),
+      Some("""WITH v AS (SELECT vec_id AS id, embedding FROM embeddings),
+        planes AS (SELECT p FROM range(0, 8) t(p)),
+        dots AS (SELECT v.id, pl.p,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(range(1, 65),
+              d -> CAST(embedding[d] AS DOUBLE) *
+                   (CASE WHEN (pl.p * 7919 + d * 104729) % 3 = 0
+                         THEN -1.0 ELSE 1.0 END))),
+            (a, b) -> a + b) AS dp
+          FROM v CROSS JOIN planes pl),
+        buckets AS (SELECT id,
+          CAST(SUM(CASE WHEN dp > 0
+            THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT)
+            AS bucket
+          FROM dots GROUP BY 1),
+        n AS (SELECT v.id, v.embedding, b.bucket,
+          sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(range(1, 65),
+              p -> CAST(embedding[p] AS DOUBLE) * CAST(embedding[p] AS DOUBLE))),
+            (a, b) -> a + b)) AS nrm
+          FROM v JOIN buckets b ON v.id = b.id)
+        SELECT canonical_id, dup_id, cos FROM (
+          SELECT x.id AS canonical_id, y.id AS dup_id,
+            round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(range(1, 65),
+                p -> CAST(x.embedding[p] AS DOUBLE) * CAST(y.embedding[p] AS DOUBLE))),
+              (a, b) -> a + b) / (x.nrm * y.nrm), 4) AS cos
+          FROM n x JOIN n y ON x.bucket = y.bucket AND x.id < y.id)
+        WHERE cos >= 0.4"""),
+    ),
+
     // IVF coarse quantization: assign to nearest seed centroid, probe the
     // 2 nearest cells per query, exact top-3 within the probed cells
     "q_embed_ivf_topk" -> QueryDef(
