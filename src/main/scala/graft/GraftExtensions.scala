@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions._
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * Catalyst expressions as SQL functions, so `spark.sql` users get the
+  * same codegen'd kernels as the Scala API:
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions)  — or
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * No custom optimizer Rule or SparkStrategy is registered by design: the
+  * engine's plans are expressible with built-in operators, and the DSL's
+  * algebraic rewrites run before DataFrames are built (SURVEY §4.1) — the
+  * same staging the reference uses.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("stable_hash64"),
+      info("stable_hash64", "stable_hash64(str) - 64-bit MD5-prefix content hash"),
+      (args: Seq[Expression]) => StableHash64(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("poly_hash"),
+      info("poly_hash", "poly_hash(str) - polynomial rolling hash mod 1e9+7"),
+      (args: Seq[Expression]) => PolyHashMod(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("float_dot"),
+      info("float_dot", "float_dot(a, b) - sequential dot product of float arrays"),
+      (args: Seq[Expression]) => FloatDot(args(0), args(1))))
+  }
+}
