@@ -247,13 +247,33 @@ ai AS (
       (s, dir) => Results.relations(
         HasSources(Seq("reach")), TpchWorld.readonly(s, dir), TpchWorld.types)
         .select(col("agent_str"), col("type_num").cast("long").as("type_num"),
-          col("total_ev"), col("max_belief"), col("n_hashes")),
-      Some(PREFIX + """SELECT i.agent_str, CAST(m.type_num AS BIGINT) AS type_num,
-          CAST(SUM(m.ev_count) AS BIGINT) AS total_ev,
-          MAX(m.belief) AS max_belief, COUNT(*) AS n_hashes
-        FROM ai i JOIN meta m ON i.mk_hash = m.mk_hash
-        WHERE m.mk_hash IN (SELECT mk_hash FROM src_cnt WHERE src='reach')
-        GROUP BY 1, 2"""),
+          col("total_ev"), col("max_belief"), col("n_hashes"), col("src_str")),
+      Some(PREFIX + """, sel AS (
+          SELECT mk_hash FROM meta
+          WHERE mk_hash IN (SELECT mk_hash FROM src_cnt WHERE src='reach')),
+        rel AS (
+          SELECT i.agent_str, CAST(m.type_num AS BIGINT) AS type_num,
+            CAST(SUM(m.ev_count) AS BIGINT) AS total_ev,
+            MAX(m.belief) AS max_belief, COUNT(*) AS n_hashes
+          FROM ai i JOIN meta m ON i.mk_hash = m.mk_hash
+          WHERE m.mk_hash IN (SELECT mk_hash FROM sel)
+          GROUP BY 1, 2),
+        rel_src AS (
+          SELECT i.agent_str, CAST(m.type_num AS BIGINT) AS type_num,
+            sc.src, SUM(sc.c) AS c
+          FROM ai i
+          JOIN meta m ON i.mk_hash = m.mk_hash
+          JOIN src_cnt sc ON sc.mk_hash = i.mk_hash
+          WHERE m.mk_hash IN (SELECT mk_hash FROM sel)
+          GROUP BY 1, 2, 3),
+        rel_srcstr AS (
+          SELECT agent_str, type_num,
+            string_agg(src || ':' || CAST(c AS VARCHAR), ';' ORDER BY src) AS src_str
+          FROM rel_src GROUP BY 1, 2)
+        SELECT r.agent_str, r.type_num, r.total_ev, r.max_belief, r.n_hashes,
+               s.src_str
+        FROM rel r JOIN rel_srcstr s
+          ON r.agent_str = s.agent_str AND r.type_num = s.type_num"""),
     ),
 
     // evidence-level filter: restrict returned evidence rows (not the

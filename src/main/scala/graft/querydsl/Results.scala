@@ -124,15 +124,26 @@ object Results {
     ro.agentInteractions.join(sel, Seq("mk_hash"), "left_semi")
   }
 
-  /** Grouped by (agent set, type): summed evidence, max belief, hash count
-    * (RelationSQL agg, query.py:130-203). */
+  /** Grouped by (agent set, type): summed evidence, max belief, hash
+    * count, and the pointwise-merged per-source count map (RelationSQL
+    * agg + the Python src-dict merge, query.py:130-203 — here a single
+    * MapSum aggregation, with a canonical sorted string rendering for
+    * engine-portable comparison). */
   def relations(q: StmtQuery, ro: ReadonlyTables, types: TypeRegistry): DataFrame =
     interactions(q, ro, types)
       .groupBy("agent_str", "type_num")
       .agg(
         sum("ev_count").as("total_ev"),
         max("belief").as("max_belief"),
-        count(lit(1)).as("n_hashes"))
+        count(lit(1)).as("n_hashes"),
+        graft.functions.MapSum.map_sum(col("src_json")).as("src_merged"))
+      .withColumn("src_str",
+        array_join(
+          transform(array_sort(map_entries(col("src_merged"))),
+            e => concat(e.getField("key"), lit(":"),
+              e.getField("value").cast("string"))),
+          ";"))
+      .drop("src_merged")
 
   /** Grouped by agent set only (AgentSQL agg, query.py:224-344), complex
     * duplicates excluded. */
