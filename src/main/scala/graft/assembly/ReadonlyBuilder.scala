@@ -90,15 +90,24 @@ object ReadonlyBuilder {
 
     val typeDim = types.toDF(spark)
 
+    // ActiveForm attribute columns ride on every meta row in the reference
+    // (readonly_schema.py:139-157); pass them through when the statement
+    // world supplies them, else null
+    val stmts =
+      if (world.statements.columns.contains("activity")) world.statements
+      else world.statements
+        .withColumn("activity", lit(null).cast("string"))
+        .withColumn("is_active", lit(null).cast("boolean"))
+
     // one row per hash with every sorting/grouping column the meta tables
     // denormalize onto their rows (readonly_schema.py:139-157)
-    val stmtMeta = world.statements
+    val stmtMeta = stmts
       .join(broadcast(typeDim), "stype")
       .join(evAgg, "mk_hash")
       .join(agentAgg, "mk_hash")
       .select(
         col("mk_hash"), col("type_num"), col("belief"), col("ev_count"),
-        col("agent_count"), col("src_json"))
+        col("agent_count"), col("src_json"), col("activity"), col("is_active"))
 
     // --- source_meta ------------------------------------------------------
     // flags derived from the source map (readonly_schema.py:902-954):
@@ -116,12 +125,13 @@ object ReadonlyBuilder {
           lit(dbSources.toArray)))
 
     // --- agent meta tables (name/text/other split) ------------------------
-    val stmtCols = stmtMeta.select("mk_hash", "type_num", "belief", "ev_count", "agent_count")
+    val stmtCols = stmtMeta.select("mk_hash", "type_num", "belief", "ev_count",
+      "agent_count", "activity", "is_active")
     val agentMeta = world.agents.join(stmtCols, "mk_hash")
     def split(pred: org.apache.spark.sql.Column, keepDbName: Boolean) = {
       val f = agentMeta.filter(pred)
       val cols = Seq("mk_hash", "ag_num", "db_id", "role_num", "type_num",
-        "ev_count", "belief", "agent_count")
+        "ev_count", "belief", "agent_count", "activity", "is_active")
       if (keepDbName) f.select(("db_name" +: cols).map(col): _*)
       else f.select(cols.map(col): _*)
     }
