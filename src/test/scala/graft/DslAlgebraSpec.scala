@@ -217,7 +217,7 @@ class DslAlgebraSpec extends AnyFunSuite {
     val rng = new scala.util.Random(7)
     val pairs = rng.shuffle(
       (for (a <- baseQueries; b <- baseQueries if a != b) yield (a, b)).toVector
-    ).take(25)
+    ).take(40)
     for ((a, b) <- pairs) {
       assert(engine(a & b) == (Fixture.eval(a) intersect Fixture.eval(b)),
         s"AND mismatch: $a & $b")
@@ -230,12 +230,29 @@ class DslAlgebraSpec extends AnyFunSuite {
     val rng = new scala.util.Random(11)
     val pairs = rng.shuffle(
       (for (a <- baseQueries; b <- baseQueries if a != b) yield (a, b)).toVector
-    ).take(10)
+    ).take(20)
     for ((a, b) <- pairs) {
       assert(engine(a & ~b) == (Fixture.eval(a) -- Fixture.eval(b)),
         s"a & ~b mismatch: $a, $b")
       assert(engine(~(a | b)) == (Fixture.all -- (Fixture.eval(a) union Fixture.eval(b))),
         s"~(a|b) mismatch: $a, $b")
+    }
+  }
+
+  test("triple compositions through the engine (sampled)") {
+    val rng = new scala.util.Random(13)
+    val qs = baseQueries
+    val triples = rng.shuffle(
+      (for (a <- qs; b <- qs; c <- qs if a != b && b != c) yield (a, b, c)).toVector
+    ).take(12)
+    for ((a, b, c) <- triples) {
+      assert(engine((a & b) | c) ==
+        ((Fixture.eval(a) intersect Fixture.eval(b)) union Fixture.eval(c)),
+        s"(a&b)|c mismatch: $a, $b, $c")
+      assert(engine(a & (b | ~c)) ==
+        (Fixture.eval(a) intersect
+          (Fixture.eval(b) union (Fixture.all -- Fixture.eval(c)))),
+        s"a&(b|~c) mismatch: $a, $b, $c")
     }
   }
 
