@@ -163,8 +163,13 @@ object RelationalQueries extends QueryPack {
 
     "q_window_running" -> QueryDef(
       (s, dir) => {
+        // (shipdate, orderkey, linenumber) is NOT unique in this data; the
+        // running sum needs a total order or tie placement is
+        // nondeterministic run to run
         val w = Window.partitionBy("l_suppkey")
-          .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+          .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+            col("l_linenumber").asc, col("l_partkey").asc,
+            col("l_extendedprice").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.table(s, dir, "lineitem")
           .withColumn("running_qty", sum(dec(col("l_quantity"))).over(w).cast("double"))
@@ -173,7 +178,8 @@ object RelationalQueries extends QueryPack {
       },
       Some("""SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey
-                ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+                ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC,
+                         l_partkey ASC, l_extendedprice ASC
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
               FROM lineitem"""),
     ),
