@@ -191,18 +191,22 @@ object Results {
         concat(col("subj_id"), lit("|"), col("obj_id")).as("agent_str"),
         col("ev_count"), lit(true).as("is_complex_dup"))
     val rows = plain.unionByName(pairs)
-    // group rank: total evidence desc, agent_str as the unique tiebreak
+    // Each complex hash keeps its best-ranked group under the total order
+    // (total evidence desc, agent_str asc). Rank VALUES are never exposed,
+    // so no global row_number is needed: min_by over the sortable struct
+    // (-g_ev, agent_str) picks the same group per hash with an ordinary
+    // two-level aggregation — no single-partition Window at any scale.
     val groupEv = rows.groupBy("agent_str")
       .agg(sum("ev_count").as("g_ev"))
-      .withColumn("g_rank", row_number().over(
-        Window.orderBy(col("g_ev").desc, col("agent_str").asc)))
-      .select("agent_str", "g_rank")
     val ranked = rows.join(groupEv, "agent_str")
     val assigned = ranked.filter(col("is_complex_dup"))
-      .groupBy("mk_hash").agg(min("g_rank").as("keep_rank"))
+      .groupBy("mk_hash")
+      .agg(min_by(col("agent_str"),
+        struct(negate(col("g_ev")).as("neg_ev"), col("agent_str")))
+        .as("keep_agent"))
     ranked
       .join(assigned, Seq("mk_hash"), "left")
-      .filter(!col("is_complex_dup") || col("g_rank") === col("keep_rank"))
+      .filter(!col("is_complex_dup") || col("agent_str") === col("keep_agent"))
       .groupBy("agent_str")
       .agg(sum("ev_count").as("total_ev"), count(lit(1)).as("n_hashes"))
   }

@@ -62,6 +62,19 @@ class PlanSpec extends AnyFunSuite {
       s"SourceIntersection fusion regressed — query adds a join:\n$queryPart")
   }
 
+  test("agentsWithComplexes has no global (un-partitioned) window") {
+    // the complexes-covered dedup must not rank groups with a single-
+    // partition Window — at 100 TB that moves the whole agents view to one
+    // reducer. The keep-group assignment is a min_by aggregation instead.
+    val ro = TpchWorld.readonly(spark, dir)
+    val optimized = Results.agentsWithComplexes(
+      HasReadings(), ro, TpchWorld.types, complexTypeNum = 3)
+      .queryExecution.optimizedPlan.toString
+    // the readonly build below the cache boundary may window; the query must not
+    val queryPart = optimized.split("InMemoryRelation").head
+    assert(!queryPart.contains("Window"), s"global window regressed:\n$queryPart")
+  }
+
   test("hash expressions stay inside whole-stage codegen") {
     // parquet-backed input so the optimizer can't constant-fold the hashes
     val df = Tables.table(spark, dir, "documents")
