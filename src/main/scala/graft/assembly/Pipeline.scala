@@ -29,22 +29,30 @@ object Pipeline {
 
   /** Statement A refines B when same type, strictly more agent keys, and
     * B's keys all appear in A's (the ontology-free core of the reference's
-    * refinement predicate; a real ontology walk slots in here). */
-  private def refinementEdges(
-      uniq: DataFrame, agents: DataFrame): DataFrame = {
+    * refinement predicate; a real ontology walk slots in here).
+    *
+    * Blocking: each statement enters one block per (type, agent key) —
+    * every key, not just the first sorted one. A refining pair shares ALL
+    * of B's keys, so it is guaranteed to co-occur in at least one block;
+    * blocking only on the first sorted key silently dropped pairs whose
+    * first keys differ (e.g. A={K1,K2} blocked at K1, B={K2} at K2). The
+    * pair space stays bounded — quadratic only within same-(type,key)
+    * groups, the standard inverted-index bound — and duplicate pairs from
+    * shared keys collapse in the final distinct.
+    */
+  def refinementEdges(uniq: DataFrame, agents: DataFrame): DataFrame = {
     val keySets = agents
       .groupBy("mk_hash")
       .agg(array_sort(collect_set(concat(col("db_name"), lit(":"), col("db_id"))))
         .as("keys"))
     val stmts = uniq.select(col("mk_hash"), col("stype"))
       .join(keySets, "mk_hash")
-      // block on (type, first agent key): candidates must share both, which
-      // bounds the quadratic pair space (SURVEY §7.4.1)
-      .withColumn("block_key", element_at(col("keys"), 1))
+      .withColumn("block_key", explode(col("keys")))
     Refinement.candidatePairs(stmts, Seq("stype", "block_key"))
       .filter(size(col("a_keys")) > size(col("b_keys")) &&
         size(array_except(col("b_keys"), col("a_keys"))) === 0)
       .select(col("a_mk_hash").as("desc"), col("b_mk_hash").as("anc"))
+      .distinct()
   }
 
   private def checkpoint(df: DataFrame, dir: Option[String], name: String): DataFrame =

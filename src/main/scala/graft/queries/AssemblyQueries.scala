@@ -207,6 +207,44 @@ object AssemblyQueries extends QueryPack {
                  OR p.n IN (SELECT p_partkey - 1 FROM part WHERE p_partkey % 10 <> 0)"""),
     ),
 
+    // refinement edge generation through the REAL blocked self-join
+    // (Pipeline.refinementEdges): statements keyed by part, agent-key set =
+    // the set bits of (p_partkey % 15) + 1, type = p % 3. A refines B iff
+    // same type, B's mask ⊂ A's mask (strict subset) — which the oracle
+    // states directly with bit arithmetic. The fixture deliberately plants
+    // subset pairs whose FIRST sorted keys differ (e.g. {K2} ⊂ {K0,K2}),
+    // the exact shape the old first-key-only blocking dropped.
+    "q_refine_edges" -> QueryDef(
+      (s, dir) => {
+        // fixed-size universe (mk_hash = p_partkey % 600) so the gate pins
+        // semantics at every SF without quadratic fixture growth
+        val p = Tables.table(s, dir, "part")
+          .select((col("p_partkey") % 600).cast("long").as("mk_hash"))
+          .distinct()
+          .withColumn("m", (col("mk_hash") % 15 + 1).cast("int"))
+          .withColumn("stype", concat(lit("t"), (col("mk_hash") % 3).cast("string")))
+        val uniq = p.select("mk_hash", "stype")
+        val agents = p
+          .withColumn("bit", explode(array_compact(array(
+            (0 to 3).map(b =>
+              when(col("m").bitwiseAND(1 << b) =!= 0, lit(b))): _*))))
+          .select(col("mk_hash"), lit("NAME").as("db_name"),
+            concat(lit("K"), col("bit").cast("string")).as("db_id"))
+        graft.assembly.Pipeline.refinementEdges(uniq, agents)
+          .select(col("desc").as("node"), col("anc"))
+      },
+      Some("""WITH s AS (
+          SELECT DISTINCT CAST(p_partkey % 600 AS BIGINT) AS mk_hash,
+            CAST(p_partkey % 600 % 15 + 1 AS INTEGER) AS m,
+            p_partkey % 600 % 3 AS t
+          FROM part)
+        SELECT a.mk_hash AS node, b.mk_hash AS anc
+        FROM s a JOIN s b
+          ON a.t = b.t
+         AND (a.m & b.m) = b.m
+         AND bit_count(a.m) > bit_count(b.m)"""),
+    ),
+
     "q_closure" -> QueryDef(
       (s, dir) => {
         val edges = Tables.table(s, dir, "part")

@@ -125,6 +125,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(mekErk.contains("\"ev_total\":2"))
   }
 
+  test("refinement blocking pairs subset statements whose FIRST sorted keys differ") {
+    import spark.implicits._
+    // A = {HGNC:7, HGNC:8} sorts to first key HGNC:7; B = {HGNC:8} to
+    // HGNC:8 — a strict subset pair that first-key-only blocking never
+    // pairs (round-1 bug). The all-keys blocking must emit exactly A -> B.
+    val uniq = Seq((1L, "Inhibition"), (2L, "Inhibition"))
+      .toDF("mk_hash", "stype")
+    val agents = Seq(
+      (1L, "HGNC", "7"), (1L, "HGNC", "8"),
+      (2L, "HGNC", "8"),
+    ).toDF("mk_hash", "db_name", "db_id")
+    val edges = Pipeline.refinementEdges(uniq, agents)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges == Set((1L, 2L)), s"got $edges")
+  }
+
   test("belief with refinement: planted subset chain accumulates evidence") {
     import spark.implicits._
     // direct unit check of the pipeline's refinement edge builder through
