@@ -79,6 +79,42 @@ object Dedup {
       .distinct()
   }
 
+  /** Drop shingles whose document frequency exceeds `maxDf` before
+    * inverted-index candidate generation — the standard stop-shingle cap:
+    * one corpus-wide shingle shared by millions of documents re-creates
+    * exactly the all-pairs blowup the index exists to avoid (its bucket
+    * alone contributes df² candidate pairs). Capping is candidate-recall
+    * safe in practice: a pair lost here shares ONLY stop shingles, which
+    * cannot clear a meaningful Jaccard threshold. The hot set is bounded
+    * by |shingles|/maxDf, so it broadcasts. */
+  def capShingleDf(shingles: DataFrame, maxDf: Long): DataFrame = {
+    val hot = shingles.groupBy("sh_hash")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select("sh_hash")
+    shingles.join(broadcast(hot), Seq("sh_hash"), "left_anti")
+  }
+
+  /** n-gram Jaccard near-dup pairs: candidates from the df-capped inverted
+    * index (docs sharing at least one sub-cap shingle), then EXACT Jaccard
+    * over the full, uncapped shingle sets — the cap bounds candidate
+    * generation, never the verification arithmetic. */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, maxDf: Long = 1000,
+      minIntersect: Long = 1, threshold: Double = 0.5): DataFrame = {
+    val sh = shingleSet(df, idCol, textCol, n)
+    val capped = capShingleDf(sh, maxDf)
+    val cands = capped.as("p").join(capped.as("q"),
+        col("p.sh_hash") === col("q.sh_hash") &&
+          col("p.doc_id") < col("q.doc_id"))
+      .select(col("p.doc_id").as("a_id"), col("q.doc_id").as("b_id"))
+      .distinct()
+    jaccard(cands, sh)
+      .filter(col("inter") >= minIntersect && col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
   /** Exact Jaccard over shingle sets for given candidate pairs.
     * |A ∩ B| via co-occurrence join; |A ∪ B| = |A| + |B| - |A ∩ B|. */
   def jaccard(candidates: DataFrame, shingles: DataFrame): DataFrame = {

@@ -215,28 +215,22 @@ shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
         FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3"""),
     ),
 
+    // df-capped inverted index (stop-shingle cap, df <= 20) for candidate
+    // generation; exact Jaccard over the full shingle sets for verification
     "q_dedup_ngram_jaccard" -> QueryDef(
-      (s, dir) => {
-        val sh = Dedup.shingleSet(corpusNear(s, dir), "doc_id", "text", 3)
-        val pairs = sh.as("p").join(sh.as("q"),
-            col("p.sh_hash") === col("q.sh_hash") &&
-              col("p.doc_id") < col("q.doc_id"))
-          .select(col("p.doc_id").as("a_id"), col("q.doc_id").as("b_id"))
-          .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-          .filter(col("inter") >= 10)
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        pairs
-          .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sz_a")), "a_id")
-          .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sz_b")), "b_id")
-          .withColumn("jaccard", col("inter").cast("double") /
-            (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
-          .filter(col("jaccard") >= 0.5)
-          .select("a_id", "b_id", "jaccard")
-      },
+      (s, dir) => Dedup.ngramJaccardPairs(corpusNear(s, dir), "doc_id", "text",
+        n = 3, maxDf = 20, minIntersect = 10, threshold = 0.5),
       Some(s"""WITH $CORPUS_NEAR, $DUCK_SHINGLES,
-        pairs AS (SELECT p.doc_id AS a_id, q.doc_id AS b_id, count(*) AS i_cnt
-                  FROM shh p JOIN shh q
-                    ON p.sh_hash = q.sh_hash AND p.doc_id < q.doc_id
+        cold AS (SELECT sh_hash FROM shh GROUP BY sh_hash HAVING count(*) <= 20),
+        capped AS (SELECT s.doc_id, s.sh_hash FROM shh s
+                   JOIN cold c ON s.sh_hash = c.sh_hash),
+        cand AS (SELECT DISTINCT p.doc_id AS a_id, q.doc_id AS b_id
+                 FROM capped p JOIN capped q
+                   ON p.sh_hash = q.sh_hash AND p.doc_id < q.doc_id),
+        pairs AS (SELECT c.a_id, c.b_id, count(*) AS i_cnt
+                  FROM cand c
+                  JOIN shh p ON p.doc_id = c.a_id
+                  JOIN shh q ON q.doc_id = c.b_id AND q.sh_hash = p.sh_hash
                   GROUP BY 1, 2 HAVING count(*) >= 10),
         szs AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY 1)
         SELECT p.a_id, p.b_id,

@@ -46,6 +46,38 @@ class DedupSpec extends AnyFunSuite {
     assert(planted.subsetOf(pairs))
   }
 
+  test("df cap bounds candidates under a planted stop shingle") {
+    import spark.implicits._
+    // 40 docs all share one stop phrase (its shingles hit df=40); docs 1
+    // and 2 additionally share rare content. Uncapped, the stop shingle
+    // alone yields all 40*39/2 = 780 pairs; capped at df<=10 only the true
+    // near-dup pair survives candidate generation.
+    val stop = "alpha beta gamma delta"
+    val rows = (1 to 40).map { i =>
+      val rare = if (i <= 2) "unique shared rare tail content here"
+      else s"filler$i word$i token$i extra$i more$i"
+      (i.toLong, s"$stop $rare")
+    }
+    val df = rows.toDF("doc_id", "text")
+    val sh = Dedup.shingleSet(df, "doc_id", "text", 3)
+    val capped = Dedup.capShingleDf(sh, maxDf = 10)
+    def cands(s: org.apache.spark.sql.DataFrame) =
+      s.as("p").join(s.as("q"),
+          col("p.sh_hash") === col("q.sh_hash") &&
+            col("p.doc_id") < col("q.doc_id"))
+        .select(col("p.doc_id").as("a"), col("q.doc_id").as("b"))
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = cands(sh)
+    val bounded = cands(capped)
+    assert(uncapped.size == 780, s"expected all-pairs blowup, got ${uncapped.size}")
+    assert(bounded == Set((1L, 2L)), s"got $bounded")
+    // verification still runs on FULL sets: jaccard counts stop shingles
+    val j = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      n = 3, maxDf = 10, minIntersect = 1, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(j == Set((1L, 2L)))
+  }
+
   test("cosine is 1.0 for identical vectors and within [-1,1] everywhere") {
     val emb = Tables.table(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding"))
