@@ -130,8 +130,13 @@ object Pipeline {
       evidence = evidence,
       agents = agents,
       mesh = mesh,
-      refs = evidence.select(col("rid"), col("pmid"),
-        lit(null).cast("long").as("trid")).distinct(),
+      refs = evidence.select(col("rid"), col("pmid")).distinct()
+        .join(dump.readings.select(col("rid"), col("trid")), Seq("rid"), "left")
+        .select(col("rid"), col("pmid"), col("trid"),
+          lit(null).cast("long").as("tcid"),
+          lit(null).cast("long").as("pmcid_num"),
+          lit(null).cast("long").as("doi_ns"),
+          lit(null).cast("string").as("doi_id")),
     )
     ReadonlyBuilder.build(spark, world, types, readerSources, dbSources)
   }

@@ -32,4 +32,24 @@ object Ids {
     * readonly_dumping.py:1848-1850. */
   def meshNum(mesh: Column): Column = substring(mesh, 2, 100).cast("long")
   def meshIsConcept(mesh: Column): Column = substring(mesh, 1, 1) === "C"
+
+  // --- Scala-side parsers for user-supplied paper ids -----------------------
+  // (the query layer regularizes literals the same way the ingest columns
+  // were derived, so lookups always hit the numeric forms — query.py's
+  // FromPapers constraint building, :1811-1900)
+
+  private val PmcidRe = "^PMC([0-9]+)".r.unanchored
+  private val DoiRe = "^10\\.([0-9]+)/(.+)$".r
+
+  /** "PMC1234" / "PMC1234.5" -> 1234; plain digits pass through. */
+  def parsePmcidNum(s: String): Long = s match {
+    case PmcidRe(n) => n.toLong
+    case other => other.takeWhile(_.isDigit).toLong
+  }
+
+  /** "10.1038/nature12373" -> (1038, "nature12373"). */
+  def parseDoi(s: String): (Long, String) = s match {
+    case DoiRe(ns, id) => (ns.toLong, id)
+    case other => sys.error(s"malformed DOI: $other")
+  }
 }

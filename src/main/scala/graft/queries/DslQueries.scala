@@ -29,7 +29,12 @@ ev AS (
          'P' || CAST(l_partkey AS VARCHAR) AS db_id,
          CAST(l_linenumber % 3 - 1 AS INTEGER) AS role_num,
          l_partkey % 100 AS mesh_num,
-         CAST(l_partkey % 2 AS INTEGER) AS is_concept
+         CAST(l_partkey % 2 AS INTEGER) AS is_concept,
+         l_orderkey AS trid,
+         l_orderkey*100 + evn + 500000 AS tcid,
+         l_suppkey + 7000 AS pmcid_num,
+         1000 + l_partkey % 5 AS doi_ns,
+         'j' || CAST(l_partkey AS VARCHAR) AS doi_id
   FROM li),
 stmt AS (
   SELECT o_orderkey AS mk_hash,
@@ -137,6 +142,20 @@ ai AS (
       run(FromPapers(Seq("pmid" -> "5", "pmid" -> "17"))),
       Some(PREFIX + """SELECT mk_hash, ev_count, belief FROM meta
         WHERE mk_hash IN (SELECT DISTINCT mk_hash FROM ev WHERE pmid IN (5, 17))"""),
+    ),
+
+    // five paper-id types route to their numeric lookup columns: doi
+    // decomposes to (ns, id), pmcid strips the PMC prefix, trid/tcid hit
+    // their columns directly (query.py:1811-1900)
+    "q_dsl_from_papers_doi" -> QueryDef(
+      run(FromPapers(Seq(
+        "doi" -> "10.1000/j5", "doi" -> "10.1002/j7",
+        "pmcid" -> "PMC7003", "tcid" -> "500101", "trid" -> "3"))),
+      Some(PREFIX + """SELECT mk_hash, ev_count, belief FROM meta
+        WHERE mk_hash IN (SELECT DISTINCT mk_hash FROM ev
+          WHERE (doi_ns = 1000 AND doi_id = 'j5')
+             OR (doi_ns = 1002 AND doi_id = 'j7')
+             OR pmcid_num = 7003 OR tcid = 500101 OR trid = 3)"""),
     ),
 
     // mixed C/D mesh list auto-splits into a Union (query.py:1926-1949)

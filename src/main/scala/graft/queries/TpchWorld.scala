@@ -79,10 +79,16 @@ object TpchWorld {
       (col("l_partkey") % 100).as("mesh_num"),
       (col("l_partkey") % 2).cast("int").as("is_concept"))
 
+    // full five-id-type reading_ref_link: pmcid/doi numeric forms derived
+    // the same way ingest derives them (functions/Ids decompositions)
     val refs = li.select(
       col("sid").as("rid"),
       col("l_suppkey").as("pmid"),
-      col("l_orderkey").as("trid"))
+      col("l_orderkey").as("trid"),
+      (col("sid") + 500000).as("tcid"),
+      (col("l_suppkey") + 7000).as("pmcid_num"),
+      (lit(1000) + col("l_partkey") % 5).as("doi_ns"),
+      concat(lit("j"), col("l_partkey").cast("string")).as("doi_id"))
 
     StatementWorld(statements, evidence, agents, mesh, refs)
   }

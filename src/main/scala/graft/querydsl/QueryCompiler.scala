@@ -144,11 +144,25 @@ object QueryCompiler {
     case FromPapers(papers, _) =>
       // reading_ref_link subquery -> semi-join through fast_raw_pa_link on
       // the reading id (query.py:1811-1900). Paper-id dimension is tiny;
-      // the rid set is broadcast into the frpl scan.
+      // the rid set is broadcast into the frpl scan. Five id types route to
+      // their numeric lookup columns (pmid/trid/tcid direct; pmcid via the
+      // PMC-stripped number; doi via the (ns, id) decomposition — the same
+      // derivations the ingest applied, functions/Ids).
       val idPred = papers
         .groupBy(_._1)
         .map { case (idType, ids) =>
-          col(idType).isin(ids.map { case (_, v) => v.toLong }: _*)
+          val vals = ids.map(_._2)
+          idType match {
+            case "pmcid" =>
+              col("pmcid_num").isin(vals.map(graft.functions.Ids.parsePmcidNum): _*)
+            case "doi" =>
+              vals.map { v =>
+                val (ns, id) = graft.functions.Ids.parseDoi(v)
+                col("doi_ns") === ns && col("doi_id") === id
+              }.reduce(_ || _)
+            case _ => // pmid | trid | tcid
+              col(idType).isin(vals.map(_.toLong): _*)
+          }
         }
         .reduce(_ || _)
       val rids = ro.readingRefLink.filter(idPred).select("rid").distinct()
