@@ -174,12 +174,23 @@ object QueryCompiler {
       // one-row-per-hash statement index
       project(intr.foldLeft(ro.sourceMeta)(_ filter _).join(hashes, "mk_hash"))
 
+    case fa @ FromAgentJson(_, stmtType, hashes, _) =>
+      // exact agent-set drill-down on agent_interactions
+      // (query.py:1155-1196); the table is one row per hash with the meta
+      // payload columns already attached
+      val preds = Seq(col("agent_str") === fa.agentStr) ++
+        stmtType.map(t => col("type_num") === types.num(t)) ++
+        hashes.map(hs => col("mk_hash").isin(hs.toSeq: _*)) ++
+        intr
+      project(preds.foldLeft(ro.agentInteractions)(_ filter _))
+        .dropDuplicates("mk_hash")
+
     case other =>
       sys.error(s"not a multi-row leaf: $other")
   }
 
   private def isMultiRowLeaf(q: StmtQuery): Boolean = q match {
-    case _: HasAgent | _: FromMeshIds | _: FromPapers => true
+    case _: HasAgent | _: FromMeshIds | _: FromPapers | _: FromAgentJson => true
     case _ => false
   }
 

@@ -60,6 +60,12 @@ object QueryJson {
     case m: FromMeshIds =>
       ("class" -> "FromMeshIds") ~ ("inverted" -> m.inverted) ~
         ("constraint" -> ("mesh_ids" -> m.meshIds))
+    case FromAgentJson(aj, st, hs, inv) =>
+      ("class" -> "FromAgentJson") ~ ("inverted" -> inv) ~
+        ("constraint" -> (
+          ("agent_json" -> aj.map { case (k, v) => k.toString -> v }) ~
+            ("stmt_type" -> st) ~
+            ("hashes" -> hs.map(_.toSeq.sorted))))
     case Intersection(qs) =>
       ("class" -> "Intersection") ~ ("inverted" -> false) ~
         ("queries" -> qs.map(render))
@@ -100,6 +106,12 @@ object QueryJson {
       case "FromPapers" => FromPapers(
         (c \ "paper_list").extract[Seq[Seq[String]]].map(p => (p(0), p(1))), inv)
       case "FromMeshIds" => rebuild(FromMeshIds((c \ "mesh_ids").extract[Seq[String]]))
+      case "FromAgentJson" => FromAgentJson(
+        (c \ "agent_json").extract[Map[String, String]]
+          .map { case (k, v) => k.toInt -> v },
+        (c \ "stmt_type").extractOpt[String],
+        (c \ "hashes").extractOpt[Set[Long]],
+        inv)
       case "Intersection" =>
         rebuild(Intersection.of((j \ "queries").extract[Seq[JValue]].map(parse)))
       case "Union" =>

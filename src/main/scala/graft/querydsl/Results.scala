@@ -145,6 +145,20 @@ object Results {
           ";"))
       .drop("src_merged")
 
+  /** AgentJsonExpander.expand (query.py:1123-1137): drill down on one exact
+    * agent set. Without a statement type the result is the relations view
+    * restricted to that agent set (one row per statement type); with a type
+    * it is the per-hash interaction rows of that (agent set, type) — the
+    * two shapes the reference's /expand endpoint serves (api.py:421-513). */
+  def expand(
+      agentJson: Map[Int, String],
+      stmtType: Option[String],
+      ro: ReadonlyTables,
+      types: TypeRegistry): DataFrame = stmtType match {
+    case None => relations(FromAgentJson(agentJson), ro, types)
+    case Some(_) => interactions(FromAgentJson(agentJson, stmtType), ro, types)
+  }
+
   /** Grouped by agent set only (AgentSQL agg, query.py:224-344), complex
     * duplicates excluded. */
   def agents(q: StmtQuery, ro: ReadonlyTables, types: TypeRegistry): DataFrame =

@@ -186,6 +186,26 @@ object FromMeshIds {
   }
 }
 
+/** Drill-down filter on agent_interactions by exact agent set — the
+  * reference's FromAgentJson leaf (query.py:1155-1196), the node behind the
+  * service's /expand endpoint: agentJson maps agent position to its NAME
+  * grounding; optional statement-type and hash-list constraints narrow the
+  * match (AgentInteractionMeta._apply_constraints, query.py:1106-1120). */
+final case class FromAgentJson(
+    agentJson: Map[Int, String],
+    stmtType: Option[String] = None,
+    hashes: Option[Set[Long]] = None,
+    inverted: Boolean = false,
+) extends StmtQuery {
+  require(agentJson.nonEmpty, "FromAgentJson needs at least one agent")
+  def invert: StmtQuery = copy(inverted = !inverted)
+
+  /** Canonical rendering matching agent_interactions.agent_str (sorted
+    * "num:id" entries joined with ";"). */
+  def agentStr: String =
+    agentJson.toSeq.map { case (n, id) => s"$n:$id" }.sorted.mkString(";")
+}
+
 // ---------------------------------------------------------------------------
 // Merges
 // ---------------------------------------------------------------------------
