@@ -138,6 +138,7 @@ object Pipeline {
           lit(null).cast("long").as("doi_ns"),
           lit(null).cast("string").as("doi_id")),
     )
-    ReadonlyBuilder.build(spark, world, types, readerSources, dbSources)
+    ReadonlyBuilder.build(spark, world, types, readerSources, dbSources,
+      complexTypeNum = types.toNum.get("Complex"))
   }
 }

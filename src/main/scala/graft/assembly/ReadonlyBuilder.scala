@@ -63,13 +63,20 @@ object ReadonlyBuilder {
   }
 
   /** Source-name classification (reference discovers these from db_info /
-    * reader registries; raw_stmt_src UNION, readonly_schema.py:400-408). */
+    * reader registries; raw_stmt_src UNION, readonly_schema.py:400-408).
+    *
+    * `complexTypeNum` names the statement type whose agent sets expand into
+    * materialized pair rows inside agent_interactions (the reference expands
+    * Complex statements in AgentInteractions.create,
+    * readonly_schema.py:1344-1377); None skips the expansion.
+    */
   def build(
       spark: SparkSession,
       world: StatementWorld,
       types: TypeRegistry,
       readerSources: Seq[String],
-      dbSources: Seq[String]): ReadonlyTables = {
+      dbSources: Seq[String],
+      complexTypeNum: Option[Int] = None): ReadonlyTables = {
 
     // --- per-statement evidence aggregation -------------------------------
     // groupBy (mk_hash, src) then (mk_hash): two stages, same key prefix, so
@@ -169,7 +176,7 @@ object ReadonlyBuilder {
     // canonical sorted agent list per hash from NAME-namespace rows
     // (reference builds agent_json from name_meta,
     // readonly_schema.py:1286-1336)
-    val agentInteractions = world.agents
+    val baseInteractions = world.agents
       .filter(col("db_name") === "NAME")
       .groupBy("mk_hash")
       .agg(
@@ -179,6 +186,36 @@ object ReadonlyBuilder {
           ";").as("agent_str"))
       .join(sourceMeta.select("mk_hash", "type_num", "ev_count", "belief",
         "agent_count", "src_json"), "mk_hash")
+      .withColumn("is_complex_dup", lit(false))
+
+    // Complex statements additionally materialize one row per ORDERED agent
+    // pair, renumbered to positions (0, 1) and flagged is_complex_dup — the
+    // reference's AgentInteractions.create second pass
+    // (readonly_schema.py:1344-1377). The identity pair of a two-agent
+    // complex is skipped (it restates the base row, the reference's
+    // `pair == ('0','1')` guard); renumbered pairs that collide (repeated
+    // groundings inside one complex) dedup to one row per (hash, agent_str).
+    // These rows let pair-shaped FromAgentJson drill-downs reach complexes;
+    // the plain interaction/relation/agent views filter them out.
+    val agentInteractions = complexTypeNum match {
+      case None => baseInteractions
+      case Some(ct) =>
+        val payload = sourceMeta
+          .filter(col("type_num") === ct)
+          .select("mk_hash", "type_num", "ev_count", "belief", "agent_count",
+            "src_json")
+        val dupRows = complexPairs(world.agents.filter(col("db_name") === "NAME"))
+          .join(payload, "mk_hash")
+          .filter(!(col("agent_count") === 2 && col("subj_num") < col("obj_num")))
+          .select(col("mk_hash"),
+            concat(lit("0:"), col("subj_id"), lit(";1:"), col("obj_id"))
+              .as("agent_str"),
+            col("type_num"), col("ev_count"), col("belief"),
+            lit(2L).as("agent_count"), col("src_json"),
+            lit(true).as("is_complex_dup"))
+          .dropDuplicates("mk_hash", "agent_str")
+        baseInteractions.unionByName(dupRows)
+    }
 
     ReadonlyTables(
       nameMeta = nameMeta,

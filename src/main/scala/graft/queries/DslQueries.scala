@@ -324,13 +324,15 @@ ai AS (
           FROM ai i JOIN meta m ON i.mk_hash = m.mk_hash
           WHERE m.type_num <> 3 AND m.mk_hash IN (SELECT mk_hash FROM sel)),
         pairrows AS (
-          SELECT a.mk_hash, a.db_id || '|' || b.db_id AS agent_str,
+          SELECT DISTINCT a.mk_hash,
+                 '0:' || a.db_id || ';1:' || b.db_id AS agent_str,
                  m.ev_count, TRUE AS dup
           FROM ev a
           JOIN ev b ON a.mk_hash = b.mk_hash AND a.ag_num <> b.ag_num
           JOIN meta m ON m.mk_hash = a.mk_hash
           WHERE a.db_name = 'NAME' AND b.db_name = 'NAME'
-            AND m.type_num = 3 AND m.mk_hash IN (SELECT mk_hash FROM sel)),
+            AND m.type_num = 3 AND m.mk_hash IN (SELECT mk_hash FROM sel)
+            AND NOT (m.agent_count = 2 AND a.ag_num < b.ag_num)),
         rows_ AS (SELECT * FROM plainrows UNION ALL SELECT * FROM pairrows),
         granks AS (SELECT agent_str,
             ROW_NUMBER() OVER (ORDER BY SUM(ev_count) DESC, agent_str ASC) AS g_rank
@@ -357,6 +359,72 @@ ai AS (
           TRUE AS is_complex_dup
         FROM ev a JOIN ev b ON a.mk_hash = b.mk_hash AND a.ag_num <> b.ag_num
         WHERE a.db_name = 'NAME' AND b.db_name = 'NAME'"""),
+    ),
+
+    // FromAgentJson drill-down leaf: exact agent-set match on
+    // agent_interactions (query.py:1155-1196)
+    "q_dsl_from_agent_json" -> QueryDef(
+      run(FromAgentJson(Map(1 -> "P1147"))),
+      Some(PREFIX + """SELECT DISTINCT m.mk_hash, m.ev_count, m.belief
+        FROM ai JOIN meta m ON ai.mk_hash = m.mk_hash
+        WHERE ai.agent_str = '1:P1147'"""),
+    ),
+
+    // FromAgentJson constraint variants (stmt-type and hash-list,
+    // _apply_constraints query.py:1106-1120) merged through the DSL union
+    "q_dsl_from_agent_json_typed" -> QueryDef(
+      run(FromAgentJson(Map(1 -> "P790"), stmtType = Some("4-NOT SPECIFIED")) |
+        FromAgentJson(Map(1 -> "P790"), hashes = Some(Set(7430L, 8901L)))),
+      Some(PREFIX + """SELECT DISTINCT m.mk_hash, m.ev_count, m.belief
+        FROM ai JOIN meta m ON ai.mk_hash = m.mk_hash
+        WHERE ai.agent_str = '1:P790'
+          AND (m.type_num = 3 OR m.mk_hash IN (7430, 8901))"""),
+    ),
+
+    // AgentJsonExpander.expand on a pair-shaped agent set: the selection
+    // reaches complexes through the materialized is_complex_dup rows and
+    // the result is the relations view WITH complex dups (query.py:1123-1137)
+    "q_dsl_expand" -> QueryDef(
+      (s, dir) => Results.expand(Map(0 -> "P1458", 1 -> "P920"), None,
+        TpchWorld.readonly(s, dir), TpchWorld.types),
+      Some(PREFIX + """, selp AS (
+          SELECT DISTINCT a.mk_hash
+          FROM ev a JOIN ev b ON a.mk_hash = b.mk_hash AND a.ag_num <> b.ag_num
+          JOIN meta m ON m.mk_hash = a.mk_hash
+          WHERE a.db_name = 'NAME' AND b.db_name = 'NAME' AND m.type_num = 3
+            AND NOT (m.agent_count = 2 AND a.ag_num < b.ag_num)
+            AND '0:' || a.db_id || ';1:' || b.db_id = '0:P1458;1:P920'),
+        xrows AS (
+          SELECT ai.mk_hash, ai.agent_str FROM ai
+          WHERE ai.mk_hash IN (SELECT mk_hash FROM selp)
+          UNION ALL
+          SELECT DISTINCT a.mk_hash,
+                 '0:' || a.db_id || ';1:' || b.db_id AS agent_str
+          FROM ev a JOIN ev b ON a.mk_hash = b.mk_hash AND a.ag_num <> b.ag_num
+          JOIN meta m ON m.mk_hash = a.mk_hash
+          WHERE a.db_name = 'NAME' AND b.db_name = 'NAME' AND m.type_num = 3
+            AND NOT (m.agent_count = 2 AND a.ag_num < b.ag_num)
+            AND a.mk_hash IN (SELECT mk_hash FROM selp)),
+        xrel AS (
+          SELECT r.agent_str, CAST(m.type_num AS BIGINT) AS type_num,
+                 CAST(SUM(m.ev_count) AS BIGINT) AS total_ev,
+                 MAX(m.belief) AS max_belief, COUNT(*) AS n_hashes
+          FROM xrows r JOIN meta m ON r.mk_hash = m.mk_hash
+          GROUP BY 1, 2),
+        xrel_src AS (
+          SELECT r.agent_str, CAST(m.type_num AS BIGINT) AS type_num,
+                 sc.src, SUM(sc.c) AS c
+          FROM xrows r JOIN meta m ON r.mk_hash = m.mk_hash
+          JOIN src_cnt sc ON sc.mk_hash = r.mk_hash
+          GROUP BY 1, 2, 3),
+        xrel_srcstr AS (
+          SELECT agent_str, type_num,
+            string_agg(src || ':' || CAST(c AS VARCHAR), ';' ORDER BY src) AS src_str
+          FROM xrel_src GROUP BY 1, 2)
+        SELECT r.agent_str, r.type_num, r.total_ev, r.max_belief, r.n_hashes,
+               s.src_str
+        FROM xrel r JOIN xrel_srcstr s
+          ON r.agent_str = s.agent_str AND r.type_num = s.type_num"""),
     ),
 
     "q_dsl_agents_view" -> QueryDef(

@@ -33,6 +33,10 @@ object TpchWorld {
   val readerSources = Seq("reach", "medscan")
   val dbSources = Seq("signor")
 
+  /** The stand-in for the reference's Complex statement type: its agent sets
+    * expand into materialized pair rows in agent_interactions. */
+  val complexTypeNum: Int = 3
+
   def world(spark: SparkSession, dir: String): StatementWorld = {
     val orders = Tables.table(spark, dir, "orders")
     // l_linenumber is NOT unique within an order in this synthetic data; the
@@ -102,6 +106,7 @@ object TpchWorld {
     cache.getOrElseUpdate(
       System.identityHashCode(spark) + ":" + dir,
       ReadonlyBuilder
-        .build(spark, world(spark, dir), types, readerSources, dbSources)
+        .build(spark, world(spark, dir), types, readerSources, dbSources,
+          complexTypeNum = Some(complexTypeNum))
         .persistAll())
 }

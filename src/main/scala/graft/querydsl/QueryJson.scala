@@ -110,7 +110,13 @@ object QueryJson {
         (c \ "agent_json").extract[Map[String, String]]
           .map { case (k, v) => k.toInt -> v },
         (c \ "stmt_type").extractOpt[String],
-        (c \ "hashes").extractOpt[Set[Long]],
+        // json4s extracts an ABSENT field as Some(empty collection); an
+        // absent hash list must stay None (no constraint), not Some(Set())
+        // (match-nothing)
+        c \ "hashes" match {
+          case JNothing | JNull => None
+          case hs => Some(hs.extract[Set[Long]])
+        },
         inv)
       case "Intersection" =>
         rebuild(Intersection.of((j \ "queries").extract[Seq[JValue]].map(parse)))

@@ -118,10 +118,20 @@ object Results {
     else matched
   }
 
-  /** Per-hash interaction rows (InteractionSQL, query.py:92-127). */
-  def interactions(q: StmtQuery, ro: ReadonlyTables, types: TypeRegistry): DataFrame = {
+  /** Per-hash interaction rows (InteractionSQL, query.py:92-127).
+    * `withComplexDups` keeps the materialized complex pair rows
+    * (with_complex_dups=True, query.py:70-90); the default excludes them, as
+    * every reference view except the expander does. */
+  def interactions(
+      q: StmtQuery,
+      ro: ReadonlyTables,
+      types: TypeRegistry,
+      withComplexDups: Boolean = false): DataFrame = {
     val sel = QueryCompiler.compile(q, ro, types).select("mk_hash")
-    ro.agentInteractions.join(sel, Seq("mk_hash"), "left_semi")
+    val rows =
+      if (withComplexDups) ro.agentInteractions
+      else ro.agentInteractions.filter(!col("is_complex_dup"))
+    rows.join(sel, Seq("mk_hash"), "left_semi")
   }
 
   /** Grouped by (agent set, type): summed evidence, max belief, hash
@@ -129,8 +139,12 @@ object Results {
     * agg + the Python src-dict merge, query.py:130-203 — here a single
     * MapSum aggregation, with a canonical sorted string rendering for
     * engine-portable comparison). */
-  def relations(q: StmtQuery, ro: ReadonlyTables, types: TypeRegistry): DataFrame =
-    interactions(q, ro, types)
+  def relations(
+      q: StmtQuery,
+      ro: ReadonlyTables,
+      types: TypeRegistry,
+      withComplexDups: Boolean = false): DataFrame =
+    interactions(q, ro, types, withComplexDups)
       .groupBy("agent_str", "type_num")
       .agg(
         sum("ev_count").as("total_ev"),
@@ -149,14 +163,20 @@ object Results {
     * agent set. Without a statement type the result is the relations view
     * restricted to that agent set (one row per statement type); with a type
     * it is the per-hash interaction rows of that (agent set, type) — the
-    * two shapes the reference's /expand endpoint serves (api.py:421-513). */
+    * two shapes the reference's /expand endpoint serves (api.py:421-513).
+    * Both run with_complex_dups=True (query.py:1128-1130), so a pair-shaped
+    * agent set ("0:A;1:B") reaches the complexes that contain the pair via
+    * the materialized dup rows, exactly like the reference's drill-down. */
   def expand(
       agentJson: Map[Int, String],
       stmtType: Option[String],
       ro: ReadonlyTables,
       types: TypeRegistry): DataFrame = stmtType match {
-    case None => relations(FromAgentJson(agentJson), ro, types)
-    case Some(_) => interactions(FromAgentJson(agentJson, stmtType), ro, types)
+    case None =>
+      relations(FromAgentJson(agentJson), ro, types, withComplexDups = true)
+    case Some(_) =>
+      interactions(FromAgentJson(agentJson, stmtType), ro, types,
+        withComplexDups = true)
   }
 
   /** Grouped by agent set only (AgentSQL agg, query.py:224-344), complex
@@ -190,21 +210,16 @@ object Results {
       types: TypeRegistry,
       complexTypeNum: Int): DataFrame = {
     val sel = QueryCompiler.compile(q, ro, types).select("mk_hash")
-    val payload = ro.sourceMeta
-      .select("mk_hash", "type_num", "ev_count", "belief")
-    val plain = ro.agentInteractions
+    // complex statements participate ONLY through their materialized pair
+    // rows (is_complex_dup, built once in ReadonlyBuilder); every other
+    // statement through its base row — the reference's AgentSQL scan with
+    // complex dups included (query.py:282-344)
+    val rows = ro.agentInteractions
       .join(sel, Seq("mk_hash"), "left_semi")
-      .filter(col("type_num") =!= complexTypeNum)
-      .select(col("mk_hash"), col("agent_str"), col("ev_count"),
-        lit(false).as("is_complex_dup"))
-    val pairs = graft.assembly.ReadonlyBuilder
-      .complexPairs(ro.paAgents.filter(col("db_name") === "NAME"))
-      .join(sel, Seq("mk_hash"), "left_semi")
-      .join(payload.filter(col("type_num") === complexTypeNum), "mk_hash")
-      .select(col("mk_hash"),
-        concat(col("subj_id"), lit("|"), col("obj_id")).as("agent_str"),
-        col("ev_count"), lit(true).as("is_complex_dup"))
-    val rows = plain.unionByName(pairs)
+      .filter(
+        (col("is_complex_dup") && col("type_num") === complexTypeNum) ||
+        (!col("is_complex_dup") && col("type_num") =!= complexTypeNum))
+      .select("mk_hash", "agent_str", "ev_count", "is_complex_dup")
     // Each complex hash keeps its best-ranked group under the total order
     // (total evidence desc, agent_str asc). Rank VALUES are never exposed,
     // so no global row_number is needed: min_by over the sortable struct

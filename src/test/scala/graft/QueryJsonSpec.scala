@@ -24,8 +24,19 @@ class QueryJsonSpec extends AnyFunSuite {
     FromPapers(Seq("pmid" -> "12345", "doi" -> "678")),
     FromMeshIds(Seq("D000818")),
     FromMeshIds(Seq("C0001243", "D000818")), // mixed -> Union
+    FromAgentJson(Map(0 -> "MEK")),
+    FromAgentJson(Map(0 -> "MEK", 1 -> "ERK"), stmtType = Some("Complex"),
+      hashes = Some(Set(7L, -3L))),
     EmptyQuery, FullQuery,
   )
+
+  test("FromAgentJson agent_str matches the readonly rendering") {
+    // sorted "num:id" entries ';'-joined — same order sort_array picks in
+    // ReadonlyBuilder's agent_str aggregation
+    assert(FromAgentJson(Map(2 -> "B", 0 -> "A", 1 -> "C")).agentStr ==
+      "0:A;1:C;2:B")
+    assert(FromAgentJson(Map(10 -> "X", 2 -> "Y")).agentStr == "10:X;2:Y")
+  }
 
   test("round-trip identity for leaves") {
     for (q <- cases)
