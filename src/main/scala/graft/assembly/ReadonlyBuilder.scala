@@ -193,10 +193,16 @@ object ReadonlyBuilder {
     // reference's AgentInteractions.create second pass
     // (readonly_schema.py:1344-1377). The identity pair of a two-agent
     // complex is skipped (it restates the base row, the reference's
-    // `pair == ('0','1')` guard); renumbered pairs that collide (repeated
-    // groundings inside one complex) dedup to one row per (hash, agent_str).
-    // These rows let pair-shaped FromAgentJson drill-downs reach complexes;
-    // the plain interaction/relation/agent views filter them out.
+    // `pair == ('0','1')` guard). Renumbered pairs that collide (repeated
+    // groundings inside one complex) dedup to one row per (hash, agent_str)
+    // — an INTENTIONAL deviation from the reference, which inserts every
+    // permutation row including duplicates (readonly_schema.py:1360-1377):
+    // duplicate rows would double-count ev_count in dup-including sums, and
+    // the reference's own run()-time `ev totals add up` asserts
+    // (query.py:335-343) fail on such data, so the deduped form is the one
+    // that satisfies the reference's own invariants. These rows let
+    // pair-shaped FromAgentJson drill-downs reach complexes; the plain
+    // interaction/relation/agent views filter them out.
     val agentInteractions = complexTypeNum match {
       case None => baseInteractions
       case Some(ct) =>

@@ -16,10 +16,13 @@ object Ids {
 
   /** "PMC1234.5" -> (1234, version 5); "PMC1234" -> (1234, null). Anchored:
     * non-PMC-prefixed or non-numeric bodies ("PMC12a") yield null, as the
-    * reference's process_pmcid returns None for them (mixins.py:317-336). */
+    * reference's process_pmcid returns None for them (mixins.py:317-336).
+    * A non-numeric version suffix keeps the numeric body — the reference
+    * splits on '.', discards the non-digit version, and still indexes the
+    * all-digit body ("PMC123.x" -> 123, version null). */
   def pmcidNum(pmcid: Column): Column =
-    when(regexp_extract(pmcid, "^PMC([0-9]+)(\\.[0-9]+)?$", 1) =!= "",
-      regexp_extract(pmcid, "^PMC([0-9]+)(\\.[0-9]+)?$", 1).cast("long"))
+    when(regexp_extract(pmcid, "^PMC([0-9]+)(\\..*)?$", 1) =!= "",
+      regexp_extract(pmcid, "^PMC([0-9]+)(\\..*)?$", 1).cast("long"))
   def pmcidVersion(pmcid: Column): Column =
     when(regexp_extract(pmcid, "\\.([0-9]+)$", 1) =!= "",
       regexp_extract(pmcid, "\\.([0-9]+)$", 1).cast("int"))
@@ -41,15 +44,17 @@ object Ids {
   // were derived, so lookups always hit the numeric forms — query.py's
   // FromPapers constraint building, :1811-1900)
 
-  private val PmcidRe = "^PMC([0-9]+)(?:\\.[0-9]+)?$".r
+  private val PmcidRe = "^PMC([0-9]+)(?:\\..*)?$".r
   private val DoiRe = "^10\\.([0-9]+)/(.+)$".r
 
-  /** "PMC1234" / "PMC1234.5" -> 1234. Mirrors the reference's process_pmcid
-    * (mixins.py:317-336): the id must be PMC-prefixed with an all-digit body
-    * (an optional ".version" suffix allowed); anything else — bare digits,
-    * "PMC12a", "pmc123" — has no numeric form and is rejected here with a
-    * descriptive error (the reference silently yields None and drops the id
-    * from the lookup; a user-supplied literal deserves a loud failure). */
+  /** "PMC1234" / "PMC1234.5" / "PMC1234.x" -> 1234. Mirrors the reference's
+    * process_pmcid (mixins.py:317-336): the id must be PMC-prefixed with an
+    * all-digit body; an optional "."-suffix is allowed and need not be
+    * numeric (the reference discards a non-digit version but still indexes
+    * the body). Anything else — bare digits, "PMC12a", "pmc123" — has no
+    * numeric form and is rejected here with a descriptive error (the
+    * reference silently yields None and drops the id from the lookup; a
+    * user-supplied literal deserves a loud failure). */
   def parsePmcidNum(s: String): Long = s match {
     case PmcidRe(n) => n.toLong
     case other => sys.error(s"malformed PMCID (want PMC<digits>[.v]): $other")

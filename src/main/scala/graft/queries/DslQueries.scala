@@ -312,41 +312,54 @@ ai AS (
         WHERE rn <= 2"""),
     ),
 
-    // agents view INCLUDING complex pairs with the complexes-covered dedup:
-    // each complex statement counts toward exactly one (best-ranked) group
+    // agents view INCLUDING complex pairs with the reference's group-level
+    // complexes-covered dedup: the scan takes ALL rows (complex base rows
+    // included); a group is dropped only when every hash in it is a complex
+    // covered by a better-ranked group; kept groups keep FULL totals
     "q_dsl_agents_complexes" -> QueryDef(
       (s, dir) => Results.agentsWithComplexes(
         HasReadings(), TpchWorld.readonly(s, dir), TpchWorld.types,
         complexTypeNum = 3),
       Some(PREFIX + """, sel AS (SELECT mk_hash FROM meta WHERE has_rd),
-        plainrows AS (
-          SELECT i.mk_hash, i.agent_str, m.ev_count, FALSE AS dup
+        rows_ AS (
+          SELECT i.mk_hash, i.agent_str, m.agent_count, m.type_num,
+                 m.ev_count, m.belief
           FROM ai i JOIN meta m ON i.mk_hash = m.mk_hash
-          WHERE m.type_num <> 3 AND m.mk_hash IN (SELECT mk_hash FROM sel)),
-        pairrows AS (
+          WHERE m.mk_hash IN (SELECT mk_hash FROM sel)
+          UNION
           SELECT DISTINCT a.mk_hash,
                  '0:' || a.db_id || ';1:' || b.db_id AS agent_str,
-                 m.ev_count, TRUE AS dup
+                 CAST(2 AS BIGINT) AS agent_count, m.type_num,
+                 m.ev_count, m.belief
           FROM ev a
           JOIN ev b ON a.mk_hash = b.mk_hash AND a.ag_num <> b.ag_num
           JOIN meta m ON m.mk_hash = a.mk_hash
           WHERE a.db_name = 'NAME' AND b.db_name = 'NAME'
             AND m.type_num = 3 AND m.mk_hash IN (SELECT mk_hash FROM sel)
             AND NOT (m.agent_count = 2 AND a.ag_num < b.ag_num)),
-        rows_ AS (SELECT * FROM plainrows UNION ALL SELECT * FROM pairrows),
-        granks AS (SELECT agent_str,
-            ROW_NUMBER() OVER (ORDER BY SUM(ev_count) DESC, agent_str ASC) AS g_rank
-          FROM rows_ GROUP BY agent_str),
-        ranked AS (SELECT r.*, g.g_rank FROM rows_ r
-                   JOIN granks g ON r.agent_str = g.agent_str),
-        assigned AS (SELECT mk_hash, MIN(g_rank) AS keep_rank
-                     FROM ranked WHERE dup GROUP BY 1),
-        kept AS (SELECT r.* FROM ranked r
-                 LEFT JOIN assigned a ON r.mk_hash = a.mk_hash
-                 WHERE NOT r.dup OR r.g_rank = a.keep_rank)
-        SELECT agent_str, CAST(SUM(ev_count) AS BIGINT) AS total_ev,
-               COUNT(*) AS n_hashes
-        FROM kept GROUP BY 1"""),
+        groups_ AS (
+          SELECT agent_str, agent_count,
+                 CAST(SUM(ev_count) AS BIGINT) AS total_ev,
+                 MAX(belief) AS max_belief, COUNT(*) AS n_hashes,
+                 MAX(CASE WHEN type_num <> 3 THEN 1 ELSE 0 END) AS has_other
+          FROM rows_ GROUP BY 1, 2),
+        cjoin AS (
+          SELECT r.mk_hash, r.agent_str, r.agent_count, g.total_ev
+          FROM rows_ r JOIN groups_ g
+            ON r.agent_str = g.agent_str AND r.agent_count = g.agent_count
+          WHERE r.type_num = 3),
+        covering AS (
+          SELECT DISTINCT agent_str, agent_count FROM (
+            SELECT agent_str, agent_count,
+              ROW_NUMBER() OVER (PARTITION BY mk_hash
+                ORDER BY total_ev DESC, agent_str ASC, agent_count ASC) AS rn
+            FROM cjoin) WHERE rn = 1)
+        SELECT agent_str, agent_count, total_ev, max_belief, n_hashes
+        FROM groups_ g
+        WHERE g.has_other = 1
+           OR EXISTS (SELECT 1 FROM covering c
+                      WHERE c.agent_str = g.agent_str
+                        AND c.agent_count = g.agent_count)"""),
     ),
 
     // Complex pair expansion: ordered agent pairs per statement
@@ -381,30 +394,25 @@ ai AS (
           AND (m.type_num = 3 OR m.mk_hash IN (7430, 8901))"""),
     ),
 
-    // AgentJsonExpander.expand on a pair-shaped agent set: the selection
-    // reaches complexes through the materialized is_complex_dup rows and
-    // the result is the relations view WITH complex dups (query.py:1123-1137)
+    // AgentJsonExpander.expand on a pair-shaped agent set: row filter on
+    // agent_interactions (agent_str equality, dups included) — only the
+    // requested set's own rows aggregate, one relations group per type
+    // (_apply_constraints, query.py:1106-1137); no hash-level join back to
+    // the statements' other agent sets
     "q_dsl_expand" -> QueryDef(
       (s, dir) => Results.expand(Map(0 -> "P1458", 1 -> "P920"), None,
         TpchWorld.readonly(s, dir), TpchWorld.types),
-      Some(PREFIX + """, selp AS (
-          SELECT DISTINCT a.mk_hash
-          FROM ev a JOIN ev b ON a.mk_hash = b.mk_hash AND a.ag_num <> b.ag_num
-          JOIN meta m ON m.mk_hash = a.mk_hash
-          WHERE a.db_name = 'NAME' AND b.db_name = 'NAME' AND m.type_num = 3
-            AND NOT (m.agent_count = 2 AND a.ag_num < b.ag_num)
-            AND '0:' || a.db_id || ';1:' || b.db_id = '0:P1458;1:P920'),
-        xrows AS (
-          SELECT ai.mk_hash, ai.agent_str FROM ai
-          WHERE ai.mk_hash IN (SELECT mk_hash FROM selp)
-          UNION ALL
+      Some(PREFIX + """, xrows AS (
+          SELECT i.mk_hash, i.agent_str FROM ai i
+          WHERE i.agent_str = '0:P1458;1:P920'
+          UNION
           SELECT DISTINCT a.mk_hash,
                  '0:' || a.db_id || ';1:' || b.db_id AS agent_str
           FROM ev a JOIN ev b ON a.mk_hash = b.mk_hash AND a.ag_num <> b.ag_num
           JOIN meta m ON m.mk_hash = a.mk_hash
           WHERE a.db_name = 'NAME' AND b.db_name = 'NAME' AND m.type_num = 3
             AND NOT (m.agent_count = 2 AND a.ag_num < b.ag_num)
-            AND a.mk_hash IN (SELECT mk_hash FROM selp)),
+            AND '0:' || a.db_id || ';1:' || b.db_id = '0:P1458;1:P920'),
         xrel AS (
           SELECT r.agent_str, CAST(m.type_num AS BIGINT) AS type_num,
                  CAST(SUM(m.ev_count) AS BIGINT) AS total_ev,

@@ -144,7 +144,11 @@ object Results {
       ro: ReadonlyTables,
       types: TypeRegistry,
       withComplexDups: Boolean = false): DataFrame =
-    interactions(q, ro, types, withComplexDups)
+    relationsAgg(interactions(q, ro, types, withComplexDups))
+
+  /** The RelationSQL aggregation over already-selected interaction rows. */
+  private def relationsAgg(rows: DataFrame): DataFrame =
+    rows
       .groupBy("agent_str", "type_num")
       .agg(
         sum("ev_count").as("total_ev"),
@@ -160,23 +164,34 @@ object Results {
       .drop("src_merged")
 
   /** AgentJsonExpander.expand (query.py:1123-1137): drill down on one exact
-    * agent set. Without a statement type the result is the relations view
-    * restricted to that agent set (one row per statement type); with a type
-    * it is the per-hash interaction rows of that (agent set, type) — the
-    * two shapes the reference's /expand endpoint serves (api.py:421-513).
-    * Both run with_complex_dups=True (query.py:1128-1130), so a pair-shaped
-    * agent set ("0:A;1:B") reaches the complexes that contain the pair via
-    * the materialized dup rows, exactly like the reference's drill-down. */
+    * agent set. The constraints apply as ROW filters on agent_interactions
+    * (`_apply_constraints`, query.py:1106-1120) — agent_json equality plus
+    * the optional type_num / hash-list — over the with_complex_dups=True
+    * scan, so a pair-shaped agent set ("0:A;1:B") reaches the complexes
+    * containing the pair through the materialized dup rows. There is NO
+    * hash-level join back to other agent sets: only the requested set's own
+    * rows aggregate — one relations group per statement type without a type
+    * constraint, the per-hash interaction rows with one — the two shapes
+    * the reference's /expand endpoint serves (api.py:421-513). */
   def expand(
       agentJson: Map[Int, String],
       stmtType: Option[String],
       ro: ReadonlyTables,
-      types: TypeRegistry): DataFrame = stmtType match {
-    case None =>
-      relations(FromAgentJson(agentJson), ro, types, withComplexDups = true)
-    case Some(_) =>
-      interactions(FromAgentJson(agentJson, stmtType), ro, types,
-        withComplexDups = true)
+      types: TypeRegistry,
+      hashes: Option[Set[Long]] = None): DataFrame = {
+    val fa = FromAgentJson(agentJson, stmtType, hashes)
+    val preds = Seq(col("agent_str") === fa.agentStr) ++
+      stmtType.map(t => col("type_num") === types.num(t)) ++
+      hashes.map(hs => col("mk_hash").isin(hs.toSeq: _*))
+    // base + dup rows of one hash with the same agent_str collapse, like the
+    // reference's row-tuple DISTINCT (is_complex_dup isn't in its select
+    // list, query.py:46-58)
+    val rows = preds.foldLeft(ro.agentInteractions)(_ filter _)
+      .dropDuplicates("mk_hash", "agent_str")
+    stmtType match {
+      case None => relationsAgg(rows)
+      case Some(_) => rows
+    }
   }
 
   /** Grouped by agent set only (AgentSQL agg, query.py:224-344), complex
@@ -190,16 +205,27 @@ object Results {
         max("belief").as("max_belief"),
         count(lit(1)).as("n_hashes"))
 
-  /** Agents view INCLUDING complex pair rows, with the complexes-covered
-    * dedup: each complex statement contributes to exactly ONE pair group —
-    * the best-ranked one — instead of every pair it expands into.
+  /** Agents view INCLUDING complex pair rows, with the reference's
+    * complexes-covered dedup (AgentSQL.run, query.py:282-344):
     *
-    * The reference implements this as a stateful pagination scan in Python
-    * (skip rows whose complex hashes were already covered,
-    * query.py:282-344). Set-wise Spark re-expression: rank agent groups by
-    * total evidence, assign each complex hash min(group rank) over its pair
-    * rows, drop its other appearances, then aggregate — two windows and
-    * one join, no driver-side state.
+    *   - the scan takes ALL rows — base rows of every type, complexes
+    *     included, plus the materialized pair dups (with_complex_dups=True,
+    *     query.py:46-58);
+    *   - groups are (agent_json, agent_count) (AgentSQL.agg :244-259);
+    *   - walking groups by (ev_count desc, agent_json), a group is SKIPPED
+    *     only when every one of its hashes is a Complex already covered by
+    *     an earlier group; a kept group keeps its FULL evidence totals
+    *     (:299-303 — the skip is group-granular; rows of already-covered
+    *     complexes still count inside kept groups).
+    *
+    * Set-wise re-expression of that sequential walk: a complex hash's
+    * covering group is its best-ranked containing group under the same
+    * total order — which is always kept (its first-containing group finds
+    * the hash uncovered, by induction down the rank order) — so an
+    * all-complex group survives iff it is the covering group of at least
+    * one of its hashes. min_by over the sortable struct picks covering
+    * groups with an ordinary aggregation; no global rank window at any
+    * scale (the round-2 lesson, guarded by PlanSpec).
     *
     * `complexTypeNum` selects which statement type expands into pairs (the
     * reference expands Complex statements).
@@ -210,33 +236,31 @@ object Results {
       types: TypeRegistry,
       complexTypeNum: Int): DataFrame = {
     val sel = QueryCompiler.compile(q, ro, types).select("mk_hash")
-    // complex statements participate ONLY through their materialized pair
-    // rows (is_complex_dup, built once in ReadonlyBuilder); every other
-    // statement through its base row — the reference's AgentSQL scan with
-    // complex dups included (query.py:282-344)
+    // base + dup rows of one hash with the same (agent_str, agent_count)
+    // collapse, like the reference's row-tuple DISTINCT (query.py:46-58)
     val rows = ro.agentInteractions
       .join(sel, Seq("mk_hash"), "left_semi")
-      .filter(
-        (col("is_complex_dup") && col("type_num") === complexTypeNum) ||
-        (!col("is_complex_dup") && col("type_num") =!= complexTypeNum))
-      .select("mk_hash", "agent_str", "ev_count", "is_complex_dup")
-    // Each complex hash keeps its best-ranked group under the total order
-    // (total evidence desc, agent_str asc). Rank VALUES are never exposed,
-    // so no global row_number is needed: min_by over the sortable struct
-    // (-g_ev, agent_str) picks the same group per hash with an ordinary
-    // two-level aggregation — no single-partition Window at any scale.
-    val groupEv = rows.groupBy("agent_str")
-      .agg(sum("ev_count").as("g_ev"))
-    val ranked = rows.join(groupEv, "agent_str")
-    val assigned = ranked.filter(col("is_complex_dup"))
-      .groupBy("mk_hash")
-      .agg(min_by(col("agent_str"),
-        struct(negate(col("g_ev")).as("neg_ev"), col("agent_str")))
-        .as("keep_agent"))
-    ranked
-      .join(assigned, Seq("mk_hash"), "left")
-      .filter(!col("is_complex_dup") || col("agent_str") === col("keep_agent"))
-      .groupBy("agent_str")
-      .agg(sum("ev_count").as("total_ev"), count(lit(1)).as("n_hashes"))
+      .select("mk_hash", "agent_str", "agent_count", "type_num", "ev_count",
+        "belief")
+      .dropDuplicates("mk_hash", "agent_str", "agent_count")
+    val groups = rows.groupBy("agent_str", "agent_count")
+      .agg(sum("ev_count").as("total_ev"), max("belief").as("max_belief"),
+        count(lit(1)).as("n_hashes"),
+        max(when(col("type_num") =!= complexTypeNum, 1).otherwise(0))
+          .as("has_other"))
+    val cjoin = rows.filter(col("type_num") === complexTypeNum)
+      .join(groups.select("agent_str", "agent_count", "total_ev"),
+        Seq("agent_str", "agent_count"))
+    val covering = cjoin.groupBy("mk_hash")
+      .agg(min_by(struct(col("agent_str"), col("agent_count")),
+        struct(negate(col("total_ev")).as("neg_ev"), col("agent_str"),
+          col("agent_count"))).as("g"))
+      .select(col("g.agent_str").as("agent_str"),
+        col("g.agent_count").as("agent_count"))
+      .distinct()
+    groups.filter(col("has_other") === 1)
+      .unionByName(groups.filter(col("has_other") === 0)
+        .join(covering, Seq("agent_str", "agent_count"), "left_semi"))
+      .select("agent_str", "agent_count", "total_ev", "max_belief", "n_hashes")
   }
 }

@@ -72,5 +72,14 @@ class DeploySpec extends AnyFunSuite {
     assert(r.getLong(0) == 12345L && r.getLong(1) == 999L && r.getInt(2) == 2)
     assert(r.getLong(3) == 1038L && r.getString(4) == "nature12373")
     assert(r.getLong(5) == 12345L && !r.getBoolean(6))
+    // non-digit version keeps the numeric body (process_pmcid splits on '.'
+    // and still indexes an all-digit body); non-digit bodies stay null
+    val r2 = Seq(("PMC123.x", "PMC12a", "123"))
+      .toDF("a", "b", "c")
+      .select(Ids.pmcidNum(col("a")), Ids.pmcidVersion(col("a")),
+        Ids.pmcidNum(col("b")), Ids.pmcidNum(col("c"))).collect().head
+    assert(r2.getLong(0) == 123L && r2.isNullAt(1))
+    assert(r2.isNullAt(2) && r2.isNullAt(3))
+    assert(graft.functions.Ids.parsePmcidNum("PMC123.x") == 123L)
   }
 }
