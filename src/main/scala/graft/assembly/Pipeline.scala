@@ -121,9 +121,13 @@ object Pipeline {
       .select("sid", "mesh_num", "is_concept")
 
     // 7. statements with computed belief + serialized payload (pa_json
-    //    rides on fast_raw_pa_link for egress) -> readonly build
+    //    rides on fast_raw_pa_link for egress) -> readonly build. The
+    //    pa_activity columns (ActiveForm state, principal_schema.py:883-895)
+    //    ride along so every meta row carries them, as in the reference
+    //    (readonly_schema.py:139-157).
     val statements = uniq
-      .select(col("mk_hash"), col("stype"), to_json(col("stmt")).as("pa_json"))
+      .select(col("mk_hash"), col("stype"), to_json(col("stmt")).as("pa_json"),
+        col("stmt.activity").as("activity"), col("stmt.is_active").as("is_active"))
       .join(belief, "mk_hash")
     val world = StatementWorld(
       statements = statements,

@@ -42,7 +42,7 @@ object Preassembly {
     val stmt = col("stmt")
     val hasAgent = stmt.getField("subj").isNotNull ||
       stmt.getField("obj").isNotNull || stmt.getField("enz").isNotNull ||
-      stmt.getField("sub").isNotNull ||
+      stmt.getField("sub").isNotNull || stmt.getField("agent").isNotNull ||
       (stmt.getField("members").isNotNull &&
         size(stmt.getField("members")) > 0)
     val ok = stmt.isNotNull && stmt.getField("type").isNotNull && hasAgent
@@ -59,14 +59,11 @@ object Preassembly {
       .drop("rn")
   }
 
-  /** Normalized agent rows from parsed statements — the pa_agents
-    * extraction (principal_schema.py:897-912): explode each statement's
-    * agents with position and role (subj/enz -> SUBJECT at position 0,
-    * obj/sub -> OBJECT at 1, members -> OTHER at their index), grounded to
-    * the priority namespace with NAME fallback.
-    */
-  def agentRows(parsed: DataFrame): DataFrame = {
-    val stmt = col("stmt")
+  /** Per-statement agent enumeration shared by the pa_agents / pa_mods /
+    * pa_muts extractions: one (ag_num, role_num, agent) entry per agent
+    * position — subj/enz/agent -> SUBJECT-side at position 0, obj/sub ->
+    * OBJECT at 1, members -> OTHER at their index. */
+  private def agentEntries(stmt: Column): Column = {
     def entry(agent: Column, agNum: Column, roleNum: Column) =
       struct(agNum.cast("int").as("ag_num"), roleNum.cast("int").as("role_num"),
         agent.as("agent"))
@@ -74,6 +71,7 @@ object Preassembly {
       array(
         entry(stmt.getField("subj"), lit(0), lit(-1)),
         entry(stmt.getField("enz"), lit(0), lit(-1)),
+        entry(stmt.getField("agent"), lit(0), lit(0)),
         entry(stmt.getField("obj"), lit(1), lit(1)),
         entry(stmt.getField("sub"), lit(1), lit(1))),
       e => e.getField("agent").isNotNull)
@@ -81,6 +79,16 @@ object Preassembly {
       transform(stmt.getField("members"),
         (m, i) => entry(m, i, lit(0))),
       array())
+    concat(binary, members)
+  }
+
+  /** Normalized agent rows from parsed statements — the pa_agents
+    * extraction (principal_schema.py:897-912): explode each statement's
+    * agents with position and role, grounded to the priority namespace with
+    * NAME fallback.
+    */
+  def agentRows(parsed: DataFrame): DataFrame = {
+    val stmt = col("stmt")
     val refs = col("ag.agent").getField("db_refs")
     val nsPairs = graft.core.StatementModel.groundingPriority.map(ns =>
       when(element_at(refs, ns).isNotNull,
@@ -89,13 +97,47 @@ object Preassembly {
       struct(lit("NAME").as("db_name"),
         col("ag.agent").getField("name").as("db_id")): _*)
     parsed
-      .withColumn("ag", explode(concat(binary, members)))
+      .withColumn("ag", explode(agentEntries(stmt)))
       .withColumn("g", grounding)
       .select(col("mk_hash"), col("ag.ag_num").as("ag_num"),
         col("g.db_name").as("db_name"), col("g.db_id").as("db_id"),
         col("ag.role_num").as("role_num"))
       .distinct()
   }
+
+  /** Modification rows per agent position — the pa_mods attribute table
+    * (principal_schema.py:915-933): (mk_hash, ag_num, mod_type, residue,
+    * position, is_modified), one row per agent ModCondition. Run over the
+    * UNIQUE statements (the kept payload per hash), like the reference
+    * extracts from pa_statements. */
+  def modRows(uniq: DataFrame): DataFrame =
+    uniq
+      .withColumn("ag", explode(agentEntries(col("stmt"))))
+      .withColumn("mod", explode(col("ag.agent.mods")))
+      .select(col("mk_hash"), col("ag.ag_num").as("ag_num"),
+        col("mod.mod_type").as("mod_type"), col("mod.residue").as("residue"),
+        col("mod.position").as("position"),
+        col("mod.is_modified").as("is_modified"))
+
+  /** Mutation rows per agent position — the pa_muts attribute table
+    * (principal_schema.py:935-947). */
+  def mutRows(uniq: DataFrame): DataFrame =
+    uniq
+      .withColumn("ag", explode(agentEntries(col("stmt"))))
+      .withColumn("mut", explode(col("ag.agent.mutations")))
+      .select(col("mk_hash"), col("ag.ag_num").as("ag_num"),
+        col("mut.position").as("position"),
+        col("mut.residue_from").as("residue_from"),
+        col("mut.residue_to").as("residue_to"))
+
+  /** Statement activity rows — the pa_activity attribute table
+    * (principal_schema.py:883-895): ActiveForm-style statements carry a
+    * statement-level (activity, is_active). */
+  def activityRows(uniq: DataFrame): DataFrame =
+    uniq
+      .filter(col("stmt.activity").isNotNull)
+      .select(col("mk_hash"), col("stmt.activity").as("activity"),
+        col("stmt.is_active").as("is_active"))
 
   /** Fused dedup + evidence count: one shuffle on mk_hash producing the
     * unique-statement table (min raw id as the kept payload pointer,

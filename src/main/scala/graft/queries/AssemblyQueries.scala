@@ -162,7 +162,8 @@ object AssemblyQueries extends QueryPack {
             (CASE l_returnflag WHEN 'A' THEN 'Phosphorylation'
                  WHEN 'N' THEN 'Activation' ELSE 'Inhibition' END)
             || '(HGNC:P' || CAST(l_partkey % 50 AS VARCHAR)
-            || ', HGNC:S' || CAST(l_suppkey % 20 AS VARCHAR) || ')' AS matches_key
+            || ', HGNC:S' || CAST(l_suppkey % 20 AS VARCHAR)
+            || ', None)' AS matches_key
           FROM li),
         hashed AS (SELECT raw_stmt_id, matches_key,
             ${duckHashU("matches_key")} AS u FROM keyed),
@@ -171,6 +172,149 @@ object AssemblyQueries extends QueryPack {
         SELECT mk_hash, min(raw_stmt_id) AS raw_stmt_id,
           min(matches_key) AS matches_key, count(*) AS ev_count
         FROM signed GROUP BY 1"""),
+    ),
+
+    // full INDRA-fidelity matches-key: agent-state slots (mods, mutations,
+    // activity, location, bound conditions) and the statement-level
+    // residue/position discriminate the hash — two statements differing
+    // only in a mod no longer merge. The fixture plants every slot
+    // deterministically from lineitem columns; the oracle rebuilds the
+    // exact key strings and the md5 hash in SQL.
+    "q_preassemble_mods" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("l_orderkey")
+          .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+            col("l_extendedprice"))
+        val li = Tables.table(s, dir, "lineitem")
+          .withColumn("evn", row_number().over(w))
+          .withColumn("raw_stmt_id", col("l_orderkey") * 100 + col("evn"))
+        val pk = col("l_partkey")
+        val sk = col("l_suppkey")
+        val enz = struct(
+          concat(lit("pA"), (pk % 50).cast("string")).as("name"),
+          map(lit("HGNC"), concat(lit("P"), (pk % 50).cast("string")))
+            .as("db_refs"),
+          when(pk % 4 === 0,
+            struct(lit("kinase").as("activity_type"),
+              lit(true).as("is_active"))).as("activity"),
+          when(pk % 5 === 0, lit("nucleus")).as("location"),
+          when(pk % 6 === 0, array(struct(
+            struct(concat(lit("X"), (pk % 3).cast("string")).as("name"),
+              map().cast("map<string,string>").as("db_refs")).as("agent"),
+            (pk % 4 === 0).as("is_bound")))).as("bound_conditions"))
+        val sub = struct(
+          concat(lit("pB"), (sk % 20).cast("string")).as("name"),
+          map(lit("HGNC"), concat(lit("S"), (sk % 20).cast("string")))
+            .as("db_refs"),
+          when(sk % 3 === 0, array(struct(
+            lit("phosphorylation").as("mod_type"), lit("T").as("residue"),
+            (sk % 11).cast("string").as("position"),
+            lit(true).as("is_modified")))).as("mods"),
+          when(sk % 5 === 0, array(struct(
+            (sk % 13).cast("string").as("position"),
+            lit("V").as("residue_from"), lit("E").as("residue_to"))))
+            .as("mutations"))
+        val raw = li.select(
+          col("raw_stmt_id"),
+          to_json(struct(
+            lit("Phosphorylation").as("type"),
+            enz.as("enz"), sub.as("sub"),
+            when(pk % 3 === 0, lit("S")).as("residue"),
+            when(pk % 2 === 0, (pk % 7).cast("string")).as("position")))
+            .as("raw_json"))
+        Preassembly.uniqueStatements(Preassembly.parse(raw))
+          .select("mk_hash", "raw_stmt_id", "matches_key", "ev_count")
+      },
+      Some(s"""WITH li AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+            ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice) AS evn
+          FROM lineitem),
+        keyed AS (
+          SELECT l_orderkey*100 + evn AS raw_stmt_id,
+            'Phosphorylation('
+            || 'HGNC:P' || CAST(l_partkey % 50 AS VARCHAR)
+            || CASE WHEN l_partkey % 4 = 0 THEN '{act=kinase,true}' ELSE '' END
+            || CASE WHEN l_partkey % 5 = 0 THEN '{loc=nucleus}' ELSE '' END
+            || CASE WHEN l_partkey % 6 = 0 THEN '{bc=[X' || CAST(l_partkey % 3 AS VARCHAR)
+                 || ',' || CASE WHEN l_partkey % 4 = 0 THEN 'true' ELSE 'false' END || ']}'
+               ELSE '' END
+            || ', '
+            || 'HGNC:S' || CAST(l_suppkey % 20 AS VARCHAR)
+            || CASE WHEN l_suppkey % 3 = 0 THEN '{mods=[phosphorylation,T,'
+                 || CAST(l_suppkey % 11 AS VARCHAR) || ',true]}' ELSE '' END
+            || CASE WHEN l_suppkey % 5 = 0 THEN '{muts=['
+                 || CAST(l_suppkey % 13 AS VARCHAR) || ',V,E]}' ELSE '' END
+            || ', '
+            || CASE WHEN l_partkey % 3 = 0 THEN 'S' ELSE 'None' END
+            || ', '
+            || CASE WHEN l_partkey % 2 = 0 THEN CAST(l_partkey % 7 AS VARCHAR)
+                    ELSE 'None' END
+            || ')' AS matches_key
+          FROM li),
+        hashed AS (SELECT raw_stmt_id, matches_key,
+            ${duckHashU("matches_key")} AS u FROM keyed),
+        signed AS (SELECT raw_stmt_id, matches_key,
+            $SIGN_ADJUST AS mk_hash FROM hashed)
+        SELECT mk_hash, min(raw_stmt_id) AS raw_stmt_id,
+          min(matches_key) AS matches_key, count(*) AS ev_count
+        FROM signed GROUP BY 1"""),
+    ),
+
+    // pa_mods attribute table (principal_schema.py:915-933) extracted from
+    // the unique statements of the same fixture: one row per agent
+    // ModCondition; mod content is functional in the hash (it is part of
+    // the key), so the oracle reconstructs it per distinct hash.
+    "q_pa_mods" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("l_orderkey")
+          .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+            col("l_extendedprice"))
+        val li = Tables.table(s, dir, "lineitem")
+          .withColumn("evn", row_number().over(w))
+          .withColumn("raw_stmt_id", col("l_orderkey") * 100 + col("evn"))
+        val sk = col("l_suppkey")
+        val raw = li.select(
+          col("raw_stmt_id"),
+          to_json(struct(
+            lit("Phosphorylation").as("type"),
+            struct(
+              concat(lit("pA"), (col("l_partkey") % 50).cast("string")).as("name"),
+              map(lit("HGNC"),
+                concat(lit("P"), (col("l_partkey") % 50).cast("string")))
+                .as("db_refs")).as("enz"),
+            struct(
+              concat(lit("pB"), (sk % 20).cast("string")).as("name"),
+              map(lit("HGNC"), concat(lit("S"), (sk % 20).cast("string")))
+                .as("db_refs"),
+              when(sk % 3 === 0, array(struct(
+                lit("phosphorylation").as("mod_type"), lit("T").as("residue"),
+                (sk % 11).cast("string").as("position"),
+                lit(true).as("is_modified")))).as("mods")).as("sub")))
+            .as("raw_json"))
+        val parsed = Preassembly.parse(raw)
+        Preassembly.modRows(Preassembly.dedup(parsed))
+          .select(col("mk_hash"), col("ag_num").cast("long").as("ag_num"),
+            col("mod_type"), col("residue"), col("position"),
+            col("is_modified"))
+      },
+      Some(s"""WITH li AS (
+          SELECT * FROM lineitem),
+        keyed AS (
+          SELECT DISTINCT
+            'Phosphorylation('
+            || 'HGNC:P' || CAST(l_partkey % 50 AS VARCHAR) || ', '
+            || 'HGNC:S' || CAST(l_suppkey % 20 AS VARCHAR)
+            || '{mods=[phosphorylation,T,' || CAST(l_suppkey % 11 AS VARCHAR)
+            || ',true]}' || ', None, None)' AS matches_key,
+            CAST(l_suppkey % 11 AS VARCHAR) AS mod_pos
+          FROM li WHERE l_suppkey % 3 = 0),
+        hashed AS (SELECT matches_key, mod_pos,
+            ${duckHashU("matches_key")} AS u FROM keyed),
+        signed AS (SELECT DISTINCT $SIGN_ADJUST AS mk_hash, mod_pos FROM hashed)
+        SELECT mk_hash, CAST(1 AS BIGINT) AS ag_num,
+          'phosphorylation' AS mod_type, 'T' AS residue, mod_pos AS position,
+          TRUE AS is_modified
+        FROM signed"""),
     ),
 
     "q_belief_prior" -> QueryDef(

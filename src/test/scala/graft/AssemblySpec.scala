@@ -19,19 +19,66 @@ class AssemblySpec extends AnyFunSuite {
     import spark.implicits._
     val raws = Seq(
       ("""{"type":"Phosphorylation","enz":{"name":"MEK","db_refs":{"FPLX":"MEK"}},"sub":{"name":"ERK","db_refs":{"FPLX":"ERK"}}}""",
-        "Phosphorylation(FPLX:MEK, FPLX:ERK)", 3152578078487967521L),
+        "Phosphorylation(FPLX:MEK, FPLX:ERK, None, None)", -3784610915937386739L),
       ("""{"type":"Complex","members":[{"name":"B"},{"name":"A"}]}""",
         "Complex(A|B)", -4393732411530184406L),
       ("""{"type":"Activation","subj":{"name":"X","db_refs":{"HGNC":"1234","TEXT":"x"}},"obj":{"name":"ERK","db_refs":{}}}""",
-        "Activation(HGNC:1234, ERK)", -1332719244716284936L),
+        "Activation(HGNC:1234, ERK, None)", -253750291659972812L),
+      // agent-state slots (INDRA Agent.matches_key content): a sub-side
+      // ModCondition changes the key — the round-3 fidelity gap
+      ("""{"type":"Phosphorylation","enz":{"name":"MEK","db_refs":{"FPLX":"MEK"}},"sub":{"name":"ERK","db_refs":{"FPLX":"ERK"},"mods":[{"mod_type":"phosphorylation","residue":"T","position":"185","is_modified":true}]}}""",
+        "Phosphorylation(FPLX:MEK, FPLX:ERK{mods=[phosphorylation,T,185,true]}, None, None)",
+        4389228799212550531L),
+      // statement-level residue/position slots (Modification family)
+      ("""{"type":"Phosphorylation","enz":{"name":"MEK","db_refs":{"FPLX":"MEK"}},"sub":{"name":"ERK","db_refs":{"FPLX":"ERK"}},"residue":"S","position":"222"}""",
+        "Phosphorylation(FPLX:MEK, FPLX:ERK, S, 222)", -9030718966316113971L),
+      // ActiveForm: agent mutation + statement (activity, is_active)
+      ("""{"type":"ActiveForm","agent":{"name":"BRAF","db_refs":{"HGNC":"6840"},"mutations":[{"position":"600","residue_from":"V","residue_to":"E"}]},"activity":"kinase","is_active":true}""",
+        "ActiveForm(HGNC:6840{muts=[600,V,E]}, kinase, true)",
+        5363797019567464081L),
+      // Translocation from/to slots
+      ("""{"type":"Translocation","agent":{"name":"ERK","db_refs":{"FPLX":"ERK"}},"from_location":"cytoplasm","to_location":"nucleus"}""",
+        "Translocation(FPLX:ERK, cytoplasm, nucleus)", 5281179068955987769L),
+      // SelfModification (enz only) + agent activity/location state
+      ("""{"type":"Autophosphorylation","enz":{"name":"MEK","db_refs":{"FPLX":"MEK"},"activity":{"activity_type":"kinase","is_active":true},"location":"nucleus"}}""",
+        "Autophosphorylation(FPLX:MEK{act=kinase,true}{loc=nucleus}, None, None)",
+        -6406735808976515262L),
+      // bound condition on a complex member, sorted member keys
+      ("""{"type":"Complex","members":[{"name":"X","db_refs":{"HGNC":"6840"}},{"name":"ERK","db_refs":{"FPLX":"ERK"},"bound_conditions":[{"agent":{"name":"MEK","db_refs":{"FPLX":"MEK"}},"is_bound":true}]}]}""",
+        "Complex(FPLX:ERK{bc=[FPLX:MEK,true]}|HGNC:6840)",
+        -5163836106752274781L),
     )
     val got = Preassembly.parse(
         raws.map(r => (1L, r._1)).toDF("raw_stmt_id", "raw_json"))
       .select("matches_key", "mk_hash").collect()
     got.zip(raws).foreach { case (row, (_, key, hash)) =>
-      assert(row.getString(0) == key)
+      assert(row.getString(0) == key, s"expected $key")
       assert(row.getLong(1) == hash)
     }
+    // statements differing ONLY in a mod must not share mk_hash
+    assert(got(0).getLong(1) != got(3).getLong(1))
+  }
+
+  test("pa_mods / pa_muts / pa_activity attribute tables") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, """{"type":"Phosphorylation","enz":{"name":"MEK","db_refs":{"FPLX":"MEK"}},"sub":{"name":"ERK","db_refs":{"FPLX":"ERK"},"mods":[{"mod_type":"phosphorylation","residue":"T","position":"185","is_modified":true},{"mod_type":"ubiquitination","is_modified":false}]}}"""),
+      (2L, """{"type":"ActiveForm","agent":{"name":"BRAF","db_refs":{"HGNC":"6840"},"mutations":[{"position":"600","residue_from":"V","residue_to":"E"}]},"activity":"kinase","is_active":true}"""),
+    ).toDF("raw_stmt_id", "raw_json")
+    val parsed = Preassembly.parse(raw)
+    val mods = Preassembly.modRows(parsed).collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getString(3), r.getString(4),
+        r.getBoolean(5))).toSet
+    assert(mods == Set(
+      (1, "phosphorylation", "T", "185", true),
+      (1, "ubiquitination", null, null, false)))
+    val muts = Preassembly.mutRows(parsed).collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getString(3), r.getString(4)))
+      .toSet
+    assert(muts == Set((0, "600", "V", "E")))
+    val act = Preassembly.activityRows(parsed).collect()
+      .map(r => (r.getString(1), r.getBoolean(2))).toSet
+    assert(act == Set(("kinase", true)))
   }
 
   test("dedup keeps lowest raw id; source counts aggregate") {
