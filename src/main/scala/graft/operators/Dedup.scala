@@ -62,16 +62,40 @@ object Dedup {
         posexplode(graft.functions.vectors.minhash_sig(col("hs"), k))
           .as(Seq("i", "minh")))
 
+  /** Drop bucket keys whose member count exceeds `maxDf` before a bucket
+    * self-join — the generic hot-bucket cap every LSH candidate path needs
+    * (band signatures, simhash bytes, sign buckets): one degenerate bucket
+    * (a low-entropy band over boilerplate, an all-common simhash byte)
+    * re-creates the df² all-pairs blowup the bucketing exists to avoid.
+    * The hot key set is bounded by |rows|/maxDf, so it broadcasts. A pair
+    * lost here collided ONLY in oversized buckets — stop-content agreement
+    * that verification would reject anyway (and near-identical docs keep
+    * colliding in their other, selective buckets). Use [[hotBuckets]] to
+    * audit/log what a given cap drops. */
+  def capBucketDf(keyed: DataFrame, bucketCols: Seq[String], maxDf: Long): DataFrame =
+    keyed.join(broadcast(hotBuckets(keyed, bucketCols, maxDf)),
+      bucketCols, "left_anti")
+
+  /** The bucket keys (with their df) that [[capBucketDf]] would drop at
+    * `maxDf` — callers log these for drop-auditing (no silent caps). */
+  def hotBuckets(keyed: DataFrame, bucketCols: Seq[String], maxDf: Long): DataFrame =
+    keyed.groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+
   /** LSH banding: signatures grouped into bands of `r` rows; docs sharing a
-    * band signature are candidates. Output: distinct (a_id, b_id), a < b. */
-  def lshCandidates(minhashes: DataFrame, r: Int): DataFrame = {
-    val sigs = minhashes
+    * band signature are candidates. Output: distinct (a_id, b_id), a < b.
+    * Buckets larger than `maxBucket` are dropped before the self-join
+    * (hot-bucket cap; see [[capBucketDf]]). */
+  def lshCandidates(minhashes: DataFrame, r: Int, maxBucket: Long = 1000): DataFrame = {
+    val sigs0 = minhashes
       .withColumn("band", (col("i") / r).cast("int"))
       .groupBy("doc_id", "band")
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("i"), col("minh")))),
           s => s.getField("minh").cast("string")),
         ",").as("sig"))
+    val sigs = capBucketDf(sigs0, Seq("band", "sig"), maxBucket)
     sigs.as("x").join(sigs.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -87,13 +111,8 @@ object Dedup {
     * safe in practice: a pair lost here shares ONLY stop shingles, which
     * cannot clear a meaningful Jaccard threshold. The hot set is bounded
     * by |shingles|/maxDf, so it broadcasts. */
-  def capShingleDf(shingles: DataFrame, maxDf: Long): DataFrame = {
-    val hot = shingles.groupBy("sh_hash")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf)
-      .select("sh_hash")
-    shingles.join(broadcast(hot), Seq("sh_hash"), "left_anti")
-  }
+  def capShingleDf(shingles: DataFrame, maxDf: Long): DataFrame =
+    capBucketDf(shingles, Seq("sh_hash"), maxDf)
 
   /** n-gram Jaccard near-dup pairs: candidates from the df-capped inverted
     * index (docs sharing at least one sub-cap shingle), then EXACT Jaccard
@@ -138,9 +157,9 @@ object Dedup {
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 12, r: Int = 3,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6, maxBucket: Long = 1000): DataFrame = {
     val sh = shingleSet(df, idCol, textCol, n)
-    val cands = lshCandidates(minhash(sh, k), r)
+    val cands = lshCandidates(minhash(sh, k), r, maxBucket)
     jaccard(cands, sh)
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
@@ -165,13 +184,21 @@ object Dedup {
 
   /** SimHash near-dup pairs: candidates sharing at least one of the four
     * 8-bit bytes of the fingerprint (guarantees recall for Hamming
-    * distance <= 3 across the other bytes), verified at `maxHamming`. */
-  def simhashNearDups(simhashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    * distance <= 3 across the other bytes), verified at `maxHamming`.
+    * Byte buckets larger than `maxBucket` are dropped before the self-join
+    * ([[capBucketDf]]); a pair whose FOUR byte buckets are all hot loses
+    * the ≤3-Hamming recall guarantee — boilerplate-heavy corpora hit this
+    * on common byte values, which is exactly the all-pairs blowup the cap
+    * exists to stop. */
+  def simhashNearDups(
+      simhashes: DataFrame, maxHamming: Int = 3,
+      maxBucket: Long = 1000): DataFrame = {
     val spark = simhashes.sparkSession
     import spark.implicits._
     val bytes = (0 until 4).map(i => (i, 255L << (8 * i))).toDF("byte_idx", "byte_mask")
-    val keyed = simhashes.join(broadcast(bytes))
+    val keyed0 = simhashes.join(broadcast(bytes))
       .withColumn("byte_val", col("simhash").bitwiseAND(col("byte_mask")))
+    val keyed = capBucketDf(keyed0, Seq("byte_idx", "byte_val"), maxBucket)
     keyed.as("x").join(keyed.as("y"),
         col("x.byte_idx") === col("y.byte_idx") &&
           col("x.byte_val") === col("y.byte_val") &&

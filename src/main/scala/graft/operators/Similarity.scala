@@ -61,8 +61,10 @@ object Similarity {
     * id < nCells); a k-means refinement can replace the seeding without
     * changing the search.
     *
-    * Returns (id, embedding, cell). Assignment is by max rounded cosine
-    * with centroid-id tie-break, so it is engine-portable.
+    * Returns (id, embedding, nrm, cell) — the vector norm is part of the
+    * index so searches never recompute it per candidate pair. Assignment is
+    * by max rounded cosine with centroid-id tie-break, so it is
+    * engine-portable.
     */
   def ivfIndex(vectors: DataFrame, nCells: Int, scale: Int = 4): DataFrame = {
     val cents = vectors.filter(col("id") < nCells)
@@ -79,7 +81,7 @@ object Similarity {
     scored
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("id"), col("embedding"), col("cent_id").as("cell"))
+      .select(col("id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
   }
 
   /** Top-k within the query vector's `nProbe` nearest cells. */
@@ -88,7 +90,7 @@ object Similarity {
       nCells: Int, nProbe: Int, k: Int, scale: Int = 4): DataFrame = {
     val cents = index.filter(col("id") < nCells)
       .select(col("id").as("cent_id"), col("embedding").as("cent_emb"),
-        norm(col("embedding")).as("cent_nrm"))
+        col("nrm").as("cent_nrm"))
     // probe list per query: nProbe nearest centroids
     val probes = queries
       .select(col("id").as("q_id"), col("embedding").as("q_emb"),
@@ -104,14 +106,15 @@ object Similarity {
       .filter(col("rn") <= nProbe)
       .select(col("q_id"), col("q_emb"), col("q_nrm"),
         col("cent_id").as("cell"))
-    // search only the probed cells
+    // search only the probed cells; the corpus norm comes from the index
+    // row (never recomputed per candidate pair)
     val cands = probeCells.join(
       index.select(col("id").as("c_id"), col("embedding").as("c_emb"),
-        col("cell")),
+        col("nrm").as("c_nrm"), col("cell")),
       Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", round(
-        dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * norm(col("c_emb"))),
+        dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")),
         scale))
       // a candidate reachable through two probed cells must count once
       .dropDuplicates("q_id", "c_id")
@@ -128,19 +131,24 @@ object Similarity {
     * embedding-space member of the dedup family (exact / MinHash / SimHash
     * / n-gram Jaccard / embedding-cosine). */
   def embeddingNearDups(
-      vectors: DataFrame, planes: Int, dim: Int, minCos: Double): DataFrame =
-    lshPairs(vectors, planes, dim, minCos)
+      vectors: DataFrame, planes: Int, dim: Int, minCos: Double,
+      maxBucket: Long = 1000): DataFrame =
+    lshPairs(vectors, planes, dim, minCos, maxBucket = maxBucket)
       .select(col("a_id").as("canonical_id"), col("b_id").as("dup_id"),
         col("cos"))
 
   /** Same-bucket candidate pairs with exact cosine — the scale path for
-    * near-neighbor pairs. */
+    * near-neighbor pairs. Sign buckets larger than `maxBucket` are dropped
+    * before the self-join ([[Dedup.capBucketDf]]): a bucket capturing a
+    * dense direction of the embedding space (boilerplate/template content)
+    * otherwise contributes df² candidate pairs. */
   def lshPairs(
       vectors: DataFrame, planes: Int, dim: Int,
-      minCos: Double, scale: Int = 4): DataFrame = {
-    val b = vectors.select(col("id"), col("embedding"),
+      minCos: Double, scale: Int = 4, maxBucket: Long = 1000): DataFrame = {
+    val b0 = vectors.select(col("id"), col("embedding"),
       signBucket(col("embedding"), planes, dim).as("bucket"),
       norm(col("embedding")).as("nrm")) // once per vector, not per pair
+    val b = Dedup.capBucketDf(b0, Seq("bucket"), maxBucket)
     b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .withColumn("cos", round(

@@ -78,6 +78,39 @@ class DedupSpec extends AnyFunSuite {
     assert(j == Set((1L, 2L)))
   }
 
+  test("hot-bucket cap bounds every LSH candidate path") {
+    import spark.implicits._
+    // A degenerate bucket on each path: identical texts put all docs in the
+    // same band signature and the same simhash bytes; identical embeddings
+    // put all vectors in one sign bucket. Uncapped, each self-join yields
+    // n*(n-1)/2 pairs from that one bucket; capped below n, zero candidates
+    // survive (the planted degenerate content IS the hot bucket).
+    val n = 30
+    val same = (1 to n).map(i => (i.toLong, "same same text for every doc"))
+      .toDF("doc_id", "text")
+    // minhash banding: all docs share every band signature
+    val mh = Dedup.minhash(Dedup.shingleSet(same, "doc_id", "text", 3), 12)
+    assert(Dedup.lshCandidates(mh, r = 3).count() == n.toLong * (n - 1) / 2)
+    assert(Dedup.lshCandidates(mh, r = 3, maxBucket = 10).count() == 0)
+    // simhash bytes: identical fingerprints, all four byte buckets hot
+    val sh = Dedup.simhash(Dedup.tokenSet(same, "doc_id", "text"))
+    assert(Dedup.simhashNearDups(sh).count() == n.toLong * (n - 1) / 2)
+    assert(Dedup.simhashNearDups(sh, maxBucket = 10).count() == 0)
+    // sign-LSH: identical embeddings, one hot sign bucket
+    val vecs = (1 to n).map(i => (i.toLong, Array.fill(8)(0.5f)))
+      .toDF("id", "embedding")
+    assert(Similarity.lshPairs(vecs, planes = 4, dim = 8, minCos = 0.0)
+      .count() == n.toLong * (n - 1) / 2)
+    assert(Similarity.lshPairs(vecs, planes = 4, dim = 8, minCos = 0.0,
+      maxBucket = 10).count() == 0)
+    // hotBuckets reports exactly what the cap dropped (auditable, not silent)
+    val hot = Dedup.hotBuckets(
+      vecs.select(col("id"),
+        Similarity.signBucket(col("embedding"), 4, 8).as("bucket")),
+      Seq("bucket"), 10).collect()
+    assert(hot.length == 1 && hot.head.getAs[Long]("df") == n.toLong)
+  }
+
   test("cosine is 1.0 for identical vectors and within [-1,1] everywhere") {
     val emb = Tables.table(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding"))
