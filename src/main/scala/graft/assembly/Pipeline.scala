@@ -29,7 +29,8 @@ object Pipeline {
 
   /** Statement A refines B when same type, strictly more agent keys, and
     * B's keys all appear in A's (the ontology-free core of the reference's
-    * refinement predicate; a real ontology walk slots in here).
+    * refinement predicate; `Refinement.ontologyRefinementEdges` adds the
+    * isa/partof walk).
     *
     * Blocking: each statement enters one block per (type, agent key) —
     * every key, not just the first sorted one. A refining pair shares ALL
@@ -37,18 +38,75 @@ object Pipeline {
     * blocking only on the first sorted key silently dropped pairs whose
     * first keys differ (e.g. A={K1,K2} blocked at K1, B={K2} at K2). The
     * pair space stays bounded — quadratic only within same-(type,key)
-    * groups, the standard inverted-index bound — and duplicate pairs from
-    * shared keys collapse in the final distinct.
+    * groups, the standard inverted-index bound.
+    *
+    * Hot-key guard: a promiscuous grounding (a TP53-class hub with 10⁵+
+    * same-type statements) makes one block quadratic on its own — the
+    * blocking key IS the skew axis at scale. Blocks whose df exceeds
+    * `hotKeyThreshold` are excluded from the plain self-join and their
+    * pairs recovered EXACTLY by two output-bounded paths:
+    *
+    *   - an anc-side statement with ≥2 hot keys co-occurs with every
+    *     refining desc in a secondary block keyed by a PAIR of hot keys
+    *     (the desc carries all the anc's keys, so every hot pair of the
+    *     anc is a hot pair of the desc) — pair-df is the co-occurrence
+    *     count, which skew-free corpora keep small;
+    *   - an anc-side statement whose ONLY key is hot is refined by every
+    *     same-type statement carrying that key plus any other — a direct
+    *     asymmetric join in which every emitted row is a true edge
+    *     (output-linear, nothing quadratic to filter away).
+    *
+    * An anc with any cold key is already caught by that cold block, so the
+    * three paths cover all pairs; the final distinct collapses overlap. No
+    * candidates are dropped at any threshold — the threshold only picks
+    * the join strategy per block.
     */
-  def refinementEdges(uniq: DataFrame, agents: DataFrame): DataFrame = {
+  def refinementEdges(
+      uniq: DataFrame, agents: DataFrame,
+      hotKeyThreshold: Int = 100000): DataFrame = {
     val keySets = agents
       .groupBy("mk_hash")
       .agg(array_sort(collect_set(concat(col("db_name"), lit(":"), col("db_id"))))
         .as("keys"))
     val stmts = uniq.select(col("mk_hash"), col("stype"))
       .join(keySets, "mk_hash")
-      .withColumn("block_key", explode(col("keys")))
-    Refinement.candidatePairs(stmts, Seq("stype", "block_key"))
+    val exploded = stmts.withColumn("block_key", explode(col("keys")))
+    val dfs = exploded.groupBy("stype", "block_key")
+      .agg(count(lit(1)).as("block_df"))
+    val marked = exploded.join(dfs, Seq("stype", "block_key"))
+
+    val cold = marked.filter(col("block_df") <= hotKeyThreshold).drop("block_df")
+    // secondary blocks: every sorted pair of a statement's hot keys
+    // (separator \u0001 keeps the pair space disjoint from single keys)
+    val hotKeysPerStmt = marked.filter(col("block_df") > hotKeyThreshold)
+      .groupBy("mk_hash", "stype", "keys")
+      .agg(sort_array(collect_set(col("block_key"))).as("hot_keys"))
+    val hotPairs = hotKeysPerStmt
+      .filter(size(col("hot_keys")) >= 2)
+      .withColumn("block_key", explode(flatten(transform(col("hot_keys"),
+        (x, i) => transform(
+          slice(col("hot_keys"), i + lit(2),
+            size(col("hot_keys")) - i - lit(1)),
+          y => concat(x, lit("\u0001"), y))))))
+      .select("mk_hash", "stype", "keys", "block_key")
+    val blocked = Refinement.candidatePairs(
+      cold.select("mk_hash", "stype", "keys", "block_key")
+        .unionByName(hotPairs),
+      Seq("stype", "block_key"))
+      .select(col("a_mk_hash"), col("a_keys"), col("b_mk_hash"), col("b_keys"))
+
+    // hot singletons: anc's only key is hot -> join against every carrier
+    val hotSingle = marked.filter(
+        col("block_df") > hotKeyThreshold && size(col("keys")) === 1)
+      .select(col("stype"), col("block_key"),
+        col("mk_hash").as("b_mk_hash"), col("keys").as("b_keys"))
+    val singletonPairs = marked.filter(col("block_df") > hotKeyThreshold)
+      .select(col("stype"), col("block_key"),
+        col("mk_hash").as("a_mk_hash"), col("keys").as("a_keys"))
+      .join(hotSingle, Seq("stype", "block_key"))
+      .select(col("a_mk_hash"), col("a_keys"), col("b_mk_hash"), col("b_keys"))
+
+    blocked.unionByName(singletonPairs)
       .filter(size(col("a_keys")) > size(col("b_keys")) &&
         size(array_except(col("b_keys"), col("a_keys"))) === 0)
       .select(col("a_mk_hash").as("desc"), col("b_mk_hash").as("anc"))
@@ -70,7 +128,8 @@ object Pipeline {
       types: TypeRegistry,
       readerSources: Seq[String],
       dbSources: Seq[String],
-      checkpointDir: Option[String] = None): ReadonlyTables = {
+      checkpointDir: Option[String] = None,
+      ontology: Option[DataFrame] = None): ReadonlyTables = {
 
     // 1. distill: authoritative reading per (paper, reader); raw statements
     //    from dropped readings are discarded, KB rows (no reading) kept
@@ -97,8 +156,18 @@ object Pipeline {
     val agents = checkpoint(
       Preassembly.agentRows(uniq), checkpointDir, "pa_agents")
 
-    // 4. refinement DAG + belief (ancestor-summed evidence)
-    val closure = Refinement.transitiveClosure(refinementEdges(uniq, agents))
+    // 4. refinement DAG + belief (ancestor-summed evidence); with an
+    //    ontology dimension the isa/partof-generalized edges join the
+    //    key-subset ones (the reference's single Preassembler predicate
+    //    covers both shapes, export_assembly.py:739-745)
+    val edges = ontology match {
+      case Some(ont) => refinementEdges(uniq, agents)
+        .union(Refinement.ontologyRefinementEdges(
+          uniq.select("mk_hash", "stype"), agents, ont))
+        .distinct()
+      case None => refinementEdges(uniq, agents)
+    }
+    val closure = Refinement.transitiveClosure(edges)
     val belief = Belief.scoreWithRefinements(
       srcCounts.select("mk_hash", "src_json"), closure)
       .select(col("mk_hash"), col("belief"))

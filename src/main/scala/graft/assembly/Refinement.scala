@@ -1,6 +1,6 @@
 package graft.assembly
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Refinement graph operators.
@@ -27,6 +27,78 @@ object Refinement {
     val right = stmts.columns.foldLeft(stmts)((d, c) =>
       if (blockCols.contains(c)) d else d.withColumnRenamed(c, "b_" + c))
     left.join(right, blockCols).filter(col("a_mk_hash") =!= col("b_mk_hash"))
+  }
+
+  /** Ontology-aware refinement edges — the reference's Preassembler walk
+    * (export_assembly.py:739-745 builds a SqliteOntology and delegates to
+    * INDRA's `_generate_relation_tuples`, whose per-agent predicate accepts
+    * an agent pair when the general side's entity is reachable from the
+    * specific side's via isa/partof). Inputs:
+    *
+    *   - `uniq`:     (mk_hash, stype) unique statements;
+    *   - `agents`:   (mk_hash, ag_num, db_name, db_id) grounded agent per
+    *                 position (Preassembly.agentRows shape);
+    *   - `ontology`: (desc, anc) DIRECT isa/partof edges over "NS:ID" keys.
+    *
+    * Returns (desc, anc) statement-hash pairs where desc refines anc: same
+    * type, same agent positions, every position's general entity equal to —
+    * or an ontology ancestor of — the specific one, and at least one
+    * position strictly generalized.
+    *
+    * Spark re-expression: NOT a blocked self-join. Each statement emits its
+    * GENERALIZED SIGNATURES — the cross product, over positions, of
+    * {own key} ∪ ancestors(own key), minus the all-own combination — and
+    * edges fall out of one equi-join of generalized signatures against
+    * actual signatures on (stype, sig). Every joined row IS an edge, so the
+    * join is output-linear: a hub ancestor fans out exactly as many rows as
+    * there are true edges through it, never df² candidates. The expansion
+    * cost is Π(1+depth) combos per statement — bounded by ontology depth,
+    * linear in statements, and embarrassingly parallel map work.
+    */
+  def ontologyRefinementEdges(
+      uniq: DataFrame, agents: DataFrame, ontology: DataFrame): DataFrame = {
+    // ancestor closure of the ontology dimension; small enough to broadcast
+    val closure = transitiveClosure(
+      ontology.select(col("desc"), col("anc")))
+    val keyed = agents.select(col("mk_hash"), col("ag_num"),
+      concat(col("db_name"), lit(":"), col("db_id")).as("key"))
+    // per position: the key itself plus every ontology ancestor of it
+    val alts = keyed
+      .join(broadcast(closure), keyed("key") === closure("desc"), "left")
+      .groupBy("mk_hash", "ag_num", "key")
+      .agg(collect_list(col("anc")).as("ancs"))
+      .withColumn("alts",
+        array_distinct(concat(array(col("key")), col("ancs"))))
+    val perStmt = alts
+      .groupBy("mk_hash")
+      .agg(sort_array(collect_list(
+        struct(col("ag_num"), col("key"), col("alts")))).as("pos"))
+      .join(uniq.select("mk_hash", "stype"), "mk_hash")
+    // identical fold shapes so actual and generalized signatures compare:
+    // "|0=NS:ID|1=NS:ID..." over positions sorted by ag_num
+    def tag(p: Column, k: Column) =
+      concat(lit("|"), p.getField("ag_num").cast("string"), lit("="), k)
+    val sigs = perStmt
+      .withColumn("sig",
+        aggregate(col("pos"), lit(""),
+          (acc, p) => concat(acc, tag(p, p.getField("key")))))
+      .withColumn("gensigs",
+        aggregate(col("pos"), array(lit("")),
+          (acc, p) => flatten(transform(acc,
+            a => transform(p.getField("alts"), x => concat(a, tag(p, x)))))))
+    val general = sigs.select(
+      col("mk_hash").as("anc"), col("stype"), col("sig"))
+    val specific = sigs.select(
+      col("mk_hash").as("desc"), col("stype"),
+      // dropping the all-own combo enforces ≥1 strictly generalized
+      // position, which keeps the refinement graph acyclic
+      explode(array_remove(col("gensigs"), col("sig"))).as("gsig"))
+    specific.join(general,
+        specific("gsig") === general("sig") &&
+          specific("stype") === general("stype"))
+      .filter(col("desc") =!= col("anc"))
+      .select(col("desc"), col("anc"))
+      .distinct()
   }
 
   /** Connected components over an undirected edge list (node, peer) — the

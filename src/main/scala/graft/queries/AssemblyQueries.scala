@@ -389,6 +389,65 @@ object AssemblyQueries extends QueryPack {
          AND bit_count(a.m) > bit_count(b.m)"""),
     ),
 
+    // ontology-aware refinement (Refinement.ontologyRefinementEdges): the
+    // planted hierarchy is TPC-H's own nation -> region containment
+    // ("NAT:n" isa "REG:r"). Statements have two agent positions, each at
+    // nation or region granularity by the hash's bit pattern; A refines B
+    // iff same type, each of B's entities equals A's or is its region
+    // ancestor, and at least one position strictly generalizes — edges that
+    // key-subset blocking alone can never produce (A={NAT:5,...} vs
+    // B={REG:1,...} share NO key). The oracle states the same closed form
+    // by joining back through nation.
+    "q_refine_ontology" -> QueryDef(
+      (s, dir) => {
+        val nation = Tables.table(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("nk"),
+            col("n_regionkey").cast("long").as("rk"))
+        val e = Tables.table(s, dir, "part")
+          .select((col("p_partkey") % 400).cast("long").as("mk_hash"))
+          .distinct()
+          .withColumn("stype", concat(lit("t"), (col("mk_hash") % 2).cast("string")))
+          .withColumn("n0", col("mk_hash") % 25)
+          .withColumn("n1", (col("mk_hash") * 7 + 3) % 25)
+          .withColumn("l0", col("mk_hash").bitwiseAND(2) =!= 0)
+          .withColumn("l1", col("mk_hash").bitwiseAND(4) =!= 0)
+        def agentAt(nCol: String, lCol: String, agNum: Int) = e
+          .join(nation, col(nCol) === col("nk"))
+          .select(col("mk_hash"), lit(agNum).as("ag_num"),
+            when(col(lCol), lit("REG")).otherwise(lit("NAT")).as("db_name"),
+            when(col(lCol), col("rk")).otherwise(col(nCol))
+              .cast("string").as("db_id"))
+        val agents = agentAt("n0", "l0", 0).unionByName(agentAt("n1", "l1", 1))
+        val ontology = nation.select(
+          concat(lit("NAT:"), col("nk").cast("string")).as("desc"),
+          concat(lit("REG:"), col("rk").cast("string")).as("anc"))
+        Refinement.ontologyRefinementEdges(
+            e.select("mk_hash", "stype"), agents, ontology)
+          .select(col("desc").as("node"), col("anc"))
+      },
+      Some("""WITH s AS (
+          SELECT DISTINCT CAST(p_partkey % 400 AS BIGINT) AS h FROM part),
+        e AS (
+          SELECT h, h % 2 AS t, h % 25 AS n0, (h * 7 + 3) % 25 AS n1,
+            (h & 2) <> 0 AS l0, (h & 4) <> 0 AS l1
+          FROM s),
+        k AS (
+          SELECT e.h, e.t, e.l0, e.l1,
+            na0.n_regionkey AS r0, na1.n_regionkey AS r1,
+            CASE WHEN e.l0 THEN 'REG:' || CAST(na0.n_regionkey AS VARCHAR)
+                 ELSE 'NAT:' || CAST(e.n0 AS VARCHAR) END AS k0,
+            CASE WHEN e.l1 THEN 'REG:' || CAST(na1.n_regionkey AS VARCHAR)
+                 ELSE 'NAT:' || CAST(e.n1 AS VARCHAR) END AS k1
+          FROM e
+          JOIN nation na0 ON na0.n_nationkey = e.n0
+          JOIN nation na1 ON na1.n_nationkey = e.n1)
+        SELECT a.h AS node, b.h AS anc
+        FROM k a JOIN k b ON a.t = b.t AND a.h <> b.h
+        WHERE (a.k0 = b.k0 OR (NOT a.l0 AND b.k0 = 'REG:' || CAST(a.r0 AS VARCHAR)))
+          AND (a.k1 = b.k1 OR (NOT a.l1 AND b.k1 = 'REG:' || CAST(a.r1 AS VARCHAR)))
+          AND NOT (a.k0 = b.k0 AND a.k1 = b.k1)"""),
+    ),
+
     "q_closure" -> QueryDef(
       (s, dir) => {
         val edges = Tables.table(s, dir, "part")

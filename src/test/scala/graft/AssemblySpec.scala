@@ -177,6 +177,53 @@ class AssemblySpec extends AnyFunSuite {
     assert(refines == Set((1L, 2L))) // {A,B} refines {A}; C unrelated
   }
 
+  test("hot-key blocking: planted hub key, capped == uncapped edges") {
+    import spark.implicits._
+    // a promiscuous hub grounding H carried by every statement: the (stype,
+    // H) block is quadratic on its own. With the threshold forcing H hot,
+    // the secondary pair-blocks + hot-singleton join must recover EXACTLY
+    // the naive result — the threshold picks a join strategy, never drops.
+    val uniq = ((1 to 40).map(i => (i.toLong, "Activation")) :+
+      (100L, "Activation")).toDF("mk_hash", "stype")
+    val agents =
+      // 100 is the hub-only anc; odd ids carry {H, Ki}; even ids {H, Ki, J}
+      ((1 to 40).flatMap { i =>
+        val base = Seq((i.toLong, "NAME", "H"), (i.toLong, "NAME", s"K${i % 5}"))
+        if (i % 2 == 0) base :+ ((i.toLong, "NAME", "J")) else base
+      } :+ ((100L, "NAME", "H")))
+        .toDF("mk_hash", "db_name", "db_id")
+        .withColumn("ag_num", lit(0)).withColumn("role_num", lit(0))
+    def edgeSet(threshold: Int) =
+      graft.assembly.Pipeline.refinementEdges(uniq, agents, threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = edgeSet(Int.MaxValue)
+    // H df=41, J df=20, K* df≤9: threshold 10 makes H and J hot
+    assert(edgeSet(10) == naive)
+    assert(naive.contains((1L, 100L))) // hot-singleton path
+    assert(naive.contains((2L, 100L)))
+    assert(naive.exists { case (d, _) => d % 2 == 0 }) // pair-block path
+  }
+
+  test("ontology refinement: isa edge yields pair key-subset cannot see") {
+    import spark.implicits._
+    // MEK1 isa MEK (FPLX-style): Phos(MEK1, ERK) refines Phos(MEK, ERK)
+    // though the two share NO agent key; identical-agent pairs are NOT
+    // edges (no strictly generalized position).
+    val uniq = Seq((1L, "Phosphorylation"), (2L, "Phosphorylation"),
+      (3L, "Phosphorylation"), (4L, "Activation"))
+      .toDF("mk_hash", "stype")
+    val agents = Seq(
+      (1L, 0, "HGNC", "MEK1"), (1L, 1, "FPLX", "ERK"),
+      (2L, 0, "FPLX", "MEK"), (2L, 1, "FPLX", "ERK"),
+      (3L, 0, "HGNC", "MEK1"), (3L, 1, "FPLX", "ERK"), // same agents as 1
+      (4L, 0, "HGNC", "MEK1"), (4L, 1, "FPLX", "ERK"), // wrong type
+    ).toDF("mk_hash", "ag_num", "db_name", "db_id")
+    val ontology = Seq(("HGNC:MEK1", "FPLX:MEK")).toDF("desc", "anc")
+    val edges = Refinement.ontologyRefinementEdges(uniq, agents, ontology)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges == Set((1L, 2L), (3L, 2L)))
+  }
+
   test("cycle detection fails the closure") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("desc", "anc")
