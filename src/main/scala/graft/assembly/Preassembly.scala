@@ -22,10 +22,35 @@ import graft.functions.exprs.stable_hash64
   */
 object Preassembly {
 
+  /** clean_json_loads analog (readonly_dumping/util.py:86-153): principal
+    * dumps carry doubly-escaped backslashes and stray NUL bytes. The
+    * reference collapses `\\` to `\`, parses that, and falls back to the
+    * raw bytes when collapsing broke a valid escape; only rows failing
+    * BOTH parses are rejected. NUL bytes are stripped first (they are
+    * invalid inside JSON strings and reject the whole row otherwise). */
+  def cleanRawJson(c: Column): Column =
+    regexp_replace(translate(c, "\u0000", ""), "\\\\\\\\", "\\\\")
+
   /** Parse raw statement rows: adds `stmt` struct, `matches_key`, `mk_hash`.
-    * Input needs a `raw_json` string column. */
+    * Input needs a `raw_json` string column. Applies the clean_json_loads
+    * decision table as a two-way from_json + pick — the cleaned parse wins
+    * whenever it succeeds, matching the reference's precedence; `when`
+    * short-circuits, so the fallback parse only runs on the rare rows the
+    * cleanup actually broke. */
   def parse(raw: DataFrame): DataFrame = {
-    val stmt = StatementModel.parse(col("raw_json"))
+    val cleanedStr = cleanRawJson(col("raw_json"))
+    // from_json in PERMISSIVE mode PARTIALLY fills the struct up to the
+    // first error, so it cannot tell "parsed" from "broke halfway" — the
+    // reference's json.loads is all-or-nothing. try_parse_json is the
+    // strict whole-document check (null on ANY malformed byte), mirroring
+    // the decision table exactly: cleaned wins iff the cleaned bytes are
+    // valid JSON, else fall back to the raw bytes.
+    val stmt = when(try_parse_json(cleanedStr).isNotNull,
+        StatementModel.parse(cleanedStr))
+      .when(try_parse_json(col("raw_json")).isNotNull,
+        StatementModel.parse(col("raw_json")))
+    // no otherwise: both parses failed -> null stmt -> rejected row,
+    // never a partially-filled struct masquerading as a statement
     raw.withColumn("stmt", stmt)
       .withColumn("matches_key", StatementModel.matchesKey(col("stmt")))
       .withColumn("mk_hash", stable_hash64(col("matches_key")))

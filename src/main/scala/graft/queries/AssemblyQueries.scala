@@ -317,6 +317,49 @@ object AssemblyQueries extends QueryPack {
         FROM signed"""),
     ),
 
+    // clean_json_loads dirty-row rescue (readonly_dumping/util.py:86-153)
+    // through the REAL parse + validation path. Categories planted per
+    // lineitem row: 0 = clean; 1 = doubly-escaped name where the cleanup
+    // BREAKS a valid escape (cleaned parse fails -> raw fallback wins,
+    // the reference's case 4); 2 = broken raw escape that the backslash
+    // collapse rescues (case 3); 3 = truncated garbage, rejected by both
+    // parses. The oracle states the closed-form counts and the exact key
+    // each rescue path must produce.
+    "q_preassemble_clean" -> QueryDef(
+      (s, dir) => {
+        val cat = (col("l_orderkey") % 4).cast("long")
+        // plain (non-interpolated) triple-quoted strings: backslashes are
+        // literal bytes, exactly as a principal TSV dump would carry them
+        val json = when(cat === 0,
+            lit("""{"type":"Activation","subj":{"name":"A0"},"obj":{"name":"B0"}}"""))
+          .when(cat === 1,
+            lit("""{"type":"Activation","subj":{"name":"C4\\x"},"obj":{"name":"B1"}}"""))
+          .when(cat === 2,
+            lit("""{"type":"Activation","subj":{"name":"C3\\\y"},"obj":{"name":"B2"}}"""))
+          .otherwise(lit("""{"type":"Activation","subj":{"name":"D3"""))
+        val raw = Tables.table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("raw_stmt_id"), cat.as("category"),
+            json.as("raw_json"))
+        val (valid, rejected) = Preassembly.partitionValid(Preassembly.parse(raw))
+        valid.select(col("category"), lit(1L).as("ok"), col("matches_key"))
+          .unionByName(rejected.select(col("category"), lit(0L).as("ok"),
+            lit(null).cast("string").as("matches_key")))
+          .groupBy("category")
+          .agg(sum(when(col("ok") === 1, 1L).otherwise(0L)).as("n_valid"),
+            sum(when(col("ok") === 0, 1L).otherwise(0L)).as("n_rejected"),
+            min("matches_key").as("sample_key"))
+      },
+      Some("""WITH c AS (
+          SELECT CAST(l_orderkey % 4 AS BIGINT) AS category FROM lineitem)
+        SELECT category,
+          CAST(COUNT(CASE WHEN category <> 3 THEN 1 END) AS BIGINT) AS n_valid,
+          CAST(COUNT(CASE WHEN category = 3 THEN 1 END) AS BIGINT) AS n_rejected,
+          MIN(CASE category WHEN 0 THEN 'Activation(A0, B0, None)'
+            WHEN 1 THEN 'Activation(C4\x, B1, None)'
+            WHEN 2 THEN 'Activation(C3\y, B2, None)' END) AS sample_key
+        FROM c GROUP BY 1"""),
+    ),
+
     "q_belief_prior" -> QueryDef(
       (s, dir) => Belief.score(TpchWorld.readonly(s, dir).sourceMeta)
         .select(col("mk_hash"), col("belief").as("belief_score")),

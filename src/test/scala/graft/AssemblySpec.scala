@@ -177,6 +177,32 @@ class AssemblySpec extends AnyFunSuite {
     assert(refines == Set((1L, 2L))) // {A,B} refines {A}; C unrelated
   }
 
+  test("clean_json_loads decision table: rescue, fallback, NUL scrub") {
+    import spark.implicits._
+    val rows = Seq(
+      // case 1: clean row, both parses agree
+      1L -> """{"type":"Activation","subj":{"name":"A"},"obj":{"name":"B"}}""",
+      // case 3: raw contains \\\ (broken escape) -> raw parse fails,
+      // backslash collapse rescues; name parses to C3\y
+      2L -> """{"type":"Activation","subj":{"name":"C3\\\y"},"obj":{"name":"B"}}""",
+      // case 4: raw \\ is a valid escape the cleanup would break ->
+      // cleaned parse fails, raw fallback keeps the row; name C4\x
+      3L -> """{"type":"Activation","subj":{"name":"C4\\x"},"obj":{"name":"B"}}""",
+      // NUL byte inside the payload: stripped before parsing
+      4L -> "{\"type\":\"Activation\",\"subj\":{\"name\":\"N\u0000UL\"},\"obj\":{\"name\":\"B\"}}",
+      // both parses fail -> rejected
+      5L -> """{"type":"Activation","subj":{"name":"D""",
+    ).toDF("raw_stmt_id", "raw_json")
+    val (valid, rejected) = Preassembly.partitionValid(Preassembly.parse(rows))
+    val keys = valid.select("raw_stmt_id", "matches_key").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(keys(1L) == "Activation(A, B, None)")
+    assert(keys(2L) == """Activation(C3\y, B, None)""")
+    assert(keys(3L) == """Activation(C4\x, B, None)""")
+    assert(keys(4L) == "Activation(NUL, B, None)")
+    assert(rejected.select("raw_stmt_id").collect().map(_.getLong(0)).toSeq == Seq(5L))
+  }
+
   test("hot-key blocking: planted hub key, capped == uncapped edges") {
     import spark.implicits._
     // a promiscuous hub grounding H carried by every statement: the (stype,
