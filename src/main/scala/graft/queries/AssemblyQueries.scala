@@ -317,6 +317,71 @@ object AssemblyQueries extends QueryPack {
         FROM signed"""),
     ),
 
+    // supplement end-to-end equivalence: the incremental path (links from
+    // the old run -> anti-join delta (preassemble_db.py:527-543) -> delta
+    // preassembly -> Counter-style count merge, export_assembly.py:517-535)
+    // must land on EXACTLY the state a full rebuild produces. The oracle IS
+    // the independent full rebuild (per-hash-per-source counts over all
+    // rows), so any delta leakage — dropped rows, double counts, missed
+    // merges — hash-mismatches.
+    "q_supplement_equiv" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("l_orderkey")
+          .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+            col("l_extendedprice"))
+        val li = Tables.table(s, dir, "lineitem")
+          .withColumn("evn", row_number().over(w))
+          .withColumn("raw_stmt_id", col("l_orderkey") * 100 + col("evn"))
+        val stype = when(col("l_returnflag") === "A", "Phosphorylation")
+          .when(col("l_returnflag") === "N", "Activation")
+          .otherwise("Inhibition")
+        val raw = li.select(
+          col("raw_stmt_id"),
+          (col("l_orderkey") % 5 === 0).as("is_new"),
+          when(col("l_returnflag") === "A", "reach")
+            .when(col("l_returnflag") === "N", "medscan")
+            .otherwise("signor").as("src"),
+          to_json(struct(
+            stype.as("type"),
+            struct(
+              concat(lit("pA"), (col("l_partkey") % 50).cast("string")).as("name"),
+              map(lit("HGNC"),
+                concat(lit("P"), (col("l_partkey") % 50).cast("string")))
+                .as("db_refs")).as("subj"),
+            struct(
+              concat(lit("pB"), (col("l_suppkey") % 20).cast("string")).as("name"),
+              map(lit("HGNC"),
+                concat(lit("S"), (col("l_suppkey") % 20).cast("string")))
+                .as("db_refs")).as("obj"))).as("raw_json"))
+        val oldParsed = Preassembly.parse(raw.filter(!col("is_new")))
+        val delta = graft.streaming.Streams.newRawStatements(
+          raw, Preassembly.links(oldParsed))
+        val merged = graft.streaming.Streams.mergeSourceCounts(
+          Preassembly.sourceCounts(oldParsed),
+          Preassembly.sourceCounts(Preassembly.parse(delta)))
+        merged.select(col("mk_hash"),
+          explode(col("src_json")).as(Seq("src", "cnt")))
+      },
+      Some(s"""WITH li AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+            ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice) AS evn
+          FROM lineitem),
+        keyed AS (
+          SELECT l_orderkey*100 + evn AS raw_stmt_id,
+            (CASE l_returnflag WHEN 'A' THEN 'reach'
+                 WHEN 'N' THEN 'medscan' ELSE 'signor' END) AS src,
+            (CASE l_returnflag WHEN 'A' THEN 'Phosphorylation'
+                 WHEN 'N' THEN 'Activation' ELSE 'Inhibition' END)
+            || '(HGNC:P' || CAST(l_partkey % 50 AS VARCHAR)
+            || ', HGNC:S' || CAST(l_suppkey % 20 AS VARCHAR)
+            || ', None)' AS matches_key
+          FROM li),
+        hashed AS (SELECT src, matches_key,
+            ${duckHashU("matches_key")} AS u FROM keyed),
+        signed AS (SELECT src, $SIGN_ADJUST AS mk_hash FROM hashed)
+        SELECT mk_hash, src, count(*) AS cnt FROM signed GROUP BY 1, 2"""),
+    ),
+
     // clean_json_loads dirty-row rescue (readonly_dumping/util.py:86-153)
     // through the REAL parse + validation path. Categories planted per
     // lineitem row: 0 = clean; 1 = doubly-escaped name where the cleanup
