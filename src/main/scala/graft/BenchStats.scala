@@ -13,6 +13,8 @@ object BenchStats {
     val repeats = args.headOption.map(_.toInt).getOrElse(3)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-bench-stats")
+    // shared-cache build must not bill the first query that touches it
+    queries.TpchWorld.readonly(spark, sfDir).materializeAll()
     val stats = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warmup
       val times = (1 to repeats).map { _ =>

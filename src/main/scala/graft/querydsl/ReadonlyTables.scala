@@ -49,4 +49,14 @@ final case class ReadonlyTables(
     productIterator.foreach { case df: DataFrame => df.persist() }
     this
   }
+
+  /** Persist AND materialize every table NOW (foreach-count). Benchmarks
+    * must call this before their timed loop: a lazily-materializing shared
+    * cache bills its whole build to whichever query touches it first,
+    * which made round-over-round per-query deltas unattributable. */
+  def materializeAll(): ReadonlyTables = {
+    persistAll()
+    productIterator.foreach { case df: DataFrame => df.count() }
+    this
+  }
 }
