@@ -66,6 +66,23 @@ ai AS (
   FROM ev e WHERE e.db_name = 'NAME' GROUP BY e.mk_hash)
 """
 
+  /** DuckDB replica of English.metaEnglish over the name list derived from
+    * an agent_str ("ag_num:db_id;..."): the `_make_english_from_meta` shape
+    * (indra_db_service/util.py:144-165). */
+  private def englishSql(agentStr: String): String = {
+    val nm =
+      s"list_transform(string_split($agentStr, ';'), x -> string_split(x, ':')[2])"
+    s"""CASE WHEN len($nm) = 0 THEN ''
+         WHEN len($nm) = 1 THEN '<b>' || ($nm)[1] || '</b> is modified'
+         ELSE '<b>' || ($nm)[1] || '</b> affects <b>' || ($nm)[2] || '</b>'
+           || CASE WHEN len($nm) > 3 THEN ', ' || array_to_string(
+                list_transform(list_slice($nm, 3, len($nm) - 1),
+                  z -> '<b>' || z || '</b>'), ', ') ELSE '' END
+           || CASE WHEN len($nm) > 2
+              THEN ', and <b>' || ($nm)[len($nm)] || '</b>' ELSE '' END
+       END"""
+  }
+
   private def run(q: StmtQuery) =
     (s: org.apache.spark.sql.SparkSession, dir: String) =>
       QueryCompiler.compile(q, TpchWorld.readonly(s, dir), TpchWorld.types)
@@ -402,7 +419,7 @@ ai AS (
     "q_dsl_expand" -> QueryDef(
       (s, dir) => Results.expand(Map(0 -> "P1458", 1 -> "P920"), None,
         TpchWorld.readonly(s, dir), TpchWorld.types),
-      Some(PREFIX + """, xrows AS (
+      Some(PREFIX + s""", xrows AS (
           SELECT i.mk_hash, i.agent_str FROM ai i
           WHERE i.agent_str = '0:P1458;1:P920'
           UNION
@@ -430,7 +447,7 @@ ai AS (
             string_agg(src || ':' || CAST(c AS VARCHAR), ';' ORDER BY src) AS src_str
           FROM xrel_src GROUP BY 1, 2)
         SELECT r.agent_str, r.type_num, r.total_ev, r.max_belief, r.n_hashes,
-               s.src_str
+               s.src_str, ${englishSql("r.agent_str")} AS english
         FROM xrel r JOIN xrel_srcstr s
           ON r.agent_str = s.agent_str AND r.type_num = s.type_num"""),
     ),
@@ -438,13 +455,64 @@ ai AS (
     "q_dsl_agents_view" -> QueryDef(
       (s, dir) => Results.agents(
         HasNumAgents(Seq(2, 3)), TpchWorld.readonly(s, dir), TpchWorld.types),
-      Some(PREFIX + """SELECT i.agent_str,
+      Some(PREFIX + s"""SELECT i.agent_str,
           CAST(COUNT(DISTINCT m.type_num) AS BIGINT) AS n_types,
           CAST(SUM(m.ev_count) AS BIGINT) AS total_ev,
-          MAX(m.belief) AS max_belief, COUNT(*) AS n_hashes
+          MAX(m.belief) AS max_belief, COUNT(*) AS n_hashes,
+          ${englishSql("i.agent_str")} AS english
         FROM ai i JOIN meta m ON i.mk_hash = m.mk_hash
         WHERE m.agent_count IN (2, 3)
         GROUP BY 1"""),
+    ),
+
+    // full statement-result envelope as a black box: statementJsonResult's
+    // JSON is probed with get_json_object and every extracted scalar must
+    // match the oracle's independent reconstruction — typed english
+    // sentence, total evidence, and the first spliced evidence row's
+    // text-ref ids, reassembled DOI, content source, and prior raw id
+    // (query.py:551-628 field-for-field on this world's available columns)
+    "q_dsl_statements_env" -> QueryDef(
+      (s, dir) => {
+        val env = Results.statementJsonResult(
+          HasAgent("P11"), TpchWorld.readonly(s, dir), TpchWorld.types,
+          evLimit = 2)
+        def j(p: String) = get_json_object(col("result_json"), p)
+        env.select(col("mk_hash"),
+          j("$.english").as("english"),
+          j("$.ev_total").cast("long").as("ev_total"),
+          j("$.evidence[0].text_refs.PMCID").cast("long").as("pmcid"),
+          j("$.evidence[0].text_refs.TCID").cast("long").as("tcid"),
+          j("$.evidence[0].text_refs.DOI").as("doi"),
+          j("$.evidence[0].annotations.content_source").as("content_source"),
+          j("$.evidence[0].annotations.prior_uuids[0]").cast("long")
+            .as("prior_id"))
+      },
+      Some(PREFIX + """, sel AS (
+          SELECT DISTINCT mk_hash FROM ev WHERE db_name='NAME' AND db_id='P11'),
+        first_ev AS (
+          SELECT e.* FROM ev e
+          JOIN (SELECT mk_hash, MIN(sid) AS sid FROM ev
+                WHERE mk_hash IN (SELECT mk_hash FROM sel) GROUP BY 1) f
+            ON e.mk_hash = f.mk_hash AND e.sid = f.sid),
+        names AS (
+          SELECT mk_hash, ag_num, MIN(db_id) AS name FROM ev
+          WHERE mk_hash IN (SELECT mk_hash FROM sel) GROUP BY 1, 2),
+        name_list AS (
+          SELECT mk_hash, list(name ORDER BY ag_num) AS nm FROM names GROUP BY 1),
+        tot AS (SELECT mk_hash, COUNT(*) AS ev_total FROM ev
+                WHERE mk_hash IN (SELECT mk_hash FROM sel) GROUP BY 1)
+        SELECT f.mk_hash,
+          CASE WHEN len(n.nm) = 1 THEN n.nm[1] || ' affects itself.'
+               ELSE n.nm[1] || ' affects ' || n.nm[2] || '.' END AS english,
+          t.ev_total,
+          f.pmcid_num AS pmcid,
+          f.tcid,
+          '10.' || CAST(f.doi_ns AS VARCHAR) || '/' || f.doi_id AS doi,
+          f.src AS content_source,
+          f.sid AS prior_id
+        FROM first_ev f
+        JOIN name_list n ON f.mk_hash = n.mk_hash
+        JOIN tot t ON f.mk_hash = t.mk_hash"""),
     ),
   )
 }

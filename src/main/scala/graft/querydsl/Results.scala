@@ -39,18 +39,53 @@ object Results {
       ro: ReadonlyTables,
       types: TypeRegistry,
       evLimit: Int = 10,
-      evFilter: Option[EvFilter] = None): DataFrame = {
+      evFilter: Option[EvFilter] = None,
+      withRefs: Boolean = false): DataFrame = {
     val sel = QueryCompiler.compile(q, ro, types).select("mk_hash")
     val w = Window.partitionBy("mk_hash").orderBy(col("sid").asc)
     val evRows = ro.fastRawPaLink.join(sel, Seq("mk_hash"), "left_semi")
     // evidence filters run BEFORE the ev_limit window (query.py:476-490)
-    evFilter.map(f => EvFilter(evRows, ro, f)).getOrElse(evRows)
+    val joined = evFilter.map(f => EvFilter(evRows, ro, f)).getOrElse(evRows)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= evLimit)
       .join(ro.readingRefLink, Seq("rid"), "left")
-      .select(col("mk_hash"), col("sid"), col("src"), col("pmid"),
-        col("rn").cast("long").as("rn"))
+    val base = Seq(col("mk_hash"), col("sid"), col("src"), col("pmid"),
+      col("rn").cast("long").as("rn"))
+    if (!withRefs) joined.select(base: _*)
+    else {
+      // every text-ref id type the link table carries (the ref_link_keys
+      // splice, query.py:571-620); absent columns surface as typed nulls
+      def opt(c: String, t: String) =
+        if (joined.columns.contains(c)) col(c) else lit(null).cast(t).as(c)
+      joined.select(base ++ Seq(
+        opt("trid", "long"), opt("tcid", "long"), opt("pmcid_num", "long"),
+        opt("doi_ns", "long"), opt("doi_id", "string")): _*)
+    }
   }
+
+  /** Per-hash agent display-name and raw-text arrays in ag_num order, from
+    * the normalized agent rows — feeds the `english` rendering and the
+    * reference's annotations.agents.raw_text splice (`_get_raw_texts`,
+    * query.py:3106-3118: one entry per agent position, TEXT ref or null).
+    */
+  private def agentArrays(ro: ReadonlyTables): DataFrame =
+    ro.paAgents
+      .groupBy("mk_hash", "ag_num")
+      .agg(min(col("db_id")).as("name"),
+        min(when(col("db_name") === "TEXT", col("db_id"))).as("raw_text"))
+      .groupBy("mk_hash")
+      .agg(array_sort(collect_list(
+        struct(col("ag_num"), col("name"), col("raw_text")))).as("ags"))
+      .select(col("mk_hash"),
+        transform(col("ags"), a => a.getField("name")).as("agent_names"),
+        transform(col("ags"), a => a.getField("raw_text")).as("raw_texts"))
+
+  /** Statement type name from type_num (the registry inverted as a
+    * when-chain — a handful of types, codegen'd). */
+  private def typeName(types: TypeRegistry): org.apache.spark.sql.Column =
+    types.fromNum.foldLeft(lit(null).cast("string")) {
+      case (acc, (n, name)) => when(col("type_num") === n, name).otherwise(acc)
+    }
 
   /** Full statement result envelope — the StatementQueryResult analog
     * (query.py:551-628): per selected statement one JSON document with the
@@ -65,20 +100,41 @@ object Results {
       types: TypeRegistry,
       evLimit: Int = 10,
       evFilter: Option[EvFilter] = None): DataFrame = {
-    val ev = statements(q, ro, types, evLimit, evFilter)
+    val ev = statements(q, ro, types, evLimit, evFilter, withRefs = true)
     val collected = ev.groupBy("mk_hash").agg(
       array_sort(collect_list(struct(
-        col("rn"), col("sid"), col("src"), col("pmid")))).as("evs"),
+        col("rn"), col("sid"), col("src"), col("pmid"), col("trid"),
+        col("tcid"), col("pmcid_num"), col("doi_ns"), col("doi_id"))))
+        .as("evs"),
       count(lit(1)).as("n_returned"))
     val payload =
       if (ro.fastRawPaLink.columns.contains("pa_json"))
         ro.fastRawPaLink.select("mk_hash", "pa_json").dropDuplicates("mk_hash")
       else ro.fastRawPaLink.select(col("mk_hash"),
         lit(null).cast("string").as("pa_json")).dropDuplicates("mk_hash")
+    // per-evidence splice (query.py:594-625): text_refs under UPPER keys
+    // (DOI reassembled from its stored decomposition, functions/Ids), the
+    // raw-text agent annotations, the prior raw-statement id, and the
+    // source tag (the reader/db src here — the content-manager source
+    // column has no analog in this world)
+    def evidenceJson(e: org.apache.spark.sql.Column) = struct(
+      e.getField("sid").as("sid"), e.getField("src").as("source_api"),
+      e.getField("pmid").as("pmid"),
+      struct(
+        e.getField("pmid").as("PMID"), e.getField("trid").as("TRID"),
+        e.getField("tcid").as("TCID"), e.getField("pmcid_num").as("PMCID"),
+        when(e.getField("doi_ns").isNotNull,
+          concat(lit("10."), e.getField("doi_ns").cast("string"), lit("/"),
+            e.getField("doi_id"))).as("DOI")).as("text_refs"),
+      struct(
+        struct(col("raw_texts").as("raw_text")).as("agents"),
+        array(e.getField("sid")).as("prior_uuids"),
+        e.getField("src").as("content_source")).as("annotations"))
     collected
-      .join(ro.sourceMeta.select("mk_hash", "ev_count", "belief", "src_json"),
-        "mk_hash")
+      .join(ro.sourceMeta.select(
+        "mk_hash", "ev_count", "belief", "src_json", "type_num"), "mk_hash")
       .join(payload, Seq("mk_hash"), "left")
+      .join(agentArrays(ro), Seq("mk_hash"), "left")
       .select(col("mk_hash"), col("n_returned"),
         to_json(struct(
           col("mk_hash").as("matches_hash"),
@@ -86,9 +142,10 @@ object Results {
           col("ev_count").as("ev_total"),
           col("src_json").as("source_counts"),
           col("pa_json").as("statement"),
-          transform(col("evs"), e => struct(
-            e.getField("sid").as("sid"), e.getField("src").as("source_api"),
-            e.getField("pmid").as("pmid"))).as("evidence"),
+          graft.functions.English
+            .statementEnglish(typeName(types), col("agent_names"))
+            .as("english"),
+          transform(col("evs"), evidenceJson _).as("evidence"),
         )).as("result_json"))
   }
 
@@ -146,7 +203,13 @@ object Results {
       withComplexDups: Boolean = false): DataFrame =
     relationsAgg(interactions(q, ro, types, withComplexDups))
 
-  /** The RelationSQL aggregation over already-selected interaction rows. */
+  /** Agent display names out of the canonical "ag_num:db_id;..." string. */
+  private def agentStrNames(c: org.apache.spark.sql.Column) =
+    transform(split(c, ";"), s => substring_index(s, ":", -1))
+
+  /** The RelationSQL aggregation over already-selected interaction rows.
+    * `english` is the reference's meta-row sentence (call_handlers.py:268:
+    * typeless rows go through `_make_english_from_meta`). */
   private def relationsAgg(rows: DataFrame): DataFrame =
     rows
       .groupBy("agent_str", "type_num")
@@ -161,6 +224,8 @@ object Results {
             e => concat(e.getField("key"), lit(":"),
               e.getField("value").cast("string"))),
           ";"))
+      .withColumn("english",
+        graft.functions.English.metaEnglish(agentStrNames(col("agent_str"))))
       .drop("src_merged")
 
   /** AgentJsonExpander.expand (query.py:1123-1137): drill down on one exact
@@ -204,6 +269,8 @@ object Results {
         sum("ev_count").as("total_ev"),
         max("belief").as("max_belief"),
         count(lit(1)).as("n_hashes"))
+      .withColumn("english",
+        graft.functions.English.metaEnglish(agentStrNames(col("agent_str"))))
 
   /** Agents view INCLUDING complex pair rows, with the reference's
     * complexes-covered dedup (AgentSQL.run, query.py:282-344):
