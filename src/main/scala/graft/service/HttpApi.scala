@@ -1,0 +1,159 @@
+package graft.service
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.spark.sql.DataFrame
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import graft.core.TypeRegistry
+import graft.querydsl._
+
+/** The REST surface of the reference's service (indra_db_service/api.py:
+  * 359-418 route shape `/<result_type>/<method>`, plus the query-JSON POST
+  * and the expander endpoint, api.py:421-513) served over the JDK's
+  * built-in HttpServer — no framework dependency; the DSL stays the real
+  * API and each route is a thin parameter mapping onto
+  * [[QueryService]] / [[Results]] / [[QueryJson]].
+  *
+  * Routes:
+  *   - GET  /health
+  *   - GET  /{result_type}/from_agents?subject=&object=&agent=a,b&type=&
+  *            mesh_ids=&paper_ids=pmid:1,doi:10.x/y&limit=&offset=&
+  *            ev_limit=&medscan=true
+  *   - GET  /{result_type}/from_hash/{hash}
+  *   - POST /{result_type}/from_hashes   body {"hashes": [..]}
+  *   - POST /{result_type}/from_papers   body {"ids": [["pmid","123"], ..]}
+  *   - POST /query/{result_type}         body = Query wire JSON (QueryJson)
+  *   - GET  /expand?agents=0:A;1:B[&type=T]
+  *
+  * result_type in {hashes, statements, interactions, relations, agents}.
+  * Responses are JSON arrays of row objects (df.toJSON), capped at
+  * `maxRows` like the reference's MAX_STMTS guard.
+  */
+object HttpApi {
+
+  def start(
+      ro: ReadonlyTables,
+      types: TypeRegistry,
+      port: Int = 0,
+      maxRows: Int = 1000): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/", (ex: HttpExchange) => handle(ex, ro, types, maxRows))
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.start()
+    server
+  }
+
+  private def params(ex: HttpExchange): Map[String, String] = {
+    val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    raw.split("&").filter(_.contains("=")).map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      URLDecoder.decode(k, UTF_8) -> URLDecoder.decode(v, UTF_8)
+    }.toMap
+  }
+
+  private def body(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), UTF_8)
+
+  private def respond(ex: HttpExchange, code: Int, payload: String): Unit = {
+    val bytes = payload.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def rows(df: DataFrame, maxRows: Int): String =
+    df.limit(maxRows).toJSON.collect().mkString("[", ",", "]")
+
+  /** from_agents parameter mapping (FromAgentsApiCall,
+    * call_handlers.py:472-620 param names). */
+  private def requestOf(p: Map[String, String]): QueryService.Request =
+    QueryService.Request(
+      subject = p.get("subject"),
+      obj = p.get("object"),
+      agents = p.get("agent").toSeq.flatMap(_.split(",")).filter(_.nonEmpty),
+      namespace = p.getOrElse("namespace", "NAME"),
+      stmtTypes = p.get("type").toSeq.flatMap(_.split(",")).filter(_.nonEmpty),
+      meshIds = p.get("mesh_ids").toSeq.flatMap(_.split(",")).filter(_.nonEmpty),
+      paperIds = p.get("paper_ids").toSeq.flatMap(_.split(","))
+        .filter(_.contains(":"))
+        .map { s => val Array(t, i) = s.split(":", 2); (t, i) },
+      allowMedscan = p.get("medscan").contains("true"),
+      limit = p.get("limit").map(_.toInt).getOrElse(0),
+      offset = p.get("offset").map(_.toInt).getOrElse(0),
+      evLimit = p.get("ev_limit").map(_.toInt).getOrElse(10))
+
+  private val resultTypes =
+    Set("hashes", "statements", "interactions", "relations", "agents")
+
+  private def handle(
+      ex: HttpExchange,
+      ro: ReadonlyTables,
+      types: TypeRegistry,
+      maxRows: Int): Unit =
+    try {
+      val path = ex.getRequestURI.getPath.stripPrefix("/").stripSuffix("/")
+      val parts = path.split("/").toList
+      val p = params(ex)
+      (ex.getRequestMethod, parts) match {
+        case ("GET", List("health")) =>
+          respond(ex, 200, """{"status":"ok"}""")
+
+        case ("POST", List("query", rt)) if resultTypes(rt) =>
+          val q = QueryJson.fromJson(body(ex))
+          respond(ex, 200, rows(dispatch(q, rt, ro, types, p), maxRows))
+
+        case ("GET", List("expand")) =>
+          val agents = p.getOrElse("agents", "")
+            .split(";").filter(_.contains(":"))
+            .map { s => val Array(n, id) = s.split(":", 2); n.toInt -> id }
+            .toMap
+          respond(ex, 200,
+            rows(Results.expand(agents, p.get("type"), ro, types), maxRows))
+
+        case (m, List(rt, method @ _*)) if resultTypes(rt) =>
+          val q: StmtQuery = (m, method.toList) match {
+            case ("GET", List("from_agents")) =>
+              QueryService.buildQuery(requestOf(p))
+            case ("GET", List("from_hash", h)) => HasHash(Set(h.toLong))
+            case ("POST", List("from_hashes")) =>
+              implicit val fmts: Formats = DefaultFormats
+              HasHash((JsonMethods.parse(body(ex)) \ "hashes")
+                .extract[Seq[Long]].toSet)
+            case ("POST", List("from_papers")) =>
+              implicit val fmts: Formats = DefaultFormats
+              FromPapers((JsonMethods.parse(body(ex)) \ "ids")
+                .extract[Seq[Seq[String]]].map { case Seq(t, i) => (t, i) })
+            case other => sys.error(s"unknown method: $other")
+          }
+          respond(ex, 200, rows(dispatch(q, rt, ro, types, p), maxRows))
+
+        case other => respond(ex, 404, """{"error":"not found"}""")
+      }
+    } catch {
+      case e: Throwable =>
+        respond(ex, 400,
+          s"""{"error":${JsonMethods.compact(JString(e.getMessage))}}""")
+    }
+
+  private def dispatch(
+      q: StmtQuery,
+      resultType: String,
+      ro: ReadonlyTables,
+      types: TypeRegistry,
+      p: Map[String, String]): DataFrame = {
+    val limit = p.get("limit").map(_.toInt).getOrElse(0)
+    val offset = p.get("offset").map(_.toInt).getOrElse(0)
+    val evLimit = p.get("ev_limit").map(_.toInt).getOrElse(10)
+    val sortBy = p.getOrElse("sort_by", "ev_count")
+    resultType match {
+      case "hashes" => Results.hashes(q, ro, types, sortBy, limit, offset)
+      case "statements" => Results.statementJsonResult(q, ro, types, evLimit)
+      case "interactions" => Results.interactions(q, ro, types)
+      case "relations" => Results.relations(q, ro, types)
+      case "agents" => Results.agents(q, ro, types)
+    }
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.TpchWorld
+import graft.querydsl._
+import graft.service.{HttpApi, QueryService}
+
+/** The REST facade served over a real socket: route mapping, query-JSON
+  * POST, and parity with the direct DSL dispatch.
+  */
+class HttpApiSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local("http-test")
+  val dir = "/root/testdata/sf0.001"
+  lazy val ro = TpchWorld.readonly(spark, dir)
+  lazy val server = HttpApi.start(ro, TpchWorld.types)
+  lazy val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+  lazy val client = HttpClient.newHttpClient()
+
+  private def get(path: String): (Int, String) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def post(path: String, body: String): (Int, String) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(base + path))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("health endpoint") {
+    assert(get("/health") == (200, """{"status":"ok"}"""))
+  }
+
+  test("from_agents GET matches the direct service dispatch") {
+    val (code, body) = get("/hashes/from_agents?agent=P5&medscan=true&limit=5")
+    assert(code == 200)
+    val direct = QueryService.run(
+      QueryService.Request(agents = Seq("P5"), allowMedscan = true, limit = 5),
+      "hashes", ro, TpchWorld.types).toJSON.collect().mkString("[", ",", "]")
+    assert(body == direct)
+  }
+
+  test("query-JSON POST round-trips the DSL wire format") {
+    val q = HasAgent("P5") & ~HasOnlySource("medscan")
+    val (code, body) = post("/query/hashes?limit=5", QueryJson.toJson(q))
+    assert(code == 200)
+    val direct = graft.querydsl.Results
+      .hashes(q, ro, TpchWorld.types, "ev_count", limit = 5)
+      .toJSON.collect().mkString("[", ",", "]")
+    assert(body == direct)
+  }
+
+  test("from_hash GET returns that statement's envelope") {
+    val h = QueryService.run(
+      QueryService.Request(agents = Seq("P5"), allowMedscan = true, limit = 1),
+      "hashes", ro, TpchWorld.types)
+      .collect().head.getLong(0)
+    val (code, body) = get(s"/statements/from_hash/$h")
+    assert(code == 200)
+    // result_json is a nested JSON string, so inner quotes arrive escaped
+    assert(body.contains("\"mk_hash\":" + h))
+    assert(body.contains("matches_hash\\\":" + h))
+    assert(body.contains("english"))
+  }
+
+  test("unknown routes 404, bad requests 400") {
+    assert(get("/nope/from_agents")._1 == 404)
+    assert(post("/query/hashes", "{not json")._1 == 400)
+  }
+
+  test("medscan policy holds over HTTP: only-medscan hashes need the flag") {
+    val (_, without) = get("/hashes/from_agents?agent=P5")
+    val (_, withFlag) = get("/hashes/from_agents?agent=P5&medscan=true")
+    // the flagless response must be a subset (policy injects ~HasOnlySource)
+    def hashes(s: String) =
+      "\"mk_hash\":(-?\\d+)".r.findAllMatchIn(s).map(_.group(1)).toSet
+    assert(hashes(without).subsetOf(hashes(withFlag)))
+  }
+}
