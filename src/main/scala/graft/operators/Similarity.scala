@@ -84,6 +84,112 @@ object Similarity {
       .select(col("id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
   }
 
+  /** Sequential-fold dot product over arrays of any numeric element type
+    * (the centroid arrays are double after a k-means update). Same
+    * deterministic in-order fold as the compiled float kernel. */
+  private def ddot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Assign every vector to its nearest centroid by rounded cosine with
+    * centroid-id tie-break (engine-portable, like [[ivfIndex]]). `cents`
+    * needs (cent_id, cent_emb, cent_nrm). Returns (id, embedding, nrm,
+    * cell). */
+  def assignCells(vectors: DataFrame, cents: DataFrame, scale: Int = 4): DataFrame = {
+    val scored = vectors
+      .select(col("id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .join(broadcast(cents))
+      .withColumn("cos", round(
+        ddot(col("embedding"), col("cent_emb")) / (col("nrm") * col("cent_nrm")),
+        scale))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("cos").desc, col("cent_id").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+  }
+
+  /** Lloyd (k-means) refinement of the IVF seed centroids — the learned-
+    * quantizer upgrade the ivfIndex doc promises. Each iteration assigns
+    * every vector to its nearest centroid and recomputes the cell mean.
+    *
+    * The element-wise mean sums the inputs scaled to integers at
+    * `meanScale` digits (one deterministic double rounding each), so the
+    * aggregation is a LONG sum — exact, shuffle-order-independent, and far
+    * cheaper than decimal at corpus scale; a raw double sum would drift
+    * with shuffle order and break both determinism and the DuckDB oracle.
+    * Empty cells drop out (their seed attracts no vectors), exactly like a
+    * Lloyd step.
+    *
+    * Returns (cent_id, cent_emb array<double>, cent_nrm).
+    */
+  def kmeansCentroids(
+      vectors: DataFrame, nCells: Int, iters: Int,
+      scale: Int = 4, meanScale: Int = 6): DataFrame = {
+    var cents = vectors.filter(col("id") < nCells)
+      .select(col("id").as("cent_id"),
+        col("embedding").cast("array<double>").as("cent_emb"),
+        norm(col("embedding")).as("cent_nrm"))
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(vectors, cents, scale)
+      val fac = math.pow(10, meanScale)
+      cents = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(round(
+          sum(round(col("v").cast("double") * fac).cast("long")).cast("double")
+            / (count(lit(1)) * fac),
+          meanScale).as("m"))
+        .groupBy("cell")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("cent_emb"))
+        .select(col("cell").as("cent_id"), col("cent_emb"),
+          sqrt(ddot(col("cent_emb"), col("cent_emb"))).as("cent_nrm"))
+        .localCheckpoint(true) // truncate the per-iteration lineage
+        .toDF("cent_id", "cent_emb", "cent_nrm")
+    }
+    cents
+  }
+
+  /** Top-k probing the `nProbe` cells nearest to each query under an
+    * EXPLICIT centroid set (the k-means-refined path; [[ivfTopK]] keeps
+    * the seed-centroid convention). `index` is (id, embedding, nrm, cell)
+    * as produced by [[assignCells]] over the same centroids. */
+  def ivfTopKWith(
+      index: DataFrame, cents: DataFrame, queries: DataFrame,
+      nProbe: Int, k: Int, scale: Int = 4): DataFrame = {
+    val probes = queries
+      .select(col("id").as("q_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_nrm"))
+      .join(broadcast(cents))
+      .withColumn("cos", round(
+        ddot(col("q_emb"), col("cent_emb")) / (col("q_nrm") * col("cent_nrm")),
+        scale))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("cent_id").asc)
+    val probeCells = probes
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cent_id").as("cell"))
+    val cands = probeCells.join(
+      index.select(col("id").as("c_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"), col("cell")),
+      Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", round(
+        dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")),
+        scale))
+      .dropDuplicates("q_id", "c_id")
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
+    cands
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rn").cast("long").as("rn"))
+  }
+
   /** Top-k within the query vector's `nProbe` nearest cells. */
   def ivfTopK(
       index: DataFrame, queries: DataFrame,

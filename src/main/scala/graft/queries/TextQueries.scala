@@ -321,6 +321,89 @@ shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
         WHERE cos >= 0.4"""),
     ),
 
+    // IVF with one Lloyd (k-means) refinement of the seed centroids: the
+    // update is an integer-scaled element-wise mean (exact long sums, so
+    // shuffle-order-independent and SQL-replicable), then reassignment,
+    // probing, and exact top-k in the probed cells. The oracle replays the
+    // identical iteration relationally.
+    "q_embed_ivf_kmeans" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding"))
+        val cents = Similarity.kmeansCentroids(emb, nCells = 8, iters = 1)
+        val index = Similarity.assignCells(emb, cents)
+        Similarity.ivfTopKWith(index, cents, emb.filter(col("id") < 10),
+          nProbe = 2, k = 3)
+      },
+      Some("""WITH v AS (SELECT vec_id AS id, embedding FROM embeddings),
+        n AS (SELECT id, embedding,
+          sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(range(1, len(embedding)+1),
+              p -> CAST(embedding[p] AS DOUBLE) * CAST(embedding[p] AS DOUBLE))),
+            (a, b) -> a + b)) AS nrm
+          FROM v),
+        cents0 AS (SELECT id AS cent_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent_emb,
+            nrm AS cent_nrm
+          FROM n WHERE id < 8),
+        assign0 AS (SELECT id, embedding, cell FROM (
+          SELECT x.id, x.embedding, c.cent_id AS cell,
+            ROW_NUMBER() OVER (PARTITION BY x.id ORDER BY
+              round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(range(1, 65),
+                  p -> CAST(x.embedding[p] AS DOUBLE) * c.cent_emb[p])),
+                (a, b) -> a + b) / (x.nrm * c.cent_nrm), 4) DESC,
+              c.cent_id ASC) AS rn
+          FROM n x CROSS JOIN cents0 c) WHERE rn = 1),
+        sums AS (SELECT a.cell, t.p AS pos,
+            round(CAST(SUM(CAST(round(CAST(a.embedding[t.p] AS DOUBLE)
+                  * 1000000) AS BIGINT)) AS DOUBLE)
+              / (COUNT(*) * 1000000.0), 6) AS m
+          FROM assign0 a CROSS JOIN range(1, 65) t(p)
+          GROUP BY 1, 2),
+        cents1 AS (SELECT cell AS cent_id, list(m ORDER BY pos) AS cent_emb
+          FROM sums GROUP BY 1),
+        cents1n AS (SELECT cent_id, cent_emb,
+            sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(range(1, 65), p -> cent_emb[p] * cent_emb[p])),
+              (a, b) -> a + b)) AS cent_nrm
+          FROM cents1),
+        assign1 AS (SELECT id, cell FROM (
+          SELECT x.id, c.cent_id AS cell,
+            ROW_NUMBER() OVER (PARTITION BY x.id ORDER BY
+              round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(range(1, 65),
+                  p -> CAST(x.embedding[p] AS DOUBLE) * c.cent_emb[p])),
+                (a, b) -> a + b) / (x.nrm * c.cent_nrm), 4) DESC,
+              c.cent_id ASC) AS rn
+          FROM n x CROSS JOIN cents1n c) WHERE rn = 1),
+        probes AS (SELECT q_id, cell FROM (
+          SELECT q.id AS q_id, c.cent_id AS cell,
+            ROW_NUMBER() OVER (PARTITION BY q.id ORDER BY
+              round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(range(1, 65),
+                  p -> CAST(q.embedding[p] AS DOUBLE) * c.cent_emb[p])),
+                (a, b) -> a + b) / (q.nrm * c.cent_nrm), 4) DESC,
+              c.cent_id ASC) AS rn
+          FROM n q CROSS JOIN cents1n c WHERE q.id < 10) WHERE rn <= 2),
+        cand AS (SELECT DISTINCT p.q_id, a.id AS c_id,
+            round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(range(1, 65),
+                p2 -> CAST(qn.embedding[p2] AS DOUBLE)
+                  * CAST(an.embedding[p2] AS DOUBLE))),
+              (x, y) -> x + y) / (qn.nrm * an.nrm), 4) AS cos
+          FROM probes p
+          JOIN assign1 a ON a.cell = p.cell
+          JOIN n qn ON qn.id = p.q_id
+          JOIN n an ON an.id = a.id
+          WHERE p.q_id <> a.id)
+        SELECT q_id, c_id, cos, rn FROM (
+          SELECT q_id, c_id, cos,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn
+          FROM cand)
+        WHERE rn <= 3"""),
+    ),
+
     // IVF coarse quantization: assign to nearest seed centroid, probe the
     // 2 nearest cells per query, exact top-3 within the probed cells
     "q_embed_ivf_topk" -> QueryDef(

@@ -124,6 +124,36 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0))
   }
 
+  test("kmeans refinement recovers planted clusters; refined IVF is exact") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // two tight cosine clusters along axes e0/e1; even ids in A, odd in B,
+    // so the seed set {0, 1} lands one seed per cluster
+    def vec(axis: Int, jitter: Float): Array[Float] = {
+      val v = Array.fill(4)(jitter)
+      v(axis) = 1.0f
+      v
+    }
+    val rows = (0 until 20).map { i =>
+      (i.toLong, vec(i % 2, 0.01f * (1 + i / 2)))
+    }
+    val emb = rows.toDF("id", "embedding")
+    val cents = Similarity.kmeansCentroids(emb, nCells = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // each refined centroid points along its cluster's axis
+    assert(cents(0L).zipWithIndex.maxBy(_._1)._2 == 0)
+    assert(cents(1L).zipWithIndex.maxBy(_._1)._2 == 1)
+    // well-separated clusters: probing 1 refined cell reproduces the exact
+    // brute-force top-k for every query
+    val centDf = Similarity.kmeansCentroids(emb, nCells = 2, iters = 2)
+    val index = Similarity.assignCells(emb, centDf)
+    val ivf = Similarity.ivfTopKWith(index, centDf, emb, nProbe = 1, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val brute = Similarity.topK(emb, emb, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(ivf == brute)
+  }
+
   test("HLL sketch stays within its error bound of the exact count") {
     val rows = graft.SparkEntry.queries("q_approx_distinct")(spark, dir).collect()
     rows.foreach { r =>
