@@ -139,8 +139,10 @@ object Pipeline {
       Seq("reading_id"), "left_anti")
 
     // 2. preassemble: parse -> validate (malformed/agent-less rows drop
-    //    out, the rejected_statements path) -> canonical key -> hash
-    val (valid, _) = Preassembly.partitionValid(Preassembly.parse(raw))
+    //    out, recorded to the rejected_statements log when checkpointing)
+    //    -> canonical key -> hash
+    val (valid, rejected) = Preassembly.partitionValid(Preassembly.parse(raw))
+    checkpointDir.foreach(d => Bookkeeping.recordRejected(rejected, d, runId = 0L))
     val parsed = checkpoint(
       valid.withColumn("stype", col("stmt.type")),
       checkpointDir, "parsed")

@@ -26,6 +26,41 @@ object Tables {
       .schema(schema)
       .csv(path)
 
+  /** The reference's read-only-query guard for principal dumps
+    * (`_find_disallowed_keywords`, readonly_dumping.py:2130-2176): any
+    * whitespace token of the query matching a mutation/DDL keyword,
+    * case-insensitive. */
+  val disallowedKeywords: Set[String] = Set(
+    "alter", "call", "commit", "create", "delete", "drop", "explain",
+    "grant", "insert", "lock", "merge", "rename", "revoke", "savepoint",
+    "set", "rollback", "transaction", "truncate", "update")
+
+  def findDisallowedKeywords(query: String): Seq[String] =
+    query.split("\\s+").map(_.toLowerCase).distinct
+      .filter(disallowedKeywords).sorted.toSeq
+
+  /** Generic principal-query -> TSV dump (`principal_query_to_csv`,
+    * readonly_dumping.py:2075-2127): run an arbitrary read-only SQL query
+    * over the registered tables and write it as headered TSV with `\N`
+    * nulls — the same convention [[tsv]] reads back, so dumps round-trip.
+    * The keyword blocklist rejects anything that could mutate state before
+    * the query ever reaches the engine. Distributed write (one file per
+    * partition, like the reference's chunked dumps); `coalesce(1)` at the
+    * call site if a single file is required.
+    */
+  def principalQueryToTsv(
+      spark: SparkSession, query: String, outputLocation: String): Unit = {
+    val bad = findDisallowedKeywords(query)
+    require(bad.isEmpty, s"Query '$query' uses disallowed keywords: $bad")
+    spark.sql(query).write
+      .option("sep", "\t")
+      .option("nullValue", "\\N")
+      .option("emptyValue", "")
+      .option("header", "true")
+      .mode("overwrite")
+      .csv(outputLocation)
+  }
+
   /** `events.ts` arrives as a nanosecond epoch long (see GraftSession's
     * nanosAsLong flag); normalize to a proper timestamp column once here.
     */
