@@ -3,9 +3,10 @@ package graft.core
 /** Pluggable grounding for AUTO-namespace agent queries.
   *
   * The reference runs gilda when HasAgent gets namespace=AUTO
-  * (query.py:1687-1700). The engine keeps that as an interface with a
-  * dictionary-backed default (broadcastable; a model-backed grounder slots
-  * in without touching the compiler). Unresolved names fall back to NAME.
+  * (query.py:1687-1700). The engine keeps that as an interface with
+  * dictionary-backed defaults (broadcastable; a model-backed grounder
+  * slots in without touching the compiler). Unresolved names fall back to
+  * NAME.
   */
 trait Grounder extends Serializable {
   /** name -> (namespace, grounding id), or None when unknown. */
@@ -17,6 +18,64 @@ final case class DictGrounder(entries: Map[String, (String, String)]) extends Gr
     entries.get(text.toUpperCase)
 }
 
+/** One grounding-table row: the surface form it matches, its grounding,
+  * and a popularity prior used to break ties (gilda ranks candidates by
+  * match quality then frequency). */
+final case class GroundingEntry(
+    text: String, ns: String, id: String, prior: Double = 0.0)
+
+/** Gilda-shaped scored grounding — the public gilda ranking skeleton
+  * (string-match tier, then prior): candidates are scored by how much
+  * normalization the match needed and ranked by (score desc, prior desc,
+  * ns, id). Tiers:
+  *
+  *   1.0  exact surface match
+  *   0.9  case-insensitive match
+  *   0.8  dash/space/dot-insensitive match ("TP-53" -> "TP53")
+  *   0.7  Greek-letter expansion ("TNF-α" -> "TNFALPHA")
+  *
+  * Gilda's ML disambiguation model has no in-container analog; the tier
+  * table is the deterministic stand-in behind the same interface.
+  */
+final case class ScoredGrounder(entries: Seq[GroundingEntry]) extends Grounder {
+
+  private def stripPunct(s: String): String = s.replaceAll("[-_. ]", "")
+
+  private val greek = Map(
+    'α' -> "ALPHA", 'β' -> "BETA", 'γ' -> "GAMMA", 'δ' -> "DELTA",
+    'ε' -> "EPSILON", 'κ' -> "KAPPA", 'σ' -> "SIGMA", 'ω' -> "OMEGA",
+    // uppercase forms too: toUpperCase maps α -> Α (U+0391), not "ALPHA"
+    'Α' -> "ALPHA", 'Β' -> "BETA", 'Γ' -> "GAMMA", 'Δ' -> "DELTA",
+    'Ε' -> "EPSILON", 'Κ' -> "KAPPA", 'Σ' -> "SIGMA", 'Ω' -> "OMEGA")
+
+  private def expandGreek(s: String): String =
+    s.flatMap(c => greek.getOrElse(c, c.toString))
+
+  // index per tier: normalized surface form -> entries
+  private def index(f: String => String): Map[String, Seq[GroundingEntry]] =
+    entries.groupBy(e => f(e.text))
+  private val exact = index(identity)
+  private val ci = index(_.toUpperCase)
+  private val punct = index(e => stripPunct(e.toUpperCase))
+  private val grk = index(e => expandGreek(stripPunct(e.toUpperCase)))
+
+  /** All candidates, best first. */
+  def candidates(text: String): Seq[(Double, GroundingEntry)] = {
+    val tiers = Seq(
+      1.0 -> exact.getOrElse(text, Nil),
+      0.9 -> ci.getOrElse(text.toUpperCase, Nil),
+      0.8 -> punct.getOrElse(stripPunct(text.toUpperCase), Nil),
+      0.7 -> grk.getOrElse(expandGreek(stripPunct(text.toUpperCase)), Nil))
+    val best = // an entry keeps only its highest-scoring tier
+      tiers.flatMap { case (s, es) => es.map(e => (s, e)) }
+        .groupBy(_._2).values.map(_.maxBy(_._1)).toSeq
+    best.sortBy { case (s, e) => (-s, -e.prior, e.ns, e.id) }
+  }
+
+  def ground(text: String): Option[(String, String)] =
+    candidates(text).headOption.map { case (_, e) => (e.ns, e.id) }
+}
+
 object Grounder {
   /** Tiny built-in table for tests/demos; production supplies its own. */
   val default: DictGrounder = DictGrounder(Map(
@@ -24,5 +83,15 @@ object Grounder {
     "MEK" -> ("FPLX", "MEK"),
     "TP53" -> ("HGNC", "11998"),
     "VEMURAFENIB" -> ("CHEBI", "63637"),
+  ))
+
+  /** Scored demo table exercising every tier. */
+  val scoredDefault: ScoredGrounder = ScoredGrounder(Seq(
+    GroundingEntry("ERK", "FPLX", "ERK", prior = 5.0),
+    GroundingEntry("MEK", "FPLX", "MEK", prior = 4.0),
+    GroundingEntry("TP53", "HGNC", "11998", prior = 9.0),
+    GroundingEntry("TP53", "UP", "P04637", prior = 2.0),
+    GroundingEntry("TNFα", "FPLX", "TNF", prior = 3.0),
+    GroundingEntry("Vemurafenib", "CHEBI", "63637", prior = 1.0),
   ))
 }

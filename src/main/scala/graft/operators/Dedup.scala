@@ -165,21 +165,25 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
-  /** 32-bit SimHash from token hashes: per bit, majority vote of token-hash
-    * bits; set bit where the vote is positive. Bit tests go through a
-    * broadcast (bit, mask) dimension so the same plan works as plain SQL. */
+  /** 32-bit SimHash from token hashes — single pass over the token rows:
+    * the per-bit majority votes are `bits` conditional sums inside ONE
+    * doc-keyed aggregation (full map-side partial agg, all codegen'd).
+    * The earlier shape joined a broadcast (bit, mask) dimension, inflating
+    * every token row 32× before the partial aggregate. Bit b is set where
+    * 2 × set-bit-count > token count — exactly the positive-majority vote
+    * (ties clear the bit, as before). */
   def simhash(tokens: DataFrame, bits: Int = 32): DataFrame = {
-    val spark = tokens.sparkSession
-    import spark.implicits._
-    val bitIdx = (0 until bits).map(b => (b, 1L << b)).toDF("bit", "mask")
+    val counts = (0 until bits).map(b =>
+      sum(shiftright(col("th"), b).bitwiseAND(lit(1L))).as(s"c$b"))
     tokens
       .withColumn("th", TextAnalysis.rollingHash(col("tok")))
-      .join(broadcast(bitIdx))
-      .groupBy("doc_id", "bit", "mask")
-      .agg(sum(when(col("th").bitwiseAND(col("mask")) =!= 0, 1).otherwise(-1))
-        .as("vote"))
       .groupBy("doc_id")
-      .agg(sum(when(col("vote") > 0, col("mask")).otherwise(0L)).as("simhash"))
+      .agg(counts.head, (counts.tail :+ count(lit(1)).as("n")): _*)
+      .select(col("doc_id"),
+        (0 until bits)
+          .map(b => when(col(s"c$b") * 2 > col("n"), lit(1L << b))
+            .otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dup pairs: candidates sharing at least one of the four

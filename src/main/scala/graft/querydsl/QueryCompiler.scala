@@ -111,10 +111,14 @@ object QueryCompiler {
 
     case HasAgent(id0, ns0, role, agNum, _) =>
       // AUTO namespace resolves through the pluggable grounder (the
-      // reference runs gilda here, query.py:1687-1700); unresolved names
-      // fall back to NAME
+      // reference runs gilda here, query.py:1687-1700) — the scored
+      // tier-ranked table, gilda's candidate-ranking shape; unresolved
+      // names fall back to NAME
       val (ns, id) =
-        if (ns0 == "AUTO") Grounder.default.ground(id0).getOrElse(("NAME", id0))
+        if (ns0 == "AUTO")
+          Grounder.scoredDefault.ground(id0)
+            .orElse(Grounder.default.ground(id0))
+            .getOrElse(("NAME", id0))
         else (ns0, id0)
       // namespace routes the scan (query.py:1717-1725): NAME and TEXT have
       // dedicated tables because they dominate the row count

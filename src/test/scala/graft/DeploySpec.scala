@@ -47,6 +47,21 @@ class DeploySpec extends AnyFunSuite {
     assert(Grounder.default.ground("erk").contains(("FPLX", "ERK")))
   }
 
+  test("scored grounder ranks by match tier then prior (gilda shape)") {
+    val g = Grounder.scoredDefault
+    // exact and case-insensitive tiers
+    assert(g.ground("TNFα").contains(("FPLX", "TNF")))
+    assert(g.ground("erk").contains(("FPLX", "ERK")))
+    // punctuation-insensitive tier: "TP-53" -> TP53; prior picks HGNC
+    // over the UP entry sharing the surface form
+    assert(g.ground("TP-53").contains(("HGNC", "11998")))
+    assert(g.candidates("TP53").map(_._2.ns) == Seq("HGNC", "UP"))
+    // greek-expansion tier: spelled-out letter reaches the α entry
+    assert(g.ground("tnf-alpha").contains(("FPLX", "TNF")))
+    // unknown stays unresolved
+    assert(g.ground("XYZZY").isEmpty)
+  }
+
   test("curation counts and anonymization") {
     import spark.implicits._
     val cur = Seq((1L, "alice"), (1L, "bob"), (2L, "alice"))
