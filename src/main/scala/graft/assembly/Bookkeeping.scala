@@ -47,7 +47,10 @@ object Bookkeeping {
 
   /** Persist the validation rejects of a run (the rejected_statements
     * table) with the reason each row failed — parse error, missing type,
-    * or no agents (the checks of Preassembly.partitionValid). */
+    * or no agents (the checks of Preassembly.partitionValid). Non-suspect
+    * rows skip the strict parse (Preassembly.parse), so their garbage
+    * partial-fills to an empty struct and reports as `no_type`;
+    * `parse_error` marks rows that failed BOTH strict parses. */
   def recordRejected(rejected: DataFrame, dir: String, runId: Long): Unit = {
     val stmt = col("stmt")
     val reason = when(stmt.isNull, "parse_error")

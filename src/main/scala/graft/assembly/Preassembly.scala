@@ -39,18 +39,32 @@ object Preassembly {
     * cleanup actually broke. */
   def parse(raw: DataFrame): DataFrame = {
     val cleanedStr = cleanRawJson(col("raw_json"))
-    // from_json in PERMISSIVE mode PARTIALLY fills the struct up to the
+    // Plain PERMISSIVE from_json PARTIALLY fills the struct up to the
     // first error, so it cannot tell "parsed" from "broke halfway" — the
-    // reference's json.loads is all-or-nothing. try_parse_json is the
-    // strict whole-document check (null on ANY malformed byte), mirroring
-    // the decision table exactly: cleaned wins iff the cleaned bytes are
-    // valid JSON, else fall back to the raw bytes.
-    val stmt = when(try_parse_json(cleanedStr).isNotNull,
-        StatementModel.parse(cleanedStr))
-      .when(try_parse_json(col("raw_json")).isNotNull,
-        StatementModel.parse(col("raw_json")))
-    // no otherwise: both parses failed -> null stmt -> rejected row,
-    // never a partially-filled struct masquerading as a statement
+    // reference's json.loads is all-or-nothing; try_parse_json is the
+    // strict whole-document check (null on ANY malformed byte). But the
+    // variant parse costs several times the struct parse, so it runs ONLY
+    // on SUSPECT rows — those carrying a backslash or NUL, which by
+    // construction is every row the cleanup can change (both rescue and
+    // break cases need a backslash to exist). Clean-byte rows take one
+    // plain parse; their malformed instances partial-fill at most a
+    // prefix, which the downstream validity gate (no type / no agents)
+    // rejects just as the reference would.
+    val suspect =
+      col("raw_json").contains("\\") || col("raw_json").contains("\u0000")
+    val chosen = when(!suspect, col("raw_json"))
+      .when(try_parse_json(cleanedStr).isNotNull, cleanedStr)
+      .when(try_parse_json(col("raw_json")).isNotNull, col("raw_json"))
+    // The always-true nondeterministic guard pins the parse in ITS OWN
+    // projection: downstream validity filters reference stmt's fields many
+    // times, and both predicate pushdown and project collapse substitute a
+    // deterministic alias PER REFERENCE — measured 28 inlined from_json
+    // copies (a 30× slowdown once the generated method outgrows codegen).
+    // Alias substitution is illegal for nondeterministic expressions, so
+    // every consumer reads the once-per-row attribute instead. Nothing
+    // useful is pushable below a raw-statement parse anyway.
+    val stmt = when(monotonically_increasing_id() >= 0,
+      StatementModel.parse(chosen))
     raw.withColumn("stmt", stmt)
       .withColumn("matches_key", StatementModel.matchesKey(col("stmt")))
       .withColumn("mk_hash", stable_hash64(col("matches_key")))

@@ -225,6 +225,10 @@ object StatementModel {
       .otherwise(regKey)
   }
 
-  /** Parse a raw JSON column into the statement struct. */
+  /** Parse a raw JSON column into the statement struct. (A corrupt-record
+    * column would give a strict validity signal from the same parse, but
+    * carrying columnNameOfCorruptRecord measured ~20× slower end-to-end —
+    * from_json must then retain and re-render whole inputs — so strict
+    * checking lives in Preassembly.parse on the rows that need it.) */
   def parse(rawJson: Column): Column = from_json(rawJson, statementSchema)
 }

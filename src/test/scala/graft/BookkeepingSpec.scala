@@ -58,14 +58,18 @@ class BookkeepingSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("rej").toString
     val raw = Seq(
       (1L, """{"type":"Activation","subj":{"name":"A"},"obj":{"name":"B"}}"""),
+      // backslash-free garbage partial-fills to an empty struct -> no_type
       (2L, """garbage"""),
       (3L, """{"type":"Activation"}"""),
       (4L, """{"subj":{"name":"A"}}"""),
+      // suspect (backslash) garbage fails BOTH strict parses -> parse_error
+      (5L, """{"ty\\pe": \q"""),
     ).toDF("raw_stmt_id", "raw_json")
     val (_, rejected) = Preassembly.partitionValid(Preassembly.parse(raw))
     Bookkeeping.recordRejected(rejected, dir, runId = 7L)
     val rows = Bookkeeping.rejectedStatements(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(rows == Map(2L -> "parse_error", 3L -> "no_agents", 4L -> "no_type"))
+    assert(rows == Map(2L -> "no_type", 3L -> "no_agents", 4L -> "no_type",
+      5L -> "parse_error"))
   }
 }
