@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions.{count, lit}
   * regression. "queries" stays name -> seconds for the driver contract.
   */
 object Bench {
+  // DISTINCT stage ids: a reused exchange prints at every consumer site,
+  // which would over-count shared shuffles as independent ones
   private def occ(s: String, pat: String): Int =
-    s.split(java.util.regex.Pattern.quote(pat), -1).length - 1
+    (pat + " (\\d+)").r.findAllMatchIn(s).map(_.group(1)).toSet.size
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
