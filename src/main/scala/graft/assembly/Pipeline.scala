@@ -118,7 +118,14 @@ object Pipeline {
       case Some(d) =>
         df.write.mode("overwrite").parquet(s"$d/$name")
         df.sparkSession.read.parquet(s"$d/$name")
-      case None => df
+      case None =>
+        // no artifact dir: still truncate the plan at the same boundary —
+        // downstream stages consume parsed/unique/agents subtrees many
+        // times each, and re-inlining the (wide-schema) parse per consumer
+        // makes analysis memory quadratic in pipeline depth. The lazy
+        // local checkpoint replaces the logical plan with an RDD scan
+        // immediately and materializes on first use.
+        df.localCheckpoint(false)
     }
 
   /** Run the full DAG; returns the queryable readonly layer. */

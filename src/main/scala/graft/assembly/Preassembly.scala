@@ -82,8 +82,14 @@ object Preassembly {
     val hasAgent = stmt.getField("subj").isNotNull ||
       stmt.getField("obj").isNotNull || stmt.getField("enz").isNotNull ||
       stmt.getField("sub").isNotNull || stmt.getField("agent").isNotNull ||
+      stmt.getField("gef").isNotNull || stmt.getField("gap").isNotNull ||
+      stmt.getField("ras").isNotNull ||
       (stmt.getField("members").isNotNull &&
-        size(stmt.getField("members")) > 0)
+        size(stmt.getField("members")) > 0) ||
+      (stmt.getField("obj_from").isNotNull &&
+        size(stmt.getField("obj_from")) > 0) ||
+      (stmt.getField("obj_to").isNotNull &&
+        size(stmt.getField("obj_to")) > 0)
     val ok = stmt.isNotNull && stmt.getField("type").isNotNull && hasAgent
     (parsed.filter(ok), parsed.filter(!ok || ok.isNull))
   }
@@ -111,14 +117,29 @@ object Preassembly {
         entry(stmt.getField("subj"), lit(0), lit(-1)),
         entry(stmt.getField("enz"), lit(0), lit(-1)),
         entry(stmt.getField("agent"), lit(0), lit(0)),
+        entry(stmt.getField("gef"), lit(0), lit(-1)),
+        entry(stmt.getField("gap"), lit(0), lit(-1)),
         entry(stmt.getField("obj"), lit(1), lit(1)),
-        entry(stmt.getField("sub"), lit(1), lit(1))),
+        entry(stmt.getField("sub"), lit(1), lit(1)),
+        entry(stmt.getField("ras"), lit(1), lit(1))),
       e => e.getField("agent").isNotNull)
     val members = coalesce(
       transform(stmt.getField("members"),
         (m, i) => entry(m, i, lit(0))),
       array())
-    concat(binary, members)
+    // Conversion positions follow INDRA's agent_list order:
+    // [subj] ++ obj_from ++ obj_to
+    val nFrom = when(stmt.getField("obj_from").isNotNull,
+      size(stmt.getField("obj_from"))).otherwise(lit(0))
+    val objFrom = coalesce(
+      transform(stmt.getField("obj_from"),
+        (m, i) => entry(m, i + lit(1), lit(1))),
+      array())
+    val objTo = coalesce(
+      transform(stmt.getField("obj_to"),
+        (m, i) => entry(m, i + lit(1) + nFrom, lit(1))),
+      array())
+    concat(binary, members, objFrom, objTo)
   }
 
   /** Normalized agent rows from parsed statements — the pa_agents

@@ -90,6 +90,14 @@ object StatementModel {
     StructField("sub", agentSchema),
     StructField("agent", agentSchema),
     StructField("members", ArrayType(agentSchema)),
+    // Gef(gef, ras) / Gap(gap, ras) / Conversion(subj, obj_from, obj_to)
+    // slots (the reference's agent-field enumeration includes them,
+    // util/content_scripts.py:477)
+    StructField("gef", agentSchema),
+    StructField("gap", agentSchema),
+    StructField("ras", agentSchema),
+    StructField("obj_from", ArrayType(agentSchema)),
+    StructField("obj_to", ArrayType(agentSchema)),
     StructField("residue", StringType),
     StructField("position", StringType),
     StructField("obj_activity", StringType),
@@ -214,7 +222,28 @@ object StatementModel {
       when(subj.isNotNull, agentKey(subj)).otherwise(lit("None")), lit(", "),
       agentKey(stmt.getField("obj")), lit(", "),
       opt(stmt.getField("obj_activity")), lit(")"))
+    // Gef/Gap: `Type(catalyst, ras)` (INDRA Gef/Gap.matches_key pairs);
+    // Conversion: subj plus the from/to lists IN ORDER (INDRA keeps the
+    // list order, unlike Complex's sorted members)
+    val gef = stmt.getField("gef")
+    val gap = stmt.getField("gap")
+    val gefKey = concat(t, lit("("), agentKey(gef), lit(", "),
+      agentKey(stmt.getField("ras")), lit(")"))
+    val gapKey = concat(t, lit("("), agentKey(gap), lit(", "),
+      agentKey(stmt.getField("ras")), lit(")"))
+    def keyList(arr: Column) = concat(lit("["),
+      when(arr.isNotNull,
+        array_join(transform(arr, a => agentKey(a)), "|")).otherwise(lit("")),
+      lit("]"))
+    val objFrom = stmt.getField("obj_from")
+    val objTo = stmt.getField("obj_to")
+    val conversionKey = concat(t, lit("("),
+      when(subj.isNotNull, agentKey(subj)).otherwise(lit("None")), lit(", "),
+      keyList(objFrom), lit(", "), keyList(objTo), lit(")"))
     when(members.isNotNull, complexKey)
+      .when(gef.isNotNull, gefKey)
+      .when(gap.isNotNull, gapKey)
+      .when(objFrom.isNotNull || objTo.isNotNull, conversionKey)
       .when(sub.isNotNull, modStmtKey)
       .when(enz.isNotNull, selfModKey)
       .when(agent.isNotNull && stmt.getField("activity").isNotNull, activeFormKey)

@@ -89,6 +89,10 @@ object English {
         concat(a0, lit(" binds "),
           array_join(slice(names, lit(2), greatest(size(names) - 1, lit(1))),
             ", "), dot))
+      .when(stype === "Gef",
+        concat(a0, lit(" is a GEF for "), a1, dot))
+      .when(stype === "Gap",
+        concat(a0, lit(" is a GAP for "), a1, dot))
       // subject absent: passive voice over the first PRESENT agent
       // ("ERK is phosphorylated on T185.") — must precede the one-agent
       // branch, which keys on the count of present agents

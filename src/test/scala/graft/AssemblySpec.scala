@@ -47,6 +47,16 @@ class AssemblySpec extends AnyFunSuite {
       ("""{"type":"Complex","members":[{"name":"X","db_refs":{"HGNC":"6840"}},{"name":"ERK","db_refs":{"FPLX":"ERK"},"bound_conditions":[{"agent":{"name":"MEK","db_refs":{"FPLX":"MEK"}},"is_bound":true}]}]}""",
         "Complex(FPLX:ERK{bc=[FPLX:MEK,true]}|HGNC:6840)",
         -5163836106752274781L),
+      // Gef/Gap catalyst pairs and Conversion's ORDER-PRESERVED from/to
+      // lists (the reference's agent-field enumeration carries these
+      // slots, util/content_scripts.py:477)
+      ("""{"type":"Gef","gef":{"name":"SOS1","db_refs":{"HGNC":"11187"}},"ras":{"name":"KRAS","db_refs":{"HGNC":"6407"}}}""",
+        "Gef(HGNC:11187, HGNC:6407)", -3253147780506931265L),
+      ("""{"type":"Gap","gap":{"name":"RASA1","db_refs":{"HGNC":"9871"}},"ras":{"name":"KRAS","db_refs":{"HGNC":"6407"}}}""",
+        "Gap(HGNC:9871, HGNC:6407)", 705486445317419568L),
+      ("""{"type":"Conversion","subj":{"name":"HK1","db_refs":{"HGNC":"4922"}},"obj_from":[{"name":"glucose","db_refs":{"CHEBI":"17234"}}],"obj_to":[{"name":"g6p","db_refs":{"CHEBI":"4170"}}]}""",
+        "Conversion(HGNC:4922, [CHEBI:17234], [CHEBI:4170])",
+        -4997962917935916235L),
     )
     val got = Preassembly.parse(
         raws.map(r => (1L, r._1)).toDF("raw_stmt_id", "raw_json"))
@@ -79,6 +89,20 @@ class AssemblySpec extends AnyFunSuite {
     val act = Preassembly.activityRows(parsed).collect()
       .map(r => (r.getString(1), r.getBoolean(2))).toSet
     assert(act == Set(("kinase", true)))
+  }
+
+  test("conversion/gef/gap agents enumerate with INDRA's positions") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, """{"type":"Conversion","subj":{"name":"HK1","db_refs":{"HGNC":"4922"}},"obj_from":[{"name":"glucose","db_refs":{"CHEBI":"17234"}}],"obj_to":[{"name":"g6p","db_refs":{"CHEBI":"4170"}}]}"""),
+      (2L, """{"type":"Gef","gef":{"name":"SOS1","db_refs":{"HGNC":"11187"}},"ras":{"name":"KRAS","db_refs":{"HGNC":"6407"}}}"""),
+    ).toDF("raw_stmt_id", "raw_json")
+    val rows = Preassembly.agentRows(Preassembly.parse(raw))
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getString(3))).toSet
+    // Conversion: [subj]=0 ++ obj_from=1 ++ obj_to=2; Gef: gef=0, ras=1
+    assert(rows == Set(
+      (0, "HGNC", "4922"), (1, "CHEBI", "17234"), (2, "CHEBI", "4170"),
+      (0, "HGNC", "11187"), (1, "HGNC", "6407")))
   }
 
   test("dedup keeps lowest raw id; source counts aggregate") {

@@ -59,6 +59,10 @@ class EnglishSpec extends AnyFunSuite {
     assert(typed("Translocation", Seq(Some("ERK")),
       fromLoc = Some("cytoplasm"), toLoc = Some("nucleus")) ==
       "ERK translocates from the cytoplasm to the nucleus.")
+    assert(typed("Gef", Seq(Some("SOS1"), Some("KRAS"))) ==
+      "SOS1 is a GEF for KRAS.")
+    assert(typed("Gap", Seq(Some("RASA1"), Some("KRAS"))) ==
+      "RASA1 is a GAP for KRAS.")
   }
 
   test("meta fallback matches _make_english_from_meta shapes") {
