@@ -405,7 +405,11 @@ object AssemblyQueries extends QueryPack {
         val raw = Tables.table(s, dir, "lineitem")
           .select(col("l_orderkey").as("raw_stmt_id"), cat.as("category"),
             json.as("raw_json"))
-        val (valid, rejected) = Preassembly.partitionValid(Preassembly.parse(raw))
+        // parse once: valid and rejected are two filters over the same
+        // rows, and without the boundary the union re-runs the whole
+        // parse (incl. the strict suspect checks) per branch
+        val parsed = Preassembly.parse(raw).localCheckpoint(false)
+        val (valid, rejected) = Preassembly.partitionValid(parsed)
         valid.select(col("category"), lit(1L).as("ok"), col("matches_key"))
           .unionByName(rejected.select(col("category"), lit(0L).as("ok"),
             lit(null).cast("string").as("matches_key")))
