@@ -136,7 +136,8 @@ object Pipeline {
       readerSources: Seq[String],
       dbSources: Seq[String],
       checkpointDir: Option[String] = None,
-      ontology: Option[DataFrame] = None): ReadonlyTables = {
+      ontology: Option[DataFrame] = None,
+      runId: Long = 0L): ReadonlyTables = {
 
     // 1. distill: authoritative reading per (paper, reader); raw statements
     //    from dropped readings are discarded, KB rows (no reading) kept
@@ -149,7 +150,7 @@ object Pipeline {
     //    out, recorded to the rejected_statements log when checkpointing)
     //    -> canonical key -> hash
     val (valid, rejected) = Preassembly.partitionValid(Preassembly.parse(raw))
-    checkpointDir.foreach(d => Bookkeeping.recordRejected(rejected, d, runId = 0L))
+    checkpointDir.foreach(d => Bookkeeping.recordRejected(rejected, d, runId))
     val parsed = checkpoint(
       valid.withColumn("stype", col("stmt.type")),
       checkpointDir, "parsed")
@@ -220,7 +221,18 @@ object Pipeline {
           lit(null).cast("long").as("doi_ns"),
           lit(null).cast("string").as("doi_id")),
     )
-    ReadonlyBuilder.build(spark, world, types, readerSources, dbSources,
+    val ro = ReadonlyBuilder.build(spark, world, types, readerSources, dbSources,
       complexTypeNum = types.toNum.get("Complex"))
+
+    // append the completed-run watermark the supplement path reads
+    // (Bookkeeping.lastCompleted ≡ the reference's last preassembly_updates
+    // row, preassemble_db.py:481-543). Counts come off the checkpointed
+    // parquet, so no stage is recomputed for the stats.
+    checkpointDir.foreach { d =>
+      Bookkeeping.recordUpdate(spark, d, "preassembly", runId, Map(
+        "raw_parsed" -> parsed.count(),
+        "unique_statements" -> uniq.count()))
+    }
+    ro
   }
 }

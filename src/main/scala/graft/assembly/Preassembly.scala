@@ -108,7 +108,7 @@ object Preassembly {
     * pa_muts extractions: one (ag_num, role_num, agent) entry per agent
     * position — subj/enz/agent -> SUBJECT-side at position 0, obj/sub ->
     * OBJECT at 1, members -> OTHER at their index. */
-  private def agentEntries(stmt: Column): Column = {
+  def agentEntries(stmt: Column): Column = {
     def entry(agent: Column, agNum: Column, roleNum: Column) =
       struct(agNum.cast("int").as("ag_num"), roleNum.cast("int").as("role_num"),
         agent.as("agent"))

@@ -57,14 +57,6 @@ object RawStatements {
       }
     }.getOrElse(idVal)
 
-  /** Column form of regularize_agent_id for the ingest-side extraction. */
-  def regularizeAgentIdCol(idVal: Column, ns: Column): Column =
-    nsAbbrevs.foldLeft(idVal) { case (acc, (abbrev, div)) =>
-      when(upper(ns) === abbrev && idVal.startsWith(abbrev),
-        regexp_replace(expr(s"substring(${"" /* placeholder */}x, 0, 0)"), "", ""))
-        .otherwise(acc) // replaced below; see regularized
-    }
-
   /** Raw-agent rows from parsed raw statements — extract_agent_data
     * (util/insert.py:177-235): one row per db_refs entry PLUS a NAME row,
     * ids regularized, role names per the binary/n-ary split that
@@ -90,7 +82,7 @@ object RawStatements {
           .otherwise(acc)
     }
     parsed
-      .withColumn("ag", explode(graft.assembly.Preassembly.agentEntriesOf(col("stmt"))))
+      .withColumn("ag", explode(graft.assembly.Preassembly.agentEntries(col("stmt"))))
       .withColumn("r", explode(withName))
       .filter(col("r.value").isNotNull)
       .select(col("raw_stmt_id"), col("ag.ag_num").as("ag_num"),
@@ -182,10 +174,10 @@ object RawStatements {
       case "trid" =>
         refs.filter(col("trid").isin(ids.flatMap(_.toLongOption): _*))
       case "pmcid" =>
-        val nums = ids.flatMap(graft.functions.Ids.pmcidNumOf)
+        val nums = ids.map(graft.functions.Ids.parsePmcidNum)
         refs.filter(col("pmcid_num").isin(nums: _*))
       case "doi" =>
-        val parts = ids.flatMap(graft.functions.Ids.doiParts)
+        val parts = ids.map(graft.functions.Ids.parseDoi)
         val cond = parts.map { case (ns, id) =>
           col("doi_ns") === ns && col("doi_id") === id
         }.reduceOption(_ || _).getOrElse(lit(false))

@@ -138,22 +138,49 @@ object HttpApi {
           s"""{"error":${JsonMethods.compact(JString(e.getMessage))}}""")
     }
 
+  /** limit/offset over a deterministic total order — the reference pages
+    * every result type (api.py:359-418 passes limit/offset through each
+    * ResultSQL's run); a no-op when neither param was given so unpaged
+    * requests keep the cheaper unsorted plan. */
+  private def page(
+      df: DataFrame,
+      order: Seq[org.apache.spark.sql.Column],
+      limit: Int,
+      offset: Int): DataFrame =
+    if (limit <= 0 && offset <= 0) df
+    else {
+      val sorted = df.orderBy(order: _*)
+      val off = if (offset > 0) sorted.offset(offset) else sorted
+      if (limit > 0) off.limit(limit) else off
+    }
+
   private def dispatch(
       q: StmtQuery,
       resultType: String,
       ro: ReadonlyTables,
       types: TypeRegistry,
       p: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val limit = p.get("limit").map(_.toInt).getOrElse(0)
     val offset = p.get("offset").map(_.toInt).getOrElse(0)
     val evLimit = p.get("ev_limit").map(_.toInt).getOrElse(10)
     val sortBy = p.getOrElse("sort_by", "ev_count")
     resultType match {
       case "hashes" => Results.hashes(q, ro, types, sortBy, limit, offset)
-      case "statements" => Results.statementJsonResult(q, ro, types, evLimit)
-      case "interactions" => Results.interactions(q, ro, types)
-      case "relations" => Results.relations(q, ro, types)
-      case "agents" => Results.agents(q, ro, types)
+      case "statements" => page(
+        Results.statementJsonResult(q, ro, types, evLimit),
+        Seq(col("mk_hash").asc), limit, offset)
+      case "interactions" => page(
+        Results.interactions(q, ro, types),
+        Seq(col("ev_count").desc, col("mk_hash").asc, col("agent_str").asc),
+        limit, offset)
+      case "relations" => page(
+        Results.relations(q, ro, types),
+        Seq(col("total_ev").desc, col("agent_str").asc, col("type_num").asc),
+        limit, offset)
+      case "agents" => page(
+        Results.agents(q, ro, types),
+        Seq(col("total_ev").desc, col("agent_str").asc), limit, offset)
     }
   }
 }
