@@ -27,9 +27,12 @@ object Preassembly {
     * reference collapses `\\` to `\`, parses that, and falls back to the
     * raw bytes when collapsing broke a valid escape; only rows failing
     * BOTH parses are rejected. NUL bytes are stripped first (they are
-    * invalid inside JSON strings and reject the whole row otherwise). */
+    * invalid inside JSON strings and reject the whole row otherwise).
+    * The backslash collapse is a literal (non-regex) replace, like the
+    * reference's str.replace — StringReplace skips the regex engine on
+    * this every-row path. */
   def cleanRawJson(c: Column): Column =
-    regexp_replace(translate(c, "\u0000", ""), "\\\\\\\\", "\\\\")
+    replace(translate(c, "\u0000", ""), lit("\\\\"), lit("\\"))
 
   /** Parse raw statement rows: adds `stmt` struct, `matches_key`, `mk_hash`.
     * Input needs a `raw_json` string column. Applies the clean_json_loads

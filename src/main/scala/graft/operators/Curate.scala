@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for large-scale training-data pipelines:
+  * benchmark decontamination, PII redaction, repetition-based quality
+  * signals (Gopher-style), and deterministic mixture sampling / split
+  * assignment. Like the rest of the operator family these are built from
+  * codegen'd built-ins + the compiled shingle/hash kernels — no UDFs — and
+  * all randomness is a deterministic content hash, so every operator has a
+  * relational oracle and re-runs are reproducible across engines.
+  */
+object Curate {
+
+  // --- benchmark decontamination -------------------------------------------
+
+  /** Per-document n-gram overlap against a benchmark/eval set — the
+    * standard training-corpus decontamination check (flag a training doc
+    * whose shingle overlap with the eval set is high enough that the
+    * benchmark leaks into training).
+    *
+    * Scale shape: the benchmark side is tiny next to the corpus (10⁴–10⁶
+    * distinct n-grams vs 10¹²), so its distinct shingle-hash set BROADCASTS
+    * and corpus shingles probe it map-side; the only shuffle is the per-doc
+    * count aggregation on (doc_id), and raw text never moves past the
+    * shingle projection. No self-join anywhere.
+    *
+    * Output: (doc_id, n_shingles, n_hits, overlap_frac) for every corpus
+    * doc that produced at least one shingle.
+    */
+  def ngramOverlap(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    val cs = Dedup.shingleSet(corpus, idCol, textCol, n)
+    val bs = Dedup.shingleSet(bench, idCol, textCol, n)
+      .select("sh_hash").distinct()
+    cs.join(broadcast(bs.withColumn("hit", lit(1L))), Seq("sh_hash"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("overlap_frac",
+        col("n_hits").cast("double") / col("n_shingles").cast("double"))
+  }
+
+  /** The contaminated subset at `minFrac` overlap. */
+  def contaminated(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minFrac: Double = 0.5): DataFrame =
+    ngramOverlap(corpus, bench, idCol, textCol, n)
+      .filter(col("overlap_frac") >= minFrac)
+
+  // --- PII redaction -------------------------------------------------------
+
+  /** (name, pattern, replacement) applied in order. Patterns restrict to
+    * regex constructs with identical semantics under Java regex and RE2
+    * (character classes, bounded quantifiers, \b) so the DuckDB oracle
+    * matches byte-for-byte. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b", "[PHONE]"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "[IP]"),
+  )
+
+  /** Redact PII in `textCol`: per-category match counts (on the original
+    * text) plus the scrubbed text with each match replaced by its category
+    * token. Pure map-side work — every function is codegen'd, nothing
+    * shuffles. */
+  def piiScrub(df: DataFrame, textCol: String): DataFrame = {
+    val counted = piiPatterns.foldLeft(df) { case (acc, (name, pat, _)) =>
+      acc.withColumn(s"n_$name",
+        size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long"))
+    }
+    val clean = piiPatterns.foldLeft(col(textCol)) {
+      case (acc, (_, pat, rep)) => regexp_replace(acc, pat, rep)
+    }
+    counted.withColumn("clean", clean)
+  }
+
+  // --- repetition / quality signals (Gopher-style) -------------------------
+
+  /** Repetition quality signals per document, in the spirit of the Gopher
+    * rules (repeated lines, ellipsis lines, dominant n-gram):
+    *
+    *   - n_lines, dup_line_frac: fraction of lines that are copies of
+    *     another line in the same doc (sum of counts over duplicated line
+    *     groups / total lines);
+    *   - ellipsis_line_frac: fraction of lines ending in "...";
+    *   - top_bigram_frac: occurrences of the most frequent word bigram /
+    *     total bigram occurrences (null when a doc has no bigram).
+    *
+    * Both signals are per-doc aggregations over exploded (line / bigram)
+    * rows — full map-side partial aggregation, shuffling only (doc_id, key)
+    * counts, never the text.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lineAgg = df
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "\n")).as("line"))
+      .groupBy("doc_id", "line")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_lines"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_dup"),
+        sum(when(col("line").endsWith("..."), col("c")).otherwise(0L))
+          .as("n_ellipsis"))
+    val bigramAgg = df
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.vectors.word_shingles(col(textCol), 2)).as("bg"))
+      .groupBy("doc_id", "bg")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"), max("c").as("top_bigram"))
+    lineAgg
+      .join(bigramAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        (col("n_dup").cast("double") / col("n_lines").cast("double"))
+          .as("dup_line_frac"),
+        (col("n_ellipsis").cast("double") / col("n_lines").cast("double"))
+          .as("ellipsis_line_frac"),
+        (col("top_bigram").cast("double") / col("n_bigrams").cast("double"))
+          .as("top_bigram_frac"))
+  }
+
+  // --- deterministic sampling ----------------------------------------------
+
+  /** Stable per-row sampling bucket in [0, denom): the polynomial content
+    * hash of the id, reduced mod `denom`. Purely map-side and engine-
+    * portable (TextAnalysis.rollingHash has a DuckDB twin). */
+  def hashBucket(id: Column, denom: Long): Column =
+    pmod(TextAnalysis.rollingHash(id.cast("string")), lit(denom))
+
+  /** Deterministic stratified sampling to a target mixture: keep a row when
+    * its hash bucket clears the stratum's rate — the standard
+    * domain/language re-weighting step of a training-data pipeline,
+    * without RNG state (re-runs and engines agree row-for-row; adding data
+    * never flips the decision of an existing row). Strata absent from
+    * `rates` are dropped. One filter, no shuffle. */
+  def mixtureSample(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      rates: Map[String, Double],
+      denom: Long = 10000L): DataFrame = {
+    val threshold = rates.foldLeft(lit(0L)) { case (acc, (k, r)) =>
+      when(col(strataCol) === k, lit(math.round(r * denom))).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), denom) < threshold)
+  }
+
+  /** Sequence packing for pretraining batches: concatenate documents into a
+    * token stream and chop it at `budget`-token boundaries; each doc is
+    * assigned the sequence where it STARTS (the GPT-style contiguous-fill
+    * model — no bin-packing search, deterministic).
+    *
+    * Scale shape: a single global stream needs a total order — a
+    * one-partition window. Real pipelines pack WITHIN shards instead
+    * (training order is irrelevant, so mixing docs per shard is free), and
+    * so does this operator: the running offset is a window partitioned by
+    * the id-hash shard, embarrassingly parallel across `shards`.
+    *
+    * Output adds: shard, tok_offset (tokens before this doc in its shard's
+    * stream), seq_id (= shard * 1e6 + tok_offset / budget).
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      budget: Long,
+      shards: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col(idCol).asc)
+      .rowsBetween(Long.MinValue, -1)
+    df.withColumn("shard", hashBucket(col(idCol), shards))
+      .withColumn("tok_offset", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("seq_id",
+        col("shard") * 1000000L +
+          floor(col("tok_offset") / lit(budget)).cast("long"))
+  }
+
+  /** Deterministic train/val/test assignment by hash bucket — membership is
+    * a pure function of the id, so splits are stable under re-runs and
+    * appends. */
+  def hashSplit(
+      df: DataFrame,
+      idCol: String,
+      trainPct: Int = 90,
+      valPct: Int = 5): DataFrame = {
+    val b = hashBucket(col(idCol), 100L)
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+}

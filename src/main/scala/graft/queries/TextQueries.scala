@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Curate, Dedup, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Training-data pipeline operators over the `documents` and `embeddings`
@@ -492,6 +492,149 @@ shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
               (a, b) -> a + b) / (x.nrm * y.nrm), 4) AS cos
           FROM n x JOIN n y ON x.bucket = y.bucket AND x.id < y.id)
         WHERE cos >= 0.3"""),
+    ),
+
+    // --- corpus curation -------------------------------------------------
+    // benchmark decontamination: eval set = every 7th doc; the bench
+    // shingle-hash set broadcasts, corpus shingles probe it map-side
+    "q_decontaminate" -> QueryDef(
+      (s, dir) => Curate.ngramOverlap(
+        docs(s, dir).select("doc_id", "text"),
+        docs(s, dir).filter(col("doc_id") % 7 === 0).select("doc_id", "text"),
+        "doc_id", "text", n = 3),
+      Some(s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+        $DUCK_SHINGLES,
+        b AS (SELECT DISTINCT sh_hash FROM shh WHERE doc_id % 7 = 0)
+        SELECT doc_id,
+          CAST(count(*) AS BIGINT) AS n_shingles,
+          CAST(count(*) FILTER (WHERE sh_hash IN (SELECT sh_hash FROM b))
+            AS BIGINT) AS n_hits,
+          CAST(count(*) FILTER (WHERE sh_hash IN (SELECT sh_hash FROM b))
+              AS DOUBLE) / CAST(count(*) AS DOUBLE) AS overlap_frac
+        FROM shh GROUP BY doc_id"""),
+    ),
+
+    // PII redaction over a corpus with planted identifiers (the raw
+    // documents are clean synthetic tokens, so the gate plants them
+    // deterministically on both sides)
+    "q_pii_scrub" -> QueryDef(
+      (s, dir) => Curate.piiScrub(
+        docs(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 4 === 0,
+            concat(col("text"),
+              lit(" contact u"), (col("doc_id") % 10).cast("string"),
+              lit("@ex-mail.org call 555-123-456"),
+              (col("doc_id") % 10).cast("string"),
+              lit(" from 10.0.0."), (col("doc_id") % 10).cast("string")))
+            .otherwise(col("text")).as("text")), "text")
+        .select("doc_id", "n_email", "n_phone", "n_ip", "clean"),
+      Some("""WITH c AS (SELECT doc_id,
+          CASE WHEN doc_id % 4 = 0 THEN
+            text || ' contact u' || CAST(doc_id % 10 AS VARCHAR)
+              || '@ex-mail.org call 555-123-456'
+              || CAST(doc_id % 10 AS VARCHAR)
+              || ' from 10.0.0.' || CAST(doc_id % 10 AS VARCHAR)
+          ELSE text END AS text FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+            AS n_email,
+          CAST(len(regexp_extract_all(text,
+            '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS BIGINT) AS n_phone,
+          CAST(len(regexp_extract_all(text,
+            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT)
+            AS n_ip,
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+            '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '[PHONE]', 'g'),
+            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g')
+            AS clean
+        FROM c"""),
+    ),
+
+    // Gopher-style repetition signals over a corpus with planted repeated
+    // lines and a trailing ellipsis line on every 3rd doc
+    "q_text_repetition" -> QueryDef(
+      (s, dir) => Curate.repetitionStats(
+        docs(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit("\n"), col("text"),
+              lit("\nto be continued...")))
+            .otherwise(col("text")).as("text")),
+        "doc_id", "text"),
+      Some("""WITH c AS (SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0
+            THEN text || chr(10) || text || chr(10) || 'to be continued...'
+            ELSE text END AS text FROM documents),
+        lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+                  FROM c),
+        lg AS (SELECT doc_id, line, count(*) AS cnt FROM lines GROUP BY 1, 2),
+        la AS (SELECT doc_id, SUM(cnt) AS n_lines,
+                 SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS n_dup,
+                 SUM(CASE WHEN line LIKE '%...' THEN cnt ELSE 0 END) AS n_ell
+               FROM lg GROUP BY 1),
+        bg0 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                FROM c),
+        bg1 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                  i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS bg
+                FROM bg0),
+        bgg AS (SELECT doc_id, bg, count(*) AS cnt FROM bg1 GROUP BY 1, 2),
+        ba AS (SELECT doc_id, SUM(cnt) AS n_bigrams, MAX(cnt) AS top_bigram
+               FROM bgg GROUP BY 1)
+        SELECT la.doc_id, CAST(la.n_lines AS BIGINT) AS n_lines,
+          CAST(la.n_dup AS DOUBLE)/CAST(la.n_lines AS DOUBLE) AS dup_line_frac,
+          CAST(la.n_ell AS DOUBLE)/CAST(la.n_lines AS DOUBLE)
+            AS ellipsis_line_frac,
+          CAST(ba.top_bigram AS DOUBLE)/CAST(ba.n_bigrams AS DOUBLE)
+            AS top_bigram_frac
+        FROM la LEFT JOIN ba ON la.doc_id = ba.doc_id"""),
+    ),
+
+    // deterministic mixture sampling: per-language keep rates, membership
+    // a pure function of the content hash (no RNG state; append-stable)
+    "q_sample_mixture" -> QueryDef(
+      (s, dir) => Curate.mixtureSample(
+        docs(s, dir).select("doc_id", "lang"), "lang", "doc_id",
+        Map("en" -> 1.0, "de" -> 0.5, "es" -> 0.25, "fr" -> 0.1,
+          "zh" -> 0.05)),
+      Some(s"""SELECT doc_id, lang FROM documents
+        WHERE ${duckHash("CAST(doc_id AS VARCHAR)")} % 10000 <
+          CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 5000
+                    WHEN 'es' THEN 2500 WHEN 'fr' THEN 1000
+                    WHEN 'zh' THEN 500 ELSE 0 END"""),
+    ),
+
+    // sequence packing: contiguous fill of 512-token training sequences,
+    // packed per id-hash shard (the parallel form; no global stream order)
+    "q_pack_sequences" -> QueryDef(
+      (s, dir) => Curate.packSequences(
+        docs(s, dir).select(col("doc_id"),
+          TextAnalysis.approxBpeTokens(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", budget = 512L, shards = 8),
+      Some(s"""WITH t AS (SELECT doc_id,
+          CAST(ceil(CAST(length(text) AS DOUBLE)/4.0) AS BIGINT) AS n_tokens,
+          ${duckHash("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+        FROM documents)
+        SELECT doc_id, n_tokens, shard,
+          CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS tok_offset,
+          CAST(shard * 1000000 +
+            COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+            AS BIGINT) AS seq_id
+        FROM t"""),
+    ),
+
+    // deterministic train/val/test assignment by hash bucket
+    "q_hash_split" -> QueryDef(
+      (s, dir) => Curate.hashSplit(docs(s, dir).select("doc_id"), "doc_id"),
+      Some(s"""SELECT doc_id,
+        CASE WHEN ${duckHash("CAST(doc_id AS VARCHAR)")} % 100 < 90
+               THEN 'train'
+             WHEN ${duckHash("CAST(doc_id AS VARCHAR)")} % 100 < 95
+               THEN 'val'
+             ELSE 'test' END AS split FROM documents"""),
     ),
   )
 }

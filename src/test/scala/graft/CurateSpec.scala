@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Curate
+import graft.sources.Tables
+
+/** Curation-operator semantics the DuckDB gate can't express: the planted
+  * leak is flagged at full overlap, redaction removes every planted
+  * pattern, sampling is deterministic/append-stable, and the sampled rate
+  * tracks the target.
+  */
+class CurateSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local("curate-test")
+  val dir = "/root/testdata/sf0.001"
+
+  def docs = Tables.table(spark, dir, "documents").select("doc_id", "text")
+
+  test("decontamination flags every benchmark member at overlap 1.0") {
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val flagged = Curate.contaminated(docs, bench, "doc_id", "text",
+      n = 3, minFrac = 1.0)
+    val benchIds = bench.collect().map(_.getLong(0)).toSet
+    val flaggedIds = flagged.collect().map(_.getLong(0)).toSet
+    assert(benchIds.subsetOf(flaggedIds),
+      s"bench members not flagged: ${benchIds -- flaggedIds}")
+  }
+
+  test("a doc sharing no shingle with the benchmark has zero hits") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val bench = Seq((2L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val row = Curate.ngramOverlap(corpus, bench, "doc_id", "text").collect()
+    assert(row.length == 1 && row.head.getAs[Long]("n_hits") == 0L)
+  }
+
+  test("piiScrub counts and redacts every planted pattern") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a.b@x-corp.io and c@d.org call 555-123-4567 at 10.0.0.1"),
+      (2L, "clean text with no identifiers at all"),
+    ).toDF("doc_id", "text")
+    val out = Curate.piiScrub(df, "text")
+      .select("doc_id", "n_email", "n_phone", "n_ip", "clean")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 2 && out(1L).getLong(2) == 1 &&
+      out(1L).getLong(3) == 1)
+    val clean = out(1L).getString(4)
+    assert(clean == "mail [EMAIL] and [EMAIL] call [PHONE] at [IP]")
+    assert(out(2L).getString(4) == "clean text with no identifiers at all")
+  }
+
+  test("repetitionStats: planted duplicate lines and ellipsis line") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c\na b c\nto be continued...")).toDF("doc_id", "text")
+    val r = Curate.repetitionStats(df, "doc_id", "text").collect().head
+    assert(r.getAs[Long]("n_lines") == 3L)
+    assert(math.abs(r.getAs[Double]("dup_line_frac") - 2.0 / 3) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ellipsis_line_frac") - 1.0 / 3) < 1e-9)
+  }
+
+  test("mixtureSample is deterministic, append-stable, and rate-tracking") {
+    val base = docs.withColumn("stratum", lit("s"))
+    val once = Curate.mixtureSample(base, "stratum", "doc_id",
+      Map("s" -> 0.5)).collect().map(_.getLong(0)).toSet
+    val again = Curate.mixtureSample(base, "stratum", "doc_id",
+      Map("s" -> 0.5)).collect().map(_.getLong(0)).toSet
+    assert(once == again)
+    // appending rows never flips an existing row's decision
+    val appended = Curate.mixtureSample(
+      base.unionByName(base.withColumn("doc_id", col("doc_id") + 500000)),
+      "stratum", "doc_id", Map("s" -> 0.5))
+      .collect().map(_.getLong(0)).toSet
+    assert(once.subsetOf(appended))
+    val n = base.count().toDouble
+    assert(math.abs(once.size / n - 0.5) < 0.2, s"rate ${once.size / n}")
+  }
+
+  test("packSequences: offsets are contiguous within a shard") {
+    import spark.implicits._
+    val df = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.approxBpeTokens(col("text")).as("n_tokens"))
+    val out = Curate.packSequences(df, "doc_id", "n_tokens",
+        budget = 512L, shards = 4)
+      .select("shard", "doc_id", "n_tokens", "tok_offset", "seq_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).values
+    out.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      sorted.foldLeft(0L) { case (expectOff, (_, _, nTok, off, seqId)) =>
+        assert(off == expectOff, s"gap at offset $off")
+        assert(seqId % 1000000L == off / 512L)
+        expectOff + nTok
+      }
+    }
+  }
+
+  test("hashSplit is a partition with stable, roughly-sized buckets") {
+    val out = Curate.hashSplit(docs, "doc_id")
+    assert(out.count() == docs.count())
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    assert(counts("train") > counts.getOrElse("val", 0L))
+  }
+}

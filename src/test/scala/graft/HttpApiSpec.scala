@@ -69,6 +69,25 @@ class HttpApiSpec extends AnyFunSuite {
     assert(body.contains("english"))
   }
 
+  test("limit/offset page the non-hash result types deterministically") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    def agentStrs(body: String): List[String] =
+      JsonMethods.parse(body).children
+        .map(v => (v \ "agent_str").extract[String])
+    val (c1, page1) = get(
+      "/agents/from_agents?agent=P5&medscan=true&limit=3")
+    val (c2, page2) = get(
+      "/agents/from_agents?agent=P5&medscan=true&limit=3&offset=3")
+    val (c3, all) = get(
+      "/agents/from_agents?agent=P5&medscan=true&limit=6")
+    assert(c1 == 200 && c2 == 200 && c3 == 200)
+    assert(agentStrs(page1).size == 3)
+    // consecutive pages tile the deterministically-sorted prefix
+    assert(agentStrs(page1) ++ agentStrs(page2) == agentStrs(all))
+  }
+
   test("unknown routes 404, bad requests 400") {
     assert(get("/nope/from_agents")._1 == 404)
     assert(post("/query/hashes", "{not json")._1 == 400)
