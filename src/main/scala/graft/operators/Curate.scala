@@ -131,6 +131,28 @@ object Curate {
           .as("top_bigram_frac"))
   }
 
+  // --- quality-filter funnel -----------------------------------------------
+
+  /** One named keep-predicate of a filter funnel. */
+  final case class FilterStage(name: String, keep: Column)
+
+  /** Apply a sequence of quality filters and account for every drop: each
+    * row is tagged with the FIRST stage that rejects it (or "kept"). A real
+    * pipeline never silently discards — the per-stage counts are the
+    * audit trail ("funnel report") operators like CCNet/Gopher publish.
+    * One pass, no shuffle: the verdict is a single chained conditional.
+    */
+  def filterFunnel(df: DataFrame, stages: Seq[FilterStage]): DataFrame = {
+    val verdict = stages.foldRight(lit("kept"): Column) { (s, acc) =>
+      when(!coalesce(s.keep, lit(false)), s.name).otherwise(acc)
+    }
+    df.withColumn("verdict", verdict)
+  }
+
+  /** The funnel report: rows per verdict (stage names + "kept"). */
+  def funnelReport(tagged: DataFrame): DataFrame =
+    tagged.groupBy("verdict").agg(count(lit(1)).as("n"))
+
   // --- deterministic sampling ----------------------------------------------
 
   /** Stable per-row sampling bucket in [0, denom): the polynomial content

@@ -604,6 +604,47 @@ shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
                     WHEN 'zh' THEN 500 ELSE 0 END"""),
     ),
 
+    // quality-filter funnel: every doc tagged with the FIRST stage that
+    // rejects it; the report is the per-stage drop audit (no silent drops)
+    "q_quality_funnel" -> QueryDef(
+      (s, dir) => Curate.funnelReport(Curate.filterFunnel(
+        TextAnalysis.qualityStats(docs(s, dir).select("doc_id", "text"),
+            "text", TextAnalysis.langProfiles.head._2)
+          .withColumn("lang_pred", TextAnalysis.langId(col("text"))),
+        Seq(
+          Curate.FilterStage("short", col("n_tokens") >= 60),
+          Curate.FilterStage("lang", col("lang_pred") === "en"),
+          Curate.FilterStage("ttr", col("ttr") >= 0.5)))),
+      Some("""WITH t AS (SELECT doc_id,
+          string_split_regex(trim(text), '\s+') AS toks,
+          string_split_regex(trim(lower(text)), '\s+') AS toks_l
+          FROM documents),
+        s AS (SELECT doc_id, len(toks) AS n_tokens,
+          CAST(len(list_distinct(toks)) AS DOUBLE)/CAST(len(toks) AS DOUBLE)
+            AS ttr,
+          len(list_filter(toks_l, x -> x IN ('the','a','of','and','is')))
+            AS c_en,
+          len(list_filter(toks_l, x -> x IN ('der','die','das','und','ist')))
+            AS c_de,
+          len(list_filter(toks_l, x -> x IN ('el','los','que','y','es')))
+            AS c_es,
+          len(list_filter(toks_l, x -> x IN ('le','les','et','est','une')))
+            AS c_fr
+          FROM t),
+        v AS (SELECT doc_id,
+          CASE WHEN NOT (n_tokens >= 60) THEN 'short'
+               WHEN NOT (CASE
+                   WHEN greatest(c_en, c_de, c_es, c_fr) = 0 THEN 'und'
+                   WHEN c_en = greatest(c_en, c_de, c_es, c_fr) THEN 'en'
+                   WHEN c_de = greatest(c_en, c_de, c_es, c_fr) THEN 'de'
+                   WHEN c_es = greatest(c_en, c_de, c_es, c_fr) THEN 'es'
+                   ELSE 'fr' END = 'en') THEN 'lang'
+               WHEN NOT (ttr >= 0.5) THEN 'ttr'
+               ELSE 'kept' END AS verdict
+          FROM s)
+        SELECT verdict, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1"""),
+    ),
+
     // sequence packing: contiguous fill of 512-token training sequences,
     // packed per id-hash shard (the parallel form; no global stream order)
     "q_pack_sequences" -> QueryDef(

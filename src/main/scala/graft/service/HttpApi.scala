@@ -4,6 +4,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import java.net.{InetSocketAddress, URLDecoder}
 import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 import graft.core.TypeRegistry
@@ -26,6 +27,9 @@ import graft.querydsl._
   *   - POST /{result_type}/from_papers   body {"ids": [["pmid","123"], ..]}
   *   - POST /query/{result_type}         body = Query wire JSON (QueryJson)
   *   - GET  /expand?agents=0:A;1:B[&type=T]
+  *   - POST /curation/submit/{hash}      body {"tag","email","text",...}
+  *   - GET  /curation/list/{hash}[/{src_hash}]
+  *   - GET  /curation/list[?api_key=...]  (anonymized without permission)
   *
   * result_type in {hashes, statements, interactions, relations, agents}.
   * Responses are JSON arrays of row objects (df.toJSON), capped at
@@ -37,9 +41,12 @@ object HttpApi {
       ro: ReadonlyTables,
       types: TypeRegistry,
       port: Int = 0,
-      maxRows: Int = 1000): HttpServer = {
+      maxRows: Int = 1000,
+      curationDir: Option[String] = None,
+      curatorSalt: String = ""): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-    server.createContext("/", (ex: HttpExchange) => handle(ex, ro, types, maxRows))
+    server.createContext("/", (ex: HttpExchange) =>
+      handle(ex, ro, types, maxRows, curationDir, curatorSalt))
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
     server.start()
     server
@@ -92,7 +99,9 @@ object HttpApi {
       ex: HttpExchange,
       ro: ReadonlyTables,
       types: TypeRegistry,
-      maxRows: Int): Unit =
+      maxRows: Int,
+      curationDir: Option[String],
+      curatorSalt: String): Unit =
     try {
       val path = ex.getRequestURI.getPath.stripPrefix("/").stripSuffix("/")
       val parts = path.split("/").toList
@@ -100,6 +109,47 @@ object HttpApi {
       (ex.getRequestMethod, parts) match {
         case ("GET", List("health")) =>
           respond(ex, 200, """{"status":"ok"}""")
+
+        // --- curation endpoints (api.py:542-639) -------------------------
+        case ("POST", List("curation", "submit", h)) =>
+          val dir = curationDir.getOrElse(sys.error("no curation store"))
+          implicit val fmts: Formats = DefaultFormats
+          val j = JsonMethods.parse(body(ex))
+          val curator = (j \ "email").extractOpt[String]
+            .getOrElse(sys.error("POST requires a user email"))
+          val id = graft.assembly.Curation.submit(
+            ro.sourceMeta.sparkSession, dir,
+            graft.assembly.Curation.Submission(
+              paHash = h.toLong,
+              tag = (j \ "tag").extractOpt[String].getOrElse(""),
+              curator = curator,
+              ip = ex.getRemoteAddress.getAddress.getHostAddress,
+              text = (j \ "text").extractOpt[String],
+              sourceHash = (j \ "ev_hash").extractOpt[Long],
+              source = (j \ "source").extractOpt[String]
+                .getOrElse("DB REST API"),
+              paJson = (j \ "pa_json").toOption.map(JsonMethods.compact),
+              evJson = (j \ "ev_json").toOption.map(JsonMethods.compact)),
+            knownHashes = ro.fastRawPaLink)
+          respond(ex, 200, s"""{"result":"success","ref":{"id":$id}}""")
+
+        case ("GET", "curation" :: "list" :: rest) =>
+          val dir = curationDir.getOrElse(sys.error("no curation store"))
+          val all = graft.assembly.Curation.store(
+            ro.sourceMeta.sparkSession, dir)
+          val listed = rest match {
+            case stmtHash :: more =>
+              // public per-statement listing: curator names visible
+              graft.assembly.Curation.query(all,
+                paHash = Some(stmtHash.toLong),
+                sourceHash = more.headOption.map(_.toLong))
+            case Nil =>
+              // all-curations listing: anonymized without the
+              // get_curations permission (api.py:616-639)
+              if (p.get("api_key").contains("GET_CURATIONS")) all
+              else graft.assembly.Curation.anonymized(all, curatorSalt)
+          }
+          respond(ex, 200, rows(listed.orderBy(col("id")), maxRows))
 
         case ("POST", List("query", rt)) if resultTypes(rt) =>
           val q = QueryJson.fromJson(body(ex))
@@ -160,7 +210,6 @@ object HttpApi {
       ro: ReadonlyTables,
       types: TypeRegistry,
       p: Map[String, String]): DataFrame = {
-    import org.apache.spark.sql.functions.col
     val limit = p.get("limit").map(_.toInt).getOrElse(0)
     val offset = p.get("offset").map(_.toInt).getOrElse(0)
     val evLimit = p.get("ev_limit").map(_.toInt).getOrElse(10)

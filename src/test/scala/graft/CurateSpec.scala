@@ -78,6 +78,26 @@ class CurateSpec extends AnyFunSuite {
     assert(math.abs(once.size / n - 0.5) < 0.2, s"rate ${once.size / n}")
   }
 
+  test("filterFunnel tags each row with the FIRST rejecting stage") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, "en"),  // fails both stages -> first one wins
+      (2L, 100L, "de"), // fails only lang
+      (3L, 100L, "en"), // kept
+    ).toDF("doc_id", "n_tokens", "lang")
+    val tagged = Curate.filterFunnel(df, Seq(
+        Curate.FilterStage("short", col("n_tokens") >= 60),
+        Curate.FilterStage("lang", col("lang") === "en")))
+      .select("doc_id", "verdict")
+      .as[(Long, String)].collect().toMap
+    assert(tagged == Map(1L -> "short", 2L -> "lang", 3L -> "kept"))
+    val report = Curate.funnelReport(Curate.filterFunnel(df, Seq(
+        Curate.FilterStage("short", col("n_tokens") >= 60),
+        Curate.FilterStage("lang", col("lang") === "en"))))
+      .as[(String, Long)].collect().toMap
+    assert(report == Map("short" -> 1L, "lang" -> 1L, "kept" -> 1L))
+  }
+
   test("packSequences: offsets are contiguous within a shard") {
     import spark.implicits._
     val df = docs.select(col("doc_id"),

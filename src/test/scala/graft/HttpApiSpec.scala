@@ -14,7 +14,10 @@ class HttpApiSpec extends AnyFunSuite {
   lazy val spark = GraftSession.local("http-test")
   val dir = "/root/testdata/sf0.001"
   lazy val ro = TpchWorld.readonly(spark, dir)
-  lazy val server = HttpApi.start(ro, TpchWorld.types)
+  lazy val curationDir =
+    java.nio.file.Files.createTempDirectory("curations").toString
+  lazy val server = HttpApi.start(ro, TpchWorld.types,
+    curationDir = Some(curationDir), curatorSalt = "pepper")
   lazy val base = s"http://127.0.0.1:${server.getAddress.getPort}"
   lazy val client = HttpClient.newHttpClient()
 
@@ -91,6 +94,36 @@ class HttpApiSpec extends AnyFunSuite {
   test("unknown routes 404, bad requests 400") {
     assert(get("/nope/from_agents")._1 == 404)
     assert(post("/query/hashes", "{not json")._1 == 400)
+  }
+
+  test("curation submit/list round trip; bad hash rejected") {
+    val h = QueryService.run(
+      QueryService.Request(agents = Seq("P5"), allowMedscan = true, limit = 1),
+      "hashes", ro, TpchWorld.types).collect().head.getLong(0)
+    val (code, body) = post(s"/curation/submit/$h",
+      """{"tag":"grounding","email":"kim@lab.org","text":"wrong agent",
+         "pa_json":{"type":"Activation"}}""")
+    assert(code == 200 && body.contains("\"result\":\"success\""))
+    val (lc, listed) = get(s"/curation/list/$h")
+    assert(lc == 200)
+    assert(listed.contains("\"tag\":\"grounding\"") &&
+      listed.contains("\"curator\":\"kim@lab.org\""))
+    // the curated statement JSON rides along, as in the reference
+    assert(listed.contains("Activation"))
+    assert(post("/curation/submit/999999999", """{"tag":"t","email":"e@x"}""")
+      ._1 == 400)
+  }
+
+  test("all-curations listing anonymizes without the permission") {
+    // the previous test has submitted at least one curation
+    get("/curation/list") match { case (code, body) =>
+      assert(code == 200)
+      assert(!body.contains("kim@lab.org"))
+    }
+    get("/curation/list?api_key=GET_CURATIONS") match { case (code, body) =>
+      assert(code == 200)
+      assert(body.contains("kim@lab.org"))
+    }
   }
 
   test("medscan policy holds over HTTP: only-medscan hashes need the flag") {
