@@ -83,19 +83,26 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
 
-  /** LSH banding: signatures grouped into bands of `r` rows; docs sharing a
-    * band signature are candidates. Output: distinct (a_id, b_id), a < b.
-    * Buckets larger than `maxBucket` are dropped before the self-join
-    * (hot-bucket cap; see [[capBucketDf]]). */
-  def lshCandidates(minhashes: DataFrame, r: Int, maxBucket: Long = 1000): DataFrame = {
-    val sigs0 = minhashes
+  /** Banded LSH signatures — (doc_id, band, sig) rows. This is the
+    * PERSISTABLE index of the incremental path ([[deltaNearDups]]): write
+    * it once per corpus (bucketed by (band, sig)) and probe it with each
+    * new batch instead of re-signing the world. */
+  def bandSignatures(minhashes: DataFrame, r: Int): DataFrame =
+    minhashes
       .withColumn("band", (col("i") / r).cast("int"))
       .groupBy("doc_id", "band")
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("i"), col("minh")))),
           s => s.getField("minh").cast("string")),
         ",").as("sig"))
-    val sigs = capBucketDf(sigs0, Seq("band", "sig"), maxBucket)
+
+  /** LSH banding: signatures grouped into bands of `r` rows; docs sharing a
+    * band signature are candidates. Output: distinct (a_id, b_id), a < b.
+    * Buckets larger than `maxBucket` are dropped before the self-join
+    * (hot-bucket cap; see [[capBucketDf]]). */
+  def lshCandidates(minhashes: DataFrame, r: Int, maxBucket: Long = 1000): DataFrame = {
+    val sigs = capBucketDf(bandSignatures(minhashes, r),
+      Seq("band", "sig"), maxBucket)
     sigs.as("x").join(sigs.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -161,6 +168,49 @@ object Dedup {
     val sh = shingleSet(df, idCol, textCol, n)
     val cands = lshCandidates(minhash(sh, k), r, maxBucket)
     jaccard(cands, sh)
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Incremental MinHash-LSH near-dup: dedup a NEW batch against an
+    * existing corpus without re-processing the corpus — the delta shape
+    * every growing 100 TB corpus needs (re-running [[minhashNearDups]] over
+    * old ∪ new re-pays the whole corpus per batch).
+    *
+    * `oldSigs` is the persisted [[bandSignatures]] index and `oldShingles`
+    * the persisted [[shingleSet]] of the existing corpus. Only buckets the
+    * new batch TOUCHES survive the semi-join, so join work scales with the
+    * delta, not the corpus: old-only buckets — almost all of them — are
+    * pruned before any shuffle, and with the index bucketed by (band, sig)
+    * the probe is shuffle-free on the corpus side. Candidates must involve
+    * at least one new doc (old-old pairs were already found when the old
+    * corpus was built); verification is exact Jaccard over the union
+    * shingle sets, as in the batch path.
+    *
+    * Returns the same (a_id, b_id, jaccard) shape as [[minhashNearDups]];
+    * equivalence with the batch run restricted to new-involving pairs is
+    * spec-asserted.
+    */
+  def deltaNearDups(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      oldSigs: DataFrame, oldShingles: DataFrame,
+      n: Int = 3, k: Int = 12, r: Int = 3,
+      threshold: Double = 0.6, maxBucket: Long = 1000): DataFrame = {
+    val newSh = shingleSet(newDocs, idCol, textCol, n)
+    val newSigs = bandSignatures(minhash(newSh, k), r)
+    val all = newSigs.withColumn("is_new", lit(true))
+      .unionByName(oldSigs.withColumn("is_new", lit(false)))
+    // prune to buckets the delta touches BEFORE capping/joining
+    val touched = all.join(newSigs.select("band", "sig").distinct(),
+      Seq("band", "sig"), "left_semi")
+    val sigs = capBucketDf(touched, Seq("band", "sig"), maxBucket)
+    val cands = sigs.as("x").join(sigs.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          (col("x.is_new") || col("y.is_new")))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    jaccard(cands, oldShingles.unionByName(newSh))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }

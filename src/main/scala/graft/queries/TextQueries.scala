@@ -161,6 +161,43 @@ shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
         WHERE CAST(i.i_cnt AS DOUBLE)/CAST(s1.sz + s2.sz - i.i_cnt AS DOUBLE) >= 0.6"""),
     ),
 
+    // incremental near-dup: the persisted band-signature index of the OLD
+    // corpus probed by the new batch only; oracle = the full batch run
+    // restricted to pairs involving a new doc
+    "q_dedup_incremental" -> QueryDef(
+      (s, dir) => {
+        val old = docs(s, dir).select("doc_id", "text")
+        val newBatch = corpusNear(s, dir).filter(col("doc_id") >= 100000)
+        val oldSh = Dedup.shingleSet(old, "doc_id", "text", 3)
+        val oldSigs = Dedup.bandSignatures(Dedup.minhash(oldSh, 12), 3)
+        Dedup.deltaNearDups(newBatch, "doc_id", "text", oldSigs, oldSh,
+          n = 3, k = 12, r = 3, threshold = 0.6)
+      },
+      Some(s"""WITH $CORPUS_NEAR, $DUCK_SHINGLES,
+        mh AS (SELECT s.doc_id, t.i,
+                 min(((131*t.i + 7) * s.sh_hash + (97*t.i + 3)) % 1000000007) AS minh
+               FROM shh s CROSS JOIN range(0, 12) t(i) GROUP BY 1, 2),
+        bands AS (SELECT doc_id, i // 3 AS band,
+                    string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS sig
+                  FROM mh GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                 FROM bands x JOIN bands y
+                   ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+                 WHERE x.doc_id >= 100000 OR y.doc_id >= 100000),
+        szs AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY 1),
+        inter AS (SELECT c.a_id, c.b_id, count(*) AS i_cnt
+                  FROM cand c
+                  JOIN shh p ON p.doc_id = c.a_id
+                  JOIN shh q ON q.doc_id = c.b_id AND q.sh_hash = p.sh_hash
+                  GROUP BY 1, 2)
+        SELECT i.a_id, i.b_id,
+          CAST(i.i_cnt AS DOUBLE)/CAST(s1.sz + s2.sz - i.i_cnt AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN szs s1 ON s1.doc_id = i.a_id
+        JOIN szs s2 ON s2.doc_id = i.b_id
+        WHERE CAST(i.i_cnt AS DOUBLE)/CAST(s1.sz + s2.sz - i.i_cnt AS DOUBLE) >= 0.6"""),
+    ),
+
     "q_dedup_simhash" -> QueryDef(
       (s, dir) => Dedup.simhash(
         Dedup.tokenSet(docs(s, dir), "doc_id", "text")),

@@ -37,6 +37,29 @@ class DedupSpec extends AnyFunSuite {
       s"missing: ${planted -- found}") // identical docs collide in every band
   }
 
+  test("incremental near-dup equals the batch run restricted to new pairs") {
+    val toks = TextAnalysis.tokens(col("text"))
+    val newBatch = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        array_join(slice(toks, lit(1), size(toks) - 2), " ").as("text"))
+    val full = docs.unionByName(newBatch)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = pairs(
+      Dedup.minhashNearDups(full, "doc_id", "text", n = 3, k = 12, r = 3,
+          threshold = 0.6)
+        .filter(col("a_id") >= 100000 || col("b_id") >= 100000)
+        .select("a_id", "b_id"))
+    val oldSh = Dedup.shingleSet(docs, "doc_id", "text", 3)
+    val oldSigs = Dedup.bandSignatures(Dedup.minhash(oldSh, 12), 3)
+    val delta = pairs(
+      Dedup.deltaNearDups(newBatch, "doc_id", "text", oldSigs, oldSh,
+          n = 3, k = 12, r = 3, threshold = 0.6)
+        .select("a_id", "b_id"))
+    assert(delta == batch)
+    assert(delta.nonEmpty)
+  }
+
   test("simhash of identical texts is identical; near-dup pairs found") {
     val sh = Dedup.simhash(Dedup.tokenSet(withExactCopies, "doc_id", "text"))
     val pairs = Dedup.simhashNearDups(sh, maxHamming = 0)
