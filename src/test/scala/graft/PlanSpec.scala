@@ -75,6 +75,43 @@ class PlanSpec extends AnyFunSuite {
     assert(!queryPart.contains("Window"), s"global window regressed:\n$queryPart")
   }
 
+  test("decontamination probes a BROADCAST bench side — never a shuffle join") {
+    val docs = Tables.table(spark, dir, "documents").select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val p = plan(graft.operators.Curate.ngramOverlap(docs, bench,
+      "doc_id", "text"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"bench side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side shuffle join crept in:\n$p")
+  }
+
+  test("packSequences windows are partitioned by shard, never global") {
+    val docs = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), lit(10L).as("n_tokens"))
+    val optimized = graft.operators.Curate.packSequences(
+        docs, "doc_id", "n_tokens", budget = 512L, shards = 8)
+      .queryExecution.optimizedPlan
+    val windows = optimized.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "un-partitioned (single-reducer) window in packSequences")
+  }
+
+  test("incremental near-dup prunes untouched buckets with a semi join") {
+    val docs = Tables.table(spark, dir, "documents").select("doc_id", "text")
+    val newBatch = docs.filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000)
+    val oldSh = graft.operators.Dedup.shingleSet(docs, "doc_id", "text", 3)
+    val oldSigs = graft.operators.Dedup.bandSignatures(
+      graft.operators.Dedup.minhash(oldSh, 12), 3)
+    val p = plan(graft.operators.Dedup.deltaNearDups(
+      newBatch, "doc_id", "text", oldSigs, oldSh))
+    assert(p.contains("LeftSemi"), s"bucket pruning semi join missing:\n$p")
+  }
+
   test("hash expressions stay inside whole-stage codegen") {
     // parquet-backed input so the optimizer can't constant-fold the hashes
     val df = Tables.table(spark, dir, "documents")
