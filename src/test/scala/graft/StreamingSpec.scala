@@ -47,6 +47,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming quality-funnel report == batch report (shared transform)") {
+    import graft.operators.{Curate, TextAnalysis}
+    def tagged(df: org.apache.spark.sql.DataFrame) =
+      Curate.filterFunnel(
+        TextAnalysis.qualityStats(df.select("doc_id", "text"), "text",
+            TextAnalysis.langProfiles.head._2)
+          .withColumn("lang_pred", TextAnalysis.langId(col("text"))),
+        Seq(
+          Curate.FilterStage("short", col("n_tokens") >= 60),
+          Curate.FilterStage("lang", col("lang_pred") === "en"),
+          Curate.FilterStage("ttr", col("ttr") >= 0.5)))
+    val batch = Tables.table(spark, dir, "documents")
+    val expected = Curate.funnelReport(tagged(batch))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+    val docsDir = java.nio.file.Files.createTempDirectory("graft-docs")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      docsDir.resolve("documents.parquet"))
+    val stream = spark.readStream.schema(batch.schema).parquet(docsDir.toString)
+    val q = Curate.funnelReport(tagged(stream))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("funnel_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("funnel_out")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == expected)
+      assert(got.map(_._2).sum == batch.count())
+    } finally q.stop()
+  }
+
   test("stateful per-user counting via mapGroupsWithState conserves totals") {
     import spark.implicits._
     val events = Tables.events(spark, dir)
