@@ -36,5 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("float_dot"),
       info("float_dot", "float_dot(a, b) - sequential dot product of float arrays"),
       (args: Seq[Expression]) => FloatDot(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("inflate_text"),
+      info("inflate_text", "inflate_text(bin) - zlib inflate to UTF-8 string"),
+      (args: Seq[Expression]) => InflateText(args.head)))
   }
 }

@@ -121,4 +121,25 @@ object Curation {
   def anonymized(curations: DataFrame, salt: String): DataFrame =
     curations.withColumn("curator",
       anonymizeCurator(col("curator"), salt))
+
+  private val GroundingRe = "^\\[(.*)\\] -> ([^ ]+)$"
+
+  /** Curated grounding mappings — get_grounding_curations
+    * (client/principal/curation.py:106-140): curations tagged 'grounding'
+    * whose text matches `[raw text] -> NS:ID|NS2:ID2...` yield one row per
+    * (raw_text, db_name, db_id); empty and non-matching texts are skipped
+    * (the reference logs them), and each entry splits on the FIRST colon
+    * only (ids may contain colons). */
+  def groundingCurations(curations: DataFrame): DataFrame =
+    query(curations, tag = Some("grounding"))
+      .filter(col("text").isNotNull)
+      .select(
+        regexp_extract(trim(col("text")), GroundingRe, 1).as("raw_text"),
+        regexp_extract(trim(col("text")), GroundingRe, 2).as("ids"))
+      .filter(col("ids") =!= "")
+      .select(col("raw_text"),
+        explode(split(col("ids"), "\\|")).as("entry"))
+      .select(col("raw_text"),
+        split(col("entry"), ":", 2).getItem(0).as("db_name"),
+        split(col("entry"), ":", 2).getItem(1).as("db_id"))
 }

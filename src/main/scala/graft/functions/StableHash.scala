@@ -93,4 +93,8 @@ object exprs {
   /** Column wrapper for [[PolyHashMod]]. */
   def poly_hash(c: Column): Column =
     GraftBridge.column(PolyHashMod(GraftBridge.expression(c)))
+
+  /** Column wrapper for [[InflateText]]. */
+  def inflate_text(c: Column): Column =
+    GraftBridge.column(InflateText(GraftBridge.expression(c)))
 }

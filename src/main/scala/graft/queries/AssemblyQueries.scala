@@ -577,5 +577,49 @@ object AssemblyQueries extends QueryPack {
               SELECT c.node, e.anc FROM c JOIN e ON c.anc = e.node)
         SELECT node, anc FROM c"""),
     ),
+
+    // curated grounding mappings (get_grounding_curations): planted
+    // curation rows — matching, non-matching (skipped), and wrong-tag
+    // (filtered) — parsed to (raw_text, db_name, db_id) rows
+    "q_grounding_curations" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.table(s, dir, "documents")
+        val tok = substring_index(col("text"), " ", 1)
+        val planted = d.filter(col("doc_id") % 6 === 0)
+          .select(lit("grounding").as("tag"),
+            concat(lit("["), tok, lit("_"), col("doc_id").cast("string"),
+              lit("] -> HGNC:"), col("doc_id").cast("string"),
+              lit("|UP:P"), (col("doc_id") % 100).cast("string")).as("text"))
+          .unionByName(d.filter(col("doc_id") % 6 === 3)
+            .select(lit("grounding").as("tag"),
+              lit("free-form note, not a grounding").as("text")))
+          .unionByName(d.filter(col("doc_id") % 6 === 1)
+            .select(lit("other").as("tag"), lit("[x] -> HGNC:1").as("text")))
+        graft.assembly.Curation.groundingCurations(planted)
+      },
+      Some("""WITH cur AS (
+          SELECT 'grounding' AS tag,
+            '[' || string_split_regex(trim(text), '\s+')[1] || '_' ||
+              CAST(doc_id AS VARCHAR) || '] -> HGNC:' ||
+              CAST(doc_id AS VARCHAR) || '|UP:P' ||
+              CAST(doc_id % 100 AS VARCHAR) AS text
+          FROM documents WHERE doc_id % 6 = 0
+          UNION ALL
+          SELECT 'grounding', 'free-form note, not a grounding'
+          FROM documents WHERE doc_id % 6 = 3
+          UNION ALL
+          SELECT 'other', '[x] -> HGNC:1'
+          FROM documents WHERE doc_id % 6 = 1),
+        g AS (SELECT
+            regexp_extract(trim(text), '^\[(.*)\] -> ([^ ]+)$', 1) AS raw_text,
+            regexp_extract(trim(text), '^\[(.*)\] -> ([^ ]+)$', 2) AS ids
+          FROM cur WHERE tag = 'grounding'),
+        e AS (SELECT raw_text, unnest(string_split(ids, '|')) AS entry
+              FROM g WHERE ids <> '')
+        SELECT raw_text,
+          regexp_extract(entry, '^([^:]+):(.*)$', 1) AS db_name,
+          regexp_extract(entry, '^([^:]+):(.*)$', 2) AS db_id
+        FROM e"""),
+    ),
   )
 }

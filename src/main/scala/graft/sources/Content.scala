@@ -46,4 +46,88 @@ object Content {
       (id, new String(inflate(bytes), java.nio.charset.StandardCharsets.UTF_8))
     }).toDF(idCol, "text")
   }
+
+  /** Columnar inflate (codegen'd expression, [[graft.functions.InflateText]])
+    * — unlike [[decompress]] it keeps every sibling column in the row. */
+  def inflateText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.exprs.inflate_text(c)
+
+  // --- content client (client/principal/content.py) -------------------------
+
+  import org.apache.spark.sql.functions._
+
+  /** get_reader_output (content.py:11-62): reader output for given text
+    * content, optionally constrained to a reader (case-insensitive, as the
+    * reference upper-cases) and version; `tcids` as a FRAME rather than a
+    * literal list because ref-id resolution at scale is itself a join
+    * (the reference's _get_trids round-trip). Output: (tcid, reader, text).
+    */
+  def readerOutput(
+      readings: DataFrame,
+      tcids: Option[DataFrame] = None,
+      reader: Option[String] = None,
+      readerVersion: Option[String] = None): DataFrame = {
+    val preds = reader.map(r => upper(col("reader")) === r.toUpperCase).toSeq ++
+      readerVersion.map(col("reader_version") === _)
+    val base = preds.foldLeft(readings)(_ filter _)
+    val constrained = tcids match {
+      case Some(t) =>
+        base.join(t.select("tcid").distinct(), Seq("tcid"), "left_semi")
+      case None => base
+    }
+    constrained.select(col("tcid"), col("reader"),
+      inflateText(col("bytes")).as("text"))
+  }
+
+  /** get_content_by_refs (content.py:64-135): content of one text type for
+    * a pmid or trid list (exactly one must be given), optionally
+    * constrained by source/format, keyed by the requesting id. Decompression
+    * only happens when `unzip` (the reference's flag) — callers moving
+    * content between stores keep it compressed. */
+  def contentByRefs(
+      textRefs: DataFrame,
+      textContent: DataFrame,
+      pmids: Option[Seq[Long]] = None,
+      trids: Option[Seq[Long]] = None,
+      sources: Option[Seq[String]] = None,
+      formats: Option[Seq[String]] = None,
+      contentType: String = "abstract",
+      unzip: Boolean = true): DataFrame = {
+    require(pmids.isDefined != trids.isDefined,
+      "exactly one of pmids / trids must be given")
+    require(Seq("abstract", "fulltext").contains(contentType),
+      s"Unrecognized content type: $contentType")
+    val preds = Seq(col("text_type") === contentType) ++
+      sources.map(ss => col("source").isin(ss: _*)) ++
+      formats.map(fs => col("format").isin(fs: _*))
+    val content = preds.foldLeft(textContent)(_ filter _)
+    val keyed = pmids match {
+      case Some(ps) =>
+        content.join(
+          textRefs.filter(col("pmid").isin(ps: _*)).select("trid", "pmid"),
+          "trid")
+          .select(col("pmid").as("id_val"), col("content"))
+      case None =>
+        content.filter(col("trid").isin(trids.get: _*))
+          .select(col("trid").as("id_val"), col("content"))
+    }
+    if (unzip) keyed.select(col("id_val"), inflateText(col("content")).as("text"))
+    else keyed
+  }
+
+  /** get_text (content.py:137-153): text of one type per pmid (any
+    * text_type — unlike get_content_by_refs this is unvalidated in the
+    * reference too), whitespace re-coded as the reference does (tabs ->
+    * spaces, then newlines -> tabs — the simultaneous translate is
+    * equivalent to the sequential replaces). */
+  def textByPmids(
+      textRefs: DataFrame,
+      textContent: DataFrame,
+      pmids: Seq[Long],
+      textType: String): DataFrame =
+    textContent.filter(col("text_type") === textType)
+      .join(textRefs.filter(col("pmid").isin(pmids: _*))
+        .select("trid", "pmid"), "trid")
+      .select(col("pmid"),
+        translate(inflateText(col("content")), "\t\n", " \t").as("text"))
 }

@@ -38,5 +38,45 @@ class ExtensionsSpec extends AnyFunSuite {
       .filter(col("text") =!= col("orig")).count()
     assert(diff == 0)
     assert(restored.count() == docs.count())
+    // the codegen'd columnar inflate agrees and keeps sibling columns
+    val viaExpr = compressed
+      .select(col("doc_id"), Content.inflateText(col("content")).as("text"))
+    assert(viaExpr.join(docs.withColumnRenamed("text", "orig"), "doc_id")
+      .filter(col("text") =!= col("orig")).count() == 0)
+  }
+
+  test("content client: reader output and text retrieval by pmid") {
+    import spark.implicits._
+    def z(s: String) =
+      Content.deflate(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val textRefs = Seq((10L, 101L), (20L, 102L), (30L, 103L))
+      .toDF("trid", "pmid")
+    val textContent = Seq(
+      (1L, 10L, "pubmed", "text", "abstract", z("abs one")),
+      (2L, 10L, "pmc_oa", "xml", "fulltext", z("full\tone\nline two")),
+      (3L, 20L, "pubmed", "text", "abstract", z("abs two")),
+    ).toDF("tcid", "trid", "source", "format", "text_type", "content")
+    val readings = Seq(
+      (100L, 1L, "REACH", "1.0", z("{\"out\":1}")),
+      (101L, 1L, "SPARSER", "2.0", z("{\"out\":2}")),
+    ).toDF("rid", "tcid", "reader", "reader_version", "bytes")
+
+    val ro = Content.readerOutput(readings, reader = Some("reach"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(ro.toSeq == Seq((1L, "REACH", "{\"out\":1}")))
+
+    val byRef = Content.contentByRefs(textRefs, textContent,
+        pmids = Some(Seq(101L, 102L)), sources = Some(Seq("pubmed")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(byRef == Set((101L, "abs one"), (102L, "abs two")))
+    intercept[IllegalArgumentException] {
+      Content.contentByRefs(textRefs, textContent)
+    }
+
+    val texts = Content.textByPmids(textRefs, textContent,
+        Seq(101L), "fulltext")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // tabs -> spaces, then newlines -> tabs, as in the reference
+    assert(texts.toSeq == Seq((101L, "full one\tline two")))
   }
 }
