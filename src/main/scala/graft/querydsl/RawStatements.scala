@@ -211,6 +211,91 @@ object RawStatements {
         pmid.as("pmid"))).as("result_json"))
   }
 
+  /** get_pa_stmt_jsons (client/principal/pa_statements.py:14-170):
+    * preassembled statements with their evidence (each raw statement's
+    * payload plus the text-ref splice), per-position agent groundings, and
+    * support links in both directions — the reference's three nested
+    * array_agg subqueries as three independent aggregations joined on
+    * mk_hash.
+    *
+    * The reference's driver loop also rewrites supports/supported_by into
+    * statement ids "as much as possible" — a result-set-order-dependent
+    * patch (which hashes resolve depends on iteration order); the stable
+    * content is the hash lists, which is what the envelope carries.
+    *
+    * `limit` pages in mk_hash order (deterministic; the reference's bare
+    * LIMIT is Postgres-order like the raw client's, see [[rawStmtJsons]]).
+    * Output: (mk_hash, result_json).
+    */
+  def paStmtJsons(
+      pa: DataFrame,
+      links: DataFrame,
+      p: PrincipalTables,
+      supportLinks: DataFrame,
+      agents: DataFrame,
+      withEvidence: Boolean = true,
+      limit: Int = 1000): DataFrame = {
+    val core0 = pa.select(col("mk_hash"), col("pa_json"))
+    val core =
+      if (limit > 0)
+        core0.orderBy(col("mk_hash").asc).limit(limit)
+      else core0
+    val evAgg =
+      if (withEvidence) {
+        val chained = withRefChain(p)
+        val refs = struct(
+          col("trid").as("TRID"),
+          optCol(chained, "pmid", "long").as("PMID"),
+          optCol(chained, "pmcid_num", "long").as("PMCID"),
+          when(optCol(chained, "doi_ns", "long").isNotNull,
+            concat(lit("10."), col("doi_ns").cast("string"), lit("/"),
+              optCol(chained, "doi_id", "string"))).as("DOI"),
+          col("tcid").as("TCID"), col("reading_id").as("READING_ID"))
+        Some(chained
+          .join(links.select("raw_stmt_id", "mk_hash"), "raw_stmt_id")
+          .groupBy("mk_hash")
+          .agg(array_sort(collect_list(struct(
+            col("raw_stmt_id").as("sid"),
+            col("raw_json").as("raw_json"),
+            when(col("reading_id").isNotNull, refs).as("text_refs"))))
+            .as("evidence")))
+      } else None
+    val agentAgg = agents
+      .groupBy("mk_hash", "ag_num", "db_name")
+      .agg(array_sort(collect_list(col("db_id"))).as("ids"))
+      .groupBy("mk_hash", "ag_num")
+      .agg(map_from_entries(array_sort(collect_list(
+        struct(col("db_name"), col("ids"))))).as("ns_map"))
+      .groupBy("mk_hash")
+      // key-only comparator: the default struct ordering can't compare the
+      // MAP-typed ns_map field, and the key alone determines the order
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("ag_num"), col("ns_map"))),
+        (l, r) => (l.getField("ag_num") - r.getField("ag_num")).cast("int")))
+        .as("db_refs"))
+    val supping = supportLinks
+      .groupBy(col("supported").as("mk_hash"))
+      .agg(array_sort(collect_set(col("supporting"))).as("supports_hashes"))
+    val supped = supportLinks
+      .groupBy(col("supporting").as("mk_hash"))
+      .agg(array_sort(collect_set(col("supported"))).as("supported_by_hashes"))
+    val joined = evAgg.foldLeft(core)((c, ev) => c.join(ev, Seq("mk_hash"), "left"))
+      .join(agentAgg, Seq("mk_hash"), "left")
+      .join(supping, Seq("mk_hash"), "left")
+      .join(supped, Seq("mk_hash"), "left")
+    joined.select(col("mk_hash"),
+      to_json(struct(
+        col("mk_hash"),
+        col("pa_json").as("stmt"),
+        col("db_refs"),
+        (if (withEvidence) col("evidence")
+         else lit(null).cast("string")).as("evidence"),
+        coalesce(col("supports_hashes"), array().cast("array<long>"))
+          .as("supports_hashes"),
+        coalesce(col("supported_by_hashes"), array().cast("array<long>"))
+          .as("supported_by_hashes"))).as("result_json"))
+  }
+
   /** get_raw_stmt_jsons_from_agents (raw_statements.py:85-136): each agent
     * constraint selects statement ids from raw_agents (id literal after
     * wildcard escaping, namespace as LIKE pattern, role exact); the
