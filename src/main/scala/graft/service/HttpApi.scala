@@ -153,7 +153,8 @@ object HttpApi {
 
         case ("POST", List("query", rt)) if resultTypes(rt) =>
           val q = QueryJson.fromJson(body(ex))
-          respond(ex, 200, rows(dispatch(q, rt, ro, types, p), maxRows))
+          respond(ex, 200,
+            rows(dispatch(q, rt, ro, types, p, curationDir), maxRows))
 
         case ("GET", List("expand")) =>
           val agents = p.getOrElse("agents", "")
@@ -178,7 +179,8 @@ object HttpApi {
                 .extract[Seq[Seq[String]]].map { case Seq(t, i) => (t, i) })
             case other => sys.error(s"unknown method: $other")
           }
-          respond(ex, 200, rows(dispatch(q, rt, ro, types, p), maxRows))
+          respond(ex, 200,
+            rows(dispatch(q, rt, ro, types, p, curationDir), maxRows))
 
         case other => respond(ex, 404, """{"error":"not found"}""")
       }
@@ -204,25 +206,39 @@ object HttpApi {
       if (limit > 0) off.limit(limit) else off
     }
 
+  /** Per-hash curation counts on statement-family results — the reference
+    * decorates its statements pipeline with num_curations (api.py:479-499,
+    * call_handlers.py:337-362); hash lists stay bare there too. A no-op
+    * without a store. */
+  private def withCurations(
+      df: DataFrame,
+      ro: ReadonlyTables,
+      curationDir: Option[String]): DataFrame = curationDir match {
+    case Some(dir) => graft.assembly.Curation.attach(df,
+      graft.assembly.Curation.store(ro.sourceMeta.sparkSession, dir))
+    case None => df
+  }
+
   private def dispatch(
       q: StmtQuery,
       resultType: String,
       ro: ReadonlyTables,
       types: TypeRegistry,
-      p: Map[String, String]): DataFrame = {
+      p: Map[String, String],
+      curationDir: Option[String] = None): DataFrame = {
     val limit = p.get("limit").map(_.toInt).getOrElse(0)
     val offset = p.get("offset").map(_.toInt).getOrElse(0)
     val evLimit = p.get("ev_limit").map(_.toInt).getOrElse(10)
     val sortBy = p.getOrElse("sort_by", "ev_count")
     resultType match {
       case "hashes" => Results.hashes(q, ro, types, sortBy, limit, offset)
-      case "statements" => page(
+      case "statements" => withCurations(page(
         Results.statementJsonResult(q, ro, types, evLimit),
-        Seq(col("mk_hash").asc), limit, offset)
-      case "interactions" => page(
+        Seq(col("mk_hash").asc), limit, offset), ro, curationDir)
+      case "interactions" => withCurations(page(
         Results.interactions(q, ro, types),
         Seq(col("ev_count").desc, col("mk_hash").asc, col("agent_str").asc),
-        limit, offset)
+        limit, offset), ro, curationDir)
       case "relations" => page(
         Results.relations(q, ro, types),
         Seq(col("total_ev").desc, col("agent_str").asc, col("type_num").asc),

@@ -114,6 +114,16 @@ class HttpApiSpec extends AnyFunSuite {
       ._1 == 400)
   }
 
+  test("statement results carry per-hash curation counts once curated") {
+    // the submit test above curated exactly one statement
+    val h = QueryService.run(
+      QueryService.Request(agents = Seq("P5"), allowMedscan = true, limit = 1),
+      "hashes", ro, TpchWorld.types).collect().head.getLong(0)
+    val (code, body) = get(s"/statements/from_hash/$h")
+    assert(code == 200)
+    assert(body.contains("\"n_curations\":1"), body.take(200))
+  }
+
   test("all-curations listing anonymizes without the permission") {
     // the previous test has submitted at least one curation
     get("/curation/list") match { case (code, body) =>
