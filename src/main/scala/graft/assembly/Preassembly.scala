@@ -58,16 +58,17 @@ object Preassembly {
     val chosen = when(!suspect, col("raw_json"))
       .when(try_parse_json(cleanedStr).isNotNull, cleanedStr)
       .when(try_parse_json(col("raw_json")).isNotNull, col("raw_json"))
-    // The always-true nondeterministic guard pins the parse in ITS OWN
+    // The nondeterministic Pinned wrapper pins the parse in ITS OWN
     // projection: downstream validity filters reference stmt's fields many
     // times, and both predicate pushdown and project collapse substitute a
     // deterministic alias PER REFERENCE — measured 28 inlined from_json
     // copies (a 30× slowdown once the generated method outgrows codegen).
     // Alias substitution is illegal for nondeterministic expressions, so
     // every consumer reads the once-per-row attribute instead. Nothing
-    // useful is pushable below a raw-statement parse anyway.
-    val stmt = when(monotonically_increasing_id() >= 0,
-      StatementModel.parse(chosen))
+    // useful is pushable below a raw-statement parse anyway. (Pinned is an
+    // identity — unlike the earlier monotonically_increasing_id guard it
+    // is also legal in streaming plans, which streamingPreassembly needs.)
+    val stmt = graft.functions.exprs.pinned(StatementModel.parse(chosen))
     raw.withColumn("stmt", stmt)
       .withColumn("matches_key", StatementModel.matchesKey(col("stmt")))
       .withColumn("mk_hash", stable_hash64(col("matches_key")))

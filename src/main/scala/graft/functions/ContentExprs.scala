@@ -11,6 +11,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * reader, ...) in the row, where the earlier mapPartitions shape forced a
   * (key, bytes) tuple encoding and a join to recover them.
   */
+/** Identity marked NONDETERMINISTIC: a projection pin. Alias substitution
+  * and project-collapse are illegal for nondeterministic expressions, so
+  * wrapping an expensive expression (a wide from_json) guarantees every
+  * downstream reference reads the once-per-row attribute instead of
+  * inlining a copy per consumer. Unlike the
+  * `when(monotonically_increasing_id() >= 0, …)` idiom it costs nothing at
+  * runtime (codegen passes the child through) and is legal in STREAMING
+  * plans, where monotonically_increasing_id is rejected. */
+case class Pinned(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override lazy val deterministic: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Pinned =
+    copy(child = newChild)
+}
+
 case class InflateText(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
 

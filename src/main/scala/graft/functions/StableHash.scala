@@ -97,4 +97,9 @@ object exprs {
   /** Column wrapper for [[InflateText]]. */
   def inflate_text(c: Column): Column =
     GraftBridge.column(InflateText(GraftBridge.expression(c)))
+
+  /** Column wrapper for [[Pinned]] — pin an expensive expression in its
+    * own projection (see Pinned's scaladoc). */
+  def pinned(c: Column): Column =
+    GraftBridge.column(Pinned(GraftBridge.expression(c)))
 }

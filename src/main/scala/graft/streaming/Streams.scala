@@ -55,6 +55,43 @@ object Streams {
           .as("duration_us"))
   }
 
+  /** Incremental streaming preassembly: a raw-statement directory source
+    * drained with Trigger.AvailableNow. Parse/validate/hash are the SAME
+    * map-side Preassembly stages as the batch pipeline; first-seen-hash
+    * dedup is engine state (streaming dropDuplicates on mk_hash), and the
+    * checkpoint makes each drain process only files added since the last
+    * run — the reference's supplement watermark (preassemble_db.py:481-543)
+    * re-expressed as stream state instead of bookkeeping rows. Append mode:
+    * each drain emits exactly the NEW unique statements.
+    */
+  def streamingPreassembly(
+      spark: org.apache.spark.sql.SparkSession,
+      rawDir: String,
+      checkpointDir: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("raw_stmt_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("src",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("raw_json",
+        org.apache.spark.sql.types.StringType)))
+    val raw = spark.readStream.schema(schema).parquet(rawDir)
+    val (valid, _) = graft.assembly.Preassembly.partitionValid(
+      graft.assembly.Preassembly.parse(raw))
+    valid
+      .select(col("mk_hash"), col("raw_stmt_id"), col("src"),
+        col("matches_key"))
+      .dropDuplicates("mk_hash")
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+
   /** Incremental supplement: raw statements not yet represented in the
     * links table (alls EXCEPT olds, preassemble_db.py:527-543). The delta
     * then flows through the normal Preassembly stages. */

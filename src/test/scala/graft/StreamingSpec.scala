@@ -79,6 +79,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming preassembly drains incrementally with checkpointed dedup") {
+    import spark.implicits._
+    def js(subj: String, obj: String) =
+      s"""{"type":"Activation","subj":{"name":"$subj"},"obj":{"name":"$obj"}}"""
+    val rawDir = java.nio.file.Files.createTempDirectory("raw-stream")
+    val ckDir = java.nio.file.Files.createTempDirectory("raw-ck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("raw-out").toString
+
+    // batch 1: two unique statements, one duplicated
+    Seq((1L, "reach", js("A", "B")), (2L, "reach", js("A", "B")),
+        (3L, "sparser", js("C", "D")))
+      .toDF("raw_stmt_id", "src", "raw_json")
+      .coalesce(1).write.mode("append").parquet(rawDir.toString)
+    val q1 = Streams.streamingPreassembly(
+      spark, rawDir.toString, ckDir, outDir)
+    q1.awaitTermination()
+    val after1 = spark.read.parquet(outDir)
+    assert(after1.count() == 2)
+    assert(after1.select("matches_key").as[String].collect().toSet ==
+      Set("Activation(A, B, None)", "Activation(C, D, None)"))
+
+    // batch 2: one already-seen statement, one genuinely new — only the
+    // new hash lands (checkpoint state remembers batch 1 across queries)
+    Seq((4L, "reach", js("A", "B")), (5L, "medscan", js("E", "F")))
+      .toDF("raw_stmt_id", "src", "raw_json")
+      .coalesce(1).write.mode("append").parquet(rawDir.toString)
+    val q2 = Streams.streamingPreassembly(
+      spark, rawDir.toString, ckDir, outDir)
+    q2.awaitTermination()
+    val after2 = spark.read.parquet(outDir)
+    assert(after2.count() == 3)
+    assert(after2.filter(col("matches_key") === "Activation(E, F, None)")
+      .count() == 1)
+  }
+
   test("stateful per-user counting via mapGroupsWithState conserves totals") {
     import spark.implicits._
     val events = Tables.events(spark, dir)
