@@ -209,6 +209,32 @@ object Curate {
           floor(col("tok_offset") / lit(budget)).cast("long"))
   }
 
+  /** Span-splitting view of [[packSequences]]: one row per (sequence, doc
+    * fragment), materializing how each doc's tokens distribute over the
+    * chopped sequences — docs crossing a boundary split into one span per
+    * sequence (what a loader needs to assemble fixed-length training rows).
+    * Input is packSequences' output; zero-token docs occupy no span.
+    * Output: (shard, seq_id, doc_id, doc_tok_start, span_len).
+    */
+  def packSpans(packed: DataFrame, budget: Long): DataFrame =
+    packed
+      .filter(col("n_tokens") > 0)
+      .withColumn("first_seq",
+        floor(col("tok_offset") / lit(budget)).cast("long"))
+      .withColumn("last_seq",
+        floor((col("tok_offset") + col("n_tokens") - 1) / lit(budget))
+          .cast("long"))
+      .withColumn("sq", explode(sequence(col("first_seq"), col("last_seq"))))
+      .withColumn("span_start",
+        greatest(col("tok_offset"), col("sq") * budget))
+      .withColumn("span_end",
+        least(col("tok_offset") + col("n_tokens"), (col("sq") + 1) * budget))
+      .select(col("shard"),
+        (col("shard") * 1000000L + col("sq")).as("seq_id"),
+        col("doc_id"),
+        (col("span_start") - col("tok_offset")).as("doc_tok_start"),
+        (col("span_end") - col("span_start")).as("span_len"))
+
   /** Deterministic train/val/test assignment by hash bucket — membership is
     * a pure function of the id, so splits are stable under re-runs and
     * appends. */

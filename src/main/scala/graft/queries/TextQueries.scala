@@ -704,6 +704,38 @@ shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
         FROM t"""),
     ),
 
+    // span-splitting packing view: docs crossing a 512-token sequence
+    // boundary split into one span per sequence
+    "q_pack_spans" -> QueryDef(
+      (s, dir) => Curate.packSpans(
+        Curate.packSequences(
+          docs(s, dir).select(col("doc_id"),
+            TextAnalysis.approxBpeTokens(col("text")).as("n_tokens")),
+          "doc_id", "n_tokens", budget = 512L, shards = 8),
+        budget = 512L),
+      Some(s"""WITH t AS (SELECT doc_id,
+          CAST(ceil(CAST(length(text) AS DOUBLE)/4.0) AS BIGINT) AS n_tokens,
+          ${duckHash("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+        FROM documents),
+        w AS (SELECT doc_id, n_tokens, shard,
+          CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS tok_offset
+          FROM t),
+        s AS (SELECT *, tok_offset // 512 AS first_seq,
+                (tok_offset + n_tokens - 1) // 512 AS last_seq
+              FROM w WHERE n_tokens > 0),
+        e AS (SELECT doc_id, shard, tok_offset, n_tokens,
+                unnest(generate_series(first_seq, last_seq)) AS sq
+              FROM s)
+        SELECT shard, CAST(shard * 1000000 + sq AS BIGINT) AS seq_id, doc_id,
+          CAST(greatest(tok_offset, sq * 512) - tok_offset AS BIGINT)
+            AS doc_tok_start,
+          CAST(least(tok_offset + n_tokens, (sq + 1) * 512)
+            - greatest(tok_offset, sq * 512) AS BIGINT) AS span_len
+        FROM e"""),
+    ),
+
     // deterministic train/val/test assignment by hash bucket
     "q_hash_split" -> QueryDef(
       (s, dir) => Curate.hashSplit(docs(s, dir).select("doc_id"), "doc_id"),

@@ -117,6 +117,24 @@ class CurateSpec extends AnyFunSuite {
     }
   }
 
+  test("packSpans conserves tokens and bounds every span by the budget") {
+    import spark.implicits._
+    val df = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.approxBpeTokens(col("text")).as("n_tokens"))
+    val packed = Curate.packSequences(df, "doc_id", "n_tokens",
+      budget = 64L, shards = 4)
+    val spans = Curate.packSpans(packed, budget = 64L)
+    val total = df.agg(sum("n_tokens")).as[Long].collect().head
+    assert(spans.agg(sum("span_len")).as[Long].collect().head == total)
+    val bad = spans.filter(col("span_len") < 1 || col("span_len") > 64)
+    assert(bad.count() == 0)
+    // within a sequence, spans tile without overlap: per (seq, doc) spans
+    // sum to the doc's tokens across sequences
+    val perDoc = spans.groupBy("doc_id").agg(sum("span_len").as("s"))
+      .join(df, "doc_id").filter(col("s") =!= col("n_tokens")).count()
+    assert(perDoc == 0)
+  }
+
   test("hashSplit is a partition with stable, roughly-sized buckets") {
     val out = Curate.hashSplit(docs, "doc_id")
     assert(out.count() == docs.count())
