@@ -44,7 +44,13 @@ object Curation {
       paJson: Option[String] = None,
       evJson: Option[String] = None)
 
-  private val ids = new java.util.concurrent.atomic.AtomicLong(0L)
+  // one id counter PER STORE, seeded from that store's max id on first
+  // touch — a single JVM-global counter issues duplicate ids when two
+  // stores (or a fresh store after a seeded one) share the process. A
+  // second PROCESS over the same dir still races; the reference delegates
+  // that to Postgres sequences, and a multi-writer deployment should too.
+  private val ids =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
 
   /** Append one curation to the parquet log at `dir` — the engine analog of
     * submit_curation (client/principal/curation.py:16-80): validates the
@@ -69,11 +75,12 @@ object Curation {
           .select("pa_json").as[String].collect().headOption
       else None
     }
-    if (ids.get() == 0L) {
-      val mx = store(spark, dir).agg(max("id")).collect().head
-      ids.compareAndSet(0L, if (mx.isNullAt(0)) 0L else mx.getLong(0))
-    }
-    val id = ids.incrementAndGet()
+    val counter = ids.computeIfAbsent(dir, { d =>
+      val mx = store(spark, d).agg(max("id")).collect().head
+      new java.util.concurrent.atomic.AtomicLong(
+        if (mx.isNullAt(0)) 0L else mx.getLong(0))
+    })
+    val id = counter.incrementAndGet()
     Seq((id, sub.paHash, sub.sourceHash, sub.tag, sub.text, sub.curator,
         sub.ip, sub.source, paJson, sub.evJson))
       .toDF("id", "pa_hash", "source_hash", "tag", "text", "curator", "ip",
@@ -128,17 +135,20 @@ object Curation {
     * (client/principal/curation.py:106-140): curations tagged 'grounding'
     * whose text matches `[raw text] -> NS:ID|NS2:ID2...` yield one row per
     * (raw_text, db_name, db_id); empty and non-matching texts are skipped
-    * (the reference logs them), and each entry splits on the FIRST colon
-    * only (ids may contain colons). */
+    * (the reference logs them), each entry splits on the FIRST colon only
+    * (ids may contain colons), and a curation with ANY colon-less entry is
+    * skipped WHOLE — the reference's dict() failure skips the curation,
+    * not the entry (curation.py:131-141). */
   def groundingCurations(curations: DataFrame): DataFrame =
     query(curations, tag = Some("grounding"))
       .filter(col("text").isNotNull)
       .select(
         regexp_extract(trim(col("text")), GroundingRe, 1).as("raw_text"),
-        regexp_extract(trim(col("text")), GroundingRe, 2).as("ids"))
-      .filter(col("ids") =!= "")
-      .select(col("raw_text"),
-        explode(split(col("ids"), "\\|")).as("entry"))
+        split(regexp_extract(trim(col("text")), GroundingRe, 2), "\\|")
+          .as("entries"))
+      .filter(size(col("entries")) > 0 &&
+        forall(col("entries"), e => e.contains(":")))
+      .select(col("raw_text"), explode(col("entries")).as("entry"))
       .select(col("raw_text"),
         split(col("entry"), ":", 2).getItem(0).as("db_name"),
         split(col("entry"), ":", 2).getItem(1).as("db_id"))

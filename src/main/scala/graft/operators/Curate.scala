@@ -191,8 +191,12 @@ object Curate {
     * the id-hash shard, embarrassingly parallel across `shards`.
     *
     * Output adds: shard, tok_offset (tokens before this doc in its shard's
-    * stream), seq_id (= shard * 1e6 + tok_offset / budget).
+    * stream), seq_id (= (shard << 40) | tok_offset/budget — 2^40 sequences
+    * per shard before any collision, i.e. ~4.5e15 tokens per shard at a
+    * 4096 budget; a 1e6 stride collides at the 100 TB regime).
     */
+  val SeqIdShardBits = 40
+
   def packSequences(
       df: DataFrame,
       idCol: String,
@@ -205,7 +209,7 @@ object Curate {
     df.withColumn("shard", hashBucket(col(idCol), shards))
       .withColumn("tok_offset", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
       .withColumn("seq_id",
-        col("shard") * 1000000L +
+        shiftleft(col("shard"), SeqIdShardBits).cast("long") +
           floor(col("tok_offset") / lit(budget)).cast("long"))
   }
 
@@ -213,25 +217,31 @@ object Curate {
     * fragment), materializing how each doc's tokens distribute over the
     * chopped sequences — docs crossing a boundary split into one span per
     * sequence (what a loader needs to assemble fixed-length training rows).
-    * Input is packSequences' output; zero-token docs occupy no span.
-    * Output: (shard, seq_id, doc_id, doc_tok_start, span_len).
+    * Input is packSequences' output (same idCol/tokenCol); zero-token docs
+    * occupy no span.
+    * Output: (shard, seq_id, idCol, doc_tok_start, span_len).
     */
-  def packSpans(packed: DataFrame, budget: Long): DataFrame =
+  def packSpans(
+      packed: DataFrame,
+      budget: Long,
+      idCol: String = "doc_id",
+      tokenCol: String = "n_tokens"): DataFrame =
     packed
-      .filter(col("n_tokens") > 0)
+      .filter(col(tokenCol) > 0)
       .withColumn("first_seq",
         floor(col("tok_offset") / lit(budget)).cast("long"))
       .withColumn("last_seq",
-        floor((col("tok_offset") + col("n_tokens") - 1) / lit(budget))
+        floor((col("tok_offset") + col(tokenCol) - 1) / lit(budget))
           .cast("long"))
       .withColumn("sq", explode(sequence(col("first_seq"), col("last_seq"))))
       .withColumn("span_start",
         greatest(col("tok_offset"), col("sq") * budget))
       .withColumn("span_end",
-        least(col("tok_offset") + col("n_tokens"), (col("sq") + 1) * budget))
+        least(col("tok_offset") + col(tokenCol), (col("sq") + 1) * budget))
       .select(col("shard"),
-        (col("shard") * 1000000L + col("sq")).as("seq_id"),
-        col("doc_id"),
+        (shiftleft(col("shard"), SeqIdShardBits).cast("long") + col("sq"))
+          .as("seq_id"),
+        col(idCol),
         (col("span_start") - col("tok_offset")).as("doc_tok_start"),
         (col("span_end") - col("span_start")).as("span_len"))
 

@@ -198,8 +198,14 @@ object Dedup {
       threshold: Double = 0.6, maxBucket: Long = 1000): DataFrame = {
     val newSh = shingleSet(newDocs, idCol, textCol, n)
     val newSigs = bandSignatures(minhash(newSh, k), r)
+    // a re-ingested id (present in old AND new) means an updated doc: the
+    // new version REPLACES the old rows — without this, union'd shingle
+    // sets double-count and Jaccard exceeds 1
+    val newIds = newSh.select("doc_id").distinct()
+    val oldSigsLive = oldSigs.join(newIds, Seq("doc_id"), "left_anti")
+    val oldShLive = oldShingles.join(newIds, Seq("doc_id"), "left_anti")
     val all = newSigs.withColumn("is_new", lit(true))
-      .unionByName(oldSigs.withColumn("is_new", lit(false)))
+      .unionByName(oldSigsLive.withColumn("is_new", lit(false)))
     // prune to buckets the delta touches BEFORE capping/joining
     val touched = all.join(newSigs.select("band", "sig").distinct(),
       Seq("band", "sig"), "left_semi")
@@ -210,7 +216,15 @@ object Dedup {
           (col("x.is_new") || col("y.is_new")))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    jaccard(cands, oldShingles.unionByName(newSh))
+    // verification must stay delta-shaped too: only candidate docs'
+    // shingle sets participate (sizes are still exact per doc — the semi
+    // join keeps whole documents, never partial sets). Without this the
+    // size aggregation and intersection joins re-pay the full corpus.
+    val candIds = cands.select(col("a_id").as("doc_id"))
+      .unionByName(cands.select(col("b_id").as("doc_id"))).distinct()
+    val candSh = oldShLive.unionByName(newSh)
+      .join(candIds, Seq("doc_id"), "left_semi")
+    jaccard(cands, candSh)
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }

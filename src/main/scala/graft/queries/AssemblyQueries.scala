@@ -612,13 +612,17 @@ object AssemblyQueries extends QueryPack {
           FROM documents WHERE doc_id % 6 = 1),
         g AS (SELECT
             regexp_extract(trim(text), '^\[(.*)\] -> ([^ ]+)$', 1) AS raw_text,
-            regexp_extract(trim(text), '^\[(.*)\] -> ([^ ]+)$', 2) AS ids
+            string_split(
+              regexp_extract(trim(text), '^\[(.*)\] -> ([^ ]+)$', 2), '|')
+              AS entries
           FROM cur WHERE tag = 'grounding'),
-        e AS (SELECT raw_text, unnest(string_split(ids, '|')) AS entry
-              FROM g WHERE ids <> '')
+        e AS (SELECT raw_text, unnest(entries) AS entry
+              FROM g
+              WHERE len(entries) > 0 AND
+                len(list_filter(entries, x -> NOT contains(x, ':'))) = 0)
         SELECT raw_text,
-          regexp_extract(entry, '^([^:]+):(.*)$', 1) AS db_name,
-          regexp_extract(entry, '^([^:]+):(.*)$', 2) AS db_id
+          substr(entry, 1, strpos(entry, ':') - 1) AS db_name,
+          substr(entry, strpos(entry, ':') + 1) AS db_id
         FROM e"""),
     ),
   )

@@ -697,7 +697,7 @@ shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
           CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
             AS tok_offset,
-          CAST(shard * 1000000 +
+          CAST(shard * 1099511627776 +
             COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
             AS BIGINT) AS seq_id
@@ -728,7 +728,7 @@ shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
         e AS (SELECT doc_id, shard, tok_offset, n_tokens,
                 unnest(generate_series(first_seq, last_seq)) AS sq
               FROM s)
-        SELECT shard, CAST(shard * 1000000 + sq AS BIGINT) AS seq_id, doc_id,
+        SELECT shard, CAST(shard * 1099511627776 + sq AS BIGINT) AS seq_id, doc_id,
           CAST(greatest(tok_offset, sq * 512) - tok_offset AS BIGINT)
             AS doc_tok_start,
           CAST(least(tok_offset + n_tokens, (sq + 1) * 512)

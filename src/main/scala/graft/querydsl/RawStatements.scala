@@ -112,8 +112,9 @@ object RawStatements {
     * with a reading (`if rid is not None`, :175-176). */
   private def envelope(chained: DataFrame): DataFrame = {
     val pmid = optCol(chained, "pmid", "long")
-    val doi = when(optCol(chained, "doi_ns", "long").isNotNull,
-      concat(lit("10."), col("doi_ns").cast("string"), lit("/"),
+    val doiNs = optCol(chained, "doi_ns", "long")
+    val doi = when(doiNs.isNotNull,
+      concat(lit("10."), doiNs.cast("string"), lit("/"),
         optCol(chained, "doi_id", "string")))
     val refs = struct(
       col("trid").as("TRID"), pmid.as("PMID"),
@@ -198,8 +199,9 @@ object RawStatements {
       .join(p.textContent, Seq("tcid"))
       .join(constrained, Seq("trid"))
     val pmid = optCol(chained, "pmid", "long")
-    val doi = when(optCol(chained, "doi_ns", "long").isNotNull,
-      concat(lit("10."), col("doi_ns").cast("string"), lit("/"),
+    val doiNs = optCol(chained, "doi_ns", "long")
+    val doi = when(doiNs.isNotNull,
+      concat(lit("10."), doiNs.cast("string"), lit("/"),
         optCol(chained, "doi_id", "string")))
     chained.select(idVal.as("id_val"), col("raw_stmt_id"),
       to_json(struct(
@@ -243,12 +245,13 @@ object RawStatements {
     val evAgg =
       if (withEvidence) {
         val chained = withRefChain(p)
+        val doiNs = optCol(chained, "doi_ns", "long")
         val refs = struct(
           col("trid").as("TRID"),
           optCol(chained, "pmid", "long").as("PMID"),
           optCol(chained, "pmcid_num", "long").as("PMCID"),
-          when(optCol(chained, "doi_ns", "long").isNotNull,
-            concat(lit("10."), col("doi_ns").cast("string"), lit("/"),
+          when(doiNs.isNotNull,
+            concat(lit("10."), doiNs.cast("string"), lit("/"),
               optCol(chained, "doi_id", "string"))).as("DOI"),
           col("tcid").as("TCID"), col("reading_id").as("READING_ID"))
         Some(chained

@@ -43,10 +43,12 @@ object HttpApi {
       port: Int = 0,
       maxRows: Int = 1000,
       curationDir: Option[String] = None,
-      curatorSalt: String = ""): HttpServer = {
+      curatorSalt: String = "",
+      curationsApiKey: Option[String] = None): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/", (ex: HttpExchange) =>
-      handle(ex, ro, types, maxRows, curationDir, curatorSalt))
+      handle(ex, ro, types, maxRows, curationDir, curatorSalt,
+        curationsApiKey))
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
     server.start()
     server
@@ -101,7 +103,8 @@ object HttpApi {
       types: TypeRegistry,
       maxRows: Int,
       curationDir: Option[String],
-      curatorSalt: String): Unit =
+      curatorSalt: String,
+      curationsApiKey: Option[String]): Unit =
     try {
       val path = ex.getRequestURI.getPath.stripPrefix("/").stripSuffix("/")
       val parts = path.split("/").toList
@@ -145,8 +148,13 @@ object HttpApi {
                 sourceHash = more.headOption.map(_.toLong))
             case Nil =>
               // all-curations listing: anonymized without the
-              // get_curations permission (api.py:616-639)
-              if (p.get("api_key").contains("GET_CURATIONS")) all
+              // get_curations permission (api.py:616-639). The permission
+              // key is OPERATOR-CONFIGURED — a source-literal key would
+              // make the anonymization bypassable by anyone reading the
+              // code (the reference gates on a JWT role).
+              val permitted = curationsApiKey.exists(k =>
+                p.get("api_key").contains(k))
+              if (permitted) all
               else graft.assembly.Curation.anonymized(all, curatorSalt)
           }
           respond(ex, 200, rows(listed.orderBy(col("id")), maxRows))

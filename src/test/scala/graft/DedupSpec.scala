@@ -60,6 +60,21 @@ class DedupSpec extends AnyFunSuite {
     assert(delta.nonEmpty)
   }
 
+  test("deltaNearDups treats a re-ingested id as a replacement") {
+    // re-ingest the whole corpus under the SAME ids: old rows must be
+    // replaced, not unioned — otherwise shingle sets double-count and
+    // jaccard exceeds 1
+    val oldSh = Dedup.shingleSet(docs, "doc_id", "text", 3)
+    val oldSigs = Dedup.bandSignatures(Dedup.minhash(oldSh, 12), 3)
+    val delta = Dedup.deltaNearDups(docs, "doc_id", "text", oldSigs, oldSh,
+      n = 3, k = 12, r = 3, threshold = 0.6)
+    assert(delta.filter(col("jaccard") > 1.0).count() == 0)
+    val batch = Dedup.minhashNearDups(docs, "doc_id", "text",
+      n = 3, k = 12, r = 3, threshold = 0.6)
+    assert(delta.select("a_id", "b_id").collect().toSet ==
+      batch.select("a_id", "b_id").collect().toSet)
+  }
+
   test("simhash of identical texts is identical; near-dup pairs found") {
     val sh = Dedup.simhash(Dedup.tokenSet(withExactCopies, "doc_id", "text"))
     val pairs = Dedup.simhashNearDups(sh, maxHamming = 0)

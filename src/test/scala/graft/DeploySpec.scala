@@ -75,6 +75,20 @@ class DeploySpec extends AnyFunSuite {
     assert(anon == 2)
   }
 
+  test("grounding curations: malformed entry skips the WHOLE curation") {
+    import spark.implicits._
+    val cur = Seq(
+      ("grounding", "[tnf] -> FPLX:TNF|HGNC:11892"), // both entries kept
+      ("grounding", "[p53] -> HGNC:11998|UP"),       // UP lacks ':' -> skip all
+      ("grounding", "free-form note"),               // non-matching -> skip
+      ("other", "[x] -> HGNC:1"),                    // wrong tag -> skip
+    ).toDF("tag", "text")
+    val rows = Curation.groundingCurations(cur)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(rows == Set(("tnf", "FPLX", "TNF"), ("tnf", "HGNC", "11892")))
+  }
+
   test("paper id decomposition") {
     import spark.implicits._
     val df = Seq(("12345", "PMC999.2", "10.1038/nature12373", "D012345"))

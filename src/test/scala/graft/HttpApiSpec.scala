@@ -17,7 +17,8 @@ class HttpApiSpec extends AnyFunSuite {
   lazy val curationDir =
     java.nio.file.Files.createTempDirectory("curations").toString
   lazy val server = HttpApi.start(ro, TpchWorld.types,
-    curationDir = Some(curationDir), curatorSalt = "pepper")
+    curationDir = Some(curationDir), curatorSalt = "pepper",
+    curationsApiKey = Some("GET_CURATIONS"))
   lazy val base = s"http://127.0.0.1:${server.getAddress.getPort}"
   lazy val client = HttpClient.newHttpClient()
 
