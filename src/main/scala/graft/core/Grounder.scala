@@ -77,6 +77,15 @@ final case class ScoredGrounder(entries: Seq[GroundingEntry]) extends Grounder {
 }
 
 object Grounder {
+
+  /** Default AUTO resolution: the scored tier table first, the plain
+    * dictionary as fallback — what [[graft.querydsl.QueryCompiler]] uses
+    * when no grounder is injected. */
+  lazy val composite: Grounder = new Grounder {
+    def ground(text: String): Option[(String, String)] =
+      scoredDefault.ground(text).orElse(default.ground(text))
+  }
+
   /** Tiny built-in table for tests/demos; production supplies its own. */
   val default: DictGrounder = DictGrounder(Map(
     "ERK" -> ("FPLX", "ERK"),

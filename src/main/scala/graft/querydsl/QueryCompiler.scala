@@ -28,8 +28,15 @@ object QueryCompiler {
 
   private val outCols = Seq("mk_hash", "ev_count", "belief")
 
-  def compile(q: StmtQuery, ro: ReadonlyTables, types: TypeRegistry): DataFrame =
-    compileCtx(q, ro, types, Nil)
+  /** `grounder` resolves AUTO-namespace agents (the reference runs gilda
+    * there); the default is the scored tier table with the plain dictionary
+    * as fallback, and a model-backed [[Grounder]] slots in per call. */
+  def compile(
+      q: StmtQuery,
+      ro: ReadonlyTables,
+      types: TypeRegistry,
+      grounder: Grounder = Grounder.composite): DataFrame =
+    compileCtx(q, ro, types, Nil, grounder)
 
   // -------------------------------------------------------------------------
 
@@ -107,18 +114,15 @@ object QueryCompiler {
       q: StmtQuery,
       ro: ReadonlyTables,
       types: TypeRegistry,
-      intr: Seq[Column]): DataFrame = q match {
+      intr: Seq[Column],
+      grounder: Grounder): DataFrame = q match {
 
     case HasAgent(id0, ns0, role, agNum, _) =>
       // AUTO namespace resolves through the pluggable grounder (the
-      // reference runs gilda here, query.py:1687-1700) — the scored
-      // tier-ranked table, gilda's candidate-ranking shape; unresolved
-      // names fall back to NAME
+      // reference runs gilda here, query.py:1687-1700); unresolved names
+      // fall back to NAME
       val (ns, id) =
-        if (ns0 == "AUTO")
-          Grounder.scoredDefault.ground(id0)
-            .orElse(Grounder.default.ground(id0))
-            .getOrElse(("NAME", id0))
+        if (ns0 == "AUTO") grounder.ground(id0).getOrElse(("NAME", id0))
         else (ns0, id0)
       // namespace routes the scan (query.py:1717-1725): NAME and TEXT have
       // dedicated tables because they dominate the row count
@@ -202,7 +206,8 @@ object QueryCompiler {
       q: StmtQuery,
       ro: ReadonlyTables,
       types: TypeRegistry,
-      intr: Seq[Column]): DataFrame = q match {
+      intr: Seq[Column],
+      grounder: Grounder): DataFrame = q match {
 
     case EmptyQuery => emptyResult(ro)
     case FullQuery => base(ro, intr)
@@ -214,12 +219,12 @@ object QueryCompiler {
       base(ro, sourcePred(leaf).get +: intr)
 
     case leaf if isMultiRowLeaf(leaf) =>
-      if (!leaf.inverted) positiveLeaf(leaf, ro, types, intr)
+      if (!leaf.inverted) positiveLeaf(leaf, ro, types, intr, grounder)
       else
         // inversion on multi-row tables must be an anti-join on the hash
         // key, not predicate negation (query.py:1752-1766 / SURVEY §7.4.5)
         base(ro, intr).join(
-          positiveLeaf(leaf.invert, ro, types, Nil),
+          positiveLeaf(leaf.invert, ro, types, Nil, grounder),
           Seq("mk_hash"), "left_anti")
 
     case Intersection(qs) =>
@@ -239,19 +244,21 @@ object QueryCompiler {
         if (fusable.nonEmpty || joins.isEmpty)
           Some(base(ro, fusable.flatMap(sourcePred) ++ ctx))
         else None
-      val joined: Seq[DataFrame] = joins.map(j => compileCtx(j, ro, types, ctx))
+      val joined: Seq[DataFrame] =
+        joins.map(j => compileCtx(j, ro, types, ctx, grounder))
       val allPos = fusedScan.toSeq ++ joined
       val positive = allPos.reduceLeft { (acc, nxt) =>
         acc.join(nxt.select("mk_hash"), Seq("mk_hash"), "left_semi")
       }
       invs.foldLeft(positive) { (acc, inv) =>
         acc.join(
-          positiveLeaf(inv.invert, ro, types, Nil).select("mk_hash"),
+          positiveLeaf(inv.invert, ro, types, Nil, grounder)
+            .select("mk_hash"),
           Seq("mk_hash"), "left_anti")
       }
 
     case Union(qs) =>
-      qs.map(sub => compileCtx(sub, ro, types, intr))
+      qs.map(sub => compileCtx(sub, ro, types, intr, grounder))
         .reduceLeft(_ union _)
         .dropDuplicates("mk_hash")
   }

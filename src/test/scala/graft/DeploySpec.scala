@@ -45,6 +45,12 @@ class DeploySpec extends AnyFunSuite {
     assert(auto.collect().map(_.getLong(0)).toSet ==
       name.collect().map(_.getLong(0)).toSet)
     assert(Grounder.default.ground("erk").contains(("FPLX", "ERK")))
+    // an injected grounder overrides the default resolution per call
+    val custom = graft.core.DictGrounder(Map("ALIAS-5" -> ("NAME", "P5")))
+    val viaCustom = QueryCompiler.compile(
+      HasAgent("alias-5", "AUTO"), ro, TpchWorld.types, grounder = custom)
+    assert(viaCustom.collect().map(_.getLong(0)).toSet ==
+      name.collect().map(_.getLong(0)).toSet)
   }
 
   test("scored grounder ranks by match tier then prior (gilda shape)") {
