@@ -245,6 +245,84 @@ object Curate {
         (col("span_start") - col("tok_offset")).as("doc_tok_start"),
         (col("span_end") - col("span_start")).as("span_len"))
 
+  /** Best-fit-decreasing sequence packing — the padding-sensitive variant
+    * of [[packSequences]]: instead of chopping a contiguous stream (which
+    * splits documents at sequence boundaries), each document is placed
+    * WHOLE into the open bin with the least remaining room that still fits
+    * it, documents visited largest-first. Training rows then never split a
+    * document, and BFD keeps padding waste near the (11/9)·OPT bin-packing
+    * bound.
+    *
+    * Scale shape: packing needs sequential state, so it is the one genuine
+    * per-partition imperative loop in this family — but only WITHIN a
+    * shard. The id-hash shard is the unit of parallelism (training order
+    * is irrelevant, exactly as in [[packSequences]]): one repartition by
+    * shard, a partition-local sort (no global sort — Spark's external
+    * sorter spills), and a single pass holding at most `maxOpenBins`
+    * (remaining, bin) entries per shard — O(1) memory in corpus size. When
+    * the pool is full and nothing fits, the fullest bin (least remaining
+    * room) is retired: it is the least useful to future, ever-smaller
+    * documents, so the loss vs. unbounded BFD is one near-full bin at a
+    * time. Everything is deterministic: the hash shard, the
+    * (tokens DESC, id ASC) visit order, and lowest-bin-id tie-breaks —
+    * re-runs and engines agree row-for-row.
+    *
+    * Documents at or over `budget` get a dedicated bin (a real loader
+    * would truncate or hand them to [[packSpans]]).
+    *
+    * Output adds: shard, seq_id (= (shard << [[SeqIdShardBits]]) | bin),
+    * bin_offset (tokens already in the bin when this doc was placed).
+    */
+  def packBestFit(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      budget: Long,
+      shards: Int,
+      maxOpenBins: Int = 4096): DataFrame = {
+    val sharded = df.withColumn("shard", hashBucket(col(idCol), shards))
+    val inSchema = sharded.schema
+    val outSchema = inSchema
+      .add("seq_id", org.apache.spark.sql.types.LongType, nullable = false)
+      .add("bin_offset", org.apache.spark.sql.types.LongType,
+        nullable = false)
+    val shardIdx = inSchema.fieldIndex("shard")
+    val tokIdx = inSchema.fieldIndex(tokenCol)
+    val packed = sharded
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col(tokenCol).desc, col(idCol))
+      .rdd.mapPartitions { rows =>
+        // several shards may share a partition; state resets per shard
+        // (rows arrive shard-contiguous thanks to the partition sort)
+        var curShard = Long.MinValue
+        var nextBin = 0L
+        // (remaining, binId) ordered asc: head = fullest bin; rangeFrom
+        // finds the least remaining >= size with lowest-bin tie-break
+        val open = scala.collection.mutable.TreeSet.empty[(Long, Long)]
+        rows.map { row =>
+          val shard = row.getLong(shardIdx)
+          if (shard != curShard) { curShard = shard; nextBin = 0L; open.clear() }
+          val size = row.getLong(tokIdx)
+          val (bin, offset) =
+            if (size >= budget) { val b = nextBin; nextBin += 1; (b, 0L) }
+            else open.rangeFrom((size, Long.MinValue)).headOption match {
+              case Some(hit @ (rem, b)) =>
+                open.remove(hit)
+                if (rem - size > 0) open.add((rem - size, b))
+                (b, budget - rem)
+              case None =>
+                if (open.size >= maxOpenBins) open.remove(open.head)
+                val b = nextBin; nextBin += 1
+                if (budget - size > 0) open.add((budget - size, b))
+                (b, 0L)
+            }
+          val seqId = (shard << SeqIdShardBits) | bin
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ seqId :+ offset)
+        }
+      }
+    sharded.sparkSession.createDataFrame(packed, outSchema)
+  }
+
   /** Deterministic train/val/test assignment by hash bucket — membership is
     * a pure function of the id, so splits are stable under re-runs and
     * appends. */

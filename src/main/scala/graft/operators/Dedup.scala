@@ -172,6 +172,27 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** End-to-end near-duplicate REMOVAL — what a training pipeline actually
+    * runs: near-dup pairs (from any of the pair generators here) become
+    * duplicate clusters via connected components, and exactly one document
+    * per cluster survives (the min id — deterministic, append-stable for
+    * ids that sort by ingest time). Docs in no pair are untouched.
+    *
+    * Scale shape: the pair graph is tiny next to the corpus (only near-dups
+    * appear in it), so the component propagation runs on the small side and
+    * the corpus is touched exactly once, by a LEFT ANTI join on the id —
+    * text never shuffles. Cluster diameter bounds the label-propagation
+    * rounds; near-dup clusters are shallow (dup chains, not paths), so this
+    * converges in a few single-shuffle rounds.
+    */
+  def dedupCorpus(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comp = graft.assembly.Refinement.connectedComponents(
+      pairs.select(col("a_id").as("node"), col("b_id").as("peer")))
+    val losers = comp.filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Incremental MinHash-LSH near-dup: dedup a NEW batch against an
     * existing corpus without re-processing the corpus — the delta shape
     * every growing 100 TB corpus needs (re-running [[minhashNearDups]] over

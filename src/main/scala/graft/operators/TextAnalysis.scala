@@ -78,4 +78,72 @@ object TextAnalysis {
   def bpeTokens(text: Column): Column =
     regexp_extract_all(lower(text), lit(bpePattern), lit(0))
   def bpeTokenCount(text: Column): Column = size(bpeTokens(text)).cast("long")
+
+  // --- n-gram language-model scoring (CCNet-style quality signal) --------
+
+  /** Adjacent-token bigram rows: one (idCol, w1, w2) per consecutive token
+    * pair. The pair array is built map-side with zip_with over two slices
+    * of the SAME token array (one split per row, no self-join, no
+    * positional re-join), then exploded — the standard scale shape for
+    * n-gram extraction. Docs under two tokens produce nothing. */
+  def bigrams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val withToks = df.select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val n = size(col("toks"))
+    val pairs = zip_with(
+      slice(col("toks"), lit(1), n - 1),
+      slice(col("toks"), lit(2), n - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    withToks.select(col(idCol), explode(pairs).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+  }
+
+  /** Train a bigram LM on a corpus: (bigram counts (w1, w2, c2), context
+    * counts (w1, c1)). Two partial-aggregated groupBys over one bigram
+    * pass; counts are exact integers, so the model is deterministic and
+    * engine-portable. At 100 TB the model side is itself large — both
+    * tables stay distributed and join by key (bucket by w1 when reused);
+    * training on a hash-sample of the corpus is the usual cost lever and
+    * composes here as a plain filter before this call. */
+  def lmTrain(corpus: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
+    val bg = bigrams(corpus, idCol, textCol)
+    (bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2")),
+      bg.groupBy("w1").agg(count(lit(1)).as("c1")))
+  }
+
+  /** Per-document mean bigram log-likelihood under an add-one-smoothed
+    * bigram LM — the CCNet-style fluency/quality score (docs unlike the
+    * training corpus score low). `vocab` is the smoothing denominator mass.
+    *
+    * Determinism across engines and runs: each bigram's logprob is
+    * quantized to integer MICRO-nats map-side, and only the integer sum is
+    * aggregated — integer addition commutes, so shuffle order cannot
+    * perturb the result (a double sum would differ run-to-run in the last
+    * bits). The mean is recovered from the integer sum at the end.
+    *
+    * Output: (idCol, n_bigrams, lp_sum_micro, lm_score) for every doc with
+    * at least one bigram; unseen bigrams/contexts count as zero. */
+  def lmScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bigramCounts: DataFrame,
+      contextCounts: DataFrame,
+      vocab: Long): DataFrame = {
+    val bg = bigrams(df, idCol, textCol)
+    val lp = log(
+      (coalesce(col("c2"), lit(0L)).cast("double") + 1.0) /
+        (coalesce(col("c1"), lit(0L)).cast("double") + vocab.toDouble))
+    bg.join(bigramCounts, Seq("w1", "w2"), "left")
+      .join(contextCounts, Seq("w1"), "left")
+      .select(col(idCol), round(lp * 1e6).cast("long").as("lp_micro"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lp_micro")).as("lp_sum_micro"))
+      .withColumn("lm_score",
+        round(col("lp_sum_micro").cast("double") / 1e6 /
+          col("n_bigrams").cast("double"), 4))
+  }
 }

@@ -161,6 +161,50 @@ shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
         WHERE CAST(i.i_cnt AS DOUBLE)/CAST(s1.sz + s2.sz - i.i_cnt AS DOUBLE) >= 0.6"""),
     ),
 
+    // end-to-end near-dup removal: LSH pairs -> connected components ->
+    // one survivor (min id) per cluster, corpus filtered by anti-join.
+    // The oracle replays the pair pipeline, then expands components with a
+    // recursive CTE (min reachable label) and removes the same losers.
+    "q_dedup_corpus" -> QueryDef(
+      (s, dir) => {
+        val c = corpusNear(s, dir)
+        Dedup.dedupCorpus(c, "doc_id",
+          Dedup.minhashNearDups(c, "doc_id", "text",
+            n = 3, k = 12, r = 3, threshold = 0.6))
+      },
+      Some(s"""WITH RECURSIVE $CORPUS_NEAR, $DUCK_SHINGLES,
+        mh AS (SELECT s.doc_id, t.i,
+                 min(((131*t.i + 7) * s.sh_hash + (97*t.i + 3)) % 1000000007) AS minh
+               FROM shh s CROSS JOIN range(0, 12) t(i) GROUP BY 1, 2),
+        bands AS (SELECT doc_id, i // 3 AS band,
+                    string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS sig
+                  FROM mh GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                 FROM bands x JOIN bands y
+                   ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+        szs AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY 1),
+        inter AS (SELECT c.a_id, c.b_id, count(*) AS i_cnt
+                  FROM cand c
+                  JOIN shh p ON p.doc_id = c.a_id
+                  JOIN shh q ON q.doc_id = c.b_id AND q.sh_hash = p.sh_hash
+                  GROUP BY 1, 2),
+        pairs AS (SELECT i.a_id, i.b_id FROM inter i
+          JOIN szs s1 ON s1.doc_id = i.a_id
+          JOIN szs s2 ON s2.doc_id = i.b_id
+          WHERE CAST(i.i_cnt AS DOUBLE)/CAST(s1.sz + s2.sz - i.i_cnt AS DOUBLE)
+            >= 0.6),
+        edges AS (SELECT a_id AS node, b_id AS peer FROM pairs
+                  UNION SELECT b_id, a_id FROM pairs),
+        reach AS (SELECT node, node AS lab FROM (SELECT DISTINCT node FROM edges)
+                  UNION
+                  SELECT e.node, r.lab FROM edges e JOIN reach r ON r.node = e.peer),
+        comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1),
+        losers AS (SELECT node AS doc_id FROM comp WHERE node <> component)
+        SELECT c.doc_id, c.text FROM corpus c
+        LEFT JOIN losers l ON l.doc_id = c.doc_id
+        WHERE l.doc_id IS NULL"""),
+    ),
+
     // incremental near-dup: the persisted band-signature index of the OLD
     // corpus probed by the new batch only; oracle = the full batch run
     // restricted to pairs involving a new doc
@@ -737,6 +781,73 @@ shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
     ),
 
     // deterministic train/val/test assignment by hash bucket
+    // bigram-LM fluency scoring (the CCNet-style quality signal): train
+    // add-one-smoothed bigram counts on the corpus, score every doc by its
+    // mean bigram log-likelihood. Logprobs are quantized to integer
+    // micro-nats map-side so the aggregated sum is shuffle-order-proof and
+    // engine-exact; the oracle replays the same quantization.
+    "q_text_lm_score" -> QueryDef(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val (bi, ctx) = TextAnalysis.lmTrain(d, "doc_id", "text")
+        TextAnalysis.lmScore(d, "doc_id", "text", bi, ctx, vocab = 65536L)
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+          string_split_regex(trim(lower(text)), '\s+') AS toks
+          FROM documents),
+        b AS (SELECT doc_id,
+            unnest(list_transform(range(1, len(toks)),
+              i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS p
+          FROM tk WHERE len(toks) >= 2),
+        bg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM b),
+        c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        sc AS (SELECT bg.doc_id, CAST(round(ln(
+              (CAST(c2.c2 AS DOUBLE) + 1.0) /
+              (CAST(c1.c1 AS DOUBLE) + 65536.0)) * 1000000.0) AS BIGINT)
+            AS lp
+          FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          CAST(sum(lp) AS BIGINT) AS lp_sum_micro,
+          round(CAST(sum(lp) AS DOUBLE) / 1e6 / count(*), 4) AS lm_score
+        FROM sc GROUP BY 1"""),
+    ),
+
+    // best-fit-decreasing packing: docs placed whole, largest first, into
+    // the open bin with least room that fits. Two planted size classes
+    // (30/60 tokens, budget 100) make the BFD outcome closed-form: each 60
+    // seeds a bin in doc-id order, the first n60 30s top one up apiece
+    // (offset 60), the overflow 30s triple up in fresh bins — so the exact
+    // per-doc (seq_id, bin_offset) is SQL-expressible and the oracle pins
+    // the whole placement, not just aggregate fill stats.
+    "q_pack_bestfit" -> QueryDef(
+      (s, dir) => Curate.packBestFit(
+        docs(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 10 < 7, lit(30L)).otherwise(lit(60L))
+            .as("n_tokens")),
+        "doc_id", "n_tokens", budget = 100L, shards = 4,
+        maxOpenBins = 1 << 20),
+      Some(s"""WITH t AS (SELECT doc_id,
+          CAST(CASE WHEN doc_id % 10 < 7 THEN 30 ELSE 60 END AS BIGINT)
+            AS n_tokens,
+          ${duckHash("CAST(doc_id AS VARCHAR)")} % 4 AS shard
+        FROM documents),
+        r AS (SELECT *, CAST(row_number() OVER (
+            PARTITION BY shard, n_tokens ORDER BY doc_id) - 1 AS BIGINT)
+            AS rk FROM t),
+        a AS (SELECT shard, CAST(count(*) FILTER (n_tokens = 60) AS BIGINT)
+            AS n60 FROM t GROUP BY shard)
+        SELECT r.doc_id, r.n_tokens, r.shard,
+          CAST(r.shard * 1099511627776 +
+            CASE WHEN r.n_tokens = 60 THEN r.rk
+                 WHEN r.rk < a.n60 THEN r.rk
+                 ELSE a.n60 + (r.rk - a.n60) // 3 END AS BIGINT) AS seq_id,
+          CAST(CASE WHEN r.n_tokens = 60 THEN 0
+                 WHEN r.rk < a.n60 THEN 60
+                 ELSE ((r.rk - a.n60) % 3) * 30 END AS BIGINT) AS bin_offset
+        FROM r JOIN a USING (shard)"""),
+    ),
+
     "q_hash_split" -> QueryDef(
       (s, dir) => Curate.hashSplit(docs(s, dir).select("doc_id"), "doc_id"),
       Some(s"""SELECT doc_id,

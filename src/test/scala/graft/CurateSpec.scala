@@ -135,6 +135,48 @@ class CurateSpec extends AnyFunSuite {
     assert(perDoc == 0)
   }
 
+  test("packBestFit: bins respect the budget, docs never split, fills tile") {
+    import spark.implicits._
+    val df = docs.select(col("doc_id"),
+      (col("doc_id") % 97 + 1).cast("long").as("n_tokens"))
+    // a tight open-bin pool forces mid-stream bin retirement too
+    val out = Curate.packBestFit(df, "doc_id", "n_tokens",
+        budget = 100L, shards = 4, maxOpenBins = 8)
+      .select("seq_id", "doc_id", "n_tokens", "bin_offset")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length == df.count())
+    out.groupBy(_._1).values.foreach { bin =>
+      val sorted = bin.sortBy(_._4)
+      val total = sorted.foldLeft(0L) { case (fill, (_, _, n, off)) =>
+        assert(off == fill, s"fill gap: offset $off at fill $fill")
+        fill + n
+      }
+      assert(total <= 100L, s"bin overflow: $total")
+    }
+  }
+
+  test("packBestFit: an oversized doc gets a dedicated bin; BFD is stable") {
+    import spark.implicits._
+    val df = Seq((1L, 150L), (2L, 60L), (3L, 60L), (4L, 30L), (5L, 30L),
+      (6L, 30L), (7L, 30L)).toDF("doc_id", "n_tokens")
+    val out = Curate.packBestFit(df, "doc_id", "n_tokens",
+        budget = 100L, shards = 1)
+      .select("doc_id", "seq_id", "bin_offset")
+      .as[(Long, Long, Long)].collect().toSeq
+    val byBin = out.groupBy(_._2)
+    val big = out.find(_._1 == 1L).get
+    assert(big._3 == 0L && byBin(big._2).size == 1, "oversized doc must sit alone")
+    // the two 60s each seed a bin, each then takes one 30 at offset 60;
+    // the remaining two 30s share a fresh bin — deterministic BFD
+    assert(byBin.size == 4)
+    assert(out.count(_._3 == 60L) == 2)
+    val rerun = Curate.packBestFit(df, "doc_id", "n_tokens",
+        budget = 100L, shards = 1)
+      .select("doc_id", "seq_id", "bin_offset")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rerun.sortBy(_._1) == out.sortBy(_._1), "re-run must agree")
+  }
+
   test("hashSplit is a partition with stable, roughly-sized buckets") {
     val out = Curate.hashSplit(docs, "doc_id")
     assert(out.count() == docs.count())
