@@ -18,9 +18,15 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // comma-separated allowlist for iterating on specific queries locally;
+    // unset (the driver's mode) benches everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = GraftSession.local("graft-bench")
     queries.TpchWorld.readonly(spark, sfDir).materializeAll()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // the same aggregate Dataset.count() builds, but held so the executed
       // adaptive plan is readable after collect
       def run(): (Double, Long, String) =

@@ -71,7 +71,12 @@ object Dedup {
     * lost here collided ONLY in oversized buckets — stop-content agreement
     * that verification would reject anyway (and near-identical docs keep
     * colliding in their other, selective buckets). Use [[hotBuckets]] to
-    * audit/log what a given cap drops. */
+    * audit/log what a given cap drops.
+    *
+    * Plan-transparent (no materialization): the input is read twice (hot-key
+    * aggregation + anti-join), so callers whose input is an expensive
+    * pipeline should pass a localCheckpoint'ed frame — see
+    * [[ngramJaccardPairs]] / [[deltaNearDups]]. */
   def capBucketDf(keyed: DataFrame, bucketCols: Seq[String], maxDf: Long): DataFrame =
     keyed.join(broadcast(hotBuckets(keyed, bucketCols, maxDf)),
       bucketCols, "left_anti")
@@ -101,8 +106,9 @@ object Dedup {
     * Buckets larger than `maxBucket` are dropped before the self-join
     * (hot-bucket cap; see [[capBucketDf]]). */
   def lshCandidates(minhashes: DataFrame, r: Int, maxBucket: Long = 1000): DataFrame = {
+    // both self-join sides read the capped signatures: materialize once
     val sigs = capBucketDf(bandSignatures(minhashes, r),
-      Seq("band", "sig"), maxBucket)
+      Seq("band", "sig"), maxBucket).localCheckpoint(false)
     sigs.as("x").join(sigs.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -122,27 +128,65 @@ object Dedup {
     capBucketDf(shingles, Seq("sh_hash"), maxDf)
 
   /** n-gram Jaccard near-dup pairs: candidates from the df-capped inverted
-    * index (docs sharing at least one sub-cap shingle), then EXACT Jaccard
+    * index (docs sharing at least one sub-cap shingle), with EXACT Jaccard
     * over the full, uncapped shingle sets — the cap bounds candidate
-    * generation, never the verification arithmetic. */
+    * generation, never the verification arithmetic.
+    *
+    * Count-from-the-index shape: the index self-join emits one row per
+    * CO-OCCURRING sub-cap shingle, so grouping those rows by pair IS the
+    * capped intersection — no distinct-pairs set and no re-join of every
+    * candidate against its full shingle list (that join touches
+    * |pairs|×|doc shingles| rows and dominated the old plan). The few hot
+    * (df > maxDf) shingles excluded from the index are patched back with a
+    * join restricted to candidate pairs × hot memberships — bounded by the
+    * hot set, which is |shingles|/maxDf and broadcastable. */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, maxDf: Long = 1000,
       minIntersect: Long = 1, threshold: Double = 0.5): DataFrame = {
-    val sh = shingleSet(df, idCol, textCol, n)
-    val capped = capShingleDf(sh, maxDf)
-    val cands = capped.as("p").join(capped.as("q"),
+    // one slim (doc_id, sh_hash) materialization feeds the cap, both
+    // sides of the index self-join, sizes, and the hot patch — the
+    // shingle explode + distinct runs ONCE (the string column is dropped
+    // first: nothing downstream of hashing needs it)
+    val sh = shingleSet(df, idCol, textCol, n).select("doc_id", "sh_hash")
+      .localCheckpoint(false)
+    val hot = hotBuckets(sh, Seq("sh_hash"), maxDf).select("sh_hash")
+    val capped = sh.join(broadcast(hot), Seq("sh_hash"), "left_anti")
+      .localCheckpoint(false)
+    val interCapped = capped.as("p").join(capped.as("q"),
         col("p.sh_hash") === col("q.sh_hash") &&
           col("p.doc_id") < col("q.doc_id"))
-      .select(col("p.doc_id").as("a_id"), col("q.doc_id").as("b_id"))
-      .distinct()
-    jaccard(cands, sh)
+      .groupBy(col("p.doc_id").as("a_id"), col("q.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter_sub"))
+    // docs' hot-shingle memberships: small (hot keys are few by
+    // construction), joined only against candidate pairs
+    val hotRows = sh.join(broadcast(hot), Seq("sh_hash"), "left_semi")
+    val hotInter = interCapped.select("a_id", "b_id")
+      .join(hotRows.select(col("doc_id").as("a_id"), col("sh_hash")), "a_id")
+      .join(hotRows.select(col("doc_id").as("b_id"), col("sh_hash")),
+        Seq("b_id", "sh_hash"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("inter_hot"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    interCapped
+      .join(hotInter, Seq("a_id", "b_id"), "left")
+      .withColumn("inter",
+        col("inter_sub") + coalesce(col("inter_hot"), lit(0L)))
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sz_a")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sz_b")), "b_id")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
       .filter(col("inter") >= minIntersect && col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }
 
   /** Exact Jaccard over shingle sets for given candidate pairs.
-    * |A ∩ B| via co-occurrence join; |A ∪ B| = |A| + |B| - |A ∩ B|. */
+    * |A ∩ B| via co-occurrence join; |A ∪ B| = |A| + |B| - |A ∩ B|.
+    * The shingle input feeds THREE join sites (a-side, b-side, sizes):
+    * callers pass a materialized (localCheckpoint'ed or persisted) frame so
+    * the text-scan + explode + distinct upstream runs once, not three
+    * times — see [[ngramJaccardPairs]] / [[minhashNearDups]]. */
   def jaccard(candidates: DataFrame, shingles: DataFrame): DataFrame = {
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = candidates
@@ -165,7 +209,8 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 12, r: Int = 3,
       threshold: Double = 0.6, maxBucket: Long = 1000): DataFrame = {
-    val sh = shingleSet(df, idCol, textCol, n)
+    val sh = shingleSet(df, idCol, textCol, n).select("doc_id", "sh_hash")
+      .localCheckpoint(false)
     val cands = lshCandidates(minhash(sh, k), r, maxBucket)
     jaccard(cands, sh)
       .filter(col("jaccard") >= threshold)
@@ -217,8 +262,13 @@ object Dedup {
       oldSigs: DataFrame, oldShingles: DataFrame,
       n: Int = 3, k: Int = 12, r: Int = 3,
       threshold: Double = 0.6, maxBucket: Long = 1000): DataFrame = {
+    // the delta shingle set feeds four sites (signatures, live-id anti
+    // joins, verification union) — materialize it once, slimmed to
+    // (doc_id, sh_hash). Downstream joins stay plan-transparent, so the
+    // bucket-pruning semi join below remains visible/assertable.
     val newSh = shingleSet(newDocs, idCol, textCol, n)
-    val newSigs = bandSignatures(minhash(newSh, k), r)
+      .select("doc_id", "sh_hash").localCheckpoint(false)
+    val newSigs = bandSignatures(minhash(newSh, k), r).localCheckpoint(false)
     // a re-ingested id (present in old AND new) means an updated doc: the
     // new version REPLACES the old rows — without this, union'd shingle
     // sets double-count and Jaccard exceeds 1
@@ -243,8 +293,9 @@ object Dedup {
     // size aggregation and intersection joins re-pay the full corpus.
     val candIds = cands.select(col("a_id").as("doc_id"))
       .unionByName(cands.select(col("b_id").as("doc_id"))).distinct()
-    val candSh = oldShLive.unionByName(newSh)
+    val candSh = oldShLive.select("doc_id", "sh_hash").unionByName(newSh)
       .join(candIds, Seq("doc_id"), "left_semi")
+      .localCheckpoint(false)
     jaccard(cands, candSh)
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")

@@ -392,7 +392,7 @@ object AssemblyQueries extends QueryPack {
     // each rescue path must produce.
     "q_preassemble_clean" -> QueryDef(
       (s, dir) => {
-        val cat = (col("l_orderkey") % 4).cast("long")
+        val cat = (col("o_orderkey") % 4).cast("long")
         // plain (non-interpolated) triple-quoted strings: backslashes are
         // literal bytes, exactly as a principal TSV dump would carry them
         val json = when(cat === 0,
@@ -402,8 +402,8 @@ object AssemblyQueries extends QueryPack {
           .when(cat === 2,
             lit("""{"type":"Activation","subj":{"name":"C3\\\y"},"obj":{"name":"B2"}}"""))
           .otherwise(lit("""{"type":"Activation","subj":{"name":"D3"""))
-        val raw = Tables.table(s, dir, "lineitem")
-          .select(col("l_orderkey").as("raw_stmt_id"), cat.as("category"),
+        val raw = Tables.table(s, dir, "orders")
+          .select(col("o_orderkey").as("raw_stmt_id"), cat.as("category"),
             json.as("raw_json"))
         // parse once: valid and rejected are two filters over the same
         // rows, and without the boundary the union re-runs the whole
@@ -419,7 +419,7 @@ object AssemblyQueries extends QueryPack {
             min("matches_key").as("sample_key"))
       },
       Some("""WITH c AS (
-          SELECT CAST(l_orderkey % 4 AS BIGINT) AS category FROM lineitem)
+          SELECT CAST(o_orderkey % 4 AS BIGINT) AS category FROM orders)
         SELECT category,
           CAST(COUNT(CASE WHEN category <> 3 THEN 1 END) AS BIGINT) AS n_valid,
           CAST(COUNT(CASE WHEN category = 3 THEN 1 END) AS BIGINT) AS n_rejected,

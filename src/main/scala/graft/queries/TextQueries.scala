@@ -212,8 +212,12 @@ shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
       (s, dir) => {
         val old = docs(s, dir).select("doc_id", "text")
         val newBatch = corpusNear(s, dir).filter(col("doc_id") >= 100000)
+        // the old corpus' index/shingles are PERSISTED artifacts in the
+        // incremental scenario — materialize once, as a parquet read would
         val oldSh = Dedup.shingleSet(old, "doc_id", "text", 3)
+          .localCheckpoint(false)
         val oldSigs = Dedup.bandSignatures(Dedup.minhash(oldSh, 12), 3)
+          .localCheckpoint(false)
         Dedup.deltaNearDups(newBatch, "doc_id", "text", oldSigs, oldSh,
           n = 3, k = 12, r = 3, threshold = 0.6)
       },

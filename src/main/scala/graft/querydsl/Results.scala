@@ -305,16 +305,21 @@ object Results {
     val sel = QueryCompiler.compile(q, ro, types).select("mk_hash")
     // base + dup rows of one hash with the same (agent_str, agent_count)
     // collapse, like the reference's row-tuple DISTINCT (query.py:46-58)
+    // rows feeds the group agg AND the complex-coverage join, and groups
+    // feeds three consumers — materialize each once (lazily) instead of
+    // re-running the compile + semi-join + dedup shuffles per consumer
     val rows = ro.agentInteractions
       .join(sel, Seq("mk_hash"), "left_semi")
       .select("mk_hash", "agent_str", "agent_count", "type_num", "ev_count",
         "belief")
       .dropDuplicates("mk_hash", "agent_str", "agent_count")
+      .localCheckpoint(false)
     val groups = rows.groupBy("agent_str", "agent_count")
       .agg(sum("ev_count").as("total_ev"), max("belief").as("max_belief"),
         count(lit(1)).as("n_hashes"),
         max(when(col("type_num") =!= complexTypeNum, 1).otherwise(0))
           .as("has_other"))
+      .localCheckpoint(false)
     val cjoin = rows.filter(col("type_num") === complexTypeNum)
       .join(groups.select("agent_str", "agent_count", "total_ev"),
         Seq("agent_str", "agent_count"))
