@@ -38,7 +38,10 @@ object Bench {
           (sec, rows, agg.queryExecution.executedPlan.toString)
         } catch { case _: Throwable => (-1.0, -1L, "") }
       run() // warmup: steady-state execution, not codegen compile + JIT
-      val (sec, rows, plan) = run()
+      // median of three measured runs: single-shot timings swing 2-8× on
+      // unchanged code (GC pauses, block eviction) and mask real deltas
+      val runs = Seq(run(), run(), run())
+      val (sec, rows, plan) = runs.sortBy(_._1).apply(1)
       (name, sec, rows,
         occ(plan, "ShuffleQueryStage"), occ(plan, "BroadcastQueryStage"))
     }
