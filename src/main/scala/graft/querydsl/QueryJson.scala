@@ -19,6 +19,26 @@ object QueryJson {
   def fromJson(s: String): StmtQuery =
     parse(JsonMethods.parse(s))
 
+  /** The reference's simplified wire format (`Query.from_simple_json`,
+    * query.py:894-908, used by the indra_db_rest client through
+    * POST /compile): explicit {"class": "And"/"Or",
+    * "constraint": {"queries": [...]}} combinators whose members are
+    * regular query JSON (or nested combinators); anything else parses as a
+    * normal leaf. Members fold through the same `&`/`|` rewrite algebra a
+    * native caller would use. */
+  def fromSimpleJson(s: String): StmtQuery = {
+    def make(j: JValue): StmtQuery = (j \ "class") match {
+      case JString("And") =>
+        (j \ "constraint" \ "queries").children.map(make)
+          .reduceOption(_ & _).getOrElse(EmptyQuery)
+      case JString("Or") =>
+        (j \ "constraint" \ "queries").children.map(make)
+          .reduceOption(_ | _).getOrElse(EmptyQuery)
+      case _ => parse(j)
+    }
+    make(JsonMethods.parse(s))
+  }
+
   // -------------------------------------------------------------------------
 
   private def render(q: StmtQuery): JObject = q match {

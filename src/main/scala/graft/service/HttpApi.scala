@@ -6,6 +6,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 import org.json4s._
+import org.json4s.JsonDSL._
 import org.json4s.jackson.JsonMethods
 import graft.core.TypeRegistry
 import graft.querydsl._
@@ -44,11 +45,13 @@ object HttpApi {
       maxRows: Int = 1000,
       curationDir: Option[String] = None,
       curatorSalt: String = "",
-      curationsApiKey: Option[String] = None): HttpServer = {
+      curationsApiKey: Option[String] = None,
+      grounder: graft.core.ScoredGrounder =
+        graft.core.Grounder.scoredDefault): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/", (ex: HttpExchange) =>
       handle(ex, ro, types, maxRows, curationDir, curatorSalt,
-        curationsApiKey))
+        curationsApiKey, grounder))
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
     server.start()
     server
@@ -104,14 +107,47 @@ object HttpApi {
       maxRows: Int,
       curationDir: Option[String],
       curatorSalt: String,
-      curationsApiKey: Option[String]): Unit =
+      curationsApiKey: Option[String],
+      grounder: graft.core.ScoredGrounder): Unit =
     try {
       val path = ex.getRequestURI.getPath.stripPrefix("/").stripSuffix("/")
-      val parts = path.split("/").toList
+      // /metadata/<rt>/<method> is an alias of /<rt>/<method>
+      // (api.py:359-360 registers both routes on one handler)
+      val parts = path.split("/").toList match {
+        case "metadata" :: rt :: rest if resultTypes(rt) => rt :: rest
+        case other => other
+      }
       val p = params(ex)
       (ex.getRequestMethod, parts) match {
         case ("GET", List("health")) =>
           respond(ex, 200, """{"status":"ok"}""")
+
+        // gilda-style agent grounding (api.py:199-204); the scored
+        // dictionary grounder stands in for the gilda model, same
+        // response shape: [{"term": {...}, "score": ...}, ...]
+        case ("GET", List("ground")) =>
+          val ag = p.getOrElse("agent", sys.error("agent parameter required"))
+          val out = grounder.candidates(ag).map { case (score, e) =>
+            ("term" -> (("db" -> e.ns) ~ ("id" -> e.id) ~
+              ("entry_name" -> e.text))) ~ ("score" -> score)
+          }
+          respond(ex, 200, JsonMethods.compact(JsonMethods.render(out)))
+
+        // query-compilation echo (api.py:527-540; the indra_db_rest
+        // client posts simplified JSON and reads back the normal wire
+        // form). fmt=string returns the algebra's normalized rendering.
+        case ("POST", List("compile", fmt)) =>
+          val simple = p.get("simple").forall(_.toBoolean)
+          val b = body(ex)
+          val q = if (simple) QueryJson.fromSimpleJson(b)
+            else QueryJson.fromJson(b)
+          fmt match {
+            case "json" => respond(ex, 200, QueryJson.toJson(q))
+            case "string" => respond(ex, 200, JsonMethods.compact(
+              JsonMethods.render(JString(q.toString))))
+            case other => respond(ex, 400,
+              s"""{"error":"invalid format name: $other"}""")
+          }
 
         // --- curation endpoints (api.py:542-639) -------------------------
         case ("POST", List("curation", "submit", h)) =>

@@ -137,6 +137,43 @@ class HttpApiSpec extends AnyFunSuite {
     }
   }
 
+  test("ground endpoint returns gilda-shaped scored candidates") {
+    val (code, body) = get("/ground?agent=tp53")
+    assert(code == 200)
+    // case-insensitive tier: both HGNC and UP entries, HGNC prior first
+    assert(body.contains(""""db":"HGNC""""))
+    assert(body.contains(""""entry_name":"TP53""""))
+    assert(body.indexOf("HGNC") < body.indexOf("UP"))
+    val (c2, b2) = get("/ground?agent=zzz-nothing")
+    assert(c2 == 200 && b2 == "[]")
+  }
+
+  test("compile endpoint normalizes simple and full query JSON") {
+    val simple =
+      """{"class":"Or","constraint":{"queries":[
+        {"class":"HasAgent","constraint":{"agent_id":"P5"},"inverted":false},
+        {"class":"HasAgent","constraint":{"agent_id":"P7"},"inverted":false}
+      ]}}"""
+    val (code, body) = post("/compile/json", simple)
+    assert(code == 200)
+    assert(QueryJson.fromJson(body) ==
+      (HasAgent("P5") | HasAgent("P7")))
+    // full (non-simple) JSON passes through the regular parser
+    val q = HasAgent("P5") & ~HasOnlySource("medscan")
+    val (c2, b2) = post("/compile/json?simple=false", QueryJson.toJson(q))
+    assert(c2 == 200 && QueryJson.fromJson(b2) == q)
+    val (c3, _) = post("/compile/tsv", simple)
+    assert(c3 == 400)
+    val (c4, b4) = post("/compile/string", simple)
+    assert(c4 == 200 && b4.contains("HasAgent"))
+  }
+
+  test("metadata/ prefix aliases every result-type route") {
+    val (code, body) = get("/metadata/hashes/from_agents?agent=P5&medscan=true")
+    val (c2, direct) = get("/hashes/from_agents?agent=P5&medscan=true")
+    assert(code == 200 && c2 == 200 && body == direct)
+  }
+
   test("medscan policy holds over HTTP: only-medscan hashes need the flag") {
     val (_, without) = get("/hashes/from_agents?agent=P5")
     val (_, withFlag) = get("/hashes/from_agents?agent=P5&medscan=true")
