@@ -29,25 +29,35 @@ object Deploy {
     ("pa_agents", ro.paAgents, "mk_hash"),
   )
 
-  /** Write all tables into `db` with `buckets` buckets each. */
-  def write(spark: SparkSession, ro: ReadonlyTables, db: String, buckets: Int): Unit = {
+  /** Write one bucketed+sorted parquet table, clearing any stale location
+    * a previous process left behind (unknown to this catalog, it would
+    * fail CREATE). */
+  private[graft] def saveBucketed(
+      spark: SparkSession,
+      df: DataFrame,
+      db: String,
+      name: String,
+      buckets: Int,
+      keys: Seq[String]): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    spark.sql(s"DROP TABLE IF EXISTS $db.$name")
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    tableSpecs(ro).foreach { case (name, df, key) =>
-      spark.sql(s"DROP TABLE IF EXISTS $db.$name")
-      // a location left by a previous process is unknown to this catalog
-      // and would fail CREATE; clear it explicitly
-      val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$db.db/$name")
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-      df.write
-        .mode("overwrite")
-        .bucketBy(buckets, key)
-        .sortBy(key)
-        .format("parquet")
-        .saveAsTable(s"$db.$name")
-    }
+    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$db.db/$name")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(s"$db.$name")
   }
+
+  /** Write all tables into `db` with `buckets` buckets each. */
+  def write(spark: SparkSession, ro: ReadonlyTables, db: String, buckets: Int): Unit =
+    tableSpecs(ro).foreach { case (name, df, key) =>
+      saveBucketed(spark, df, db, name, buckets, Seq(key))
+    }
 
   /** Reload a deployed layer; joins on the bucket keys need no exchange. */
   def load(spark: SparkSession, db: String): ReadonlyTables = ReadonlyTables(

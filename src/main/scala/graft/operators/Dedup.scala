@@ -217,6 +217,33 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Persist the incremental-dedup index of a corpus: the band-signature
+    * table bucketed by its probe key (band, sig) and the slim shingle set
+    * bucketed by doc_id — what [[deltaNearDups]] probes per batch. With the
+    * signature side bucketed on the probe key, each delta batch shuffles
+    * only ITSELF: the corpus index is read in place (bucket-pruned scans,
+    * delta side broadcast/shuffled to match), which is the property that
+    * makes per-batch dedup delta-shaped at 100 TB. */
+  def writeIndex(
+      df: DataFrame, idCol: String, textCol: String,
+      db: String, buckets: Int,
+      n: Int = 3, k: Int = 12, r: Int = 3): Unit = {
+    val spark = df.sparkSession
+    val sh = shingleSet(df, idCol, textCol, n).select("doc_id", "sh_hash")
+      .localCheckpoint(false)
+    graft.assembly.Deploy.saveBucketed(
+      spark, bandSignatures(minhash(sh, k), r), db, "band_sigs", buckets,
+      Seq("band", "sig"))
+    graft.assembly.Deploy.saveBucketed(
+      spark, sh, db, "shingles", buckets, Seq("doc_id"))
+  }
+
+  /** Reload a persisted dedup index: (bandSignatures, shingleSet) — pass
+    * straight to [[deltaNearDups]]. */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, db: String)
+      : (DataFrame, DataFrame) =
+    (spark.table(s"$db.band_sigs"), spark.table(s"$db.shingles"))
+
   /** End-to-end near-duplicate REMOVAL — what a training pipeline actually
     * runs: near-dup pairs (from any of the pair generators here) become
     * duplicate clusters via connected components, and exactly one document

@@ -37,6 +37,31 @@ class DeploySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("persisted dedup index: delta probe equals the fresh-index run") {
+    import graft.operators.Dedup
+    import graft.sources.Tables
+    val docs = Tables.table(spark, dir, "documents").select("doc_id", "text")
+    Dedup.writeIndex(docs, "doc_id", "text", "graft_dedup_idx", buckets = 4)
+    val (sigs, sh) = Dedup.loadIndex(spark, "graft_dedup_idx")
+    // near copies of every 5th doc, ids shifted
+    val toks = graft.operators.TextAnalysis.tokens(col("text"))
+    val newBatch = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        array_join(slice(toks, lit(1), size(toks) - 2), " ").as("text"))
+    val viaIndex = Dedup.deltaNearDups(newBatch, "doc_id", "text", sigs, sh)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val freshSh = Dedup.shingleSet(docs, "doc_id", "text", 3)
+    val fresh = Dedup.deltaNearDups(newBatch, "doc_id", "text",
+      Dedup.bandSignatures(Dedup.minhash(freshSh, 12), 3), freshSh)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex.nonEmpty, "planted near-dups must be found")
+    assert(viaIndex == fresh, "persisted index must not change results")
+    // the probe actually reads the bucketed tables
+    val p = Dedup.deltaNearDups(newBatch, "doc_id", "text", sigs, sh)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("band_sigs"), s"bucketed index scan missing:\n$p")
+  }
+
   test("AUTO namespace grounds through the dictionary grounder") {
     // TpchWorld ids are P<n>, unknown to the grounder -> falls back to NAME
     val ro = TpchWorld.readonly(spark, dir)
