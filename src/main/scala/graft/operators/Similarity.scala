@@ -153,6 +153,88 @@ object Similarity {
     cents
   }
 
+  // --- product quantization (vector compression for 100 TB ANN) ----------
+
+  /** Subvector rows: (id, sub, svec) — each `dim`-float embedding split
+    * into `m` contiguous subvectors of dim/m, built map-side with one
+    * transform + posexplode (no joins). */
+  private def subvectorRows(vectors: DataFrame, m: Int, dim: Int): DataFrame = {
+    val sub = dim / m
+    vectors.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col("embedding"), s * sub + 1, lit(sub)))))
+      .toDF("id", "sub", "svec")
+  }
+
+  /** Integer-scaled squared L2 between two subvectors: a sequential
+    * in-order fold, quantized to 10^scale — deterministic across engines
+    * and immune to shuffle-order float drift once summed. */
+  private def subDist(a: Column, b: Column, scale: Int): Column =
+    round(aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }), lit(0.0), (acc, v) => acc + v) * math.pow(10, scale)).cast("long")
+
+  /** Product-quantization codebooks: per subspace, `ksub` centroids seeded
+    * from the subvectors of ids < ksub (the same deterministic convention
+    * as [[ivfIndex]]; k-means-refine per subspace to taste — search is
+    * unchanged). Output: (sub, cent_id, cent). */
+  def pqCodebooks(vectors: DataFrame, m: Int, dim: Int, ksub: Int): DataFrame =
+    subvectorRows(vectors.filter(col("id") < ksub), m, dim)
+      .select(col("sub"), col("id").as("cent_id"), col("svec").as("cent"))
+
+  /** PQ encoding: each vector becomes `m` small centroid ids — the
+    * 32×-compression that lets a 100 TB vector corpus sit in RAM-scale
+    * code tables (a 64-float embedding -> 8 bytes of codes here). Nearest
+    * centroid per subspace by integer-scaled L2 with centroid-id
+    * tie-break. Codebooks broadcast; the argmin is a map-side min_by after
+    * one joined projection; one groupBy(id) assembles the code array.
+    * Output: (id, codes array of centroid ids ordered by subspace). */
+  def pqEncode(
+      vectors: DataFrame, codebooks: DataFrame,
+      m: Int, dim: Int, scale: Int = 4): DataFrame =
+    subvectorRows(vectors, m, dim)
+      .join(broadcast(codebooks), "sub")
+      .withColumn("d", subDist(col("svec"), col("cent"), scale))
+      .groupBy("id", "sub")
+      .agg(min_by(col("cent_id"), struct(col("d"), col("cent_id")))
+        .as("code"))
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        e => e.getField("code")).as("codes"))
+
+  /** PQ top-k by asymmetric distance (ADC): the query stays exact, the
+    * corpus is its codes. Each (query-subvector × centroid) distance is
+    * computed ONCE (a broadcast-sized table: |queries|·m·ksub rows) and
+    * joined to the code rows on (sub, cent_id) — the relational form of
+    * the per-query lookup table; ADC = the integer SUM over the m
+    * subspaces, so the aggregation is shuffle-order-proof. Returns the k
+    * nearest (q_id, id, adc, rn), self-matches excluded, ranked by
+    * (adc asc, id asc).
+    *
+    * Scale shape: the scan is |corpus|·m code rows per query batch —
+    * exactly the PQ trade (compressed scan, no full-vector I/O); codes
+    * and distances broadcast/shuffle as 8-byte keys and longs. Compose
+    * with IVF cells to prune the scan to probed cells. */
+  def pqTopK(
+      queries: DataFrame, codes: DataFrame, codebooks: DataFrame,
+      m: Int, dim: Int, ksub: Int, k: Int, scale: Int = 4): DataFrame = {
+    val qdist = subvectorRows(queries, m, dim)
+      .join(broadcast(codebooks), "sub")
+      .select(col("id").as("q_id"), col("sub"), col("cent_id"),
+        subDist(col("svec"), col("cent"), scale).as("d"))
+    val codeRows = codes.select(col("id"),
+      posexplode(col("codes"))).toDF("id", "sub", "cent_id")
+    val adc = codeRows
+      .join(broadcast(qdist), Seq("sub", "cent_id"))
+      .filter(col("q_id") =!= col("id"))
+      .groupBy("q_id", "id")
+      .agg(sum("d").as("adc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("adc").asc, col("id").asc)
+    adc.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** Top-k probing the `nProbe` cells nearest to each query under an
     * EXPLICIT centroid set (the k-means-refined path; [[ivfTopK]] keeps
     * the seed-centroid convention). `index` is (id, embedding, nrm, cell)

@@ -411,6 +411,42 @@ shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
     // shuffle-order-independent and SQL-replicable), then reassignment,
     // probing, and exact top-k in the probed cells. The oracle replays the
     // identical iteration relationally.
+    // product quantization: per-subspace codebooks (seeded like ivfIndex),
+    // corpus encoded to m centroid ids, top-k by asymmetric distance.
+    // Distances are integer-scaled squared L2, so the ADC sum is exact and
+    // the oracle replays codebook build + encoding + the ADC join verbatim.
+    "q_embed_pq_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding"))
+        val cb = Similarity.pqCodebooks(emb, m = 8, dim = 64, ksub = 16)
+        val codes = Similarity.pqEncode(emb, cb, m = 8, dim = 64)
+        Similarity.pqTopK(emb.filter(col("id") < 10), codes, cb,
+          m = 8, dim = 64, ksub = 16, k = 5)
+      },
+      Some("""WITH v AS (SELECT vec_id AS id, embedding FROM embeddings),
+        sv AS (SELECT id, sub, list_slice(embedding, sub*8 + 1, sub*8 + 8) AS svec
+               FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) t),
+        cb AS (SELECT sub, id AS cent_id, svec AS cent FROM sv WHERE id < 16),
+        d AS (SELECT sv.id, sv.sub, cb.cent_id,
+                CAST(round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(range(1, 9),
+                    p -> (CAST(sv.svec[p] AS DOUBLE) - CAST(cb.cent[p] AS DOUBLE))
+                       * (CAST(sv.svec[p] AS DOUBLE) - CAST(cb.cent[p] AS DOUBLE)))),
+                  (a, b) -> a + b) * 10000.0) AS BIGINT) AS dl
+              FROM sv JOIN cb USING (sub)),
+        code AS (SELECT id, sub, cent_id FROM (
+                  SELECT *, row_number() OVER (PARTITION BY id, sub
+                    ORDER BY dl, cent_id) AS rn FROM d) WHERE rn = 1),
+        adc AS (SELECT q.id AS q_id, c.id, SUM(q.dl) AS adc
+                FROM code c JOIN d q ON q.sub = c.sub AND q.cent_id = c.cent_id
+                WHERE q.id < 10 AND q.id <> c.id
+                GROUP BY 1, 2)
+        SELECT q_id, id, CAST(adc AS BIGINT) AS adc, rn FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY adc, id) AS rn FROM adc) WHERE rn <= 5"""),
+    ),
+
     "q_embed_ivf_kmeans" -> QueryDef(
       (s, dir) => {
         val emb = Tables.table(s, dir, "embeddings")

@@ -192,6 +192,40 @@ class DedupSpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("PQ encodes seed vectors to themselves; ADC search finds planted twins") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // 16 base vectors spread over 4 axes, plus near-twins of ids 0-3 at
+    // ids 100-103: the twin must be each query's ADC nearest neighbor
+    def vec(axis: Int, jitter: Float): Array[Float] = {
+      val v = Array.fill(8)(jitter)
+      v(axis) = 1.0f
+      v
+    }
+    // unique jitter per id: every seed's subvectors are distinct, so each
+    // seed's nearest centroid is provably itself in every subspace
+    val base = (0 until 16).map(i => (i.toLong, vec(i % 4, 0.01f * i)))
+    val twins = (0 until 4).map(i => (100L + i, vec(i, 0.001f)))
+    val emb = (base ++ twins).toDF("id", "embedding")
+    val cb = Similarity.pqCodebooks(emb, m = 4, dim = 8, ksub = 16)
+    val codes = Similarity.pqEncode(emb, cb, m = 4, dim = 8)
+    // a seed vector's subvectors ARE centroids: distance 0 to itself
+    val codeMap = codes.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    (0 until 16).foreach { i =>
+      assert(codeMap(i.toLong).forall(_ == i.toLong),
+        s"seed $i -> ${codeMap(i.toLong)}")
+    }
+    val top = Similarity.pqTopK(
+      emb.filter(col("id") >= 100), codes, cb,
+      m = 4, dim = 8, ksub = 16, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0 until 4).foreach { i =>
+      assert(top(100L + i) == i.toLong,
+        s"twin of $i not recovered: ${top(100L + i)}")
+    }
+  }
+
   test("HLL sketch stays within its error bound of the exact count") {
     val rows = graft.SparkEntry.queries("q_approx_distinct")(spark, dir).collect()
     rows.foreach { r =>
