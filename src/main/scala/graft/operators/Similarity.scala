@@ -235,6 +235,54 @@ object Similarity {
     adc.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** IVF + PQ — the composed 100 TB ANN shape: the IVF cell prunes the
+    * scan to `nProbe` cells per query, and within them candidates are
+    * scored by PQ asymmetric distance over their codes — full vectors are
+    * touched NOWHERE in the search (queries exact, corpus compressed,
+    * centroids/codebooks broadcast). `index` is (id, ..., cell) from
+    * [[ivfIndex]]/[[assignCells]], `codes` from [[pqEncode]], `cents`
+    * the full-dim (cent_id, cent_emb, cent_nrm) centroid set. Probing
+    * ranks cells by rounded cosine (same convention as [[ivfTopKWith]]);
+    * ADC is the integer micro-scaled L2 sum of [[pqTopK]]. */
+  def ivfPqTopK(
+      queries: DataFrame, index: DataFrame, codes: DataFrame,
+      cents: DataFrame, codebooks: DataFrame,
+      m: Int, dim: Int, ksub: Int,
+      nProbe: Int, k: Int, scale: Int = 4): DataFrame = {
+    val probes = queries
+      .select(col("id").as("q_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_nrm"))
+      .join(broadcast(cents))
+      .withColumn("cos", round(
+        ddot(col("q_emb"), col("cent_emb")) / (col("q_nrm") * col("cent_nrm")),
+        scale))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("cent_id").asc)
+    val probed = probes.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("cent_id").as("cell"))
+    val qdist = subvectorRows(queries, m, dim)
+      .join(broadcast(codebooks), "sub")
+      .select(col("id").as("q_id"), col("sub"), col("cent_id"),
+        subDist(col("svec"), col("cent"), scale).as("d"))
+    // each corpus id sits in exactly one cell, so the probe join yields
+    // each (query, candidate) at most nProbe times -> once per cell hit;
+    // with one cell per id it is unique already
+    val candRows = codes
+      .join(index.select(col("id"), col("cell")), "id")
+      .join(broadcast(probed), "cell")
+      .filter(col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id"), posexplode(col("codes")))
+      .toDF("q_id", "id", "sub", "cent_id")
+    val adc = candRows
+      .join(broadcast(qdist), Seq("q_id", "sub", "cent_id"))
+      .groupBy("q_id", "id")
+      .agg(sum("d").as("adc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("adc").asc, col("id").asc)
+    adc.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** Top-k probing the `nProbe` cells nearest to each query under an
     * EXPLICIT centroid set (the k-means-refined path; [[ivfTopK]] keeps
     * the seed-centroid convention). `index` is (id, embedding, nrm, cell)

@@ -579,6 +579,77 @@ shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
         WHERE rn <= 3"""),
     ),
 
+    // IVF + PQ composition: probe the 2 nearest cells, score candidates by
+    // ADC over their codes — no full corpus vector is read in the search.
+    // Oracle = the ivf_topk probe/assignment CTEs + the PQ code/distance
+    // CTEs, joined.
+    "q_embed_ivfpq_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding"))
+        val index = Similarity.ivfIndex(emb, nCells = 16)
+        val cents = emb.filter(col("id") < 16)
+          .select(col("id").as("cent_id"), col("embedding").as("cent_emb"),
+            Similarity.norm(col("embedding")).as("cent_nrm"))
+        val cb = Similarity.pqCodebooks(emb, m = 8, dim = 64, ksub = 16)
+        val codes = Similarity.pqEncode(emb, cb, m = 8, dim = 64)
+        Similarity.ivfPqTopK(emb.filter(col("id") < 10), index, codes,
+          cents, cb, m = 8, dim = 64, ksub = 16, nProbe = 2, k = 3)
+      },
+      Some("""WITH v AS (SELECT vec_id AS id, embedding FROM embeddings),
+        n AS (SELECT id, embedding,
+          sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(range(1, len(embedding)+1),
+              p -> CAST(embedding[p] AS DOUBLE) * CAST(embedding[p] AS DOUBLE))),
+            (a, b) -> a + b)) AS nrm
+          FROM v),
+        cents AS (SELECT id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm
+                  FROM n WHERE id < 16),
+        assign AS (SELECT id, cell FROM (
+          SELECT x.id, c.cent_id AS cell,
+            ROW_NUMBER() OVER (PARTITION BY x.id ORDER BY
+              round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(range(1, 65),
+                  p -> CAST(x.embedding[p] AS DOUBLE) * CAST(c.cent_emb[p] AS DOUBLE))),
+                (a, b) -> a + b) / (x.nrm * c.cent_nrm), 4) DESC,
+              c.cent_id ASC) AS rn
+          FROM n x CROSS JOIN cents c) WHERE rn = 1),
+        probes AS (SELECT q_id, cell FROM (
+          SELECT q.id AS q_id, c.cent_id AS cell,
+            ROW_NUMBER() OVER (PARTITION BY q.id ORDER BY
+              round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(range(1, 65),
+                  p -> CAST(q.embedding[p] AS DOUBLE) * CAST(c.cent_emb[p] AS DOUBLE))),
+                (a, b) -> a + b) / (q.nrm * c.cent_nrm), 4) DESC,
+              c.cent_id ASC) AS rn
+          FROM n q CROSS JOIN cents c WHERE q.id < 10) WHERE rn <= 2),
+        sv AS (SELECT id, sub, list_slice(embedding, sub*8 + 1, sub*8 + 8) AS svec
+               FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) t),
+        cb AS (SELECT sub, id AS cent_id, svec AS cent FROM sv WHERE id < 16),
+        d AS (SELECT sv.id, sv.sub, cb.cent_id,
+                CAST(round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(range(1, 9),
+                    p -> (CAST(sv.svec[p] AS DOUBLE) - CAST(cb.cent[p] AS DOUBLE))
+                       * (CAST(sv.svec[p] AS DOUBLE) - CAST(cb.cent[p] AS DOUBLE)))),
+                  (a, b) -> a + b) * 10000.0) AS BIGINT) AS dl
+              FROM sv JOIN cb USING (sub)),
+        code AS (SELECT id, sub, cent_id FROM (
+                  SELECT *, row_number() OVER (PARTITION BY id, sub
+                    ORDER BY dl, cent_id) AS rn FROM d) WHERE rn = 1),
+        cand AS (SELECT p.q_id, a.id
+                 FROM probes p JOIN assign a ON a.cell = p.cell
+                 WHERE p.q_id <> a.id),
+        adc AS (SELECT c.q_id, c.id, SUM(q.dl) AS adc
+                FROM cand c
+                JOIN code k2 ON k2.id = c.id
+                JOIN d q ON q.id = c.q_id AND q.sub = k2.sub
+                  AND q.cent_id = k2.cent_id
+                GROUP BY 1, 2)
+        SELECT q_id, id, CAST(adc AS BIGINT) AS adc, rn FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY adc, id) AS rn FROM adc) WHERE rn <= 3"""),
+    ),
+
     "q_embed_lsh_pairs" -> QueryDef(
       (s, dir) => Similarity.lshPairs(
         Tables.table(s, dir, "embeddings")
