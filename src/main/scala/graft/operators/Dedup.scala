@@ -153,11 +153,14 @@ object Dedup {
     val hot = hotBuckets(sh, Seq("sh_hash"), maxDf).select("sh_hash")
     val capped = sh.join(broadcast(hot), Seq("sh_hash"), "left_anti")
       .localCheckpoint(false)
+    // interCapped feeds the hot patch AND the final join: materialize it
+    // so the dominant co-occurrence self-join + aggregation runs once
     val interCapped = capped.as("p").join(capped.as("q"),
         col("p.sh_hash") === col("q.sh_hash") &&
           col("p.doc_id") < col("q.doc_id"))
       .groupBy(col("p.doc_id").as("a_id"), col("q.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter_sub"))
+      .localCheckpoint(false)
     // docs' hot-shingle memberships: small (hot keys are few by
     // construction), joined only against candidate pairs
     val hotRows = sh.join(broadcast(hot), Seq("sh_hash"), "left_semi")
@@ -257,9 +260,11 @@ object Dedup {
     * rounds; near-dup clusters are shallow (dup chains, not paths), so this
     * converges in a few single-shuffle rounds.
     */
-  def dedupCorpus(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+  def dedupCorpus(
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 30): DataFrame = {
     val comp = graft.assembly.Refinement.connectedComponents(
-      pairs.select(col("a_id").as("node"), col("b_id").as("peer")))
+      pairs.select(col("a_id").as("node"), col("b_id").as("peer")), maxIter)
     val losers = comp.filter(col("node") =!= col("component"))
       .select(col("node").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")

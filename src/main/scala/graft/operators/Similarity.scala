@@ -159,6 +159,7 @@ object Similarity {
     * into `m` contiguous subvectors of dim/m, built map-side with one
     * transform + posexplode (no joins). */
   private def subvectorRows(vectors: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"PQ needs m to divide dim (got dim=$dim, m=$m)")
     val sub = dim / m
     vectors.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(m - 1)),

@@ -27,13 +27,20 @@ object QueryJson {
     * normal leaf. Members fold through the same `&`/`|` rewrite algebra a
     * native caller would use. */
   def fromSimpleJson(s: String): StmtQuery = {
+    def inverted(j: JValue): Boolean =
+      (j \ "inverted") == JBool(true)
     def make(j: JValue): StmtQuery = (j \ "class") match {
+      // fold with the combinator's identity (And-of-[] constrains nothing
+      // -> FullQuery; Or-of-[] matches nothing -> EmptyQuery) and honor an
+      // "inverted" flag on the combinator itself, like every other node
       case JString("And") =>
-        (j \ "constraint" \ "queries").children.map(make)
-          .reduceOption(_ & _).getOrElse(EmptyQuery)
+        val q = (j \ "constraint" \ "queries").children.map(make)
+          .reduceOption(_ & _).getOrElse(FullQuery: StmtQuery)
+        if (inverted(j)) q.invert else q
       case JString("Or") =>
-        (j \ "constraint" \ "queries").children.map(make)
-          .reduceOption(_ | _).getOrElse(EmptyQuery)
+        val q = (j \ "constraint" \ "queries").children.map(make)
+          .reduceOption(_ | _).getOrElse(EmptyQuery: StmtQuery)
+        if (inverted(j)) q.invert else q
       case _ => parse(j)
     }
     make(JsonMethods.parse(s))

@@ -307,7 +307,10 @@ object Results {
     // collapse, like the reference's row-tuple DISTINCT (query.py:46-58)
     // rows feeds the group agg AND the complex-coverage join, and groups
     // feeds three consumers — materialize each once (lazily) instead of
-    // re-running the compile + semi-join + dedup shuffles per consumer
+    // re-running the compile + semi-join + dedup shuffles per consumer.
+    // Storage is reclaimed by the ContextCleaner when the frames are GC'd
+    // (per-request blocks in a long-lived service are transient, and
+    // MEMORY_AND_DISK evicts under pressure)
     val rows = ro.agentInteractions
       .join(sel, Seq("mk_hash"), "left_semi")
       .select("mk_hash", "agent_str", "agent_count", "type_num", "ev_count",

@@ -137,16 +137,20 @@ object HttpApi {
         // client posts simplified JSON and reads back the normal wire
         // form). fmt=string returns the algebra's normalized rendering.
         case ("POST", List("compile", fmt)) =>
-          val simple = p.get("simple").forall(_.toBoolean)
-          val b = body(ex)
-          val q = if (simple) QueryJson.fromSimpleJson(b)
-            else QueryJson.fromJson(b)
-          fmt match {
-            case "json" => respond(ex, 200, QueryJson.toJson(q))
-            case "string" => respond(ex, 200, JsonMethods.compact(
+          if (fmt != "json" && fmt != "string")
+            // validate the format BEFORE touching the body (the reference
+            // 400s on the format alone), and escape it — it is a raw path
+            // segment
+            respond(ex, 400, JsonMethods.compact(JsonMethods.render(
+              ("error" -> s"invalid format name: $fmt") : JObject)))
+          else {
+            val simple = p.get("simple").forall(_.toBoolean)
+            val b = body(ex)
+            val q = if (simple) QueryJson.fromSimpleJson(b)
+              else QueryJson.fromJson(b)
+            if (fmt == "json") respond(ex, 200, QueryJson.toJson(q))
+            else respond(ex, 200, JsonMethods.compact(
               JsonMethods.render(JString(q.toString))))
-            case other => respond(ex, 400,
-              s"""{"error":"invalid format name: $other"}""")
           }
 
         // --- curation endpoints (api.py:542-639) -------------------------

@@ -58,4 +58,26 @@ class QueryJsonSpec extends AnyFunSuite {
     for (q <- composites)
       assert(QueryJson.fromJson(QueryJson.toJson(q)) == q, s"round-trip: $q")
   }
+
+  test("simple JSON: combinators fold, invert, and use the right identity") {
+    def leaf(id: String) =
+      s"""{"class":"HasAgent","constraint":{"agent_id":"$id"},"inverted":false}"""
+    val and = s"""{"class":"And","constraint":{"queries":[${leaf("A")},${leaf("B")}]}}"""
+    assert(QueryJson.fromSimpleJson(and) == (HasAgent("A") & HasAgent("B")))
+    val or = s"""{"class":"Or","constraint":{"queries":[${leaf("A")},${leaf("B")}]}}"""
+    assert(QueryJson.fromSimpleJson(or) == (HasAgent("A") | HasAgent("B")))
+    // nested combinator + leaf parsed by the regular path
+    val nested = s"""{"class":"And","constraint":{"queries":[$or,${leaf("C")}]}}"""
+    assert(QueryJson.fromSimpleJson(nested) ==
+      ((HasAgent("A") | HasAgent("B")) & HasAgent("C")))
+    // inverted combinator honored (not silently dropped)
+    val inv = s"""{"class":"And","inverted":true,
+      "constraint":{"queries":[${leaf("A")},${leaf("B")}]}}"""
+    assert(QueryJson.fromSimpleJson(inv) == (HasAgent("A") & HasAgent("B")).invert)
+    // identities: And-of-[] constrains nothing; Or-of-[] matches nothing
+    assert(QueryJson.fromSimpleJson(
+      """{"class":"And","constraint":{"queries":[]}}""") == FullQuery)
+    assert(QueryJson.fromSimpleJson(
+      """{"class":"Or","constraint":{"queries":[]}}""") == EmptyQuery)
+  }
 }
