@@ -242,10 +242,33 @@ object Dedup {
   }
 
   /** Reload a persisted dedup index: (bandSignatures, shingleSet) — pass
-    * straight to [[deltaNearDups]]. */
+    * straight to [[deltaNearDups]]. Refreshes the catalog entries first:
+    * appends from another session clone (e.g. a foreachBatch micro-batch
+    * session) invalidate only THAT clone's relation cache, and a stale
+    * file listing here would silently serve a pre-append snapshot. */
   def loadIndex(spark: org.apache.spark.sql.SparkSession, db: String)
-      : (DataFrame, DataFrame) =
+      : (DataFrame, DataFrame) = {
+    spark.catalog.refreshTable(s"$db.band_sigs")
+    spark.catalog.refreshTable(s"$db.shingles")
     (spark.table(s"$db.band_sigs"), spark.table(s"$db.shingles"))
+  }
+
+  /** Append one batch's signatures + shingles to a persisted index written
+    * by [[writeIndex]] — the growth step of the incremental pipeline (the
+    * writer must restate the bucket spec; `buckets` must match the index).
+    * Assumes an append-only id space: a re-ingested id would leave its old
+    * rows in the index alongside the new ones. */
+  def appendIndex(
+      sh: DataFrame, db: String, buckets: Int,
+      k: Int = 12, r: Int = 3): Unit = {
+    bandSignatures(minhash(sh, k), r).write
+      .mode("append").bucketBy(buckets, "band", "sig")
+      .sortBy("band", "sig").format("parquet")
+      .saveAsTable(s"$db.band_sigs")
+    sh.write
+      .mode("append").bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(s"$db.shingles")
+  }
 
   /** End-to-end near-duplicate REMOVAL — what a training pipeline actually
     * runs: near-dup pairs (from any of the pair generators here) become

@@ -92,6 +92,51 @@ object Streams {
       .start()
   }
 
+  /** Streaming near-dup over a document directory stream: each micro-batch
+    * dedups against the PERSISTED index ([[graft.operators.Dedup.deltaNearDups]]
+    * probing [[graft.operators.Dedup.writeIndex]] tables) and then appends
+    * its own signatures + shingles, so every batch sees all earlier ones.
+    * foreachBatch is the composition point — the delta pipeline is a
+    * multi-join batch plan (anti/semi joins + a self-join) that streaming
+    * operators cannot express, and the index append is a second sink; both
+    * are exactly what foreachBatch exists for. AvailableNow drains what is
+    * in the directory and stops; the checkpoint makes the next run resume
+    * after the last drained file. Pair output rows carry the micro-batch
+    * id, so a replayed batch is auditable (dedup on read when exact-once
+    * matters). */
+  def streamingNearDups(
+      spark: org.apache.spark.sql.SparkSession,
+      docsDir: String,
+      indexDb: String,
+      indexBuckets: Int,
+      checkpointDir: String,
+      pairsOutDir: String,
+      n: Int = 3, k: Int = 12, r: Int = 3,
+      threshold: Double = 0.6): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    spark.readStream.schema(schema).parquet(docsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.Dedup
+        val (sigs, sh) = Dedup.loadIndex(spark, indexDb)
+        Dedup.deltaNearDups(batch, "doc_id", "text", sigs, sh,
+            n, k, r, threshold)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(pairsOutDir)
+        val batchSh = Dedup.shingleSet(batch, "doc_id", "text", n)
+          .select("doc_id", "sh_hash").localCheckpoint(false)
+        Dedup.appendIndex(batchSh, indexDb, indexBuckets, k, r)
+        ()
+      }
+      .start()
+  }
+
   /** Incremental supplement: raw statements not yet represented in the
     * links table (alls EXCEPT olds, preassemble_db.py:527-543). The delta
     * then flows through the normal Preassembly stages. */

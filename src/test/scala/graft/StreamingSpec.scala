@@ -114,6 +114,39 @@ class StreamingSpec extends AnyFunSuite {
       .count() == 1)
   }
 
+  test("streaming near-dup probes the persisted index and grows it per run") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val base = Tables.table(spark, dir, "documents").select("doc_id", "text")
+    Dedup.writeIndex(base, "doc_id", "text", "graft_stream_idx", buckets = 4)
+    val docsDir = java.nio.file.Files.createTempDirectory("nd-docs").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("nd-ck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("nd-out").toString +
+      "/pairs"
+    // run 1: exact copies of every 5th doc under shifted ids — every pair
+    // must come from probing the PERSISTED base index
+    val copies = base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    copies.coalesce(1).write.mode("append").parquet(docsDir)
+    Streams.streamingNearDups(spark, docsDir, "graft_stream_idx",
+      indexBuckets = 4, ckDir, outDir).awaitTermination()
+    val run1 = spark.read.parquet(outDir)
+    val planted = copies.select("doc_id").as[Long].collect().toSet
+    val found1 = run1.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(planted.forall(c => found1.contains((c - 100000, c))),
+      s"missing planted pairs: ${planted.filterNot(c => found1.contains((c - 100000, c)))}")
+    // run 2: exact copies of RUN 1's docs — these pair with the +100000
+    // ids only if run 1's batch was appended to the index
+    copies.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      .coalesce(1).write.mode("append").parquet(docsDir)
+    Streams.streamingNearDups(spark, docsDir, "graft_stream_idx",
+      indexBuckets = 4, ckDir, outDir).awaitTermination()
+    val found2 = spark.read.parquet(outDir)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(planted.forall(c => found2.contains((c, c + 100000))),
+      "run-2 docs must match run-1 docs through the grown index")
+  }
+
   test("stateful per-user counting via mapGroupsWithState conserves totals") {
     import spark.implicits._
     val events = Tables.events(spark, dir)
