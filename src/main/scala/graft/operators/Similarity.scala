@@ -236,6 +236,45 @@ object Similarity {
     adc.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Persist the ANN index: cell assignments bucketed by the probe key
+    * (cell) so a search reads only probed buckets in place, PQ codes
+    * bucketed by id for the assignment join, and the small centroid /
+    * codebook tables as plain parquet (they broadcast at search time).
+    * The full-vector `embedding`/`nrm` columns ride with the assignment
+    * rows so both exact in-cell search ([[ivfTopKWith]]) and compressed
+    * search ([[ivfPqTopK]]) run off the same persisted layer. */
+  def writeAnnIndex(
+      vectors: DataFrame, db: String, buckets: Int,
+      nCells: Int, m: Int, dim: Int, ksub: Int): Unit = {
+    val spark = vectors.sparkSession
+    val index = ivfIndex(vectors, nCells).localCheckpoint(false)
+    val cb = pqCodebooks(vectors, m, dim, ksub).localCheckpoint(false)
+    graft.assembly.Deploy.saveBucketed(
+      spark, index, db, "cells", buckets, Seq("cell"))
+    graft.assembly.Deploy.saveBucketed(
+      spark, pqEncode(vectors, cb, m, dim), db, "codes", buckets, Seq("id"))
+    // broadcast-sized side tables: single-bucket through the same writer
+    graft.assembly.Deploy.saveBucketed(
+      spark, cb, db, "codebooks", 1, Seq("sub"))
+    graft.assembly.Deploy.saveBucketed(
+      spark,
+      vectors.filter(col("id") < nCells)
+        .select(col("id").as("cent_id"), col("embedding").as("cent_emb"),
+          norm(col("embedding")).as("cent_nrm")),
+      db, "centroids", 1, Seq("cent_id"))
+  }
+
+  /** Reload a persisted ANN index: (cells, codes, centroids, codebooks) —
+    * feed straight into [[ivfTopKWith]] / [[ivfPqTopK]]. Catalog entries
+    * refreshed like [[Dedup.loadIndex]]. */
+  def loadAnnIndex(spark: org.apache.spark.sql.SparkSession, db: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    Seq("cells", "codes", "centroids", "codebooks")
+      .foreach(t => spark.catalog.refreshTable(s"$db.$t"))
+    (spark.table(s"$db.cells"), spark.table(s"$db.codes"),
+      spark.table(s"$db.centroids"), spark.table(s"$db.codebooks"))
+  }
+
   /** IVF + PQ — the composed 100 TB ANN shape: the IVF cell prunes the
     * scan to `nProbe` cells per query, and within them candidates are
     * scored by PQ asymmetric distance over their codes — full vectors are

@@ -62,6 +62,40 @@ class DeploySpec extends AnyFunSuite {
     assert(p.contains("band_sigs"), s"bucketed index scan missing:\n$p")
   }
 
+  test("persisted ANN index: both search paths equal the fresh-index runs") {
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val emb = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    Similarity.writeAnnIndex(emb, "graft_ann_idx", buckets = 4,
+      nCells = 16, m = 8, dim = 64, ksub = 16)
+    val (cells, codes, cents, cb) = Similarity.loadAnnIndex(spark, "graft_ann_idx")
+    val qs = emb.filter(col("id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact in-cell search off the persisted layer
+    val exactP = rows(Similarity.ivfTopKWith(cells, cents, qs, nProbe = 2, k = 3))
+    val exactF = rows(Similarity.ivfTopKWith(
+      Similarity.ivfIndex(emb, nCells = 16),
+      emb.filter(col("id") < 16).select(col("id").as("cent_id"),
+        col("embedding").as("cent_emb"),
+        Similarity.norm(col("embedding")).as("cent_nrm")),
+      qs, nProbe = 2, k = 3))
+    assert(exactP.nonEmpty && exactP == exactF)
+    // compressed search off the persisted layer
+    val pqP = rows(Similarity.ivfPqTopK(qs, cells, codes, cents, cb,
+      m = 8, dim = 64, ksub = 16, nProbe = 2, k = 3))
+    val freshCb = Similarity.pqCodebooks(emb, m = 8, dim = 64, ksub = 16)
+    val pqF = rows(Similarity.ivfPqTopK(qs,
+      Similarity.ivfIndex(emb, nCells = 16),
+      Similarity.pqEncode(emb, freshCb, m = 8, dim = 64),
+      emb.filter(col("id") < 16).select(col("id").as("cent_id"),
+        col("embedding").as("cent_emb"),
+        Similarity.norm(col("embedding")).as("cent_nrm")),
+      freshCb, m = 8, dim = 64, ksub = 16, nProbe = 2, k = 3))
+    assert(pqP.nonEmpty && pqP == pqF)
+  }
+
   test("AUTO namespace grounds through the dictionary grounder") {
     // TpchWorld ids are P<n>, unknown to the grounder -> falls back to NAME
     val ro = TpchWorld.readonly(spark, dir)
