@@ -236,6 +236,81 @@ object Similarity {
     adc.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Residual vectors: each indexed vector minus its cell centroid (as
+    * array<double>, emitted under the standard `embedding` name so the
+    * PQ helpers apply unchanged). The IVF-residual refinement: residuals
+    * concentrate near zero, so the same ksub codebook quantizes them far
+    * more tightly than raw vectors. */
+  private def residualRows(index: DataFrame, cents: DataFrame): DataFrame =
+    index.join(broadcast(cents), col("cell") === col("cent_id"))
+      .select(col("id"), col("cell"),
+        zip_with(col("embedding"), col("cent_emb"),
+          (x, y) => x.cast("double") - y.cast("double")).as("embedding"))
+
+  /** Residual-PQ codebooks. Seeds come from ids in
+    * [nCells, nCells + ksub): the first nCells ids ARE the cell centroids,
+    * so their residuals are all-zero and would degenerate the codebook. */
+  def pqResidualCodebooks(
+      index: DataFrame, cents: DataFrame,
+      nCells: Int, m: Int, dim: Int, ksub: Int): DataFrame =
+    subvectorRows(residualRows(index, cents)
+        .filter(col("id") >= nCells && col("id") < nCells + ksub), m, dim)
+      .select(col("sub"), col("id").as("cent_id"), col("svec").as("cent"))
+
+  /** Residual-PQ encoding: (id, cell, codes) — [[pqEncode]] over the
+    * residuals, with the cell carried for the per-cell search join. */
+  def pqEncodeResidual(
+      index: DataFrame, cents: DataFrame, codebooks: DataFrame,
+      m: Int, dim: Int, scale: Int = 4): DataFrame =
+    pqEncode(residualRows(index, cents), codebooks, m, dim, scale)
+      .join(index.select("id", "cell"), "id")
+
+  /** IVF + residual-PQ top-k: like [[ivfPqTopK]], but ADC runs between the
+    * QUERY'S residual against each probed cell and the residual codebook —
+    * the distance table is keyed per (query, cell), still broadcast-sized
+    * (|queries|·nProbe·m·ksub rows). */
+  def ivfPqResidualTopK(
+      queries: DataFrame, codes: DataFrame,
+      cents: DataFrame, codebooks: DataFrame,
+      m: Int, dim: Int, ksub: Int,
+      nProbe: Int, k: Int, scale: Int = 4): DataFrame = {
+    val sub = dim / m
+    val probes = queries
+      .select(col("id").as("q_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_nrm"))
+      .join(broadcast(cents))
+      .withColumn("cos", round(
+        ddot(col("q_emb"), col("cent_emb")) / (col("q_nrm") * col("cent_nrm")),
+        scale))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("cent_id").asc)
+    val probed = probes.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("cent_id").as("cell"),
+        zip_with(col("q_emb"), col("cent_emb"),
+          (x, y) => x.cast("double") - y.cast("double")).as("q_res"))
+    val qdist = probed
+      .select(col("q_id"), col("cell"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("q_res"), s * sub + 1, lit(sub)))))
+      .toDF("q_id", "cell", "sub", "svec")
+      .join(broadcast(codebooks), "sub")
+      .select(col("q_id"), col("cell"), col("sub"), col("cent_id"),
+        subDist(col("svec"), col("cent"), scale).as("d"))
+    val candRows = codes
+      .join(broadcast(probed.select("q_id", "cell")), "cell")
+      .filter(col("q_id") =!= col("id"))
+      .select(col("q_id"), col("cell"), col("id"), posexplode(col("codes")))
+      .toDF("q_id", "cell", "id", "sub", "cent_id")
+    val adc = candRows
+      .join(broadcast(qdist), Seq("q_id", "cell", "sub", "cent_id"))
+      .groupBy("q_id", "id")
+      .agg(sum("d").as("adc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("adc").asc, col("id").asc)
+    adc.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** Persist the ANN index: cell assignments bucketed by the probe key
     * (cell) so a search reads only probed buckets in place, PQ codes
     * bucketed by id for the assignment join, and the small centroid /

@@ -650,6 +650,99 @@ shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
             ORDER BY adc, id) AS rn FROM adc) WHERE rn <= 3"""),
     ),
 
+    // IVF + RESIDUAL PQ: codes quantize (vector - cell centroid), seeded
+    // from ids [16, 32) — ids < 16 ARE the centroids, so their residuals
+    // are all-zero and would degenerate the codebook. ADC runs between the
+    // query's per-cell residual and the residual codebook.
+    "q_embed_pq_residual" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding"))
+        val index = Similarity.ivfIndex(emb, nCells = 16)
+        val cents = emb.filter(col("id") < 16)
+          .select(col("id").as("cent_id"), col("embedding").as("cent_emb"),
+            Similarity.norm(col("embedding")).as("cent_nrm"))
+        val cb = Similarity.pqResidualCodebooks(index, cents,
+          nCells = 16, m = 8, dim = 64, ksub = 16)
+        val codes = Similarity.pqEncodeResidual(index, cents, cb,
+          m = 8, dim = 64)
+        Similarity.ivfPqResidualTopK(emb.filter(col("id") < 10), codes,
+          cents, cb, m = 8, dim = 64, ksub = 16, nProbe = 2, k = 3)
+      },
+      Some("""WITH v AS (SELECT vec_id AS id, embedding FROM embeddings),
+        n AS (SELECT id, embedding,
+          sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(range(1, len(embedding)+1),
+              p -> CAST(embedding[p] AS DOUBLE) * CAST(embedding[p] AS DOUBLE))),
+            (a, b) -> a + b)) AS nrm
+          FROM v),
+        cents AS (SELECT id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm
+                  FROM n WHERE id < 16),
+        assign AS (SELECT id, cell FROM (
+          SELECT x.id, c.cent_id AS cell,
+            ROW_NUMBER() OVER (PARTITION BY x.id ORDER BY
+              round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(range(1, 65),
+                  p -> CAST(x.embedding[p] AS DOUBLE) * CAST(c.cent_emb[p] AS DOUBLE))),
+                (a, b) -> a + b) / (x.nrm * c.cent_nrm), 4) DESC,
+              c.cent_id ASC) AS rn
+          FROM n x CROSS JOIN cents c) WHERE rn = 1),
+        rv AS (SELECT a.id, a.cell,
+            list_transform(range(1, 65),
+              p -> CAST(vv.embedding[p] AS DOUBLE) - CAST(c.cent_emb[p] AS DOUBLE))
+              AS emb
+          FROM assign a JOIN v vv ON vv.id = a.id
+          JOIN cents c ON c.cent_id = a.cell),
+        svr AS (SELECT id, cell, sub, list_slice(emb, sub*8 + 1, sub*8 + 8) AS svec
+               FROM rv CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) t),
+        cbr AS (SELECT sub, id AS cent_id, svec AS cent
+                FROM svr WHERE id >= 16 AND id < 32),
+        dr AS (SELECT svr.id, svr.sub, cbr.cent_id,
+                CAST(round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(range(1, 9),
+                    p -> (svr.svec[p] - cbr.cent[p]) * (svr.svec[p] - cbr.cent[p]))),
+                  (a, b) -> a + b) * 10000.0) AS BIGINT) AS dl
+              FROM svr JOIN cbr USING (sub)),
+        coder AS (SELECT id, sub, cent_id FROM (
+                  SELECT *, row_number() OVER (PARTITION BY id, sub
+                    ORDER BY dl, cent_id) AS rn FROM dr) WHERE rn = 1),
+        probes AS (SELECT q_id, cell FROM (
+          SELECT q.id AS q_id, c.cent_id AS cell,
+            ROW_NUMBER() OVER (PARTITION BY q.id ORDER BY
+              round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(range(1, 65),
+                  p -> CAST(q.embedding[p] AS DOUBLE) * CAST(c.cent_emb[p] AS DOUBLE))),
+                (a, b) -> a + b) / (q.nrm * c.cent_nrm), 4) DESC,
+              c.cent_id ASC) AS rn
+          FROM n q CROSS JOIN cents c WHERE q.id < 10) WHERE rn <= 2),
+        qrv AS (SELECT p.q_id, p.cell,
+            list_transform(range(1, 65),
+              i -> CAST(qv.embedding[i] AS DOUBLE) - CAST(c.cent_emb[i] AS DOUBLE))
+              AS emb
+          FROM probes p JOIN v qv ON qv.id = p.q_id
+          JOIN cents c ON c.cent_id = p.cell),
+        qsv AS (SELECT q_id, cell, sub, list_slice(emb, sub*8 + 1, sub*8 + 8) AS svec
+               FROM qrv CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) t),
+        qd AS (SELECT q.q_id, q.cell, q.sub, cb2.cent_id,
+                CAST(round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(range(1, 9),
+                    p -> (q.svec[p] - cb2.cent[p]) * (q.svec[p] - cb2.cent[p]))),
+                  (a, b) -> a + b) * 10000.0) AS BIGINT) AS dl
+              FROM qsv q JOIN cbr cb2 USING (sub)),
+        cand AS (SELECT p.q_id, a.id, a.cell
+                 FROM probes p JOIN assign a ON a.cell = p.cell
+                 WHERE p.q_id <> a.id),
+        adc AS (SELECT c.q_id, c.id, SUM(qd.dl) AS adc
+                FROM cand c
+                JOIN coder k2 ON k2.id = c.id
+                JOIN qd ON qd.q_id = c.q_id AND qd.cell = c.cell
+                  AND qd.sub = k2.sub AND qd.cent_id = k2.cent_id
+                GROUP BY 1, 2)
+        SELECT q_id, id, CAST(adc AS BIGINT) AS adc, rn FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY adc, id) AS rn FROM adc) WHERE rn <= 3"""),
+    ),
+
     "q_embed_lsh_pairs" -> QueryDef(
       (s, dir) => Similarity.lshPairs(
         Tables.table(s, dir, "embeddings")
