@@ -236,6 +236,48 @@ object Similarity {
     adc.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Lloyd-refined PQ codebooks: per subspace, each iteration assigns
+    * every subvector to its nearest centroid (integer-scaled L2,
+    * centroid-id tie-break) and recomputes the centroid as the element
+    * mean — the same integer-scaled, shuffle-order-proof mean as
+    * [[kmeansCentroids]], run across all m subspaces in ONE assignment
+    * join + ONE aggregation per iteration (subspace is just another key).
+    * Seeds come from [[pqCodebooks]]; empty centroids drop out. Output:
+    * (sub, cent_id, cent array<double>) — feed to [[pqEncode]]/
+    * [[pqTopK]]/[[ivfPqTopK]] unchanged. */
+  def pqKmeansCodebooks(
+      vectors: DataFrame, m: Int, dim: Int, ksub: Int, iters: Int,
+      scale: Int = 4, meanScale: Int = 6): DataFrame = {
+    val sv = subvectorRows(vectors, m, dim).localCheckpoint(false)
+    var cb = pqCodebooks(vectors, m, dim, ksub)
+      .select(col("sub"), col("cent_id"),
+        col("cent").cast("array<double>").as("cent"))
+    val fac = math.pow(10, meanScale)
+    for (_ <- 1 to iters) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id", "sub").orderBy(col("d"), col("cent_id"))
+      // sv holds exactly one row per (id, sub), so rn=1 IS the assignment
+      cb = sv.join(broadcast(cb), "sub")
+        .withColumn("d", subDist(col("svec"), col("cent"), scale))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("sub"), col("cent_id"),
+          posexplode(col("svec")).as(Seq("pos", "v")))
+        .groupBy("sub", "cent_id", "pos")
+        .agg(round(
+          sum(round(col("v").cast("double") * fac).cast("long")).cast("double")
+            / (count(lit(1)) * fac),
+          meanScale).as("mv"))
+        .groupBy("sub", "cent_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mv")))),
+          e => e.getField("mv")).as("cent"))
+        .localCheckpoint(true) // truncate per-iteration lineage
+        .toDF("sub", "cent_id", "cent")
+    }
+    cb
+  }
+
   /** Residual vectors: each indexed vector minus its cell centroid (as
     * array<double>, emitted under the standard `embedding` name so the
     * PQ helpers apply unchanged). The IVF-residual refinement: residuals

@@ -650,6 +650,63 @@ shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
             ORDER BY adc, id) AS rn FROM adc) WHERE rn <= 3"""),
     ),
 
+    // Lloyd-refined PQ codebooks (one iteration): per-subspace assignment
+    // + integer-scaled element means, then encode + ADC top-k under the
+    // refined codebook. Oracle replays the full iteration like
+    // q_embed_ivf_kmeans does for cells.
+    "q_embed_pq_kmeans" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding"))
+        val cb = Similarity.pqKmeansCodebooks(emb,
+          m = 8, dim = 64, ksub = 16, iters = 1)
+        val codes = Similarity.pqEncode(emb, cb, m = 8, dim = 64)
+        Similarity.pqTopK(emb.filter(col("id") < 10), codes, cb,
+          m = 8, dim = 64, ksub = 16, k = 5)
+      },
+      Some("""WITH v AS (SELECT vec_id AS id, embedding FROM embeddings),
+        sv AS (SELECT id, sub, list_slice(embedding, sub*8 + 1, sub*8 + 8) AS svec
+               FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) t),
+        cb0 AS (SELECT sub, id AS cent_id,
+            list_transform(svec, x -> CAST(x AS DOUBLE)) AS cent
+          FROM sv WHERE id < 16),
+        d0 AS (SELECT sv.id, sv.sub, sv.svec, cb0.cent_id,
+                CAST(round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(range(1, 9),
+                    p -> (CAST(sv.svec[p] AS DOUBLE) - cb0.cent[p])
+                       * (CAST(sv.svec[p] AS DOUBLE) - cb0.cent[p]))),
+                  (a, b) -> a + b) * 10000.0) AS BIGINT) AS dl
+              FROM sv JOIN cb0 USING (sub)),
+        a0 AS (SELECT id, sub, svec, cent_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY id, sub
+                  ORDER BY dl, cent_id) AS rn FROM d0) WHERE rn = 1),
+        sums AS (SELECT sub, cent_id, t.p AS pos,
+            round(CAST(SUM(CAST(round(CAST(a.svec[t.p] AS DOUBLE)
+                  * 1000000) AS BIGINT)) AS DOUBLE)
+              / (COUNT(*) * 1000000.0), 6) AS m
+          FROM a0 a CROSS JOIN range(1, 9) t(p)
+          GROUP BY 1, 2, 3),
+        cb1 AS (SELECT sub, cent_id, list(m ORDER BY pos) AS cent
+          FROM sums GROUP BY 1, 2),
+        d1 AS (SELECT sv.id, sv.sub, cb1.cent_id,
+                CAST(round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(range(1, 9),
+                    p -> (CAST(sv.svec[p] AS DOUBLE) - cb1.cent[p])
+                       * (CAST(sv.svec[p] AS DOUBLE) - cb1.cent[p]))),
+                  (a, b) -> a + b) * 10000.0) AS BIGINT) AS dl
+              FROM sv JOIN cb1 USING (sub)),
+        code AS (SELECT id, sub, cent_id FROM (
+                  SELECT *, row_number() OVER (PARTITION BY id, sub
+                    ORDER BY dl, cent_id) AS rn FROM d1) WHERE rn = 1),
+        adc AS (SELECT q.id AS q_id, c.id, SUM(q.dl) AS adc
+                FROM code c JOIN d1 q ON q.sub = c.sub AND q.cent_id = c.cent_id
+                WHERE q.id < 10 AND q.id <> c.id
+                GROUP BY 1, 2)
+        SELECT q_id, id, CAST(adc AS BIGINT) AS adc, rn FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY adc, id) AS rn FROM adc) WHERE rn <= 5"""),
+    ),
+
     // IVF + RESIDUAL PQ: codes quantize (vector - cell centroid), seeded
     // from ids [16, 32) — ids < 16 ARE the centroids, so their residuals
     // are all-zero and would degenerate the codebook. ADC runs between the
