@@ -137,6 +137,48 @@ object Streams {
       .start()
   }
 
+  /** Streaming ingest-to-training-shards: each micro-batch runs the
+    * quality funnel, keeps the survivors, counts their tokens, and packs
+    * them into fixed-budget sequences (best-fit-decreasing within the
+    * batch's id-hash shards). Bins never span batches, so every emitted
+    * shard file is immutable the moment it lands — training can stream
+    * shards while ingest continues; rows carry the micro-batch id. The
+    * funnel/packing logic is identical to the batch path (shared
+    * operators), so batch == streaming on the same input. */
+  def streamingCurateAndPack(
+      spark: org.apache.spark.sql.SparkSession,
+      docsDir: String,
+      checkpointDir: String,
+      shardsOutDir: String,
+      stages: Seq[graft.operators.Curate.FilterStage],
+      budget: Long,
+      shards: Int): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    spark.readStream.schema(schema).parquet(docsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.{Curate, TextAnalysis}
+        val stats = TextAnalysis.qualityStats(batch, "text",
+            TextAnalysis.langProfiles.head._2)
+          .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+        val kept = Curate.filterFunnel(stats, stages)
+          .filter(col("verdict") === "kept")
+          .withColumn("n_tokens", TextAnalysis.approxBpeTokens(col("text")))
+          .select("doc_id", "text", "n_tokens")
+        Curate.packBestFit(kept, "doc_id", "n_tokens", budget, shards)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(shardsOutDir)
+        ()
+      }
+      .start()
+  }
+
   /** Incremental supplement: raw statements not yet represented in the
     * links table (alls EXCEPT olds, preassemble_db.py:527-543). The delta
     * then flows through the normal Preassembly stages. */

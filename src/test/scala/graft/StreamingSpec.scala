@@ -147,6 +147,42 @@ class StreamingSpec extends AnyFunSuite {
       "run-2 docs must match run-1 docs through the grown index")
   }
 
+  test("streaming curate-and-pack equals the batch funnel + packing") {
+    import spark.implicits._
+    import graft.operators.{Curate, TextAnalysis}
+    val docs = Tables.table(spark, dir, "documents").select("doc_id", "text")
+    val docsDir = java.nio.file.Files.createTempDirectory("cp-docs").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("cp-ck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("cp-out").toString +
+      "/shards"
+    docs.coalesce(1).write.mode("append").parquet(docsDir)
+    val stages = Seq(
+      Curate.FilterStage("short", col("n_tokens") >= 60),
+      Curate.FilterStage("lang", col("lang_pred") === "en"))
+    Streams.streamingCurateAndPack(spark, docsDir, ckDir, outDir,
+      stages, budget = 512L, shards = 4).awaitTermination()
+    val out = spark.read.parquet(outDir)
+    // exactly the batch funnel's kept set survives
+    val keptBatch = Curate.filterFunnel(
+        TextAnalysis.qualityStats(docs, "text",
+            TextAnalysis.langProfiles.head._2)
+          .withColumn("lang_pred", TextAnalysis.langId(col("text"))),
+        stages)
+      .filter(col("verdict") === "kept")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.select("doc_id").as[Long].collect().toSet == keptBatch)
+    assert(keptBatch.nonEmpty)
+    // every emitted bin respects the budget; fills tile from zero
+    val bins = out.select("seq_id", "n_tokens", "bin_offset")
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    bins.values.foreach { b =>
+      val total = b.sortBy(_._3).foldLeft(0L) { case (fill, (_, n, off)) =>
+        assert(off == fill); fill + n
+      }
+      assert(total <= 512L)
+    }
+  }
+
   test("stateful per-user counting via mapGroupsWithState conserves totals") {
     import spark.implicits._
     val events = Tables.events(spark, dir)
