@@ -162,4 +162,10 @@ object vectors {
 
   def word_shingles(text: Column, n: Int): Column =
     GraftBridge.column(WordShingles(GraftBridge.expression(text), n))
+
+  def text_stats(
+      text: Column, stopwords: Seq[String],
+      profiles: Seq[Seq[String]]): Column =
+    GraftBridge.column(
+      TextStats(GraftBridge.expression(text), stopwords, profiles))
 }

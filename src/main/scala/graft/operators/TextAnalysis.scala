@@ -34,14 +34,17 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "et", "est", "une"),
   )
 
-  private def profileHits(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words.map(lit): _*)))
-
   /** Language prediction: argmax of profile hits with a fixed priority
-    * order for ties ("und" when nothing matches). */
+    * order for ties ("und" when nothing matches). Hit counting runs in the
+    * compiled one-pass [[graft.functions.TextStatsKernel]] (interpreted
+    * size/filter lambdas re-walked the token array per language); the
+    * argmax fold stays cheap scalar Column math. */
   def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
-    val scores = langProfiles.map { case (l, ws) => l -> profileHits(toks, ws) }
+    val hits = graft.functions.vectors
+      .text_stats(text, Nil, langProfiles.map(_._2)).getField("hits")
+    val scores = langProfiles.zipWithIndex.map { case ((l, _), i) =>
+      l -> element_at(hits, i + 1)
+    }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
       when(s === best && best > 0, lit(l)).otherwise(acc)
@@ -49,17 +52,22 @@ object TextAnalysis {
   }
 
   /** Quality statistics: token count, distinct-token count, type-token
-    * ratio, mean token length, stopword ratio. All exact-integer or
-    * single-division math. */
+    * ratio, mean token length, stopword ratio. Counting is ONE compiled
+    * pass over the token stream ([[graft.functions.TextStatsKernel]] —
+    * semantics identical to the size/array_distinct/filter formulation);
+    * the ratios are single divisions over the struct fields, and codegen
+    * subexpression elimination evaluates the kernel once per row. */
   def qualityStats(df: DataFrame, textCol: String, stopwords: Seq[String]): DataFrame = {
-    val toks = tokens(col(textCol))
-    df.withColumn("n_tokens", size(toks).cast("long"))
-      .withColumn("n_uniq", size(array_distinct(toks)).cast("long"))
-      .withColumn("n_stop", profileHits(toks, stopwords).cast("long"))
+    val st = graft.functions.vectors
+      .text_stats(col(textCol), stopwords, langProfiles.map(_._2))
+    df.withColumn("n_tokens", st.getField("n_tokens"))
+      .withColumn("n_uniq", st.getField("n_uniq"))
+      .withColumn("n_stop", st.getField("n_stop"))
       .withColumn("ttr",
         col("n_uniq").cast("double") / col("n_tokens").cast("double"))
       .withColumn("mean_tok_len",
-        (length(concat_ws("", toks))).cast("double") / col("n_tokens").cast("double"))
+        st.getField("sum_tok_len").cast("double")
+          / col("n_tokens").cast("double"))
       .withColumn("stop_ratio",
         col("n_stop").cast("double") / col("n_tokens").cast("double"))
   }
