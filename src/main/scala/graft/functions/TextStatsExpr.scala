@@ -38,14 +38,17 @@ object TextStatsKernel {
       }.toArray
   }
 
-  /** Split on whitespace runs after trim — identical token stream to
-    * split(trim(text), "\\s+"). An empty/blank input yields the single
-    * empty token that Spark's split produces, so sizes agree. */
-  private def toks(s: String): Array[String] = s.trim.split("\\s+")
+  /** Identical token stream to split(trim(text), "\\s+") in Spark:
+    * UTF8String.trim strips 0x20 spaces ONLY (Java's String.trim strips
+    * every char <= 0x20 — a doc ending in \n would lose a token), and
+    * split runs with limit -1 so trailing empty strings survive exactly
+    * as Spark's StringSplit keeps them. */
+  private def toks(s: UTF8String): Array[String] =
+    s.trim.toString.split("\\s+", -1)
 
   def stats(text: UTF8String, cfg: Config)
       : org.apache.spark.sql.catalyst.InternalRow = {
-    val raw = toks(text.toString)
+    val raw = toks(text)
     var nStop = 0L
     var sumLen = 0L
     val uniq = new java.util.HashSet[String]()
@@ -58,7 +61,7 @@ object TextStatsKernel {
       i += 1
     }
     val hits = new Array[Long](cfg.profileSets.length)
-    val low = toks(text.toLowerCase.toString)
+    val low = toks(text.toLowerCase)
     var j = 0
     while (j < low.length) {
       val t = low(j)

@@ -256,16 +256,27 @@ object Dedup {
   /** Append one batch's signatures + shingles to a persisted index written
     * by [[writeIndex]] — the growth step of the incremental pipeline (the
     * writer must restate the bucket spec; `buckets` must match the index).
-    * Assumes an append-only id space: a re-ingested id would leave its old
-    * rows in the index alongside the new ones. */
+    *
+    * IDEMPOTENT: ids already present in the index are anti-joined away
+    * first. Without this, an at-least-once replay (foreachBatch re-running
+    * after a crash between append and checkpoint commit) would stack the
+    * same shingle rows twice and permanently inflate every future Jaccard
+    * against those docs; a re-ingested id would corrupt the same way.
+    * First write wins — the id space is append-only by contract. */
   def appendIndex(
       sh: DataFrame, db: String, buckets: Int,
       k: Int = 12, r: Int = 3): Unit = {
-    bandSignatures(minhash(sh, k), r).write
+    val spark = sh.sparkSession
+    spark.catalog.refreshTable(s"$db.shingles")
+    val fresh = sh.join(
+        spark.table(s"$db.shingles").select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint(false)
+    bandSignatures(minhash(fresh, k), r).write
       .mode("append").bucketBy(buckets, "band", "sig")
       .sortBy("band", "sig").format("parquet")
       .saveAsTable(s"$db.band_sigs")
-    sh.write
+    fresh.write
       .mode("append").bucketBy(buckets, "doc_id").sortBy("doc_id")
       .format("parquet").saveAsTable(s"$db.shingles")
   }

@@ -299,13 +299,28 @@ object Similarity {
         .filter(col("id") >= nCells && col("id") < nCells + ksub), m, dim)
       .select(col("sub"), col("id").as("cent_id"), col("svec").as("cent"))
 
-  /** Residual-PQ encoding: (id, cell, codes) — [[pqEncode]] over the
-    * residuals, with the cell carried for the per-cell search join. */
+  /** Residual-PQ encoding: (id, cell, codes). The cell rides through the
+    * encode aggregation as a grouping key (it is functionally dependent on
+    * id) — re-joining the corpus-wide index to recover it would cost an
+    * extra shuffle over every encoded vector. */
   def pqEncodeResidual(
       index: DataFrame, cents: DataFrame, codebooks: DataFrame,
-      m: Int, dim: Int, scale: Int = 4): DataFrame =
-    pqEncode(residualRows(index, cents), codebooks, m, dim, scale)
-      .join(index.select("id", "cell"), "id")
+      m: Int, dim: Int, scale: Int = 4): DataFrame = {
+    val sub = dim / m
+    residualRows(index, cents)
+      .select(col("id"), col("cell"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("embedding"), s * sub + 1, lit(sub)))))
+      .toDF("id", "cell", "sub", "svec")
+      .join(broadcast(codebooks), "sub")
+      .withColumn("d", subDist(col("svec"), col("cent"), scale))
+      .groupBy("id", "cell", "sub")
+      .agg(min_by(col("cent_id"), struct(col("d"), col("cent_id")))
+        .as("code"))
+      .groupBy("id", "cell")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        e => e.getField("code")).as("codes"))
+  }
 
   /** IVF + residual-PQ top-k: like [[ivfPqTopK]], but ADC runs between the
     * QUERY'S residual against each probed cell and the residual codebook —
@@ -326,11 +341,14 @@ object Similarity {
         scale))
     val wp = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos").desc, col("cent_id").asc)
+    // probed feeds both the distance table and the candidate join —
+    // materialize the cross-join + window once
     val probed = probes.withColumn("rn", row_number().over(wp))
       .filter(col("rn") <= nProbe)
       .select(col("q_id"), col("cent_id").as("cell"),
         zip_with(col("q_emb"), col("cent_emb"),
           (x, y) => x.cast("double") - y.cast("double")).as("q_res"))
+      .localCheckpoint(false)
     val qdist = probed
       .select(col("q_id"), col("cell"),
         posexplode(transform(sequence(lit(0), lit(m - 1)),

@@ -39,9 +39,15 @@ object TextAnalysis {
     * compiled one-pass [[graft.functions.TextStatsKernel]] (interpreted
     * size/filter lambdas re-walked the token array per language); the
     * argmax fold stays cheap scalar Column math. */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column = langId(text, Nil)
+
+  /** As [[langId]], but building the SAME kernel expression as a
+    * [[qualityStats]] call with these stopwords — codegen subexpression
+    * elimination then evaluates the kernel once per row when both run in
+    * one projection (unequal expressions cannot be merged). */
+  def langId(text: Column, stopwords: Seq[String]): Column = {
     val hits = graft.functions.vectors
-      .text_stats(text, Nil, langProfiles.map(_._2)).getField("hits")
+      .text_stats(text, stopwords, langProfiles.map(_._2)).getField("hits")
     val scores = langProfiles.zipWithIndex.map { case ((l, _), i) =>
       l -> element_at(hits, i + 1)
     }

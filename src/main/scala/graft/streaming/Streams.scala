@@ -92,6 +92,13 @@ object Streams {
       .start()
   }
 
+  /** Schema of a (doc_id, text) document directory stream. */
+  private val docStreamSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text",
+      org.apache.spark.sql.types.StringType)))
+
   /** Streaming near-dup over a document directory stream: each micro-batch
     * dedups against the PERSISTED index ([[graft.operators.Dedup.deltaNearDups]]
     * probing [[graft.operators.Dedup.writeIndex]] tables) and then appends
@@ -112,30 +119,31 @@ object Streams {
       checkpointDir: String,
       pairsOutDir: String,
       n: Int = 3, k: Int = 12, r: Int = 3,
-      threshold: Double = 0.6): org.apache.spark.sql.streaming.StreamingQuery = {
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("text",
-        org.apache.spark.sql.types.StringType)))
-    spark.readStream.schema(schema).parquet(docsDir)
+      threshold: Double = 0.6): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(docStreamSchema).parquet(docsDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.operators.Dedup
         val (sigs, sh) = Dedup.loadIndex(spark, indexDb)
+        // dynamic partition overwrite keyed by the batch id makes a
+        // replayed batch overwrite ITS OWN output instead of appending a
+        // duplicate copy — the sink is exactly-once under at-least-once
+        // foreachBatch semantics; appendIndex is idempotent on its own
         Dedup.deltaNearDups(batch, "doc_id", "text", sigs, sh,
             n, k, r, threshold)
           .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(pairsOutDir)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(pairsOutDir)
         val batchSh = Dedup.shingleSet(batch, "doc_id", "text", n)
           .select("doc_id", "sh_hash").localCheckpoint(false)
         Dedup.appendIndex(batchSh, indexDb, indexBuckets, k, r)
         ()
       }
       .start()
-  }
 
   /** Streaming ingest-to-training-shards: each micro-batch runs the
     * quality funnel, keeps the survivors, counts their tokens, and packs
@@ -144,7 +152,12 @@ object Streams {
     * shard file is immutable the moment it lands — training can stream
     * shards while ingest continues; rows carry the micro-batch id. The
     * funnel/packing logic is identical to the batch path (shared
-    * operators), so batch == streaming on the same input. */
+    * operators), so batch == streaming on the same input.
+    *
+    * Keys: seq_id is BATCH-SCOPED (packBestFit's bin counter restarts per
+    * micro-batch) — consumers key bins by (batch_id, seq_id). The shard
+    * sink uses batch-id dynamic partition overwrite, so a replayed batch
+    * overwrites its own partition instead of duplicating docs. */
   def streamingCurateAndPack(
       spark: org.apache.spark.sql.SparkSession,
       docsDir: String,
@@ -152,32 +165,31 @@ object Streams {
       shardsOutDir: String,
       stages: Seq[graft.operators.Curate.FilterStage],
       budget: Long,
-      shards: Int): org.apache.spark.sql.streaming.StreamingQuery = {
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("text",
-        org.apache.spark.sql.types.StringType)))
-    spark.readStream.schema(schema).parquet(docsDir)
+      shards: Int): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(docStreamSchema).parquet(docsDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.operators.{Curate, TextAnalysis}
-        val stats = TextAnalysis.qualityStats(batch, "text",
-            TextAnalysis.langProfiles.head._2)
-          .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+        val stops = TextAnalysis.langProfiles.head._2
+        val stats = TextAnalysis.qualityStats(batch, "text", stops)
+          // same stopwords -> same kernel expression as qualityStats, so
+          // subexpression elimination runs the kernel once per row
+          .withColumn("lang_pred", TextAnalysis.langId(col("text"), stops))
         val kept = Curate.filterFunnel(stats, stages)
           .filter(col("verdict") === "kept")
           .withColumn("n_tokens", TextAnalysis.approxBpeTokens(col("text")))
           .select("doc_id", "text", "n_tokens")
         Curate.packBestFit(kept, "doc_id", "n_tokens", budget, shards)
           .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(shardsOutDir)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(shardsOutDir)
         ()
       }
       .start()
-  }
 
   /** Incremental supplement: raw statements not yet represented in the
     * links table (alls EXCEPT olds, preassemble_db.py:527-543). The delta

@@ -172,9 +172,11 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(out.select("doc_id").as[Long].collect().toSet == keptBatch)
     assert(keptBatch.nonEmpty)
-    // every emitted bin respects the budget; fills tile from zero
-    val bins = out.select("seq_id", "n_tokens", "bin_offset")
-      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    // every emitted bin respects the budget; fills tile from zero.
+    // seq_id is batch-scoped, so bins key by (batch_id, seq_id)
+    val bins = out.select("batch_id", "seq_id", "n_tokens", "bin_offset")
+      .as[(Long, Long, Long, Long)].collect().groupBy(r => (r._1, r._2))
+      .view.mapValues(_.map(r => (r._2, r._3, r._4)).toSeq).toMap
     bins.values.foreach { b =>
       val total = b.sortBy(_._3).foldLeft(0L) { case (fill, (_, n, off)) =>
         assert(off == fill); fill + n
