@@ -86,6 +86,21 @@ class PlanSpec extends AnyFunSuite {
       s"corpus-side shuffle join crept in:\n$p")
   }
 
+  test("PQ search broadcasts distance tables; code scan never shuffle-joins") {
+    import graft.operators.Similarity
+    val emb = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val cb = Similarity.pqCodebooks(emb, m = 8, dim = 64, ksub = 16)
+    val codes = Similarity.pqEncode(emb, cb, m = 8, dim = 64)
+    val p = plan(Similarity.pqTopK(emb.filter(col("id") < 10), codes, cb,
+      m = 8, dim = 64, ksub = 16, k = 5))
+    // the (query-subvector x centroid) table joins the code rows as a
+    // broadcast — a sort-merge there would shuffle the whole code scan
+    assert(p.contains("BroadcastHashJoin"), s"ADC table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"code scan shuffle join crept in:\n$p")
+  }
+
   test("packSequences windows are partitioned by shard, never global") {
     val docs = Tables.table(spark, dir, "documents")
       .select(col("doc_id"), lit(10L).as("n_tokens"))
