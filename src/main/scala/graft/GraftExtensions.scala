@@ -40,5 +40,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("inflate_text"),
       info("inflate_text", "inflate_text(bin) - zlib inflate to UTF-8 string"),
       (args: Seq[Expression]) => InflateText(args.head)))
+    // kernels with a literal size parameter: evaluated at registration
+    // (a non-foldable argument is a usage error)
+    def litInt(e: Expression): Int =
+      e.eval().asInstanceOf[Number].intValue
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      info("word_shingles",
+        "word_shingles(text, n) - word n-gram shingle array"),
+      (args: Seq[Expression]) => WordShingles(args(0), litInt(args(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      info("minhash_sig",
+        "minhash_sig(hashes, k) - k affine minhashes of a long array"),
+      (args: Seq[Expression]) => MinHashSig(args(0), litInt(args(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("sign_lsh_bucket"),
+      info("sign_lsh_bucket",
+        "sign_lsh_bucket(vec, planes) - hyperplane sign bucket id"),
+      (args: Seq[Expression]) => SignLshBucket(args(0), litInt(args(1)))))
   }
 }

@@ -23,6 +23,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(dot == 11.0)
   }
 
+  test("array kernels are callable from SQL and match the Scala API") {
+    val sh = spark.sql(
+      "SELECT word_shingles('a b c d', 3) AS s").collect().head.getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+    // minhash over a known hash array: h_0 = min((131*0+7)*h + 3) mod p
+    val mh = spark.sql(
+      "SELECT minhash_sig(array(CAST(5 AS BIGINT), CAST(9 AS BIGINT)), 2) AS m")
+      .collect().head.getSeq[Long](0)
+    assert(mh(0) == math.min(7L * 5 + 3, 7L * 9 + 3))
+    val b = spark.sql(
+      "SELECT sign_lsh_bucket(array(CAST(1.0 AS FLOAT)), 2) AS b")
+      .collect().head.getLong(0)
+    val viaApi = spark.range(1).select(
+      graft.operators.Similarity.signBucket(
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.lit(1.0f)), 2, 1).as("b"))
+      .collect().head.getLong(0)
+    assert(b == viaApi)
+  }
+
   test("zlib content decompression round-trips the documents corpus") {
     import spark.implicits._
     val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
