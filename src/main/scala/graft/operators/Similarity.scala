@@ -278,6 +278,20 @@ object Similarity {
     cb
   }
 
+  /** Deterministic dimension interleave — the cheap orthogonal stand-in
+    * for OPQ's learned rotation: new[i] = old[(i·stride) mod dim], with
+    * gcd(stride, dim) = 1 so the map is a permutation. A permutation is
+    * orthogonal (exact distances are untouched), but adjacent — typically
+    * correlated — dimensions scatter across PQ subspaces, balancing
+    * per-subspace variance and tightening the codes. Apply to corpus AND
+    * queries before any PQ build/search; purely map-side. */
+  def interleaveDims(emb: Column, dim: Int, stride: Int): Column = {
+    require(BigInt(stride).gcd(BigInt(dim)) == 1,
+      s"stride $stride must be coprime with dim $dim to permute")
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => element_at(emb, (i * stride) % dim + 1))
+  }
+
   /** Residual vectors: each indexed vector minus its cell centroid (as
     * array<double>, emitted under the standard `embedding` name so the
     * PQ helpers apply unchanged). The IVF-residual refinement: residuals

@@ -707,6 +707,46 @@ shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
             ORDER BY adc, id) AS rn FROM adc) WHERE rn <= 5"""),
     ),
 
+    // OPQ-lite: a coprime-stride dimension interleave (an orthogonal
+    // permutation) before PQ scatters correlated adjacent dims across
+    // subspaces; build + search run on the permuted space. The oracle
+    // permutes with the same list_transform and replays the PQ chain.
+    "q_embed_pq_opq" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id").as("id"),
+            Similarity.interleaveDims(col("embedding"), dim = 64, stride = 9)
+              .as("embedding"))
+        val cb = Similarity.pqCodebooks(emb, m = 8, dim = 64, ksub = 16)
+        val codes = Similarity.pqEncode(emb, cb, m = 8, dim = 64)
+        Similarity.pqTopK(emb.filter(col("id") < 10), codes, cb,
+          m = 8, dim = 64, ksub = 16, k = 5)
+      },
+      Some("""WITH v0 AS (SELECT vec_id AS id, embedding FROM embeddings),
+        v AS (SELECT id, list_transform(range(0, 64),
+            i -> embedding[(i * 9) % 64 + 1]) AS embedding FROM v0),
+        sv AS (SELECT id, sub, list_slice(embedding, sub*8 + 1, sub*8 + 8) AS svec
+               FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) t),
+        cb AS (SELECT sub, id AS cent_id, svec AS cent FROM sv WHERE id < 16),
+        d AS (SELECT sv.id, sv.sub, cb.cent_id,
+                CAST(round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(range(1, 9),
+                    p -> (CAST(sv.svec[p] AS DOUBLE) - CAST(cb.cent[p] AS DOUBLE))
+                       * (CAST(sv.svec[p] AS DOUBLE) - CAST(cb.cent[p] AS DOUBLE)))),
+                  (a, b) -> a + b) * 10000.0) AS BIGINT) AS dl
+              FROM sv JOIN cb USING (sub)),
+        code AS (SELECT id, sub, cent_id FROM (
+                  SELECT *, row_number() OVER (PARTITION BY id, sub
+                    ORDER BY dl, cent_id) AS rn FROM d) WHERE rn = 1),
+        adc AS (SELECT q.id AS q_id, c.id, SUM(q.dl) AS adc
+                FROM code c JOIN d q ON q.sub = c.sub AND q.cent_id = c.cent_id
+                WHERE q.id < 10 AND q.id <> c.id
+                GROUP BY 1, 2)
+        SELECT q_id, id, CAST(adc AS BIGINT) AS adc, rn FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY adc, id) AS rn FROM adc) WHERE rn <= 5"""),
+    ),
+
     // IVF + RESIDUAL PQ: codes quantize (vector - cell centroid), seeded
     // from ids [16, 32) — ids < 16 ARE the centroids, so their residuals
     // are all-zero and would degenerate the codebook. ADC runs between the
