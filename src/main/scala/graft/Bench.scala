@@ -39,9 +39,14 @@ object Bench {
         } catch { case _: Throwable => (-1.0, -1L, "") }
       run() // warmup: steady-state execution, not codegen compile + JIT
       // median of three measured runs: single-shot timings swing 2-8× on
-      // unchanged code (GC pauses, block eviction) and mask real deltas
-      val runs = Seq(run(), run(), run())
-      val (sec, rows, plan) = runs.sortBy(_._1).apply(1)
+      // unchanged code (GC pauses, block eviction) and mask real deltas.
+      // Failed runs (-1 sentinel) are dropped first — sorted in, one
+      // failure would skew the "median" to the faster real sample and two
+      // would report -1 as if it were a timing
+      val runs = Seq(run(), run(), run()).filter(_._1 >= 0)
+      val (sec, rows, plan) =
+        if (runs.isEmpty) (-1.0, -1L, "")
+        else runs.sortBy(_._1).apply(runs.size / 2)
       (name, sec, rows,
         occ(plan, "ShuffleQueryStage"), occ(plan, "BroadcastQueryStage"))
     }

@@ -280,7 +280,11 @@ object Curate {
       budget: Long,
       shards: Int,
       maxOpenBins: Int = 4096): DataFrame = {
-    val sharded = df.withColumn("shard", hashBucket(col(idCol), shards))
+    // the partition loop reads the token column with getLong — normalize
+    // any numeric token type up front instead of documenting a
+    // ClassCastException requirement
+    val sharded = df.withColumn(tokenCol, col(tokenCol).cast("long"))
+      .withColumn("shard", hashBucket(col(idCol), shards))
     val inSchema = sharded.schema
     val outSchema = inSchema
       .add("seq_id", org.apache.spark.sql.types.LongType, nullable = false)

@@ -257,26 +257,38 @@ object Dedup {
     * by [[writeIndex]] — the growth step of the incremental pipeline (the
     * writer must restate the bucket spec; `buckets` must match the index).
     *
-    * IDEMPOTENT: ids already present in the index are anti-joined away
-    * first. Without this, an at-least-once replay (foreachBatch re-running
-    * after a crash between append and checkpoint commit) would stack the
-    * same shingle rows twice and permanently inflate every future Jaccard
-    * against those docs; a re-ingested id would corrupt the same way.
-    * First write wins — the id space is append-only by contract. */
+    * IDEMPOTENT, per table: each table anti-joins the batch against the
+    * doc_ids IT already holds. Without this, an at-least-once replay
+    * (foreachBatch re-running after a crash between append and checkpoint
+    * commit) would stack the same shingle rows twice and permanently
+    * inflate every future Jaccard against those docs; a re-ingested id
+    * would corrupt the same way. The guards are deliberately independent:
+    * the two appends are not atomic, so a single shared guard would leave
+    * the OTHER table either duplicated (guard written last — replay
+    * re-appends what already landed) or permanently missing the batch
+    * (guard written first — replay skips both). With per-table guards a
+    * crash between the writes heals on replay: the table that got the
+    * batch filters it out, the table that missed it receives exactly the
+    * missing rows. First write wins per table — the id space is
+    * append-only by contract. */
   def appendIndex(
       sh: DataFrame, db: String, buckets: Int,
       k: Int = 12, r: Int = 3): Unit = {
     val spark = sh.sparkSession
     spark.catalog.refreshTable(s"$db.shingles")
-    val fresh = sh.join(
-        spark.table(s"$db.shingles").select("doc_id").distinct(),
+    spark.catalog.refreshTable(s"$db.band_sigs")
+    val shBatch = sh.localCheckpoint(false)
+    val freshSigs = shBatch.join(
+        spark.table(s"$db.band_sigs").select("doc_id").distinct(),
         Seq("doc_id"), "left_anti")
-      .localCheckpoint(false)
-    bandSignatures(minhash(fresh, k), r).write
+    bandSignatures(minhash(freshSigs, k), r).write
       .mode("append").bucketBy(buckets, "band", "sig")
       .sortBy("band", "sig").format("parquet")
       .saveAsTable(s"$db.band_sigs")
-    fresh.write
+    val freshSh = shBatch.join(
+        spark.table(s"$db.shingles").select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+    freshSh.write
       .mode("append").bucketBy(buckets, "doc_id").sortBy("doc_id")
       .format("parquet").saveAsTable(s"$db.shingles")
   }
@@ -373,12 +385,16 @@ object Dedup {
     * The earlier shape joined a broadcast (bit, mask) dimension, inflating
     * every token row 32× before the partial aggregate. Bit b is set where
     * 2 × set-bit-count > token count — exactly the positive-majority vote
-    * (ties clear the bit, as before). */
+    * (ties clear the bit, as before). Token hashes pass through
+    * [[TextAnalysis.mix32]]: the raw mod-1e9+7 rolling hash leaves bits
+    * 30-31 dead, which deadened those fingerprint bits and starved byte 3
+    * of the byte-block candidate key of entropy. */
   def simhash(tokens: DataFrame, bits: Int = 32): DataFrame = {
     val counts = (0 until bits).map(b =>
       sum(shiftright(col("th"), b).bitwiseAND(lit(1L))).as(s"c$b"))
     tokens
-      .withColumn("th", TextAnalysis.rollingHash(col("tok")))
+      .withColumn("th",
+        TextAnalysis.mix32(TextAnalysis.rollingHash(col("tok"))))
       .groupBy("doc_id")
       .agg(counts.head, (counts.tail :+ count(lit(1)).as("n")): _*)
       .select(col("doc_id"),

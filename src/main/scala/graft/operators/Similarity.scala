@@ -155,16 +155,19 @@ object Similarity {
 
   // --- product quantization (vector compression for 100 TB ANN) ----------
 
-  /** Subvector rows: (id, sub, svec) — each `dim`-float embedding split
-    * into `m` contiguous subvectors of dim/m, built map-side with one
-    * transform + posexplode (no joins). */
-  private def subvectorRows(vectors: DataFrame, m: Int, dim: Int): DataFrame = {
+  /** Subvector rows: (id, extra..., sub, svec) — each `dim`-float embedding
+    * split into `m` contiguous subvectors of dim/m, built map-side with one
+    * transform + posexplode (no joins). `extra` columns (e.g. the IVF cell)
+    * ride along so encoders can carry them through without re-joining. */
+  private def subvectorRows(
+      vectors: DataFrame, m: Int, dim: Int,
+      extra: Seq[String] = Nil): DataFrame = {
     require(dim % m == 0, s"PQ needs m to divide dim (got dim=$dim, m=$m)")
     val sub = dim / m
-    vectors.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(m - 1)),
-        s => slice(col("embedding"), s * sub + 1, lit(sub)))))
-      .toDF("id", "sub", "svec")
+    vectors.select((col("id") +: extra.map(col)) :+
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("embedding"), s * sub + 1, lit(sub)))): _*)
+      .toDF((Seq("id") ++ extra ++ Seq("sub", "svec")): _*)
   }
 
   /** Integer-scaled squared L2 between two subvectors: a sequential
@@ -190,19 +193,26 @@ object Similarity {
     * centroid per subspace by integer-scaled L2 with centroid-id
     * tie-break. Codebooks broadcast; the argmin is a map-side min_by after
     * one joined projection; one groupBy(id) assembles the code array.
-    * Output: (id, codes array of centroid ids ordered by subspace). */
+    * Output: (id, codes array of centroid ids ordered by subspace) — plus
+    * `cell` when the input carries one (an IVF-assigned corpus): like
+    * [[pqEncodeResidual]], the cell rides the encode aggregation as a
+    * grouping key (functionally dependent on id), so composed IVF·PQ
+    * search never has to re-join the corpus-wide index to recover it. */
   def pqEncode(
       vectors: DataFrame, codebooks: DataFrame,
-      m: Int, dim: Int, scale: Int = 4): DataFrame =
-    subvectorRows(vectors, m, dim)
+      m: Int, dim: Int, scale: Int = 4): DataFrame = {
+    val extra = if (vectors.columns.contains("cell")) Seq("cell") else Nil
+    val idCols = ("id" +: extra).map(col)
+    subvectorRows(vectors, m, dim, extra)
       .join(broadcast(codebooks), "sub")
       .withColumn("d", subDist(col("svec"), col("cent"), scale))
-      .groupBy("id", "sub")
+      .groupBy(idCols :+ col("sub"): _*)
       .agg(min_by(col("cent_id"), struct(col("d"), col("cent_id")))
         .as("code"))
-      .groupBy("id")
+      .groupBy(idCols: _*)
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
         e => e.getField("code")).as("codes"))
+  }
 
   /** PQ top-k by asymmetric distance (ADC): the query stays exact, the
     * corpus is its codes. Each (query-subvector × centroid) distance is
@@ -400,8 +410,11 @@ object Similarity {
     val cb = pqCodebooks(vectors, m, dim, ksub).localCheckpoint(false)
     graft.assembly.Deploy.saveBucketed(
       spark, index, db, "cells", buckets, Seq("cell"))
+    // encode from the assigned index, not the raw vectors: the codes then
+    // carry their cell, and [[ivfPqTopK]] needs no codes-side index join
     graft.assembly.Deploy.saveBucketed(
-      spark, pqEncode(vectors, cb, m, dim), db, "codes", buckets, Seq("id"))
+      spark, pqEncode(index.select("id", "cell", "embedding"), cb, m, dim),
+      db, "codes", buckets, Seq("id"))
     // broadcast-sized side tables: single-bucket through the same writer
     graft.assembly.Deploy.saveBucketed(
       spark, cb, db, "codebooks", 1, Seq("sub"))
@@ -456,9 +469,15 @@ object Similarity {
         subDist(col("svec"), col("cent"), scale).as("d"))
     // each corpus id sits in exactly one cell, so the probe join yields
     // each (query, candidate) at most nProbe times -> once per cell hit;
-    // with one cell per id it is unique already
-    val candRows = codes
-      .join(index.select(col("id"), col("cell")), "id")
+    // with one cell per id it is unique already. Codes written by
+    // [[pqEncode]] over an IVF-assigned corpus already carry the cell —
+    // use it directly; re-joining the corpus-wide index to recover it
+    // would shuffle every (id, cell) row per search batch. The index join
+    // remains only as the fallback for cell-less code tables.
+    val celledCodes =
+      if (codes.columns.contains("cell")) codes
+      else codes.join(index.select(col("id"), col("cell")), "id")
+    val candRows = celledCodes
       .join(broadcast(probed), "cell")
       .filter(col("q_id") =!= col("id"))
       .select(col("q_id"), col("id"), posexplode(col("codes")))

@@ -24,6 +24,24 @@ object TextAnalysis {
   def rollingHash(text: Column): Column =
     graft.functions.exprs.poly_hash(text)
 
+  /** Finalizing 32-bit mixer (xorshift-multiply, constant 0x45d9f3b) over a
+    * non-negative hash: spreads the mod-1e9+7 rolling hash — which occupies
+    * under 2^30 and so leaves bits 30+ nearly always zero — across all 32
+    * output bits. SimHash fingerprints vote per BIT, so a dead input bit is
+    * a dead fingerprint bit and a depressed-entropy candidate byte. The
+    * constant is < 2^27, keeping every intermediate product < 2^59: no
+    * 64-bit overflow in Spark OR in the DuckDB oracle twin (whose BIGINT
+    * multiply errors on overflow rather than wrapping). */
+  def mix32(h: Column): Column = {
+    val c = lit(73244475L)     // 0x45d9f3b, odd => bijective mod 2^32
+    val m = lit(4294967296L)   // 2^32
+    val z1 = h.bitwiseXOR(shiftright(h, 16))
+    val z2 = (z1 * c) % m
+    val z3 = z2.bitwiseXOR(shiftright(z2, 16))
+    val z4 = (z3 * c) % m
+    z4.bitwiseXOR(shiftright(z4, 16))
+  }
+
   /** Per-language marker-word profiles for the n-gram/stopword language-ID
     * heuristic. Deliberately tiny: language ID at pipeline scale is a cheap
     * prefilter, not a classifier. */

@@ -52,6 +52,19 @@ object TextQueries extends QueryPack {
        list_transform(string_split($expr, ''), c -> CAST(ascii(c) AS BIGINT))),
        (a, b) -> (a * 31 + b) % 1000000007)"""
 
+  /** DuckDB twin of [[graft.operators.TextAnalysis.mix32]] over the rolling
+    * hash of a `tok` CTE: chain tok(doc_id, tok) -> th(doc_id, th). Stage
+    * columns are spelled out (not nested) so every intermediate stays a
+    * non-negative BIGINT < 2^59 — DuckDB BIGINT multiply errors on
+    * overflow instead of wrapping. */
+  private val DUCK_TOKMIX = s"""
+h0 AS (SELECT doc_id, ${duckHash("tok")} AS h FROM tok),
+m1 AS (SELECT doc_id, xor(h, h >> 16) AS z1 FROM h0),
+m2 AS (SELECT doc_id, (z1 * 73244475) % 4294967296 AS z2 FROM m1),
+m3 AS (SELECT doc_id, xor(z2, z2 >> 16) AS z3 FROM m2),
+m4 AS (SELECT doc_id, (z3 * 73244475) % 4294967296 AS z4 FROM m3),
+th AS (SELECT doc_id, xor(z4, z4 >> 16) AS th FROM m4)"""
+
   /** DuckDB shingle pipeline over `corpus` -> shh(doc_id, sh_hash). */
   private val DUCK_SHINGLES = s"""
 sh0 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM corpus),
@@ -253,7 +266,7 @@ shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
           SELECT DISTINCT doc_id,
             unnest(string_split_regex(trim(text), '\\s+')) AS tok
           FROM documents),
-        th AS (SELECT doc_id, ${duckHash("tok")} AS th FROM tok),
+        $DUCK_TOKMIX,
         bits AS (SELECT bit, (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) AS mask
                  FROM range(0, 32) b(bit)),
         votes AS (SELECT doc_id, bit, mask,
@@ -277,7 +290,7 @@ shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
                    OR (doc_id >= 100000 AND (doc_id - 100000) % 50 = 0)),
         tok AS (SELECT DISTINCT doc_id,
                   unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM sub),
-        th AS (SELECT doc_id, ${duckHash("tok")} AS th FROM tok),
+        $DUCK_TOKMIX,
         bits AS (SELECT bit, (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) AS mask
                  FROM range(0, 32) b(bit)),
         votes AS (SELECT doc_id, bit, mask,
@@ -592,7 +605,10 @@ shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
           .select(col("id").as("cent_id"), col("embedding").as("cent_emb"),
             Similarity.norm(col("embedding")).as("cent_nrm"))
         val cb = Similarity.pqCodebooks(emb, m = 8, dim = 64, ksub = 16)
-        val codes = Similarity.pqEncode(emb, cb, m = 8, dim = 64)
+        // encode from the assigned index so the codes carry their cell and
+        // the composed search needs no codes-side index join
+        val codes = Similarity.pqEncode(
+          index.select("id", "cell", "embedding"), cb, m = 8, dim = 64)
         Similarity.ivfPqTopK(emb.filter(col("id") < 10), index, codes,
           cents, cb, m = 8, dim = 64, ksub = 16, nProbe = 2, k = 3)
       },

@@ -25,7 +25,16 @@ object QueryJson {
     * "constraint": {"queries": [...]}} combinators whose members are
     * regular query JSON (or nested combinators); anything else parses as a
     * normal leaf. Members fold through the same `&`/`|` rewrite algebra a
-    * native caller would use. */
+    * native caller would use.
+    *
+    * DELIBERATE divergences from the reference (test-pinned in
+    * QueryJsonSpec): an empty And folds to the combinator IDENTITY
+    * (FullQuery — constrains nothing) where the reference yields an empty
+    * Intersection that behaves as EmptyQuery, and an "inverted" flag ON
+    * the combinator node is honored (inverting the folded result) where
+    * the reference ignores it. Both choices keep the wire format a plain
+    * morphism into the native algebra instead of special-casing the two
+    * degenerate shapes. */
   def fromSimpleJson(s: String): StmtQuery = {
     def inverted(j: JValue): Boolean =
       (j \ "inverted") == JBool(true)

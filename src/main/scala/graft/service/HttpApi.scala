@@ -68,9 +68,10 @@ object HttpApi {
   private def body(ex: HttpExchange): String =
     new String(ex.getRequestBody.readAllBytes(), UTF_8)
 
-  private def respond(ex: HttpExchange, code: Int, payload: String): Unit = {
+  private def respond(ex: HttpExchange, code: Int, payload: String,
+      contentType: String = "application/json"): Unit = {
     val bytes = payload.getBytes(UTF_8)
-    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(code, bytes.length)
     ex.getResponseBody.write(bytes)
     ex.close()
@@ -148,9 +149,11 @@ object HttpApi {
             val b = body(ex)
             val q = if (simple) QueryJson.fromSimpleJson(b)
               else QueryJson.fromJson(b)
+            // string format returns the RAW rendered query as the body —
+            // the reference (api.py:535) sends plain text, and a client
+            // reading it must not see JSON quoting/escapes
             if (fmt == "json") respond(ex, 200, QueryJson.toJson(q))
-            else respond(ex, 200, JsonMethods.compact(
-              JsonMethods.render(JString(q.toString))))
+            else respond(ex, 200, q.toString, "text/plain")
           }
 
         // --- curation endpoints (api.py:542-639) -------------------------

@@ -84,6 +84,25 @@ class DedupSpec extends AnyFunSuite {
     assert(planted.subsetOf(pairs))
   }
 
+  test("simhash fingerprint bits 30-31 carry entropy (full-width mixer)") {
+    // with the raw mod-1e9+7 token hash (< 2^30) these bits were ~always
+    // zero, so byte 3 of the byte-block candidate key ran hot and leaned
+    // on the bucket cap; mix32 restores a ~balanced per-bit vote
+    val sh = Dedup.simhash(Dedup.tokenSet(docs, "doc_id", "text"))
+      .localCheckpoint(false)
+    val n = sh.count()
+    for (b <- Seq(30, 31)) {
+      val set = sh.filter(
+        shiftright(col("simhash"), b).bitwiseAND(lit(1L)) === 1L).count()
+      assert(set > n / 10 && set < n * 9 / 10,
+        s"fingerprint bit $b is near-constant: $set of $n docs set")
+    }
+    val distinctB3 = sh.select(
+      shiftright(col("simhash"), 24).bitwiseAND(lit(255L)).as("b3"))
+      .distinct().count()
+    assert(distinctB3 >= 16, s"byte 3 collapsed to $distinctB3 values")
+  }
+
   test("df cap bounds candidates under a planted stop shingle") {
     import spark.implicits._
     // 40 docs all share one stop phrase (its shingles hit df=40); docs 1

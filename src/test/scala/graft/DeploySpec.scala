@@ -62,6 +62,40 @@ class DeploySpec extends AnyFunSuite {
     assert(p.contains("band_sigs"), s"bucketed index scan missing:\n$p")
   }
 
+  test("appendIndex replay heals a crash between the two table writes") {
+    import graft.operators.Dedup
+    import graft.sources.Tables
+    val docs = Tables.table(spark, dir, "documents").select("doc_id", "text")
+    Dedup.writeIndex(docs, "doc_id", "text", "graft_crash_idx", buckets = 4)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val shB = Dedup.shingleSet(batch, "doc_id", "text", 3)
+      .select("doc_id", "sh_hash").localCheckpoint(false)
+    // simulate the crash window: the FIRST append (band_sigs) lands, the
+    // shingles append never runs
+    Dedup.bandSignatures(Dedup.minhash(shB, 12), 3).write
+      .mode("append").bucketBy(4, "band", "sig").sortBy("band", "sig")
+      .format("parquet").saveAsTable("graft_crash_idx.band_sigs")
+    // the at-least-once replay: per-table guards must skip band_sigs
+    // (already there) and fill in exactly the missing shingles
+    Dedup.appendIndex(shB, "graft_crash_idx", buckets = 4)
+    val (sigs, sh) = Dedup.loadIndex(spark, "graft_crash_idx")
+    assert(sigs.groupBy("doc_id", "band").count()
+      .filter(col("count") > 1).count() == 0,
+      "replay duplicated band signature rows")
+    assert(sh.groupBy("doc_id", "sh_hash").count()
+      .filter(col("count") > 1).count() == 0,
+      "replay duplicated shingle rows")
+    assert(sh.join(batch.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("doc_id").distinct().count() == batch.count(),
+      "batch shingles missing after replay")
+    // a further full replay is a no-op on both tables
+    val (nSigs, nSh) = (sigs.count(), sh.count())
+    Dedup.appendIndex(shB, "graft_crash_idx", buckets = 4)
+    val (sigs2, sh2) = Dedup.loadIndex(spark, "graft_crash_idx")
+    assert(sigs2.count() == nSigs && sh2.count() == nSh)
+  }
+
   test("persisted ANN index: both search paths equal the fresh-index runs") {
     import graft.operators.Similarity
     import graft.sources.Tables

@@ -165,7 +165,8 @@ class HttpApiSpec extends AnyFunSuite {
     val (c3, _) = post("/compile/tsv", simple)
     assert(c3 == 400)
     val (c4, b4) = post("/compile/string", simple)
-    assert(c4 == 200 && b4.contains("HasAgent"))
+    // raw text body, like the reference's api.py:535 — no JSON quoting
+    assert(c4 == 200 && b4.contains("HasAgent") && !b4.startsWith("\""))
   }
 
   test("metadata/ prefix aliases every result-type route") {

@@ -101,6 +101,25 @@ class PlanSpec extends AnyFunSuite {
       s"code scan shuffle join crept in:\n$p")
   }
 
+  test("composed IVF-PQ search never joins codes back to the index") {
+    import graft.operators.Similarity
+    val emb = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val index = Similarity.ivfIndex(emb, nCells = 16)
+    val cents = emb.filter(col("id") < 16)
+      .select(col("id").as("cent_id"), col("embedding").as("cent_emb"),
+        Similarity.norm(col("embedding")).as("cent_nrm"))
+    val cb = Similarity.pqCodebooks(emb, m = 8, dim = 64, ksub = 16)
+    val codes = Similarity.pqEncode(
+      index.select("id", "cell", "embedding"), cb, m = 8, dim = 64)
+    // cell-carrying codes must make the index argument DEAD in the search:
+    // passing null proves no codes<->index join path is ever constructed
+    // (the fallback join would NPE while building the plan)
+    val res = Similarity.ivfPqTopK(emb.filter(col("id") < 10), null, codes,
+      cents, cb, m = 8, dim = 64, ksub = 16, nProbe = 2, k = 3)
+    assert(res.count() > 0)
+  }
+
   test("packSequences windows are partitioned by shard, never global") {
     val docs = Tables.table(spark, dir, "documents")
       .select(col("doc_id"), lit(10L).as("n_tokens"))
