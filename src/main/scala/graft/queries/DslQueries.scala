@@ -267,6 +267,75 @@ ai AS (
         WHERE rn <= 2"""),
     ),
 
+    // SIF interaction export (util/dump_sif.py:298-466): one row per
+    // directed agent pair per statement — priority grounding, names, type,
+    // evidence count, residue/position, canonical source counts, belief.
+    // The planted res/pos frame stands in for the Modification pa_json
+    // surface (type_num 1 plays the Modification class), exercising the
+    // left join + missing-hash-null semantics end to end.
+    "q_sif_pairs" -> QueryDef(
+      (s, dir) => {
+        val ro = TpchWorld.readonly(s, dir)
+        val resPos = ro.sourceMeta.filter(col("type_num") === 1)
+          .select(col("mk_hash"), lit("S").as("residue"),
+            (col("mk_hash") % 400).cast("string").as("position"))
+        val sif = graft.assembly.Sif.dump(ro, TpchWorld.types,
+          Some(TpchWorld.complexTypeNum), Some(resPos))
+        sif.withColumn("source_counts",
+          graft.assembly.Sif.srcStr(col("source_counts")))
+      },
+      Some(PREFIX + """, grounded AS (
+          SELECT mk_hash, ag_num, db_name AS ns, db_id AS id FROM (
+            SELECT mk_hash, ag_num, db_name, db_id,
+              CASE db_name WHEN 'HGNC' THEN 2 WHEN 'CHEBI' THEN 4 END AS rank,
+              ROW_NUMBER() OVER (PARTITION BY mk_hash, ag_num
+                ORDER BY CASE db_name WHEN 'HGNC' THEN 2 WHEN 'CHEBI' THEN 4 END,
+                         db_id) AS rn
+            FROM agent_meta WHERE db_name IN ('HGNC', 'CHEBI'))
+          WHERE rn = 1),
+        nm AS (SELECT mk_hash, ag_num, min(db_id) AS name
+               FROM agent_meta WHERE db_name = 'NAME' GROUP BY 1, 2),
+        agx AS (
+          SELECT g.mk_hash, g.ag_num, g.ns, g.id, nm.name,
+            ROW_NUMBER() OVER (PARTITION BY g.mk_hash ORDER BY g.ag_num) AS pos,
+            COUNT(*) OVER (PARTITION BY g.mk_hash) AS n
+          FROM grounded g LEFT JOIN nm USING (mk_hash, ag_num)),
+        lin AS (
+          SELECT a.mk_hash, a.ns AS agA_ns, a.id AS agA_id, a.name AS agA_name,
+                 b.ns AS agB_ns, b.id AS agB_id, b.name AS agB_name
+          FROM agx a JOIN agx b ON a.mk_hash = b.mk_hash
+            AND a.pos = 1 AND b.pos = 2
+          JOIN meta m ON m.mk_hash = a.mk_hash AND m.type_num <> 3
+          WHERE a.n >= 2),
+        cx AS (
+          SELECT a.mk_hash, a.ns AS agA_ns, a.id AS agA_id, a.name AS agA_name,
+                 b.ns AS agB_ns, b.id AS agB_id, b.name AS agB_name
+          FROM agx a JOIN agx b ON a.mk_hash = b.mk_hash AND a.pos <> b.pos
+          JOIN meta m ON m.mk_hash = a.mk_hash AND m.type_num = 3
+          WHERE a.n BETWEEN 2 AND 3),
+        prs AS (SELECT * FROM lin UNION ALL SELECT * FROM cx),
+        srcs AS (SELECT mk_hash,
+            string_agg(src || ':' || CAST(c AS VARCHAR), ';' ORDER BY src)
+              AS source_counts
+          FROM src_cnt GROUP BY 1),
+        respos AS (SELECT mk_hash, 'S' AS residue,
+            CAST(mk_hash % 400 AS VARCHAR) AS position
+          FROM meta WHERE type_num = 1)
+        SELECT p.agA_ns, p.agA_id, p.agA_name, p.agB_ns, p.agB_id, p.agB_name,
+          CASE m.type_num WHEN 0 THEN '1-URGENT' WHEN 1 THEN '2-HIGH'
+            WHEN 2 THEN '3-MEDIUM' WHEN 3 THEN '4-NOT SPECIFIED'
+            ELSE '5-LOW' END AS stmt_type,
+          m.ev_count AS evidence_count,
+          p.mk_hash AS stmt_hash,
+          r.residue, r.position,
+          s.source_counts,
+          m.belief
+        FROM prs p
+        JOIN meta m ON m.mk_hash = p.mk_hash
+        JOIN srcs s ON s.mk_hash = p.mk_hash
+        LEFT JOIN respos r ON r.mk_hash = p.mk_hash"""),
+    ),
+
     // meta result layers over agent_interactions
     "q_dsl_interactions" -> QueryDef(
       (s, dir) => Results.interactions(
