@@ -1,0 +1,265 @@
+package graft.assembly
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.TypeRegistry
+import graft.querydsl.ReadonlyTables
+
+/** Incremental maintenance of the readonly serving layer — the missing
+  * half of the reference's supplement semantics: `preassemble_db.py`
+  * supplements the PRINCIPAL layer with a delta (:481-615), but the
+  * readonly layer (`readonly_dumping.py` RUN_ORDER) is then rebuilt from
+  * scratch because Postgres materialization has no cheaper move. Here the
+  * readonly tables are maintained in place: each delta batch appends to
+  * the principal store and rewrites ONLY the hash shards it touches.
+  *
+  * Store layout (`db`): every table carries `mk_shard = pmod(mk_hash,
+  * shards)` as its PARTITION column.
+  *   - principal (append-only, per-table idempotency guards):
+  *     p_statements (first-wins per mk_hash), p_evidence (per sid),
+  *     p_mesh (per (sid, mesh_num, is_concept)), p_refs (per rid), and
+  *     p_agents — which has no natural key (duplicate agent rows are
+  *     legitimate and multiplicity-bearing), so it partitions by
+  *     (batch_id, mk_shard) and guards on the batch partition's presence.
+  *   - derived (upserted): r_name_meta / r_text_meta / r_other_meta /
+  *     r_source_meta / r_mesh_term_meta / r_mesh_concept_meta /
+  *     r_fast_raw_pa_link / r_agent_interactions.
+  *
+  * The upsert recomputes derived rows for touched hashes FROM THE
+  * PRINCIPAL STORE (slice = shard-pruned scan + semi join on touched
+  * hashes) and writes them with dynamic partition overwrite: untouched
+  * shards — at 100 TB, almost all of them — are never read or written.
+  * Every readonly table decomposes per hash (meta rows, source maps, mesh
+  * ref counts, complex pair rows all depend only on their own hash's
+  * principal rows), which is exactly what makes the shard-local rewrite
+  * EQUAL to a full rebuild; the q_readonly_incremental gate and
+  * StreamingSpec assert that equality.
+  *
+  * Crash safety follows the [[graft.operators.Dedup.appendIndex]]
+  * convention: each principal append is guarded by its OWN table, touched
+  * hashes are derived from the RAW delta (not the guarded one), and the
+  * derived rewrite is a pure function of the principal store — so an
+  * at-least-once replay after a crash between any two writes fills in
+  * exactly what is missing and re-derives a consistent readonly state.
+  *
+  * The merged shard frames are localCheckpoint'ed before the overwrite
+  * (Spark refuses to overwrite a table its own plan is reading); they are
+  * touched-shard-sized, not corpus-sized. A cluster deployment would
+  * stage them to a scratch path instead of executor memory.
+  */
+object IncrementalReadonly {
+
+  val ShardCol = "mk_shard"
+
+  private def shardOf(c: Column, shards: Int): Column =
+    pmod(c, lit(shards)).cast("int")
+
+  private def exists(spark: SparkSession, db: String, name: String): Boolean =
+    spark.catalog.tableExists(s"$db.$name")
+
+  private def refreshed(spark: SparkSession, db: String, name: String): DataFrame = {
+    spark.catalog.refreshTable(s"$db.$name")
+    spark.table(s"$db.$name")
+  }
+
+  /** A location a previous PROCESS left behind is invisible to this
+    * session's fresh catalog and would fail CREATE — clear it, like
+    * [[Deploy.saveBucketed]] does. */
+  private def clearStaleLocation(
+      spark: SparkSession, db: String, suffix: String): Unit = {
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$db.db/$suffix")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  /** Create-or-append with the table's own column order (insertInto is
+    * positional; catalog tables list partition columns last). */
+  private def append(
+      spark: SparkSession, db: String, name: String, df: DataFrame,
+      partCols: Seq[String]): Unit =
+    if (!exists(spark, db, name)) {
+      clearStaleLocation(spark, db, name)
+      df.write.partitionBy(partCols: _*).format("parquet")
+        .saveAsTable(s"$db.$name")
+    } else {
+      val order = spark.table(s"$db.$name").columns
+      df.select(order.map(col): _*).write.mode("append")
+        .insertInto(s"$db.$name")
+    }
+
+  /** Dynamic-partition-overwrite upsert of one derived table: only the
+    * partitions present in `df` (= the touched shards) are replaced. */
+  private def overwriteShards(
+      spark: SparkSession, db: String, name: String, df: DataFrame): Unit =
+    if (!exists(spark, db, name)) {
+      clearStaleLocation(spark, db, name)
+      df.write.partitionBy(ShardCol).format("parquet")
+        .saveAsTable(s"$db.$name")
+    } else {
+      val order = spark.table(s"$db.$name").columns
+      // the writer OPTION does not reach the insertInto command path —
+      // scope the session conf around the write instead
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "dynamic")
+      try df.select(order.map(col): _*).write.mode("overwrite")
+        .insertInto(s"$db.$name")
+      finally spark.conf.set(key, prev)
+    }
+
+  /** Initialize the store from a base world (= the first upsert). */
+  def init(
+      spark: SparkSession, world: StatementWorld, types: TypeRegistry,
+      readerSources: Seq[String], dbSources: Seq[String],
+      complexTypeNum: Option[Int], db: String, shards: Int): Unit =
+    upsert(spark, world, types, readerSources, dbSources, complexTypeNum,
+      db, shards, batchId = 0L)
+
+  /** Apply one delta batch. `delta.mesh` rows must arrive in the same
+    * batch as the evidence rows carrying their sid (the sid -> mk_hash
+    * mapping rides the batch). `batchId` must be unique per logical batch
+    * and stable across replays (a foreachBatch micro-batch id).
+    *
+    * `agentsPerHash` selects the agents idempotency contract: false (the
+    * default) treats agent rows as evidence-multiplicity facts delivered
+    * exactly once per batch (guard = the batch partition's presence);
+    * true treats them as a pure function of the statement content — a
+    * later batch re-delivering an existing hash's agent rows is dropped
+    * per hash (the raw-JSON streaming path, where agents derive from the
+    * matches-key content and re-appear with every new evidence row). */
+  def upsert(
+      spark: SparkSession, delta: StatementWorld, types: TypeRegistry,
+      readerSources: Seq[String], dbSources: Seq[String],
+      complexTypeNum: Option[Int], db: String, shards: Int,
+      batchId: Long, agentsPerHash: Boolean = false): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+
+    def guarded(df: DataFrame, table: String, keys: Seq[String]): DataFrame =
+      if (!exists(spark, db, table)) df
+      else df.join(
+        refreshed(spark, db, table).select(keys.map(col): _*).distinct(),
+        keys, "left_anti")
+
+    // --- principal appends, each guarded by its own table ----------------
+    val dStmts = guarded(
+      delta.statements.withColumn(ShardCol, shardOf(col("mk_hash"), shards)),
+      "p_statements", Seq("mk_hash")).localCheckpoint(false)
+    val dEv = guarded(
+      delta.evidence.withColumn(ShardCol, shardOf(col("mk_hash"), shards)),
+      "p_evidence", Seq("sid")).localCheckpoint(false)
+    val dMesh = guarded(
+      delta.mesh.join(delta.evidence.select("sid", "mk_hash"), "sid")
+        .withColumn(ShardCol, shardOf(col("mk_hash"), shards)),
+      "p_mesh", Seq("sid", "mesh_num", "is_concept")).localCheckpoint(false)
+    val dRefs = guarded(
+      delta.refs.withColumn(ShardCol, shardOf(col("rid"), shards)),
+      "p_refs", Seq("rid")).localCheckpoint(false)
+    append(spark, db, "p_statements", dStmts, Seq(ShardCol))
+    append(spark, db, "p_evidence", dEv, Seq(ShardCol))
+    append(spark, db, "p_mesh", dMesh, Seq(ShardCol))
+    append(spark, db, "p_refs", dRefs, Seq(ShardCol))
+    // agents: no natural row key (duplicate rows carry multiplicity), so
+    // idempotency is per batch partition — a replayed batch is skipped
+    // wholesale, a first delivery appends with multiplicity intact — or,
+    // under agentsPerHash, first-wins per mk_hash (see the scaladoc)
+    if (agentsPerHash)
+      append(spark, db, "p_agents",
+        guarded(delta.agents.withColumn("batch_id", lit(batchId))
+          .withColumn(ShardCol, shardOf(col("mk_hash"), shards)),
+          "p_agents", Seq("mk_hash")).localCheckpoint(false),
+        Seq("batch_id", ShardCol))
+    else {
+      val agentsSeen = exists(spark, db, "p_agents") &&
+        !refreshed(spark, db, "p_agents")
+          .filter(col("batch_id") === batchId).isEmpty
+      if (!agentsSeen)
+        append(spark, db, "p_agents",
+          delta.agents.withColumn("batch_id", lit(batchId))
+            .withColumn(ShardCol, shardOf(col("mk_hash"), shards)),
+          Seq("batch_id", ShardCol))
+    }
+
+    // --- touched hashes, from the RAW delta ------------------------------
+    // (guarded deltas would be empty on a replay whose crash fell between
+    // the principal appends and the derived rewrite — the rewrite below
+    // must still run to heal the derived layer)
+    val touched = delta.statements.select("mk_hash")
+      .unionByName(delta.evidence.select("mk_hash"))
+      .unionByName(delta.agents.select("mk_hash"))
+      .distinct()
+      .withColumn(ShardCol, shardOf(col("mk_hash"), shards))
+      .localCheckpoint(false)
+    if (touched.isEmpty) return
+    val touchedShards = touched.select(ShardCol).distinct()
+      .collect().map(_.getInt(0)).toSeq
+
+    // --- principal slice for the touched hashes --------------------------
+    // literal shard list -> partition pruning; semi join -> touched only
+    def slice(name: String): DataFrame =
+      refreshed(spark, db, name)
+        .filter(col(ShardCol).isin(touchedShards: _*))
+        .join(touched.select("mk_hash"), Seq("mk_hash"), "left_semi")
+        .drop(ShardCol)
+    val world = StatementWorld(
+      statements = slice("p_statements"),
+      evidence = slice("p_evidence"),
+      agents = slice("p_agents").drop("batch_id"),
+      mesh = slice("p_mesh").drop("mk_hash"),
+      // readingRefLink is served straight from p_refs (append-only,
+      // rid-keyed) — the rebuild's passthrough output is unused
+      refs = delta.refs.limit(0))
+    val ro = ReadonlyBuilder.build(spark, world, types, readerSources,
+      dbSources, complexTypeNum)
+
+    // --- derived upsert: keep untouched hashes of touched shards, add the
+    // rebuilt rows, dynamically overwrite ONLY those shards ---------------
+    derivedTables(ro).foreach { case (name, df) =>
+      val fresh = df.withColumn(ShardCol, shardOf(col("mk_hash"), shards))
+      val merged =
+        if (!exists(spark, db, name)) fresh
+        else refreshed(spark, db, name)
+          .filter(col(ShardCol).isin(touchedShards: _*))
+          .join(touched.select("mk_hash"), Seq("mk_hash"), "left_anti")
+          .unionByName(fresh)
+      overwriteShards(spark, db, name, merged.localCheckpoint(true))
+    }
+  }
+
+  private def derivedTables(ro: ReadonlyTables): Seq[(String, DataFrame)] = Seq(
+    "r_name_meta" -> ro.nameMeta,
+    "r_text_meta" -> ro.textMeta,
+    "r_other_meta" -> ro.otherMeta,
+    "r_source_meta" -> ro.sourceMeta,
+    "r_mesh_term_meta" -> ro.meshTermMeta,
+    "r_mesh_concept_meta" -> ro.meshConceptMeta,
+    "r_fast_raw_pa_link" -> ro.fastRawPaLink,
+    "r_agent_interactions" -> ro.agentInteractions,
+  )
+
+  /** The DSL-servable view of the store. Tables are refreshed first (the
+    * last writer may have been a foreachBatch session clone). */
+  def load(spark: SparkSession, db: String): ReadonlyTables = {
+    def t(name: String) = refreshed(spark, db, name).drop(ShardCol)
+    ReadonlyTables(
+      nameMeta = t("r_name_meta"),
+      textMeta = t("r_text_meta"),
+      otherMeta = t("r_other_meta"),
+      sourceMeta = t("r_source_meta"),
+      meshTermMeta = t("r_mesh_term_meta"),
+      meshConceptMeta = t("r_mesh_concept_meta"),
+      fastRawPaLink = t("r_fast_raw_pa_link"),
+      rawStmtMesh = t("p_mesh").drop("mk_hash"),
+      readingRefLink = t("p_refs"),
+      agentInteractions = t("r_agent_interactions"),
+      paAgents = t("p_agents").drop("batch_id"),
+    )
+  }
+
+  /** Drop the whole store (gates re-create it deterministically),
+    * including any on-disk remains a previous process left. */
+  def reset(spark: SparkSession, db: String): Unit = {
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    clearStaleLocation(spark, db, "")
+  }
+}

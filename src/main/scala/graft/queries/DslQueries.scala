@@ -87,6 +87,11 @@ ai AS (
     (s: org.apache.spark.sql.SparkSession, dir: String) =>
       QueryCompiler.compile(q, TpchWorld.readonly(s, dir), TpchWorld.types)
 
+  /** One-time base-store builds for q_readonly_incremental, per
+    * (session, dir) — see the gate's comment. */
+  private val incInitDone =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
   private val SEL = "SELECT DISTINCT mk_hash, ev_count, belief FROM "
 
   def defs: Map[String, QueryDef] = Map(
@@ -265,6 +270,48 @@ ai AS (
           WHERE e.mk_hash IN (SELECT mk_hash FROM agent_meta
                               WHERE db_name='NAME' AND db_id='P11'))
         WHERE rn <= 2"""),
+    ),
+
+    // Incremental readonly maintenance: the world split into a base build
+    // plus a 10%-of-evidence delta batch, applied through the shard-local
+    // upsert; the DSL then compiles against the delta-maintained store.
+    // The oracle computes over the FULL world — passing proves the
+    // incrementally-maintained layer serves exactly what a from-scratch
+    // rebuild would (supplement semantics at the readonly layer, which the
+    // reference only achieves by rebuilding: preassemble_db.py:481-615 +
+    // readonly_dumping.py RUN_ORDER).
+    "q_readonly_incremental" -> QueryDef(
+      (s, dir) => {
+        import graft.assembly.IncrementalReadonly
+        val db = "graft_ro_inc_" + math.abs(dir.hashCode).toString
+        val delta = TpchWorld.world(s, dir, Some(col("l_partkey") % 10 === 0))
+        // base build once per (session, dir): repeated evaluations (bench
+        // median-of-3) then measure the incremental path itself — the
+        // guarded-idempotent upsert re-derives the touched shards each
+        // call, which IS the per-batch maintenance cost
+        incInitDone.getOrElseUpdate(
+          System.identityHashCode(s) + ":" + dir, {
+            val base =
+              TpchWorld.world(s, dir, Some(col("l_partkey") % 10 =!= 0))
+            IncrementalReadonly.reset(s, db)
+            IncrementalReadonly.init(s, base, TpchWorld.types,
+              TpchWorld.readerSources, TpchWorld.dbSources,
+              Some(TpchWorld.complexTypeNum), db, shards = 16)
+          })
+        IncrementalReadonly.upsert(s, delta, TpchWorld.types,
+          TpchWorld.readerSources, TpchWorld.dbSources,
+          Some(TpchWorld.complexTypeNum), db, shards = 16, batchId = 1L)
+        val ro = IncrementalReadonly.load(s, db)
+        QueryCompiler.compile(
+            HasAgent("P5") & HasSources(Seq("reach")), ro, TpchWorld.types)
+          .join(ro.agentInteractions.filter(!col("is_complex_dup"))
+            .select("mk_hash", "agent_str"), "mk_hash")
+      },
+      Some(PREFIX + """SELECT m.mk_hash, m.ev_count, m.belief, i.agent_str
+        FROM meta m JOIN ai i ON i.mk_hash = m.mk_hash
+        WHERE m.mk_hash IN (SELECT mk_hash FROM agent_meta
+                            WHERE db_name='NAME' AND db_id='P5')
+          AND m.mk_hash IN (SELECT mk_hash FROM src_cnt WHERE src='reach')"""),
     ),
 
     // SIF interaction export (util/dump_sif.py:298-466): one row per

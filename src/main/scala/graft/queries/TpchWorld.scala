@@ -37,7 +37,19 @@ object TpchWorld {
     * expand into materialized pair rows in agent_interactions. */
   val complexTypeNum: Int = 3
 
-  def world(spark: SparkSession, dir: String): StatementWorld = {
+  def world(spark: SparkSession, dir: String): StatementWorld =
+    world(spark, dir, None)
+
+  /** As [[world]], but keeping only the lineitem rows `liFilter` accepts —
+    * the incremental-maintenance harness: two complementary filters split
+    * the SAME world into base + delta batches whose evidence ids (and the
+    * window-derived evn they embed) are STABLE across the split, because
+    * the filter applies after the row_number. Statements are restricted to
+    * hashes with at least one surviving evidence row (a statement "
+    * arrives" with its first evidence). */
+  def world(
+      spark: SparkSession, dir: String,
+      liFilter: Option[org.apache.spark.sql.Column]): StatementWorld = {
     val orders = Tables.table(spark, dir, "orders")
     // l_linenumber is NOT unique within an order in this synthetic data; the
     // 5-column prefix below is (verified at all SFs), so a row_number over
@@ -49,15 +61,20 @@ object TpchWorld {
         col("l_extendedprice"))
     // four tables derive from this staged intermediate; persist it so the
     // scan + window run once, not once per derivation
-    val li = Tables.table(spark, dir, "lineitem")
+    val li0 = Tables.table(spark, dir, "lineitem")
       .withColumn("evn", row_number().over(w))
       .withColumn("sid", col("l_orderkey") * 100 + col("evn"))
-      .persist()
+    val li = liFilter.map(li0.filter).getOrElse(li0).persist()
 
-    val statements = orders.select(
+    val statements0 = orders.select(
       col("o_orderkey").as("mk_hash"),
       col("o_orderpriority").as("stype"),
       ((col("o_custkey") % 1000).cast("double") / lit(1000.0)).as("belief"))
+    val statements =
+      if (liFilter.isEmpty) statements0
+      else statements0.join(
+        li.select(col("l_orderkey").as("mk_hash")).distinct(),
+        Seq("mk_hash"), "left_semi")
 
     val evidence = li.select(
       col("sid"),

@@ -191,6 +191,72 @@ object Streams {
       }
       .start()
 
+  /** Streaming readonly maintenance: each raw-statement micro-batch runs
+    * the SAME parse/validate/hash stages as [[streamingPreassembly]] and
+    * then upserts the readonly serving layer through
+    * [[graft.assembly.IncrementalReadonly.upsert]] — new hashes' rows
+    * merge in, touched hashes' flags/counts re-derive, and only the hash
+    * shards the batch touches rewrite. This is the reference's supplement
+    * semantics carried all the way to the readonly layer, which the
+    * reference itself can only reach by a full rebuild
+    * (preassemble_db.py:481-615 + readonly_dumping.py RUN_ORDER).
+    *
+    * Exactly-once: the upsert's principal appends carry per-table guards
+    * and the micro-batch id (p_agents keys idempotency on its batch
+    * partition), and the derived rewrite is a pure function of the
+    * principal store — a replayed batch heals rather than duplicates.
+    * Belief is null here (belief maintenance is [[Pipeline]]'s job); a
+    * caller wanting scored serving tables feeds the pipeline's statements
+    * frame through [[graft.assembly.IncrementalReadonly.upsert]] directly.
+    */
+  def streamingReadonly(
+      spark: org.apache.spark.sql.SparkSession,
+      rawDir: String,
+      checkpointDir: String,
+      db: String,
+      shards: Int,
+      types: graft.core.TypeRegistry = graft.core.TypeRegistry.indra,
+      readerSources: Seq[String] = Seq("reach", "medscan"),
+      dbSources: Seq[String] = Seq("signor"),
+      complexTypeNum: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("raw_stmt_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("src",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("raw_json",
+        org.apache.spark.sql.types.StringType)))
+    spark.readStream.schema(schema).parquet(rawDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.assembly.{IncrementalReadonly, Preassembly, StatementWorld}
+        val (valid, _) = Preassembly.partitionValid(Preassembly.parse(batch))
+        // one parse feeds three frames
+        val v = valid.localCheckpoint(false)
+        val statements = v
+          .select(col("mk_hash"), col("stmt.type").as("stype")).distinct()
+          .withColumn("belief", lit(null).cast("double"))
+        val evidence = v.select(col("raw_stmt_id").as("sid"), col("mk_hash"),
+          col("src"), col("raw_stmt_id").as("rid"),
+          lit(null).cast("long").as("pmid"))
+        val agents = Preassembly.agentRows(v)
+        val mesh = v.select(col("raw_stmt_id").as("sid"),
+          lit(0L).as("mesh_num"), lit(0).cast("int").as("is_concept"))
+          .limit(0)
+        val refs = v.select(col("raw_stmt_id").as("rid"),
+          lit(null).cast("long").as("pmid")).limit(0)
+        IncrementalReadonly.upsert(batch.sparkSession,
+          StatementWorld(statements, evidence, agents, mesh, refs),
+          types, readerSources, dbSources, complexTypeNum,
+          db, shards, batchId, agentsPerHash = true)
+        ()
+      }
+      .start()
+  }
+
   /** Incremental supplement: raw statements not yet represented in the
     * links table (alls EXCEPT olds, preassemble_db.py:527-543). The delta
     * then flows through the normal Preassembly stages. */

@@ -246,4 +246,90 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaAgg(10L) == Map("reach" -> 3L, "pc" -> 1L))
     assert(viaAgg(11L) == Map("signor" -> 1L))
   }
+
+  test("streaming readonly upsert == full rebuild; untouched shards stay put") {
+    import spark.implicits._
+    import graft.assembly.{IncrementalReadonly, Preassembly, ReadonlyBuilder,
+      StatementWorld}
+    def js(subj: String, obj: String) =
+      s"""{"type":"Activation","subj":{"name":"$subj"},"obj":{"name":"$obj"}}"""
+    val rawDir = java.nio.file.Files.createTempDirectory("ro-raw").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("ro-ck").toString
+    val db = "graft_ro_stream"
+    val shards = 16
+    IncrementalReadonly.reset(spark, db)
+
+    // batch 1: eight base statements (one with two evidence rows)
+    val b1 = (1L to 8L).map(i =>
+      (i, if (i % 2 == 0) "reach" else "signor",
+        js(s"A$i", s"B$i"))) :+ ((9L, "medscan", js("A2", "B2")))
+    b1.toDF("raw_stmt_id", "src", "raw_json")
+      .coalesce(1).write.mode("append").parquet(rawDir)
+    Streams.streamingReadonly(spark, rawDir, ckDir, db, shards)
+      .awaitTermination()
+
+    def shardFiles(table: String): Map[String, Set[String]] = {
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      val root = new org.apache.hadoop.fs.Path(s"$warehouse/$db.db/$table")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root).filter(_.isDirectory).map { d =>
+        d.getPath.getName ->
+          fs.listStatus(d.getPath).map(f =>
+            f.getPath.getName + ":" + f.getModificationTime).toSet
+      }.toMap
+    }
+    val before = shardFiles("r_source_meta")
+
+    // batch 2: one more evidence row for A2-B2, one brand-new statement
+    val b2 = Seq((10L, "reach", js("A2", "B2")), (11L, "reach", js("E", "F")))
+    b2.toDF("raw_stmt_id", "src", "raw_json")
+      .coalesce(1).write.mode("append").parquet(rawDir)
+    Streams.streamingReadonly(spark, rawDir, ckDir, db, shards)
+      .awaitTermination()
+
+    // parity: the delta-maintained tables equal a from-scratch rebuild
+    // over ALL raw rows (null belief, like the streaming path)
+    val all = (b1 ++ b2).toDF("raw_stmt_id", "src", "raw_json")
+    val (valid, _) = Preassembly.partitionValid(Preassembly.parse(all))
+    val v = valid.localCheckpoint(false)
+    val fullWorld = StatementWorld(
+      statements = v.select(col("mk_hash"), col("stmt.type").as("stype"))
+        .distinct().withColumn("belief", lit(null).cast("double")),
+      evidence = v.select(col("raw_stmt_id").as("sid"), col("mk_hash"),
+        col("src"), col("raw_stmt_id").as("rid"),
+        lit(null).cast("long").as("pmid")),
+      agents = Preassembly.agentRows(v),
+      mesh = v.select(col("raw_stmt_id").as("sid"), lit(0L).as("mesh_num"),
+        lit(0).cast("int").as("is_concept")).limit(0),
+      refs = v.select(col("raw_stmt_id").as("rid"),
+        lit(null).cast("long").as("pmid")).limit(0))
+    val full = ReadonlyBuilder.build(spark, fullWorld,
+      graft.core.TypeRegistry.indra, Seq("reach", "medscan"), Seq("signor"))
+    val inc = IncrementalReadonly.load(spark, db)
+    def canon(df: org.apache.spark.sql.DataFrame) = {
+      val d = if (df.columns.contains("src_json"))
+        df.withColumn("src_json", graft.assembly.Sif.srcStr(col("src_json")))
+      else df
+      d.collect().map(_.toString).sorted.toSeq
+    }
+    assert(canon(inc.sourceMeta) == canon(full.sourceMeta))
+    assert(canon(inc.nameMeta) == canon(full.nameMeta))
+    assert(canon(inc.agentInteractions) == canon(full.agentInteractions))
+    assert(canon(inc.fastRawPaLink) == canon(full.fastRawPaLink))
+
+    // only the touched shards' partitions were rewritten
+    val touched = Preassembly.parse(b2.toDF("raw_stmt_id", "src", "raw_json"))
+      .select(pmod(col("mk_hash"), lit(shards)).cast("int")).distinct()
+      .collect().map(r => s"mk_shard=${r.getInt(0)}").toSet
+    val after = shardFiles("r_source_meta")
+    val untouchedBefore = before.keySet -- touched
+    assert(untouchedBefore.nonEmpty,
+      "vacuous test: every base shard was touched by batch 2")
+    untouchedBefore.foreach { sh =>
+      assert(after(sh) == before(sh),
+        s"untouched shard $sh was rewritten by the delta batch")
+    }
+    // and the touched shards DID rewrite (files or mtimes changed)
+    assert(touched.exists(sh => before.get(sh) != after.get(sh)))
+  }
 }
