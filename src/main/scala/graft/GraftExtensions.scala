@@ -59,5 +59,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("sign_lsh_bucket",
         "sign_lsh_bucket(vec, planes) - hyperplane sign bucket id"),
       (args: Seq[Expression]) => SignLshBucket(args(0), litInt(args(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("hadamard_rotate"),
+      info("hadamard_rotate",
+        "hadamard_rotate(vec, dim) - signed Walsh-Hadamard rotation (OPQ)"),
+      (args: Seq[Expression]) => HadamardRotate(args(0), litInt(args(1)))))
   }
 }

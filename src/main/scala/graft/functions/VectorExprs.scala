@@ -97,6 +97,63 @@ object MinHashKernel {
   }
 }
 
+object RotateKernel {
+  /** Deterministic ±1 sign for dimension j — the 32-bit xorshift-multiply
+    * finalizer's low bit (same mixer family as TextAnalysis.mix32, small
+    * constant, no 64-bit overflow anywhere the oracle can't follow). */
+  def sign(j: Int): Double = {
+    var z = j.toLong
+    z ^= z >>> 16; z = (z * 73244475L) % 4294967296L
+    z ^= z >>> 16; z = (z * 73244475L) % 4294967296L
+    z ^= z >>> 16
+    if ((z & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** The sign diagonal for a given dim — the oracle inlines this as a SQL
+    * literal so both engines flip the same coordinates. */
+  def signs(dim: Int): Seq[Double] = (0 until dim).map(sign)
+
+  /** Signed Walsh-Hadamard rotation y = (H · D · x) / sqrt(dim):
+    * D = diag(sign(j)), H_{ij} = (-1)^popcount(i AND j). A true
+    * orthogonal rotation (exact distances preserved): dim is a power of
+    * two, so sqrt(dim) is exact in binary FP and every per-term product
+    * is an exact sign flip — only the in-order additions round, and the
+    * DuckDB oracle replays the identical fold. Deliberately the naive
+    * O(dim^2) sum, NOT the O(dim log dim) FWHT butterfly: the butterfly
+    * accumulates in a different order and would break bit-parity with
+    * any relational replay; at PQ dims (64-1024) the compiled quadratic
+    * loop is nowhere near the encode cost. Float input, double output. */
+  def rotate(v: ArrayData, dim: Int): ArrayData = {
+    val scale = math.sqrt(dim.toDouble)
+    val out = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      var acc = 0.0
+      var j = 0
+      while (j < dim) {
+        val h = if (java.lang.Integer.bitCount(i & j) % 2 == 0) 1.0 else -1.0
+        acc += v.getFloat(j).toDouble * (sign(j) * h)
+        j += 1
+      }
+      out(i) = acc / scale
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+case class HadamardRotate(child: Expression, dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    RotateKernel.rotate(v.asInstanceOf[ArrayData], dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.RotateKernel.rotate($c, $dim)")
+  override protected def withNewChildInternal(newChild: Expression): HadamardRotate =
+    copy(child = newChild)
+}
+
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
@@ -162,6 +219,12 @@ object vectors {
 
   def word_shingles(text: Column, n: Int): Column =
     GraftBridge.column(WordShingles(GraftBridge.expression(text), n))
+
+  def hadamard_rotate(v: Column, dim: Int): Column = {
+    require(dim > 0 && (dim & (dim - 1)) == 0,
+      s"hadamard_rotate needs a power-of-two dim (got $dim)")
+    GraftBridge.column(HadamardRotate(GraftBridge.expression(v), dim))
+  }
 
   def text_stats(
       text: Column, stopwords: Seq[String],

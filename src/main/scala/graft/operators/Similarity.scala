@@ -302,6 +302,20 @@ object Similarity {
       i => element_at(emb, (i * stride) % dim + 1))
   }
 
+  /** True OPQ-style orthogonal ROTATION (not just a permutation): the
+    * signed Walsh-Hadamard transform y = (H · D · x)/sqrt(dim), compiled
+    * ([[graft.functions.RotateKernel]]). Where [[interleaveDims]] only
+    * re-buckets dimensions — a shared component across ALL dims stays
+    * concentrated in every subspace — the rotation mixes every input dim
+    * into every output dim, so rank-dominant structure collapses into few
+    * coordinates and per-subspace variance evens out: the standard
+    * pre-conditioner PQ wants. Exactly distance-preserving (dim is a
+    * power of two, so the normalization is exact) and engine-portable
+    * (in-order fold; the oracle replays it). Apply to corpus AND queries
+    * before any PQ build/search; purely map-side, codegen'd. */
+  def rotateDims(emb: Column, dim: Int): Column =
+    graft.functions.vectors.hadamard_rotate(emb, dim)
+
   /** Residual vectors: each indexed vector minus its cell centroid (as
     * array<double>, emitted under the standard `embedding` name so the
     * PQ helpers apply unchanged). The IVF-residual refinement: residuals

@@ -65,6 +65,11 @@ m3 AS (SELECT doc_id, xor(z2, z2 >> 16) AS z3 FROM m2),
 m4 AS (SELECT doc_id, (z3 * 73244475) % 4294967296 AS z4 FROM m3),
 th AS (SELECT doc_id, xor(z4, z4 >> 16) AS th FROM m4)"""
 
+  /** Sign diagonal of the 64-dim OPQ rotation, inlined into the oracle so
+    * both engines flip the same coordinates. */
+  private val OPQ_SIGNS = graft.functions.RotateKernel.signs(64)
+    .map(d => if (d > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+
   /** DuckDB shingle pipeline over `corpus` -> shh(doc_id, sh_hash). */
   private val DUCK_SHINGLES = s"""
 sh0 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM corpus),
@@ -723,24 +728,34 @@ shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
             ORDER BY adc, id) AS rn FROM adc) WHERE rn <= 5"""),
     ),
 
-    // OPQ-lite: a coprime-stride dimension interleave (an orthogonal
-    // permutation) before PQ scatters correlated adjacent dims across
-    // subspaces; build + search run on the permuted space. The oracle
-    // permutes with the same list_transform and replays the PQ chain.
+    // OPQ rotation: the signed Walsh-Hadamard orthogonal rotation
+    // (Similarity.rotateDims) before PQ mixes every input dim into every
+    // output dim, evening per-subspace variance; build + search run in
+    // the rotated space. The oracle replays the EXACT rotation — the sign
+    // diagonal is inlined as a literal, the Hadamard sign is
+    // (-1)^popcount(i&j), and the in-order fold + exact /8 match the
+    // compiled kernel bit-for-bit.
     "q_embed_pq_opq" -> QueryDef(
       (s, dir) => {
         val emb = Tables.table(s, dir, "embeddings")
           .select(col("vec_id").as("id"),
-            Similarity.interleaveDims(col("embedding"), dim = 64, stride = 9)
+            Similarity.rotateDims(col("embedding"), dim = 64)
               .as("embedding"))
         val cb = Similarity.pqCodebooks(emb, m = 8, dim = 64, ksub = 16)
         val codes = Similarity.pqEncode(emb, cb, m = 8, dim = 64)
         Similarity.pqTopK(emb.filter(col("id") < 10), codes, cb,
           m = 8, dim = 64, ksub = 16, k = 5)
       },
-      Some("""WITH v0 AS (SELECT vec_id AS id, embedding FROM embeddings),
-        v AS (SELECT id, list_transform(range(0, 64),
-            i -> embedding[(i * 9) % 64 + 1]) AS embedding FROM v0),
+      Some(s"""WITH v0 AS (SELECT vec_id AS id, embedding FROM embeddings),
+        sgn AS (SELECT $OPQ_SIGNS AS s),
+        v AS (SELECT id, list_transform(range(0, 64), i ->
+            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(range(0, 64), j ->
+                CAST(embedding[j + 1] AS DOUBLE) *
+                (s[j + 1] * CASE WHEN bit_count(i & j) % 2 = 0
+                            THEN 1.0 ELSE -1.0 END))),
+              (a, b) -> a + b) / 8.0) AS embedding
+          FROM v0 CROSS JOIN sgn),
         sv AS (SELECT id, sub, list_slice(embedding, sub*8 + 1, sub*8 + 8) AS svec
                FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) t),
         cb AS (SELECT sub, id AS cent_id, svec AS cent FROM sv WHERE id < 16),

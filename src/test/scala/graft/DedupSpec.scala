@@ -245,6 +245,48 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("Hadamard rotation beats the interleave on permutation-proof structure") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // all the variance lives on dims {0,3,6,9} — exactly the dims the
+    // stride-3 interleave gathers INTO one subspace (new[i]=old[3i%16]),
+    // so no re-bucketing can spread it; the rotation mixes every input
+    // dim into every output dim and must quantize tighter
+    val rows = (0 until 120).map { i =>
+      val v = Array.tabulate(16) { d =>
+        if (d % 3 == 0 && d < 12) ((i * 31 + d * 17) % 19 - 9) * 0.5f
+        else ((i + d) % 3) * 0.01f
+      }
+      (i.toLong, v)
+    }
+    val emb = rows.toDF("id", "embedding")
+    def quantError(embT: org.apache.spark.sql.DataFrame): Double = {
+      val (m, dim, ksub) = (4, 16, 8)
+      val subLen = dim / m
+      val cb = Similarity.pqCodebooks(embT, m, dim, ksub)
+      val codes = Similarity.pqEncode(embT, cb, m, dim)
+      val sv = embT.select(col("id"),
+          posexplode(transform(sequence(lit(0), lit(m - 1)),
+            s => slice(col("embedding"), s * subLen + 1, lit(subLen)))))
+        .toDF("id", "sub", "svec")
+      val dec = codes.select(col("id"), posexplode(col("codes")))
+        .toDF("id", "sub", "code")
+        .join(cb.withColumnRenamed("cent_id", "code"), Seq("sub", "code"))
+      sv.join(dec, Seq("id", "sub"))
+        .select(aggregate(zip_with(col("svec"), col("cent"), (x, y) => {
+          val d = x.cast("double") - y.cast("double"); d * d
+        }), lit(0.0), (a, v) => a + v).as("e"))
+        .agg(sum("e")).collect()(0).getDouble(0)
+    }
+    val errInt = quantError(emb.select(col("id"),
+      Similarity.interleaveDims(col("embedding"), 16, 3).as("embedding")))
+    val errRot = quantError(emb.select(col("id"),
+      Similarity.rotateDims(col("embedding"), 16).as("embedding")))
+    assert(errInt > 0)
+    assert(errRot <= errInt,
+      s"rotation distortion $errRot exceeds interleave $errInt")
+  }
+
   test("HLL sketch stays within its error bound of the exact count") {
     val rows = graft.SparkEntry.queries("q_approx_distinct")(spark, dir).collect()
     rows.foreach { r =>
