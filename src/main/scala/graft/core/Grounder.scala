@@ -94,7 +94,14 @@ object Grounder {
     "VEMURAFENIB" -> ("CHEBI", "63637"),
   ))
 
-  /** Scored demo table exercising every tier. */
+  /** Scored demo table exercising every tier, seeded with the grounding
+    * examples gilda publishes (github.com/gyorilab/gilda README + paper —
+    * public): "kras"/"k-ras" -> HGNC:6407 through the case/punctuation
+    * tiers, the Greek-normalized NF-κB -> FPLX:NFkappaB, and the
+    * canonically ambiguous surface "ER" whose candidates (estrogen
+    * receptor family, ESR1, the organelle, the MeSH heading) rank by
+    * popularity prior when no disambiguation model runs. ServiceSpec pins
+    * this golden set. */
   val scoredDefault: ScoredGrounder = ScoredGrounder(Seq(
     GroundingEntry("ERK", "FPLX", "ERK", prior = 5.0),
     GroundingEntry("MEK", "FPLX", "MEK", prior = 4.0),
@@ -102,5 +109,11 @@ object Grounder {
     GroundingEntry("TP53", "UP", "P04637", prior = 2.0),
     GroundingEntry("TNFα", "FPLX", "TNF", prior = 3.0),
     GroundingEntry("Vemurafenib", "CHEBI", "63637", prior = 1.0),
+    GroundingEntry("KRAS", "HGNC", "6407", prior = 8.0),
+    GroundingEntry("NF-kappaB", "FPLX", "NFkappaB", prior = 6.0),
+    GroundingEntry("ER", "FPLX", "ESR", prior = 7.0),
+    GroundingEntry("ER", "HGNC", "3467", prior = 5.0),
+    GroundingEntry("ER", "GO", "GO:0005783", prior = 3.0),
+    GroundingEntry("ER", "MESH", "D004954", prior = 1.0),
   ))
 }

@@ -48,4 +48,34 @@ class ServiceSpec extends AnyFunSuite {
     val expected = 1.0 - (0.05 + 0.3 * 0.3 * 0.3) * 0.01
     assert(math.abs(b - expected) < 1e-12)
   }
+
+  test("grounder golden set: gilda's published examples, tier-scored") {
+    import graft.core.Grounder
+    val g = Grounder.scoredDefault
+    // gilda README: ground("kras") -> HGNC:6407 through case
+    // normalization; the exact surface scores strictly higher and the
+    // dash-stripped surface strictly lower (match-quality ordering)
+    assert(g.ground("kras").contains(("HGNC", "6407")))
+    assert(g.candidates("KRAS").head._1 == 1.0)
+    assert(g.candidates("kras").head._1 == 0.9)
+    assert(g.candidates("K-RAS").head._1 == 0.8)
+    assert(g.ground("K-RAS").contains(("HGNC", "6407")))
+    // Greek + punctuation normalization (gilda handles unicode Greek):
+    // NF-κB resolves to the FPLX NFkappaB family at the Greek tier
+    assert(g.ground("NF-κB").contains(("FPLX", "NFkappaB")))
+    assert(g.candidates("NF-κB").head._1 == 0.7)
+    // the canonically ambiguous surface "ER" (gilda's disambiguation
+    // demo): all four groundings surface, ranked by popularity prior when
+    // no context model runs — family, gene, organelle, MeSH heading
+    val er = g.candidates("ER").map { case (_, e) => (e.ns, e.id) }
+    assert(er == Seq(("FPLX", "ESR"), ("HGNC", "3467"),
+      ("GO", "GO:0005783"), ("MESH", "D004954")))
+    // the reference's mesh auto-map scans the ranked list for the MESH
+    // candidate even when it is not top (indra_db_service/util.py:66-74)
+    assert(g.candidates("ER")
+      .collectFirst { case (_, e) if e.ns == "MESH" => e.id }
+      .contains("D004954"))
+    // unknown surfaces stay ungrounded -> AUTO falls back to NAME
+    assert(g.ground("no-such-entity-xyz").isEmpty)
+  }
 }
