@@ -256,6 +256,19 @@ object IncrementalReadonly {
     )
   }
 
+  /** Compact the delta-maintained store into the bucketed+sorted serving
+    * form ([[Deploy.write]]). Every upsert leaves one file per rewritten
+    * shard, so a long-running store accumulates small files and its DSL
+    * joins shuffle (partition dirs carry no bucket metadata). Compaction
+    * is the standard LSM-ish move: keep absorbing deltas cheaply in the
+    * sharded store, periodically rewrite into the mk_hash-bucketed layout
+    * whose semi/anti joins run exchange-free. Results are identical by
+    * construction — the same rows pass through [[load]]. */
+  def compactInto(
+      spark: SparkSession, db: String, targetDb: String,
+      buckets: Int): Unit =
+    Deploy.write(spark, load(spark, db), targetDb, buckets)
+
   /** Drop the whole store (gates re-create it deterministically),
     * including any on-disk remains a previous process left. */
   def reset(spark: SparkSession, db: String): Unit = {

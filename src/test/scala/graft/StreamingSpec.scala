@@ -331,5 +331,24 @@ class StreamingSpec extends AnyFunSuite {
     }
     // and the touched shards DID rewrite (files or mtimes changed)
     assert(touched.exists(sh => before.get(sh) != after.get(sh)))
+
+    // compaction: the sharded store rewrites into the bucketed serving
+    // form with identical rows, and mk_hash joins stop shuffling
+    IncrementalReadonly.compactInto(spark, db, "graft_ro_stream_c",
+      buckets = 4)
+    val compacted = graft.assembly.Deploy.load(spark, "graft_ro_stream_c")
+    assert(canon(compacted.sourceMeta) == canon(inc.sourceMeta))
+    assert(canon(compacted.agentInteractions) == canon(inc.agentInteractions))
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = compacted.sourceMeta.join(
+        compacted.agentInteractions.select("mk_hash", "agent_str"), "mk_hash")
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"compacted join should be exchange-free:\n$p")
+      assert(j.count() > 0)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
   }
 }
