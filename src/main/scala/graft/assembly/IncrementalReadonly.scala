@@ -51,62 +51,16 @@ object IncrementalReadonly {
 
   val ShardCol = "mk_shard"
 
-  private def shardOf(c: Column, shards: Int): Column =
-    pmod(c, lit(shards)).cast("int")
+  import ShardedStore.{exists, refreshed, shardOf}
 
-  private def exists(spark: SparkSession, db: String, name: String): Boolean =
-    spark.catalog.tableExists(s"$db.$name")
-
-  private def refreshed(spark: SparkSession, db: String, name: String): DataFrame = {
-    spark.catalog.refreshTable(s"$db.$name")
-    spark.table(s"$db.$name")
-  }
-
-  /** A location a previous PROCESS left behind is invisible to this
-    * session's fresh catalog and would fail CREATE — clear it, like
-    * [[Deploy.saveBucketed]] does. */
-  private def clearStaleLocation(
-      spark: SparkSession, db: String, suffix: String): Unit = {
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$db.db/$suffix")
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-  }
-
-  /** Create-or-append with the table's own column order (insertInto is
-    * positional; catalog tables list partition columns last). */
   private def append(
       spark: SparkSession, db: String, name: String, df: DataFrame,
       partCols: Seq[String]): Unit =
-    if (!exists(spark, db, name)) {
-      clearStaleLocation(spark, db, name)
-      df.write.partitionBy(partCols: _*).format("parquet")
-        .saveAsTable(s"$db.$name")
-    } else {
-      val order = spark.table(s"$db.$name").columns
-      df.select(order.map(col): _*).write.mode("append")
-        .insertInto(s"$db.$name")
-    }
+    ShardedStore.append(spark, db, name, df, partCols)
 
-  /** Dynamic-partition-overwrite upsert of one derived table: only the
-    * partitions present in `df` (= the touched shards) are replaced. */
   private def overwriteShards(
       spark: SparkSession, db: String, name: String, df: DataFrame): Unit =
-    if (!exists(spark, db, name)) {
-      clearStaleLocation(spark, db, name)
-      df.write.partitionBy(ShardCol).format("parquet")
-        .saveAsTable(s"$db.$name")
-    } else {
-      val order = spark.table(s"$db.$name").columns
-      // the writer OPTION does not reach the insertInto command path —
-      // scope the session conf around the write instead
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.get(key)
-      spark.conf.set(key, "dynamic")
-      try df.select(order.map(col): _*).write.mode("overwrite")
-        .insertInto(s"$db.$name")
-      finally spark.conf.set(key, prev)
-    }
+    ShardedStore.overwriteShards(spark, db, name, df, ShardCol)
 
   /** Initialize the store from a base world (= the first upsert). */
   def init(
@@ -127,12 +81,23 @@ object IncrementalReadonly {
     * true treats them as a pure function of the statement content — a
     * later batch re-delivering an existing hash's agent rows is dropped
     * per hash (the raw-JSON streaming path, where agents derive from the
-    * matches-key content and re-appear with every new evidence row). */
+    * matches-key content and re-appear with every new evidence row).
+    *
+    * `beliefUpdates` (mk_hash, belief) rewrites the belief of EXISTING
+    * statements and re-derives their meta rows: refinement-aware belief
+    * is not per-hash-decomposable — a delta batch shifts the score of
+    * every ancestor its statements refine ([[IncrementalBelief]] computes
+    * exactly that affected set) — so the upsert accepts belief changes
+    * for hashes whose principal rows are otherwise untouched. p_statements
+    * is first-wins on every column EXCEPT belief, which these updates
+    * overwrite shard-locally; the updated hashes join the touched set so
+    * the derived layer re-serves them. */
   def upsert(
       spark: SparkSession, delta: StatementWorld, types: TypeRegistry,
       readerSources: Seq[String], dbSources: Seq[String],
       complexTypeNum: Option[Int], db: String, shards: Int,
-      batchId: Long, agentsPerHash: Boolean = false): Unit = {
+      batchId: Long, agentsPerHash: Boolean = false,
+      beliefUpdates: Option[DataFrame] = None): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
 
     def guarded(df: DataFrame, table: String, keys: Seq[String]): DataFrame =
@@ -180,6 +145,27 @@ object IncrementalReadonly {
           Seq("batch_id", ShardCol))
     }
 
+    // --- belief rewrite for refinement-affected hashes -------------------
+    // after the batch's first-wins append (a new hash's row may itself be
+    // in the update set); pure overwrite of the touched shards, so a
+    // replay converges to the same state
+    beliefUpdates.foreach { updRaw =>
+      val upd = updRaw
+        .select(col("mk_hash"), col("belief").cast("double").as("new_belief"))
+        .withColumn(ShardCol, shardOf(col("mk_hash"), shards))
+        .localCheckpoint(false)
+      val updShards = upd.select(ShardCol).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      if (updShards.nonEmpty) {
+        val merged = refreshed(spark, db, "p_statements")
+          .filter(col(ShardCol).isin(updShards: _*))
+          .join(upd.select("mk_hash", "new_belief"), Seq("mk_hash"), "left")
+          .withColumn("belief", coalesce(col("new_belief"), col("belief")))
+          .drop("new_belief")
+        overwriteShards(spark, db, "p_statements", merged.localCheckpoint(true))
+      }
+    }
+
     // --- touched hashes, from the RAW delta ------------------------------
     // (guarded deltas would be empty on a replay whose crash fell between
     // the principal appends and the derived rewrite — the rewrite below
@@ -187,6 +173,8 @@ object IncrementalReadonly {
     val touched = delta.statements.select("mk_hash")
       .unionByName(delta.evidence.select("mk_hash"))
       .unionByName(delta.agents.select("mk_hash"))
+      .unionByName(beliefUpdates.map(_.select("mk_hash"))
+        .getOrElse(delta.statements.select("mk_hash").limit(0)))
       .distinct()
       .withColumn(ShardCol, shardOf(col("mk_hash"), shards))
       .localCheckpoint(false)
@@ -271,8 +259,6 @@ object IncrementalReadonly {
 
   /** Drop the whole store (gates re-create it deterministically),
     * including any on-disk remains a previous process left. */
-  def reset(spark: SparkSession, db: String): Unit = {
-    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
-    clearStaleLocation(spark, db, "")
-  }
+  def reset(spark: SparkSession, db: String): Unit =
+    ShardedStore.reset(spark, db)
 }
