@@ -257,6 +257,76 @@ object Streams {
       .start()
   }
 
+  /** [[streamingReadonly]] with SCORED serving: each micro-batch first
+    * flows through [[graft.assembly.IncrementalBelief.upsert]] — which
+    * maintains the refinement closure and returns refreshed belief for
+    * the batch's hashes AND every refinement ancestor the batch's new
+    * evidence lifts — and those updates ride into
+    * [[graft.assembly.IncrementalReadonly.upsert]], rewriting belief
+    * shard-locally and re-deriving the touched meta rows. The result is
+    * the reference's full supplement semantics (refinement + belief +
+    * readonly, preassemble_db.py:481-615 + export_assembly.py:680-702 +
+    * readonly_dumping.py RUN_ORDER) as one incremental streaming path; the
+    * reference reaches the same state only by rebuilding all three layers.
+    *
+    * Exactly-once composes from the parts: both stores' writes are
+    * guarded-append or pure-overwrite (see their scaladocs), so an
+    * at-least-once foreachBatch replay heals both. */
+  def streamingScoredReadonly(
+      spark: org.apache.spark.sql.SparkSession,
+      rawDir: String,
+      checkpointDir: String,
+      db: String,
+      beliefDb: String,
+      shards: Int,
+      types: graft.core.TypeRegistry = graft.core.TypeRegistry.indra,
+      readerSources: Seq[String] = Seq("reach", "medscan"),
+      dbSources: Seq[String] = Seq("signor"),
+      complexTypeNum: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("raw_stmt_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("src",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("raw_json",
+        org.apache.spark.sql.types.StringType)))
+    spark.readStream.schema(schema).parquet(rawDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.assembly.{IncrementalBelief, IncrementalReadonly,
+          Preassembly, StatementWorld}
+        val ses = batch.sparkSession
+        val (valid, _) = Preassembly.partitionValid(Preassembly.parse(batch))
+        val v = valid.localCheckpoint(false)
+        val stmts = v
+          .select(col("mk_hash"), col("stmt.type").as("stype")).distinct()
+        val agents = Preassembly.agentRows(v)
+        val counts = v.groupBy("mk_hash", "src").agg(count(lit(1)).as("cnt"))
+        val beliefUpd = IncrementalBelief.upsert(ses, stmts, agents,
+          counts, beliefDb, shards, batchId).localCheckpoint(false)
+        val evidence = v.select(col("raw_stmt_id").as("sid"), col("mk_hash"),
+          col("src"), col("raw_stmt_id").as("rid"),
+          lit(null).cast("long").as("pmid"))
+        val mesh = v.select(col("raw_stmt_id").as("sid"),
+          lit(0L).as("mesh_num"), lit(0).cast("int").as("is_concept"))
+          .limit(0)
+        val refs = v.select(col("raw_stmt_id").as("rid"),
+          lit(null).cast("long").as("pmid")).limit(0)
+        IncrementalReadonly.upsert(ses,
+          StatementWorld(
+            stmts.withColumn("belief", lit(null).cast("double")),
+            evidence, agents, mesh, refs),
+          types, readerSources, dbSources, complexTypeNum,
+          db, shards, batchId, agentsPerHash = true,
+          beliefUpdates = Some(beliefUpd))
+        ()
+      }
+      .start()
+  }
+
   /** Incremental supplement: raw statements not yet represented in the
     * links table (alls EXCEPT olds, preassemble_db.py:527-543). The delta
     * then flows through the normal Preassembly stages. */

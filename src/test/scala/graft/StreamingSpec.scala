@@ -351,4 +351,85 @@ class StreamingSpec extends AnyFunSuite {
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
   }
+
+  test("streaming SCORED readonly == batch refinement+belief rebuild") {
+    import spark.implicits._
+    import graft.assembly.{Belief, IncrementalBelief, IncrementalReadonly,
+      Pipeline, Preassembly, ReadonlyBuilder, Refinement, StatementWorld}
+    def complexJs(members: String*) =
+      s"""{"type":"Complex","members":[${members.map(m =>
+        s"""{"name":"$m"}""").mkString(",")}]}"""
+    val rawDir = java.nio.file.Files.createTempDirectory("sro-raw").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("sro-ck").toString
+    val db = "graft_sro_stream"
+    val bdb = "graft_sro_belief"
+    IncrementalReadonly.reset(spark, db)
+    IncrementalBelief.reset(spark, bdb)
+
+    // batch 1: Complex[A] (refined by Complex[A,B]), plus an unrelated pair
+    val b1 = Seq(
+      (1L, "signor", complexJs("A")),
+      (2L, "reach", complexJs("A", "B")),
+      (3L, "reach", complexJs("C", "D")))
+    b1.toDF("raw_stmt_id", "src", "raw_json")
+      .coalesce(1).write.mode("append").parquet(rawDir)
+    Streams.streamingScoredReadonly(spark, rawDir, ckDir, db, bdb, 16)
+      .awaitTermination()
+
+    // batch 2: a deeper descendant (new edges to BOTH stored statements)
+    // and a counts-only event: more evidence for Complex[A,B] must lift
+    // the belief of Complex[A] — an untouched-principal, belief-only
+    // rewrite of an old hash
+    val b2 = Seq(
+      (4L, "medscan", complexJs("A", "B", "C")),
+      (5L, "signor", complexJs("A", "B")))
+    b2.toDF("raw_stmt_id", "src", "raw_json")
+      .coalesce(1).write.mode("append").parquet(rawDir)
+    Streams.streamingScoredReadonly(spark, rawDir, ckDir, db, bdb, 16)
+      .awaitTermination()
+
+    // batch oracle: full refinement + belief + readonly rebuild
+    val all = (b1 ++ b2).toDF("raw_stmt_id", "src", "raw_json")
+    val (valid, _) = Preassembly.partitionValid(Preassembly.parse(all))
+    val v = valid.localCheckpoint(false)
+    val uniq = v.select(col("mk_hash"), col("stmt.type").as("stype")).distinct()
+    val agents = Preassembly.agentRows(v)
+    val closure = Refinement.transitiveClosure(
+      Pipeline.refinementEdges(uniq, agents))
+    val srcCounts = v.groupBy("mk_hash", "src").agg(count(lit(1)).as("cnt"))
+      .groupBy("mk_hash")
+      .agg(map_from_entries(collect_list(struct(col("src"), col("cnt"))))
+        .as("src_json"))
+    val belief = Belief.scoreWithRefinements(srcCounts, closure)
+      .select("mk_hash", "belief")
+    val fullWorld = StatementWorld(
+      statements = uniq.join(belief, "mk_hash"),
+      evidence = v.select(col("raw_stmt_id").as("sid"), col("mk_hash"),
+        col("src"), col("raw_stmt_id").as("rid"),
+        lit(null).cast("long").as("pmid")),
+      agents = agents,
+      mesh = v.select(col("raw_stmt_id").as("sid"), lit(0L).as("mesh_num"),
+        lit(0).cast("int").as("is_concept")).limit(0),
+      refs = v.select(col("raw_stmt_id").as("rid"),
+        lit(null).cast("long").as("pmid")).limit(0))
+    val full = ReadonlyBuilder.build(spark, fullWorld,
+      graft.core.TypeRegistry.indra, Seq("reach", "medscan"), Seq("signor"))
+    val inc = IncrementalReadonly.load(spark, db)
+    def canon(df: org.apache.spark.sql.DataFrame) = {
+      val d = if (df.columns.contains("src_json"))
+        df.withColumn("src_json", graft.assembly.Sif.srcStr(col("src_json")))
+      else df
+      d.collect().map(_.toString).sorted.toSeq
+    }
+    assert(canon(inc.sourceMeta) == canon(full.sourceMeta))
+    assert(canon(inc.nameMeta) == canon(full.nameMeta))
+    // belief actually flowed: the Complex[A] row scores its descendants'
+    // evidence (signor own + reach/signor via A,B + medscan via A,B,C)
+    val beliefByHash = inc.sourceMeta.select("mk_hash", "belief").distinct()
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val oracleBelief = belief.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(beliefByHash == oracleBelief)
+    assert(beliefByHash.values.exists(_ > 0.9)) // multi-source ancestor
+  }
 }
