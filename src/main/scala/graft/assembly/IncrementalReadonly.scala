@@ -257,6 +257,45 @@ object IncrementalReadonly {
       buckets: Int): Unit =
     Deploy.write(spark, load(spark, db), targetDb, buckets)
 
+  /** Per-shard file counts of one of the store's tables — the compaction
+    * pressure signal. The DERIVED tables rewrite their touched shards
+    * wholesale (no accumulation), but every batch APPENDS a file per
+    * touched shard to the principal tables, so p_evidence's hottest shard
+    * counts how many batches touched it since the store was (re)built —
+    * exactly the scan fan-in a reader pays. */
+  def shardFileCounts(
+      spark: SparkSession, db: String,
+      table: String = "p_evidence"): Map[String, Int] = {
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val root = new org.apache.hadoop.fs.Path(s"$warehouse/$db.db/$table")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Map.empty
+    else fs.listStatus(root).filter(_.isDirectory).map { d =>
+      d.getPath.getName ->
+        fs.listStatus(d.getPath).count(f =>
+          f.isFile && !f.getPath.getName.startsWith("_"))
+    }.toMap
+  }
+
+  /** Compaction policy: rewrite into the bucketed serving form when any
+    * shard of the probe table has accumulated more than
+    * `maxFilesPerShard` files. The threshold trades write amplification
+    * against read fan-in, the standard LSM knob: every absorbed batch
+    * adds a file to each shard it touches (its read cost), while a
+    * compaction rewrites the whole store (its write cost) — so the
+    * policy fires on the hottest shard's file count, not on batch count.
+    * Returns true when a compaction ran. The sharded store stays
+    * authoritative and keeps absorbing deltas; callers switch reads to
+    * `targetDb` until drift warrants the next cycle. */
+  def compactIfNeeded(
+      spark: SparkSession, db: String, targetDb: String, buckets: Int,
+      maxFilesPerShard: Int = 8): Boolean = {
+    val pressure = shardFileCounts(spark, db).values.maxOption.getOrElse(0)
+    val due = pressure > maxFilesPerShard
+    if (due) compactInto(spark, db, targetDb, buckets)
+    due
+  }
+
   /** Drop the whole store (gates re-create it deterministically),
     * including any on-disk remains a previous process left. */
   def reset(spark: SparkSession, db: String): Unit =

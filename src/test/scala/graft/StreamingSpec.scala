@@ -350,6 +350,20 @@ class StreamingSpec extends AnyFunSuite {
       assert(j.count() > 0)
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+
+    // compaction POLICY: pressure = appended files in p_evidence's hottest
+    // shard (the A2-B2 shard was touched by both batches, so 2) — a loose
+    // threshold declines, a tight one fires -> the identical bucketed store
+    val counts = IncrementalReadonly.shardFileCounts(spark, db)
+    assert(counts.values.max >= 2 && counts.values.min >= 1)
+    assert(!IncrementalReadonly.compactIfNeeded(spark, db,
+      "graft_ro_stream_p", buckets = 4, maxFilesPerShard = 100))
+    assert(!spark.catalog.databaseExists("graft_ro_stream_p") ||
+      !spark.catalog.tableExists("graft_ro_stream_p.source_meta"))
+    assert(IncrementalReadonly.compactIfNeeded(spark, db,
+      "graft_ro_stream_p", buckets = 4, maxFilesPerShard = 1))
+    val policyOut = graft.assembly.Deploy.load(spark, "graft_ro_stream_p")
+    assert(canon(policyOut.sourceMeta) == canon(inc.sourceMeta))
   }
 
   test("streaming SCORED readonly == batch refinement+belief rebuild") {
