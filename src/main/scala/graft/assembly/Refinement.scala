@@ -55,7 +55,15 @@ object Refinement {
     * cost is Π(1+depth) combos per statement — bounded by ontology depth,
     * linear in statements, and embarrassingly parallel map work.
     */
-  def ontologyRefinementEdges(
+  /** Per-statement ontology signatures: (mk_hash, stype, sig, gensigs)
+    * where `sig` is the actual positional signature
+    * ("|0=NS:ID|1=NS:ID…" over positions sorted by ag_num) and `gensigs`
+    * every generalized combination — the cross product, over positions,
+    * of {own key} ∪ ontology-ancestors(own key). Shared by the batch edge
+    * build and [[IncrementalOntologyEdges]]' persisted signature index;
+    * both compare the two columns with the SAME fold shape, which is the
+    * whole correctness argument of the signature join. */
+  private[assembly] def signatures(
       uniq: DataFrame, agents: DataFrame, ontology: DataFrame): DataFrame = {
     // ancestor closure of the ontology dimension; small enough to broadcast
     val closure = transitiveClosure(
@@ -74,11 +82,9 @@ object Refinement {
       .agg(sort_array(collect_list(
         struct(col("ag_num"), col("key"), col("alts")))).as("pos"))
       .join(uniq.select("mk_hash", "stype"), "mk_hash")
-    // identical fold shapes so actual and generalized signatures compare:
-    // "|0=NS:ID|1=NS:ID..." over positions sorted by ag_num
     def tag(p: Column, k: Column) =
       concat(lit("|"), p.getField("ag_num").cast("string"), lit("="), k)
-    val sigs = perStmt
+    perStmt
       .withColumn("sig",
         aggregate(col("pos"), lit(""),
           (acc, p) => concat(acc, tag(p, p.getField("key")))))
@@ -86,6 +92,12 @@ object Refinement {
         aggregate(col("pos"), array(lit("")),
           (acc, p) => flatten(transform(acc,
             a => transform(p.getField("alts"), x => concat(a, tag(p, x)))))))
+      .select("mk_hash", "stype", "sig", "gensigs")
+  }
+
+  def ontologyRefinementEdges(
+      uniq: DataFrame, agents: DataFrame, ontology: DataFrame): DataFrame = {
+    val sigs = signatures(uniq, agents, ontology)
     val general = sigs.select(
       col("mk_hash").as("anc"), col("stype"), col("sig"))
     val specific = sigs.select(

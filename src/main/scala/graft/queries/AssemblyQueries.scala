@@ -583,6 +583,100 @@ object AssemblyQueries extends QueryPack {
         SELECT node, anc FROM c"""),
     ),
 
+    // Incremental ONTOLOGY refinement (IncrementalOntologyEdges +
+    // IncrementalBelief closure): the q_refine_ontology nation->region
+    // world with per-position DISJOINT ontology spaces (A/B prefixes) —
+    // keysets are always {A*, B*} so the key-subset path can never fire,
+    // which matters because mixing key-subset and positional-ontology
+    // edges over 2-agent statements can manufacture cycles (a collapsed
+    // same-key statement + its positional generalization form a 2-loop);
+    // with disjoint spaces the positional predicate is transitively
+    // closed and the oracle is the direct-edge closed form. The store is
+    // built base-then-delta through the persisted signature index, so
+    // passing proves delta probes find old-new, new-old, and new-new
+    // edges exactly.
+    "q_refine_ontology_incremental" -> QueryDef(
+      (s, dir) => {
+        import graft.assembly.{IncrementalBelief, IncrementalOntologyEdges}
+        val suffix = math.abs(dir.hashCode).toString
+        val bdb = "graft_ioe_b_" + suffix
+        val odb = "graft_ioe_o_" + suffix
+        val nation = Tables.table(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("nk"),
+            col("n_regionkey").cast("long").as("rk"))
+        val e = Tables.table(s, dir, "part")
+          .select((col("p_partkey") % 400).cast("long").as("mk_hash"))
+          .distinct()
+          .withColumn("stype",
+            concat(lit("t"), (col("mk_hash") % 2).cast("string")))
+          .withColumn("n0", col("mk_hash") % 25)
+          .withColumn("n1", (col("mk_hash") * 7 + 3) % 25)
+          .withColumn("l0", col("mk_hash").bitwiseAND(2) =!= 0)
+          .withColumn("l1", col("mk_hash").bitwiseAND(4) =!= 0)
+        def agentsOf(df: org.apache.spark.sql.DataFrame) = {
+          def at(nCol: String, lCol: String, agNum: Int, pfx: String) = df
+            .join(nation, col(nCol) === col("nk"))
+            .select(col("mk_hash"), lit(agNum).as("ag_num"),
+              when(col(lCol), lit("REG")).otherwise(lit("NAT")).as("db_name"),
+              concat(lit(pfx), when(col(lCol), col("rk")).otherwise(col(nCol))
+                .cast("string")).as("db_id"))
+          at("n0", "l0", 0, "A").unionByName(at("n1", "l1", 1, "B"))
+        }
+        val ontology = nation.select(
+            concat(lit("NAT:A"), col("nk").cast("string")).as("desc"),
+            concat(lit("REG:A"), col("rk").cast("string")).as("anc"))
+          .unionByName(nation.select(
+            concat(lit("NAT:B"), col("nk").cast("string")).as("desc"),
+            concat(lit("REG:B"), col("rk").cast("string")).as("anc")))
+        def stmtsOf(df: org.apache.spark.sql.DataFrame) =
+          df.select("mk_hash", "stype")
+        def emptyCounts = e.select(col("mk_hash"),
+          lit("reach").as("src"), lit(1L).as("cnt")).limit(0)
+        val base = e.filter(col("mk_hash") % 5 =!= 0)
+        val delta = e.filter(col("mk_hash") % 5 === 0)
+        def step(df: org.apache.spark.sql.DataFrame, batch: Long) = {
+          val edges = IncrementalOntologyEdges.upsert(s, stmtsOf(df),
+            agentsOf(df), ontology, odb, shards = 8)
+          IncrementalBelief.upsert(s, stmtsOf(df), agentsOf(df),
+            emptyCounts, bdb, shards = 8, batchId = batch,
+            extraEdges = Some(edges))
+        }
+        beliefInitDone.getOrElseUpdate(
+          System.identityHashCode(s) + ":ont:" + dir, {
+            IncrementalOntologyEdges.reset(s, odb)
+            IncrementalBelief.reset(s, bdb)
+            step(base, 0L)
+            ()
+          })
+        step(delta, 1L)
+        IncrementalBelief.closure(s, bdb)
+          .select(col("desc").as("node"), col("anc"))
+      },
+      Some("""WITH s AS (
+          SELECT DISTINCT CAST(p_partkey % 400 AS BIGINT) AS h FROM part),
+        e AS (
+          SELECT h, h % 2 AS t, h % 25 AS n0, (h * 7 + 3) % 25 AS n1,
+            (h & 2) <> 0 AS l0, (h & 4) <> 0 AS l1
+          FROM s),
+        k AS (
+          SELECT e.h, e.t, e.l0, e.l1,
+            na0.n_regionkey AS r0, na1.n_regionkey AS r1,
+            CASE WHEN e.l0 THEN 'REG:A' || CAST(na0.n_regionkey AS VARCHAR)
+                 ELSE 'NAT:A' || CAST(e.n0 AS VARCHAR) END AS k0,
+            CASE WHEN e.l1 THEN 'REG:B' || CAST(na1.n_regionkey AS VARCHAR)
+                 ELSE 'NAT:B' || CAST(e.n1 AS VARCHAR) END AS k1
+          FROM e
+          JOIN nation na0 ON na0.n_nationkey = e.n0
+          JOIN nation na1 ON na1.n_nationkey = e.n1)
+        SELECT a.h AS node, b.h AS anc
+        FROM k a JOIN k b ON a.t = b.t AND a.h <> b.h
+        WHERE (a.k0 = b.k0 OR
+               (NOT a.l0 AND b.k0 = 'REG:A' || CAST(a.r0 AS VARCHAR)))
+          AND (a.k1 = b.k1 OR
+               (NOT a.l1 AND b.k1 = 'REG:B' || CAST(a.r1 AS VARCHAR)))
+          AND NOT (a.k0 = b.k0 AND a.k1 = b.k1)"""),
+    ),
+
     // Incremental refinement + belief (IncrementalBelief): the q_refine
     // bitmask world (keys = set bits of m over K0..K3, so the key-subset
     // DAG has a closed form) with per-row evidence, split into a base

@@ -282,7 +282,9 @@ object Streams {
       types: graft.core.TypeRegistry = graft.core.TypeRegistry.indra,
       readerSources: Seq[String] = Seq("reach", "medscan"),
       dbSources: Seq[String] = Seq("signor"),
-      complexTypeNum: Option[Int] = None)
+      complexTypeNum: Option[Int] = None,
+      ontology: Option[DataFrame] = None,
+      ontologyDb: String = "")
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("raw_stmt_id",
@@ -305,8 +307,15 @@ object Streams {
           .select(col("mk_hash"), col("stmt.type").as("stype")).distinct()
         val agents = Preassembly.agentRows(v)
         val counts = v.groupBy("mk_hash", "src").agg(count(lit(1)).as("cnt"))
+        // ontology dimension: the persisted signature index yields the
+        // batch's generalized-match edges, which the closure maintenance
+        // composes with stored key-subset pairs
+        val ontologyEdges = ontology.map(ont =>
+          graft.assembly.IncrementalOntologyEdges.upsert(
+            ses, stmts, agents, ont, ontologyDb, shards))
         val beliefUpd = IncrementalBelief.upsert(ses, stmts, agents,
-          counts, beliefDb, shards, batchId).localCheckpoint(false)
+          counts, beliefDb, shards, batchId,
+          extraEdges = ontologyEdges).localCheckpoint(false)
         val evidence = v.select(col("raw_stmt_id").as("sid"), col("mk_hash"),
           col("src"), col("raw_stmt_id").as("rid"),
           lit(null).cast("long").as("pmid"))

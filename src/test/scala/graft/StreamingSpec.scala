@@ -446,4 +446,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(beliefByHash == oracleBelief)
     assert(beliefByHash.values.exists(_ > 0.9)) // multi-source ancestor
   }
+
+  test("streaming scored readonly with an ontology dimension") {
+    import spark.implicits._
+    import graft.assembly.{Belief, IncrementalBelief, IncrementalOntologyEdges,
+      IncrementalReadonly, Pipeline, Preassembly, Refinement}
+    def act(subjRefs: String, subjName: String) =
+      s"""{"type":"Activation","subj":{"name":"$subjName","db_refs":{$subjRefs}},"obj":{"name":"B","db_refs":{"HGNC":"9"}}}"""
+    val rawDir = java.nio.file.Files.createTempDirectory("ont-raw").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("ont-ck").toString
+    val db = "graft_ont_stream"
+    val bdb = "graft_ont_belief"
+    val odb = "graft_ont_sigs"
+    Seq(db).foreach(IncrementalReadonly.reset(spark, _))
+    IncrementalBelief.reset(spark, bdb)
+    IncrementalOntologyEdges.reset(spark, odb)
+    val ontology = Seq(("HGNC:1", "FPLX:FAM")).toDF("desc", "anc")
+
+    // batch 1: the SPECIFIC statement (HGNC-grounded subject)
+    Seq((1L, "reach", act("\"HGNC\":\"1\"", "A1")))
+      .toDF("raw_stmt_id", "src", "raw_json")
+      .coalesce(1).write.mode("append").parquet(rawDir)
+    Streams.streamingScoredReadonly(spark, rawDir, ckDir, db, bdb, 16,
+      ontology = Some(ontology), ontologyDb = odb).awaitTermination()
+
+    // batch 2: the FAMILY-level statement arrives later — an OLD-desc ->
+    // NEW-anc ontology edge the signature index must find, lifting the
+    // family statement's belief with the specific one's evidence
+    Seq((2L, "signor", act("\"FPLX\":\"FAM\"", "FAM")))
+      .toDF("raw_stmt_id", "src", "raw_json")
+      .coalesce(1).write.mode("append").parquet(rawDir)
+    Streams.streamingScoredReadonly(spark, rawDir, ckDir, db, bdb, 16,
+      ontology = Some(ontology), ontologyDb = odb).awaitTermination()
+
+    // batch oracle: union edges (key-subset + ontology walk) -> closure ->
+    // refinement-aware belief, as Pipeline.run does
+    val all = Seq(
+      (1L, "reach", act("\"HGNC\":\"1\"", "A1")),
+      (2L, "signor", act("\"FPLX\":\"FAM\"", "FAM")))
+      .toDF("raw_stmt_id", "src", "raw_json")
+    val (valid, _) = Preassembly.partitionValid(Preassembly.parse(all))
+    val v = valid.localCheckpoint(false)
+    val uniq = v.select(col("mk_hash"), col("stmt.type").as("stype")).distinct()
+    val agents = Preassembly.agentRows(v)
+    val closure = Refinement.transitiveClosure(
+      Pipeline.refinementEdges(uniq, agents).unionByName(
+        Refinement.ontologyRefinementEdges(uniq, agents, ontology))
+        .distinct())
+    assert(closure.count() == 1) // exactly the specific -> family edge
+    val srcCounts = v.groupBy("mk_hash", "src").agg(count(lit(1)).as("cnt"))
+      .groupBy("mk_hash")
+      .agg(map_from_entries(collect_list(struct(col("src"), col("cnt"))))
+        .as("src_json"))
+    val oracle = Belief.scoreWithRefinements(srcCounts, closure)
+      .select("mk_hash", "belief").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val served = IncrementalReadonly.load(spark, db).sourceMeta
+      .select("mk_hash", "belief").distinct().collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(served == oracle)
+    // the family statement carries two sources' evidence, the specific one
+    val famHash = closure.select("anc").head().getLong(0)
+    val specHash = closure.select("desc").head().getLong(0)
+    assert(served(famHash) > served(specHash))
+  }
 }
