@@ -293,6 +293,92 @@ object Dedup {
       .format("parquet").saveAsTable(s"$db.shingles")
   }
 
+  /** Per-bucket file counts of one of the persisted index's tables — the
+    * compaction pressure signal, the bucketed-table analog of
+    * [[graft.assembly.IncrementalReadonly.shardFileCounts]]. Bucketed
+    * parquet files carry their bucket id in the file name
+    * (`part-…-…_00003.c000…`); every [[appendIndex]] batch adds one file
+    * to each bucket its rows land in, so the hottest bucket's count is
+    * exactly the per-bucket scan fan-in a [[deltaNearDups]] probe pays. */
+  def indexFileCounts(
+      spark: org.apache.spark.sql.SparkSession, db: String,
+      table: String = "band_sigs"): Map[Int, Int] = {
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val root = new org.apache.hadoop.fs.Path(s"$warehouse/$db.db/$table")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketId = "_(\\d{5})\\.".r
+    if (!fs.exists(root)) Map.empty
+    else fs.listStatus(root).iterator
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      .flatMap(f => bucketId.findFirstMatchIn(f.getPath.getName)
+        .map(_.group(1).toInt))
+      .toSeq.groupBy(identity).map { case (b, xs) => b -> xs.size }
+  }
+
+  /** Rewrite one index table to one file per bucket, preserving the
+    * bucket spec so later [[appendIndex]] appends and exchange-free
+    * probes keep working. Not atomic, but every crash window heals on
+    * replay: rewrite lands in a `_compact` side table first (a partial
+    * side table is simply overwritten next time), and only then does the
+    * original drop + rename swap happen — a crash between those two
+    * leaves the side table holding the full index, which the replay
+    * detects (original missing) and finishes with just the rename. */
+  private def compactTable(
+      spark: org.apache.spark.sql.SparkSession, db: String, name: String,
+      buckets: Int, keys: Seq[String]): Unit = {
+    val tmp = name + "_compact"
+    if (spark.catalog.tableExists(s"$db.$name")) {
+      spark.catalog.refreshTable(s"$db.$name")
+      // repartition on the COMPUTED bucket id, one expression: hash() is
+      // the writer's own bucket function (murmur3-pmod), so every
+      // bucket's rows land whole in one task and each task writes one
+      // file per bucket it holds — 1 file per bucket total. Two quirks
+      // force this shape: (a) repartition(n, cols…) with a string column
+      // among the exprs silently ignores `n` (Spark 4.1, AQE on or off),
+      // and (b) the V1 bucketed-write planner strips a RepartitionByNum
+      // over the raw key columns anyway. A future divergence between
+      // hash() and the writer's bucket hash (e.g. non-binary collations)
+      // degrades only the file count, never correctness — the writer
+      // re-derives bucket ids itself.
+      graft.assembly.Deploy.saveBucketed(
+        spark, spark.table(s"$db.$name")
+          .repartition(buckets,
+            pmod(hash(keys.map(col): _*), lit(buckets))),
+        db, tmp, buckets, keys)
+      spark.sql(s"DROP TABLE $db.$name")
+    }
+    spark.sql(s"ALTER TABLE $db.$tmp RENAME TO $db.$name")
+    spark.catalog.refreshTable(s"$db.$name")
+  }
+
+  /** Compact a persisted dedup index in place: rewrite `band_sigs` and
+    * `shingles` into one file per bucket. Pure layout work — the same
+    * rows come back through [[loadIndex]], so probe results are
+    * unchanged by construction; what changes is the per-bucket file
+    * fan-in accumulated by [[appendIndex]] (each absorbed batch appends
+    * a file per touched bucket, the LSM read-cost/write-cost trade as in
+    * [[graft.assembly.IncrementalReadonly.compactInto]]). The index
+    * stays authoritative and keeps absorbing deltas afterwards. */
+  def compactIndex(
+      spark: org.apache.spark.sql.SparkSession, db: String,
+      buckets: Int): Unit = {
+    compactTable(spark, db, "band_sigs", buckets, Seq("band", "sig"))
+    compactTable(spark, db, "shingles", buckets, Seq("doc_id"))
+  }
+
+  /** Compaction policy, as [[graft.assembly.IncrementalReadonly
+    * .compactIfNeeded]]: rewrite when the hottest bucket of the probe
+    * table has accumulated more than `maxFilesPerBucket` files. Returns
+    * true when a compaction ran. */
+  def compactIndexIfNeeded(
+      spark: org.apache.spark.sql.SparkSession, db: String, buckets: Int,
+      maxFilesPerBucket: Int = 8): Boolean = {
+    val pressure = indexFileCounts(spark, db).values.maxOption.getOrElse(0)
+    val due = pressure > maxFilesPerBucket
+    if (due) compactIndex(spark, db, buckets)
+    due
+  }
+
   /** End-to-end near-duplicate REMOVAL — what a training pipeline actually
     * runs: near-dup pairs (from any of the pair generators here) become
     * duplicate clusters via connected components, and exactly one document

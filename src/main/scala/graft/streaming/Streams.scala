@@ -110,7 +110,10 @@ object Streams {
     * in the directory and stops; the checkpoint makes the next run resume
     * after the last drained file. Pair output rows carry the micro-batch
     * id, so a replayed batch is auditable (dedup on read when exact-once
-    * matters). */
+    * matters). With `maxFilesPerBucket` > 0, each batch ends by applying
+    * [[graft.operators.Dedup.compactIndexIfNeeded]] — the same
+    * file-pressure LSM policy as the readonly store's
+    * [[graft.assembly.IncrementalReadonly.compactIfNeeded]]. */
   def streamingNearDups(
       spark: org.apache.spark.sql.SparkSession,
       docsDir: String,
@@ -119,7 +122,8 @@ object Streams {
       checkpointDir: String,
       pairsOutDir: String,
       n: Int = 3, k: Int = 12, r: Int = 3,
-      threshold: Double = 0.6): org.apache.spark.sql.streaming.StreamingQuery =
+      threshold: Double = 0.6,
+      maxFilesPerBucket: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.schema(docStreamSchema).parquet(docsDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -141,6 +145,11 @@ object Streams {
         val batchSh = Dedup.shingleSet(batch, "doc_id", "text", n)
           .select("doc_id", "sh_hash").localCheckpoint(false)
         Dedup.appendIndex(batchSh, indexDb, indexBuckets, k, r)
+        // in-stream LSM compaction (opt-in): foreachBatch serializes
+        // micro-batches, so the rewrite never races a probe of this stream
+        if (maxFilesPerBucket > 0)
+          Dedup.compactIndexIfNeeded(spark, indexDb, indexBuckets,
+            maxFilesPerBucket)
         ()
       }
       .start()

@@ -96,6 +96,74 @@ class DeploySpec extends AnyFunSuite {
     assert(sigs2.count() == nSigs && sh2.count() == nSh)
   }
 
+  test("dedup index compaction: one file per bucket, identical probes") {
+    import graft.operators.Dedup
+    import graft.sources.Tables
+    val db = "graft_compact_idx"
+    val docs = Tables.table(spark, dir, "documents").select("doc_id", "text")
+    Dedup.writeIndex(docs, "doc_id", "text", db, buckets = 4)
+    // absorb three delta batches — each appends a file per touched bucket
+    for (i <- 1 to 3) {
+      val b = docs.filter(col("doc_id") % 7 === i)
+        .select((col("doc_id") + 200000L * i).as("doc_id"), col("text"))
+      Dedup.appendIndex(
+        Dedup.shingleSet(b, "doc_id", "text", 3).select("doc_id", "sh_hash"),
+        db, buckets = 4)
+    }
+    val probe = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 900000L).as("doc_id"), col("text"))
+    def probeRun() = {
+      val (sigs, sh) = Dedup.loadIndex(spark, db)
+      Dedup.deltaNearDups(probe, "doc_id", "text", sigs, sh)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val before = probeRun()
+    assert(before.nonEmpty, "planted near-dups must be found")
+    val hotBefore = Dedup.indexFileCounts(spark, db).values.max
+    assert(hotBefore >= 4, s"base + 3 appends expected, saw $hotBefore")
+    // policy: below threshold no-op, above threshold compacts
+    assert(!Dedup.compactIndexIfNeeded(spark, db, 4, maxFilesPerBucket = hotBefore))
+    assert(Dedup.indexFileCounts(spark, db).values.max == hotBefore)
+    assert(Dedup.compactIndexIfNeeded(spark, db, 4, maxFilesPerBucket = hotBefore - 1))
+    assert(Dedup.indexFileCounts(spark, db).values.max == 1,
+      "compaction should leave one file per bucket")
+    assert(Dedup.indexFileCounts(spark, db, "shingles").values.max == 1)
+    assert(probeRun() == before, "compaction must not change probe results")
+    // the index keeps absorbing deltas after compaction (bucket spec kept)
+    val late = docs.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 800000L).as("doc_id"), col("text"))
+    Dedup.appendIndex(
+      Dedup.shingleSet(late, "doc_id", "text", 3).select("doc_id", "sh_hash"),
+      db, buckets = 4)
+    assert(Dedup.indexFileCounts(spark, db).values.max == 2)
+    // every pre-compaction pair survives; the only new pairs involve the
+    // freshly indexed late batch
+    val after = probeRun()
+    assert(before.subsetOf(after))
+    assert((after -- before).forall { case (a, _) =>
+      a >= 800000L && a < 900000L })
+  }
+
+  test("compactIndex replay heals a crash between drop and rename") {
+    import graft.operators.Dedup
+    val db = "graft_compact_idx" // state left by the previous test
+    val before = {
+      val (sigs, sh) = Dedup.loadIndex(spark, db)
+      (sigs.count(), sh.count())
+    }
+    // simulate the one non-healing-by-overwrite window: the shingles
+    // rewrite completed into the side table and the original was dropped,
+    // then the process died before the rename
+    spark.sql(s"ALTER TABLE $db.shingles RENAME TO $db.shingles_compact")
+    // replay: band_sigs takes the full rewrite path, shingles only the
+    // finishing rename
+    Dedup.compactIndex(spark, db, buckets = 4)
+    val (sigs, sh) = Dedup.loadIndex(spark, db)
+    assert((sigs.count(), sh.count()) == before,
+      "healed index must hold exactly the pre-crash rows")
+    assert(Dedup.indexFileCounts(spark, db).values.max == 1)
+  }
+
   test("persisted ANN index: both search paths equal the fresh-index runs") {
     import graft.operators.Similarity
     import graft.sources.Tables

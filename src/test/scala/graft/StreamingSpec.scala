@@ -139,12 +139,20 @@ class StreamingSpec extends AnyFunSuite {
     // ids only if run 1's batch was appended to the index
     copies.select((col("doc_id") + 100000).as("doc_id"), col("text"))
       .coalesce(1).write.mode("append").parquet(docsDir)
+    // run 2 also opts into the in-stream LSM policy: with the base write
+    // plus run 1's append on disk the hottest bucket exceeds 1 file, so
+    // the batch ends with a compaction
     Streams.streamingNearDups(spark, docsDir, "graft_stream_idx",
-      indexBuckets = 4, ckDir, outDir).awaitTermination()
+      indexBuckets = 4, ckDir, outDir, maxFilesPerBucket = 1)
+      .awaitTermination()
     val found2 = spark.read.parquet(outDir)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(planted.forall(c => found2.contains((c, c + 100000))),
       "run-2 docs must match run-1 docs through the grown index")
+    assert(Dedup.indexFileCounts(spark, "graft_stream_idx").values.max == 1
+      && Dedup.indexFileCounts(spark, "graft_stream_idx", "shingles")
+        .values.max == 1,
+      "in-stream compaction should have rewritten the index")
   }
 
   test("streaming curate-and-pack equals the batch funnel + packing") {
