@@ -164,6 +164,35 @@ class DeploySpec extends AnyFunSuite {
     assert(Dedup.indexFileCounts(spark, db).values.max == 1)
   }
 
+  test("JDBC export round-trips the readonly layer through embedded Derby") {
+    import graft.assembly.JdbcExport
+    val ro = TpchWorld.readonly(spark, dir)
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    JdbcExport.writeReadonly(ro, url, prefix = "", connections = 2)
+    // source_meta carries the map-typed src_json — the column the
+    // reference JSON-serializes by hand; compare against to_json here
+    val back = spark.read.jdbc(url, "source_meta",
+      new java.util.Properties())
+    assert(back.count() == ro.sourceMeta.count())
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("mk_hash"), col("ev_count"),
+        get_json_object(col("src_json"), "$").as("sj"))
+      .collect().map(_.toSeq).toSet
+    assert(canon(back) ==
+      canon(ro.sourceMeta.withColumn("src_json", to_json(col("src_json")))))
+    // the narrow metas round-trip by value
+    val nmBack = spark.read.jdbc(url, "name_meta", new java.util.Properties())
+    assert(nmBack.count() == ro.nameMeta.count())
+    assert(nmBack.columns.sorted.toSeq == ro.nameMeta.columns.sorted.toSeq)
+    // fast_raw_pa_link uses append mode: a second export doubles it,
+    // everything else overwrites in place (reference modes, :603-605)
+    JdbcExport.writeReadonly(ro, url, prefix = "", connections = 2)
+    assert(spark.read.jdbc(url, "fast_raw_pa_link",
+      new java.util.Properties()).count() == 2 * ro.fastRawPaLink.count())
+    assert(spark.read.jdbc(url, "source_meta",
+      new java.util.Properties()).count() == ro.sourceMeta.count())
+  }
+
   test("persisted ANN index: both search paths equal the fresh-index runs") {
     import graft.operators.Similarity
     import graft.sources.Tables
