@@ -99,6 +99,28 @@ object Results {
       ro: ReadonlyTables,
       types: TypeRegistry,
       evLimit: Int = 10,
+      evFilter: Option[EvFilter] = None): DataFrame =
+    statementStructResult(q, ro, types, evLimit, evFilter)
+      .select(col("mk_hash"), col("n_returned"),
+        to_json(struct(
+          col("mk_hash").as("matches_hash"),
+          col("belief"),
+          col("ev_count").as("ev_total"),
+          col("src_json").as("source_counts"),
+          col("pa_json").as("statement"),
+          col("english"),
+          col("evidence"),
+        )).as("result_json"))
+
+  /** The same envelope with the columns still structured — the shared
+    * substrate for the JSON egress above and the HTML rendering
+    * ([[graft.service.HtmlAssembly]]), which needs the fields
+    * individually rather than one serialized document. */
+  def statementStructResult(
+      q: StmtQuery,
+      ro: ReadonlyTables,
+      types: TypeRegistry,
+      evLimit: Int = 10,
       evFilter: Option[EvFilter] = None): DataFrame = {
     val ev = statements(q, ro, types, evLimit, evFilter, withRefs = true)
     val collected = ev.groupBy("mk_hash").agg(
@@ -136,17 +158,13 @@ object Results {
       .join(payload, Seq("mk_hash"), "left")
       .join(agentArrays(ro), Seq("mk_hash"), "left")
       .select(col("mk_hash"), col("n_returned"),
-        to_json(struct(
-          col("mk_hash").as("matches_hash"),
-          col("belief"),
-          col("ev_count").as("ev_total"),
-          col("src_json").as("source_counts"),
-          col("pa_json").as("statement"),
-          graft.functions.English
-            .statementEnglish(typeName(types), col("agent_names"))
-            .as("english"),
-          transform(col("evs"), evidenceJson _).as("evidence"),
-        )).as("result_json"))
+        col("belief"), col("ev_count"), col("src_json"), col("pa_json"),
+        typeName(types).as("stype"),
+        col("agent_names"),
+        graft.functions.English
+          .statementEnglish(typeName(types), col("agent_names"))
+          .as("english"),
+        transform(col("evs"), evidenceJson _).as("evidence"))
   }
 
   /** Per-hash mesh annotation summary — the mesh_ref_counts service shape

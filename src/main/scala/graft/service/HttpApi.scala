@@ -204,8 +204,7 @@ object HttpApi {
 
         case ("POST", List("query", rt)) if resultTypes(rt) =>
           val q = QueryJson.fromJson(body(ex))
-          respond(ex, 200,
-            rows(dispatch(q, rt, ro, types, p, curationDir), maxRows))
+          respondResult(ex, q, rt, ro, types, p, maxRows, curationDir)
 
         case ("GET", List("expand")) =>
           val agents = p.getOrElse("agents", "")
@@ -230,8 +229,7 @@ object HttpApi {
                 .extract[Seq[Seq[String]]].map { case Seq(t, i) => (t, i) })
             case other => sys.error(s"unknown method: $other")
           }
-          respond(ex, 200,
-            rows(dispatch(q, rt, ro, types, p, curationDir), maxRows))
+          respondResult(ex, q, rt, ro, types, p, maxRows, curationDir)
 
         case other => respond(ex, 404, """{"error":"not found"}""")
       }
@@ -269,6 +267,29 @@ object HttpApi {
       graft.assembly.Curation.store(ro.sourceMeta.sparkSession, dir))
     case None => df
   }
+
+  /** Statement-family egress: `format=html` on a statements request takes
+    * the reference's HtmlAssembler branch (call_handlers.py:370-402) —
+    * text/html, nested page, capped like MAX_STMTS; every other format
+    * value falls through to the JSON rows, matching the reference's
+    * "JSON for all other values of the format argument". */
+  private def respondResult(
+      ex: HttpExchange,
+      q: StmtQuery,
+      resultType: String,
+      ro: ReadonlyTables,
+      types: TypeRegistry,
+      p: Map[String, String],
+      maxRows: Int,
+      curationDir: Option[String]): Unit =
+    if (resultType == "statements" && p.get("format").contains("html")) {
+      val evLimit = p.get("ev_limit").map(_.toInt).getOrElse(10)
+      val lim = p.get("limit").map(_.toInt).filter(_ > 0)
+        .map(math.min(_, maxRows)).getOrElse(maxRows)
+      respond(ex, 200,
+        HtmlAssembly.page(q, ro, types, evLimit, lim), "text/html")
+    } else respond(ex, 200,
+      rows(dispatch(q, resultType, ro, types, p, curationDir), maxRows))
 
   private def dispatch(
       q: StmtQuery,

@@ -92,6 +92,56 @@ class HttpApiSpec extends AnyFunSuite {
     assert(agentStrs(page1) ++ agentStrs(page2) == agentStrs(all))
   }
 
+  test("format=html renders the nested statements page") {
+    import graft.service.HtmlAssembly
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(base +
+        "/statements/from_agents?agent=P5&medscan=true&format=html"))
+        .GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 200, r.body())
+    assert(r.headers().firstValue("Content-Type").orElse("") == "text/html")
+    val html = r.body()
+    assert(html.startsWith("<!doctype html>"))
+    // the page mirrors the columnar view model exactly: one statement <li>
+    // per row, one header per distinct group key, every English surface
+    // present, groups in descending-evidence order
+    val q = QueryService.buildQuery(
+      QueryService.Request(agents = Seq("P5"), allowMedscan = true))
+    val vm = HtmlAssembly.viewModel(q, ro, TpchWorld.types).collect()
+    assert(vm.nonEmpty)
+    def count(needle: String) =
+      html.sliding(needle.length).count(_ == needle)
+    assert(count("<li class=\"statement\"") == vm.length)
+    assert(count("<details class=\"agent-pair\"") ==
+      vm.map(_.getAs[String]("pair_key")).distinct.length)
+    assert(count("<details class=\"relation\"") ==
+      vm.map(r => (r.getAs[String]("pair_key"), r.getAs[String]("rel_key")))
+        .distinct.length)
+    vm.foreach { row =>
+      assert(html.contains(row.getAs[String]("english")))
+      assert(html.contains(s"""data-hash="${row.getAs[Long]("mk_hash")}""""))
+    }
+    // view-model ordering: pair totals never increase down the page
+    val pairEvs = vm.map(r =>
+      (r.getAs[String]("pair_key"), r.getAs[Long]("pair_ev")))
+      .distinct.map(_._2)
+    assert(pairEvs.sameElements(pairEvs.sorted(Ordering[Long].reverse)))
+    assert(html.contains(s"statements_returned: ${vm.length}"))
+    assert(html.contains("end_of_statements: true"))
+    // limit caps like MAX_STMTS and reports the truncation
+    val (c2, html2) = get(
+      "/statements/from_agents?agent=P5&medscan=true&format=html&limit=2")
+    assert(c2 == 200 && html2.contains("statements_returned: 2"))
+    if (vm.length > 2) assert(html2.contains("end_of_statements: false"))
+    // data-derived text is escaped before markup wraps it
+    val titled = HtmlAssembly.render(
+      HtmlAssembly.viewModel(q, ro, TpchWorld.types), 1,
+      title = "<script>alert(1)</script>")
+    assert(!titled.contains("<script>") &&
+      titled.contains("&lt;script&gt;"))
+  }
+
   test("unknown routes 404, bad requests 400") {
     assert(get("/nope/from_agents")._1 == 404)
     assert(post("/query/hashes", "{not json")._1 == 400)
