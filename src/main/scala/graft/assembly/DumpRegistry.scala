@@ -49,14 +49,15 @@ object DumpRegistry {
     * :528, Sif :547, End :598 = everything). */
   val requires: Map[String, Seq[String]] = Map(
     "start" -> Nil,
+    "principal-statistics" -> Seq("start"),
     "belief" -> Seq("start"),
     "readonly" -> Seq("belief"),
     "source_count" -> Seq("readonly"),
     "res_pos" -> Seq("readonly"),
     "full_pa_json" -> Seq("readonly"),
     "sif" -> Seq("source_count", "res_pos", "belief"),
-    "end" -> Seq("start", "belief", "readonly", "source_count", "res_pos",
-      "full_pa_json", "sif"),
+    "end" -> Seq("start", "principal-statistics", "belief", "readonly",
+      "source_count", "res_pos", "full_pa_json", "sif"),
   )
 
   private def fileSystem(spark: SparkSession, root: String): FileSystem =
@@ -225,6 +226,49 @@ object DumpRegistry {
       else ro.fastRawPaLink.select(col("mk_hash"),
         lit(null).cast("string").as("pa_json")).dropDuplicates("mk_hash")
     dumpElement(spark, d, "full_pa_json", payload, force)
+  }
+
+  /** Principal content statistics (PrincipalStats, dump.py:376-415):
+    * per (source, text_type, reader, reader_version, statement type),
+    * the distinct content / reading / raw-statement / preassembled
+    * counts over the principal left-join chain. The reference runs this
+    * as one SQL aggregation in Postgres; here it is one groupBy over the
+    * joined frames — partial aggregation map-side, a single shuffle on
+    * the (low-cardinality) group key.
+    *
+    * `readings` is the reading⨝text_content surface (the
+    * [[Distill.distill]] input shape plus `tcid`): rid, tcid, reader,
+    * reader_version, source, text_type. `rawStatements`: sid, rid,
+    * stype. `paLink`: sid, mk_hash. */
+  def principalStats(
+      readings: DataFrame,
+      rawStatements: DataFrame,
+      paLink: DataFrame): DataFrame =
+    readings
+      .join(rawStatements, Seq("rid"), "left")
+      .join(paLink, Seq("sid"), "left")
+      .groupBy("source", "text_type", "reader", "reader_version", "stype")
+      .agg(
+        countDistinct("tcid").as("n_content"),
+        countDistinct("rid").as("n_readings"),
+        countDistinct("sid").as("n_raw"),
+        countDistinct("mk_hash").as("n_pa"))
+
+  /** The CSV artifact of [[principalStats]] (the reference's `fmt =
+    * 'csv'` with a header row; the grouped counts are tiny, so one
+    * file). */
+  def dumpPrincipalStats(
+      spark: SparkSession, d: Dump,
+      readings: DataFrame, rawStatements: DataFrame, paLink: DataFrame,
+      force: Boolean = false): Boolean = {
+    val name = "principal-statistics"
+    checkOrder(spark, d, name)
+    val fresh = force || !elementExists(spark, d, name)
+    if (fresh)
+      principalStats(readings, rawStatements, paLink)
+        .coalesce(1).write.option("header", "true")
+        .mode("overwrite").csv(d.element(name))
+    fresh
   }
 
   /** SIF dump (dump.py:541-562): reads its prerequisites' DUMPED

@@ -124,6 +124,52 @@ object AssemblyQueries extends QueryPack {
         WHERE prio = bp"""),
     ),
 
+    // the reference's principal-statistics dump (cli/dump.py:376-415):
+    // per (source, text_type, reader, reader_version, statement type),
+    // distinct content/reading/raw/preassembled counts over the
+    // principal left-join chain — one partial-aggregated groupBy here
+    "q_principal_stats" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val k = regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+        val readings = ev.select(
+          col("event_id").as("rid"),
+          floor(col("event_id") / 7).cast("long").as("tcid"),
+          col("event_type").as("reader"),
+          floor(col("value")).cast("long").as("reader_version"),
+          concat(lit("s"), (k % 3).cast("string")).as("source"),
+          when(k % 2 === 0, "fulltext").otherwise("abstract")
+            .as("text_type"))
+        val raw = ev.filter(k % 5 =!= 0).select(
+          col("event_id").as("sid"), col("event_id").as("rid"),
+          concat(lit("T"), (k % 4).cast("string")).as("stype"))
+        val pa = raw.filter(col("sid") % 3 =!= 1)
+          .select(col("sid"), (col("sid") % 997).as("mk_hash"))
+        graft.assembly.DumpRegistry.principalStats(readings, raw, pa)
+      },
+      Some("""WITH ke AS (SELECT event_id, event_type, value,
+            CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+          FROM events),
+        r AS (SELECT event_id AS rid,
+            CAST(floor(event_id / 7) AS BIGINT) AS tcid,
+            event_type AS reader,
+            CAST(floor(value) AS BIGINT) AS reader_version,
+            's' || CAST(k % 3 AS VARCHAR) AS source,
+            CASE WHEN k % 2 = 0 THEN 'fulltext' ELSE 'abstract' END
+              AS text_type FROM ke),
+        raw AS (SELECT event_id AS sid, event_id AS rid,
+            'T' || CAST(k % 4 AS VARCHAR) AS stype FROM ke WHERE k % 5 <> 0),
+        pa AS (SELECT sid, sid % 997 AS mk_hash FROM raw WHERE sid % 3 <> 1)
+        SELECT r.source, r.text_type, r.reader, r.reader_version, raw.stype,
+          COUNT(DISTINCT r.tcid) AS n_content,
+          COUNT(DISTINCT r.rid) AS n_readings,
+          COUNT(DISTINCT raw.sid) AS n_raw,
+          COUNT(DISTINCT pa.mk_hash) AS n_pa
+        FROM r LEFT JOIN raw ON r.rid = raw.rid
+          LEFT JOIN pa ON raw.sid = pa.sid
+        GROUP BY 1, 2, 3, 4, 5"""),
+    ),
+
     "q_preassemble" -> QueryDef(
       (s, dir) => {
         // raw statement JSONs synthesized from lineitem, then the REAL

@@ -44,6 +44,37 @@ class DumpRegistrySpec extends AnyFunSuite {
       Some(TpchWorld.complexTypeNum)))
     // skip-if-exists default (run_dump, dump.py:264-270)
     assert(!dumpBelief(spark, d, ro))
+
+    // principal statistics: planted chain — content c1 read twice by r1
+    // (one reading raw-less), once by r2; c2 unread by anything with raws
+    val readings = Seq(
+      (10L, 1L, "reach", 1L, "pubmed", "abstract"),
+      (11L, 1L, "reach", 1L, "pubmed", "abstract"),
+      (12L, 1L, "sparser", 2L, "pubmed", "abstract"),
+      (13L, 2L, "reach", 1L, "pmc", "fulltext"))
+      .toDF("rid", "tcid", "reader", "reader_version", "source", "text_type")
+    val raw = Seq((100L, 10L, "Activation"), (101L, 10L, "Activation"),
+      (102L, 12L, "Complex"))
+      .toDF("sid", "rid", "stype")
+    val pa = Seq((100L, 7L), (101L, 7L)).toDF("sid", "mk_hash")
+    intercept[DumpOrderError](markEnd(spark, d)) // stats required by end
+    assert(dumpPrincipalStats(spark, d, readings, raw, pa))
+    val stats = spark.read.option("header", "true")
+      .csv(d.element("principal-statistics"))
+    // (pubmed reach Activation), (pubmed reach null: rid 11 has no raw),
+    // (pubmed sparser Complex), (pmc reach null)
+    assert(stats.count() == 4)
+    val reach = stats.filter(col("reader") === "reach" &&
+      col("stype") === "Activation").collect().head
+    assert(reach.getAs[String]("n_content") == "1" &&
+      reach.getAs[String]("n_readings") == "1" &&
+      reach.getAs[String]("n_raw") == "2" &&
+      reach.getAs[String]("n_pa") == "1")
+    val rawless = stats.filter(col("reader") === "reach" &&
+      col("source") === "pmc").collect().head
+    assert(rawless.getAs[String]("n_raw") == "0" &&
+      rawless.getAs[String]("n_pa") == "0")
+
     markEnd(spark, d)
 
     val d2 = start(spark, root, "2020-08-28")
