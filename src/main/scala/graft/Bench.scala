@@ -127,7 +127,10 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_BENCH_ONLY", name)
       pb.environment().put("SPARK_GRAFT_BENCH_WARMUPS", "3")
       pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
-      pb.redirectErrorStream(false)
+      // Spark logs to stderr; an undrained pipe fills (~64 KB) and
+      // deadlocks the child against our stdout read — discard it rather
+      // than merge (a merged stream can interleave mid-JSON-line)
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
       val proc = pb.start()
       val out = scala.io.Source.fromInputStream(proc.getInputStream)
         .getLines().toList

@@ -63,6 +63,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hadamard_rotate"),
       info("hadamard_rotate",
         "hadamard_rotate(vec, dim) - signed Walsh-Hadamard rotation (OPQ)"),
-      (args: Seq[Expression]) => HadamardRotate(args(0), litInt(args(1)))))
+      (args: Seq[Expression]) => {
+        // same fail-fast as the Scala API (vectors.hadamard_rotate): a
+        // non-power-of-two dim would silently yield a non-orthogonal
+        // transform with an inexact sqrt(dim) normalization
+        val dim = litInt(args(1))
+        require(dim > 0 && (dim & (dim - 1)) == 0,
+          s"hadamard_rotate needs a power-of-two dim (got $dim)")
+        HadamardRotate(args(0), dim)
+      }))
   }
 }

@@ -264,11 +264,16 @@ object IncrementalBelief {
     ShardedStore.append(spark, db, "c_by_anc",
       deltaClosure.select(col("desc"), col("anc"),
         col("anc_shard").as(Shard)), Seq(Shard))
-    // second copy guarded by ITS OWN pairs: a crash between the two
-    // appends heals on replay instead of duplicating
+    // second copy guarded by ITS OWN pairs — derived from the UNGUARDED
+    // accumulated closure, never from the c_by_anc-guarded delta: a crash
+    // between the two appends replays with an empty deltaClosure (the
+    // pairs already sit in c_by_anc), and a guard derived from it would
+    // leave c_by_desc permanently short. Probing c_by_desc itself makes
+    // the replay re-discover exactly the missing pairs (the s_keysets /
+    // s_keys / appendIndex convention: each guard reads only its table).
     val deltaForDesc =
-      if (!exists(spark, db, "c_by_desc")) deltaClosure
-      else deltaClosure.join(
+      if (!exists(spark, db, "c_by_desc")) accSharded
+      else accSharded.join(
         refreshed(spark, db, "c_by_desc")
           .filter(inShards(col(Shard), pairShards("desc_shard")))
           .select("desc", "anc"),
@@ -290,9 +295,15 @@ object IncrementalBelief {
       .join(deltaH.select(col("mk_hash").as("d_h")),
         col("desc") === col("d_h"), "left_semi")
       .select(col("anc").as("mk_hash"))
+    // anc side from the UNGUARDED accumulated closure, not deltaClosure:
+    // a replay whose crash fell after the pair appends but before the agg
+    // overwrite sees an empty deltaClosure, and an old->old extra edge
+    // (neither endpoint in deltaH) would otherwise leave its ancestors'
+    // s_agg permanently stale. accSharded re-derives identically on every
+    // replay; extra hashes only widen the pure rewrite, never corrupt it.
     val affected = deltaH.select("mk_hash")
       .unionByName(ancOfDelta)
-      .unionByName(deltaClosure.select(col("anc").as("mk_hash")))
+      .unionByName(accSharded.select(col("anc").as("mk_hash")))
       .distinct()
       .withColumn(Shard, shardOf(col("mk_hash"), shards))
       .localCheckpoint(false)

@@ -295,6 +295,10 @@ object Streams {
       ontology: Option[DataFrame] = None,
       ontologyDb: String = "")
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // fail at stream construction, not as an opaque CREATE DATABASE parse
+    // error inside the first micro-batch
+    require(ontology.isEmpty || ontologyDb.nonEmpty,
+      "streamingScoredReadonly: ontology given but ontologyDb is empty")
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("raw_stmt_id",
         org.apache.spark.sql.types.LongType),

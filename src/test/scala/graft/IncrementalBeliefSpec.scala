@@ -133,6 +133,55 @@ class IncrementalBeliefSpec extends AnyFunSuite {
     assert(rows("c_by_anc") == rows("c_by_desc"))
   }
 
+  test("replay heals a crash between the closure appends (desc copy)") {
+    import spark.implicits._
+    val db = "graft_ib_spec4"
+    IncrementalBelief.reset(spark, db)
+    // key-disjoint world: every edge arrives via extraEdges, and the delta
+    // batch carries OLD->OLD edges only (neither endpoint in the batch's
+    // own hashes) — the worst case for replay re-derivation
+    val s = Seq(10L -> "t", 20L -> "t", 30L -> "t")
+    val a = Seq(10L -> Seq("XA"), 20L -> Seq("XB"), 30L -> Seq("XC"))
+    val c = Seq((10L, "reach", 1L), (20L, "reach", 1L), (30L, "reach", 1L))
+    IncrementalBelief.init(spark, stmtsDf(s), agentsDf(a), countsDf(c),
+      db, shards = 4)
+    val aggBefore = spark.table(s"$db.s_agg").collect().toSeq
+    val aggSchema = spark.table(s"$db.s_agg").schema
+    val descSchema = spark.table(s"$db.c_by_desc").schema
+    def replay() = IncrementalBelief.upsert(spark, emptyStmts, emptyAgents,
+      countsDf(Seq.empty), db, shards = 4, batchId = 1L,
+      extraEdges = Some(Seq((10L, 20L), (20L, 30L)).toDF("desc", "anc")))
+    replay()
+    // simulate the crash window: c_by_anc landed, but the c_by_desc append
+    // and the s_agg overwrite never ran — rewind both to pre-batch state
+    def rewind(table: String, rows: Seq[org.apache.spark.sql.Row],
+        schema: org.apache.spark.sql.types.StructType): Unit = {
+      spark.sql(s"DROP TABLE $db.$table")
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+        .write.partitionBy("shard").format("parquet")
+        .saveAsTable(s"$db.$table")
+    }
+    rewind("c_by_desc", Seq.empty, descSchema)
+    rewind("s_agg", aggBefore, aggSchema)
+    // the at-least-once replay sees an empty deltaClosure (pairs already
+    // in c_by_anc); per-table guards must still heal c_by_desc and the
+    // affected-set must still re-derive the stale s_agg ancestors
+    replay()
+    val expected = Set((10L, 20L), (20L, 30L), (10L, 30L))
+    assert(storeClosure(db) == expected)
+    def pairs(t: String) = spark.table(s"$db.$t").select("desc", "anc")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs("c_by_desc") == pairs("c_by_anc"),
+      "forward/reverse closure copies desynced after crash replay")
+    val (_, bel) = batchOracle(s, a, c, Seq((10L, 20L), (20L, 30L)))
+    assert(storeBelief(db) == bel,
+      "s_agg stale after crash replay (affected set missed old->old ancs)")
+    // a further clean replay is a no-op
+    replay()
+    assert(pairs("c_by_anc").size == 3 && pairs("c_by_desc").size == 3)
+    assert(storeBelief(db) == bel)
+  }
+
   test("extra edges compose with stored closure across batches") {
     import spark.implicits._
     val db = "graft_ib_spec3"
