@@ -17,6 +17,9 @@ private[assembly] object ShardedStore {
   def shardOf(c: Column, shards: Int): Column =
     pmod(c, lit(shards)).cast("int")
 
+  private def checkpoint(db: String, name: String): Unit =
+    StoreFaults.onWrite(s"$db.$name")
+
   def exists(spark: SparkSession, db: String, name: String): Boolean =
     spark.catalog.tableExists(s"$db.$name")
 
@@ -42,7 +45,8 @@ private[assembly] object ShardedStore {
     * positional; catalog tables list partition columns last). */
   def append(
       spark: SparkSession, db: String, name: String, df: DataFrame,
-      partCols: Seq[String]): Unit =
+      partCols: Seq[String]): Unit = {
+    checkpoint(db, name)
     if (!exists(spark, db, name)) {
       clearStaleLocation(spark, db, name)
       df.write.partitionBy(partCols: _*).format("parquet")
@@ -52,12 +56,14 @@ private[assembly] object ShardedStore {
       df.select(order.map(col): _*).write.mode("append")
         .insertInto(s"$db.$name")
     }
+  }
 
   /** Dynamic-partition-overwrite upsert of one derived table: only the
     * partitions present in `df` (= the touched shards) are replaced. */
   def overwriteShards(
       spark: SparkSession, db: String, name: String, df: DataFrame,
-      shardCol: String): Unit =
+      shardCol: String): Unit = {
+    checkpoint(db, name)
     if (!exists(spark, db, name)) {
       clearStaleLocation(spark, db, name)
       df.write.partitionBy(shardCol).format("parquet")
@@ -73,6 +79,7 @@ private[assembly] object ShardedStore {
         .insertInto(s"$db.$name")
       finally spark.conf.set(key, prev)
     }
+  }
 
   /** Drop a store database and any on-disk remains a previous process
     * left. */
