@@ -759,10 +759,12 @@ object AssemblyQueries extends QueryPack {
         def countsOf(df: org.apache.spark.sql.DataFrame) =
           df.groupBy("mk_hash", "src").agg(count(lit(1)).as("cnt"))
         val base = part.filter(!col("is_delta"))
-        val delta = part.filter(col("is_delta"))
         // base build once per (session, dir); repeated evaluations (bench
-        // median-of-3) then measure the guarded-idempotent delta upsert,
-        // which IS the per-batch maintenance cost
+        // median-of-3) then measure the guarded-idempotent delta upserts,
+        // which IS the per-batch maintenance cost. The delta arrives as
+        // THREE sequential batches (split by evidence row), so closure and
+        // agg maintenance compose across batch boundaries — multi-batch
+        // accretion, not a single lucky delta
         beliefInitDone.getOrElseUpdate(
           System.identityHashCode(s) + ":" + dir, {
             IncrementalBelief.reset(s, db)
@@ -770,14 +772,96 @@ object AssemblyQueries extends QueryPack {
               countsOf(base), db, shards = 8)
             ()
           })
-        IncrementalBelief.upsert(s, stmtsOf(delta), agentsOf(delta),
-          countsOf(delta), db, shards = 8, batchId = 1L)
+        (0 to 2).foreach { b =>
+          val slice = part.filter(col("is_delta") && col("pk") % 3 === b)
+          IncrementalBelief.upsert(s, stmtsOf(slice), agentsOf(slice),
+            countsOf(slice), db, shards = 8, batchId = 1L + b)
+        }
         IncrementalBelief.belief(s, db)
           .select(col("mk_hash"), col("belief").as("belief_score"))
       },
       Some("""WITH p AS (
           SELECT CAST(p_partkey AS BIGINT) AS pk,
                  CAST(p_partkey % 600 AS BIGINT) AS h
+          FROM part),
+        s AS (
+          SELECT DISTINCT h, CAST(h % 15 + 1 AS INTEGER) AS m, h % 3 AS t
+          FROM p),
+        cnt AS (
+          SELECT h, CASE pk % 3 WHEN 0 THEN 'reach' WHEN 1 THEN 'medscan'
+                    ELSE 'signor' END AS src, COUNT(*) AS c
+          FROM p GROUP BY 1, 2),
+        closure AS (
+          SELECT a.h AS desch, b.h AS anch
+          FROM s a JOIN s b ON a.t = b.t AND (a.m & b.m) = b.m
+            AND bit_count(a.m) > bit_count(b.m)),
+        contrib AS (
+          SELECT anch AS h, desch AS d FROM closure
+          UNION ALL
+          SELECT h, h FROM s),
+        agg AS (
+          SELECT co.h, c.src, SUM(c.c) AS cnt
+          FROM contrib co JOIN cnt c ON c.h = co.d
+          GROUP BY 1, 2),
+        terms AS (
+          SELECT h, src,
+            0.05 + list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+              list_transform(range(1, CAST(cnt AS INTEGER) + 1),
+                x -> CAST(0.3 AS DOUBLE))), (a, b) -> a * b) AS t
+          FROM agg)
+        SELECT h AS mk_hash,
+          1.0 - list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+            list(t ORDER BY src)), (a, b) -> a * b) AS belief_score
+        FROM terms GROUP BY h"""),
+    ),
+
+    // FIRST-DELIVERY twin of q_belief_incremental: the store is RESET and
+    // rebuilt on EVERY evaluation (init + three delta batches on a small
+    // world), so the bench measures the append path — table creation,
+    // un-guarded principal appends, closure extension against a growing
+    // store — not the guard-hit replay the steady-state gate settles into
+    // after its first evaluation. Same closed-form oracle world at 150
+    // hashes (the steady-state gate uses 600) to keep per-eval cost small.
+    "q_belief_incremental_fresh" -> QueryDef(
+      (s, dir) => {
+        import graft.assembly.IncrementalBelief
+        val db = "graft_ib_fresh_" + math.abs(dir.hashCode).toString
+        val part = Tables.table(s, dir, "part")
+          .select(col("p_partkey").cast("long").as("pk"),
+            (col("p_partkey") % 150).cast("long").as("mk_hash"))
+          .withColumn("m", (col("mk_hash") % 15 + 1).cast("int"))
+          .withColumn("stype",
+            concat(lit("t"), (col("mk_hash") % 3).cast("string")))
+          .withColumn("src", when(col("pk") % 3 === 0, "reach")
+            .when(col("pk") % 3 === 1, "medscan").otherwise("signor"))
+          .withColumn("is_delta",
+            col("mk_hash") % 5 === 0 || col("pk") % 13 === 0)
+        def stmtsOf(df: org.apache.spark.sql.DataFrame) =
+          df.select("mk_hash", "stype").distinct()
+        def agentsOf(df: org.apache.spark.sql.DataFrame) =
+          df.select("mk_hash", "m").distinct()
+            .withColumn("bit", explode(array_compact(array(
+              (0 to 3).map(b =>
+                when(col("m").bitwiseAND(1 << b) =!= 0, lit(b))): _*))))
+            .select(col("mk_hash"), lit("NAME").as("db_name"),
+              concat(lit("K"), col("bit").cast("string")).as("db_id"))
+        def countsOf(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("mk_hash", "src").agg(count(lit(1)).as("cnt"))
+        val base = part.filter(!col("is_delta"))
+        IncrementalBelief.reset(s, db)
+        IncrementalBelief.init(s, stmtsOf(base), agentsOf(base),
+          countsOf(base), db, shards = 4)
+        (0 to 2).foreach { b =>
+          val slice = part.filter(col("is_delta") && col("pk") % 3 === b)
+          IncrementalBelief.upsert(s, stmtsOf(slice), agentsOf(slice),
+            countsOf(slice), db, shards = 4, batchId = 1L + b)
+        }
+        IncrementalBelief.belief(s, db)
+          .select(col("mk_hash"), col("belief").as("belief_score"))
+      },
+      Some("""WITH p AS (
+          SELECT CAST(p_partkey AS BIGINT) AS pk,
+                 CAST(p_partkey % 150 AS BIGINT) AS h
           FROM part),
         s AS (
           SELECT DISTINCT h, CAST(h % 15 + 1 AS INTEGER) AS m, h % 3 AS t

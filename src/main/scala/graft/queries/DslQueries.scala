@@ -284,23 +284,30 @@ ai AS (
       (s, dir) => {
         import graft.assembly.IncrementalReadonly
         val db = "graft_ro_inc_" + math.abs(dir.hashCode).toString
-        val delta = TpchWorld.world(s, dir, Some(col("l_partkey") % 10 === 0))
         // base build once per (session, dir): repeated evaluations (bench
         // median-of-3) then measure the incremental path itself — the
-        // guarded-idempotent upsert re-derives the touched shards each
-        // call, which IS the per-batch maintenance cost
+        // guarded-idempotent upserts re-derive the touched shards each
+        // call, which IS the per-batch maintenance cost. The delta is 5%
+        // of evidence (a realistic batch:corpus ratio; the oracle is the
+        // UNION world, so the split is free to choose) delivered as THREE
+        // sequential batches so principal appends, belief-less derived
+        // rewrites, and guards compose across batch boundaries
         incInitDone.getOrElseUpdate(
           System.identityHashCode(s) + ":" + dir, {
             val base =
-              TpchWorld.world(s, dir, Some(col("l_partkey") % 10 =!= 0))
+              TpchWorld.world(s, dir, Some(col("l_partkey") % 20 =!= 0))
             IncrementalReadonly.reset(s, db)
             IncrementalReadonly.init(s, base, TpchWorld.types,
               TpchWorld.readerSources, TpchWorld.dbSources,
               Some(TpchWorld.complexTypeNum), db, shards = 16)
           })
-        IncrementalReadonly.upsert(s, delta, TpchWorld.types,
-          TpchWorld.readerSources, TpchWorld.dbSources,
-          Some(TpchWorld.complexTypeNum), db, shards = 16, batchId = 1L)
+        (0 to 2).foreach { b =>
+          val slice = TpchWorld.world(s, dir, Some(
+            col("l_partkey") % 20 === 0 && pmod(col("l_orderkey"), lit(3)) === b))
+          IncrementalReadonly.upsert(s, slice, TpchWorld.types,
+            TpchWorld.readerSources, TpchWorld.dbSources,
+            Some(TpchWorld.complexTypeNum), db, shards = 16, batchId = 1L + b)
+        }
         val ro = IncrementalReadonly.load(s, db)
         QueryCompiler.compile(
             HasAgent("P5") & HasSources(Seq("reach")), ro, TpchWorld.types)
@@ -381,6 +388,19 @@ ai AS (
         JOIN meta m ON m.mk_hash = p.mk_hash
         JOIN srcs s ON s.mk_hash = p.mk_hash
         LEFT JOIN respos r ON r.mk_hash = p.mk_hash"""),
+    ),
+
+    // StatementHashMeshId dump element (cli/dump.py:563-589): the
+    // hash -> mesh_num mapping from BOTH mesh meta tables, the pickle's
+    // 'terms'/'concepts' dict keys carried as a kind column
+    "q_hash_mesh_dump" -> QueryDef(
+      (s, dir) => graft.assembly.DumpRegistry.hashMeshIds(
+        TpchWorld.readonly(s, dir)),
+      Some(PREFIX + """SELECT 'terms' AS kind, mk_hash, mesh_num FROM (
+          SELECT DISTINCT mk_hash, mesh_num FROM ev WHERE is_concept = 0)
+        UNION ALL
+        SELECT 'concepts' AS kind, mk_hash, mesh_num FROM (
+          SELECT DISTINCT mk_hash, mesh_num FROM ev WHERE is_concept = 1)"""),
     ),
 
     // meta result layers over agent_interactions

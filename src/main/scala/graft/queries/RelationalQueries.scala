@@ -438,12 +438,24 @@ object RelationalQueries extends QueryPack {
     // sketch: HyperLogLog distinct estimate (implementation-specific, so
     // no cross-engine oracle - the driver records a rows-only check; the
     // spec asserts accuracy against the exact count)
+    // HLL sketch gated by an ERROR-BOUND oracle: DuckDB's approx_distinct
+    // can never hash-match Spark's HLL++ registers, so the gate asserts
+    // the estimate lands within 3x the configured rsd of the exact
+    // distinct count (the HLL++ accuracy guarantee; deterministic for
+    // fixed input) and emits that verdict alongside the exact count,
+    // which DuckDB reproduces exactly — rows+schema+hash all check.
     "q_approx_distinct" -> QueryDef(
       (s, dir) => Tables.table(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts")),
-      None,
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * lit(0.06)).as("within_rsd")),
+      Some("""SELECT l_returnflag,
+              CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+              TRUE AS within_rsd
+              FROM lineitem GROUP BY 1"""),
     ),
 
     // --- events (temporal + json-ish props) ------------------------------
