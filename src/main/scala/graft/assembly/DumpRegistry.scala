@@ -55,9 +55,10 @@ object DumpRegistry {
     "source_count" -> Seq("readonly"),
     "res_pos" -> Seq("readonly"),
     "full_pa_json" -> Seq("readonly"),
+    "mti_mesh_ids" -> Seq("readonly"),
     "sif" -> Seq("source_count", "res_pos", "belief"),
     "end" -> Seq("start", "principal-statistics", "belief", "readonly",
-      "source_count", "res_pos", "full_pa_json", "sif"),
+      "source_count", "res_pos", "full_pa_json", "mti_mesh_ids", "sif"),
   )
 
   private def fileSystem(spark: SparkSession, root: String): FileSystem =
@@ -227,6 +228,23 @@ object DumpRegistry {
         lit(null).cast("string").as("pa_json")).dropDuplicates("mk_hash")
     dumpElement(spark, d, "full_pa_json", payload, force)
   }
+
+  /** Statement-hash -> MeSH number mapping (StatementHashMeshId,
+    * dump.py:563-589): the reference selects (mk_hash, mesh_num) from
+    * MeshTermMeta and MeshConceptMeta and pickles them under 'terms' /
+    * 'concepts' dict keys; the dict becomes a `kind` column on one
+    * relational frame. Requires the readonly element, as in the
+    * reference (`requires = [Readonly]`). */
+  def hashMeshIds(ro: ReadonlyTables): DataFrame =
+    ro.meshTermMeta
+      .select(lit("terms").as("kind"), col("mk_hash"), col("mesh_num"))
+      .unionByName(ro.meshConceptMeta
+        .select(lit("concepts").as("kind"), col("mk_hash"), col("mesh_num")))
+
+  def dumpHashMeshIds(
+      spark: SparkSession, d: Dump, ro: ReadonlyTables,
+      force: Boolean = false): Boolean =
+    dumpElement(spark, d, "mti_mesh_ids", hashMeshIds(ro), force)
 
   /** Principal content statistics (PrincipalStats, dump.py:376-415):
     * per (source, text_type, reader, reader_version, statement type),

@@ -39,6 +39,9 @@ class DumpRegistrySpec extends AnyFunSuite {
       .toDF("mk_hash", "ag_num", "mod_type", "residue", "position")
     assert(dumpResPos(spark, d, paMods))
     assert(dumpFullPaJson(spark, d, ro))
+    // StatementHashMeshId (dump.py:563-589): readonly already present
+    // here; the before-readonly ordering error is asserted on d2 below
+    assert(dumpHashMeshIds(spark, d, ro))
     intercept[DumpOrderError](markEnd(spark, d)) // sif still missing
     assert(dumpSif(spark, d, ro, TpchWorld.types,
       Some(TpchWorld.complexTypeNum)))
@@ -79,6 +82,8 @@ class DumpRegistrySpec extends AnyFunSuite {
 
     val d2 = start(spark, root, "2020-08-28")
     assert(dumpBelief(spark, d2, ro))
+    // hash->mesh requires the readonly element (requires = [Readonly])
+    intercept[DumpOrderError](dumpHashMeshIds(spark, d2, ro))
 
     // listing + status filters (list_dumps, dump.py:33-88)
     assert(listDumps(spark, root).map(_.dateStamp) ==
@@ -109,5 +114,10 @@ class DumpRegistrySpec extends AnyFunSuite {
       .withColumn("source_counts", Sif.srcStr(col("source_counts")))
     assert(sif.count() == direct.count())
     assert(sif.exceptAll(direct).isEmpty && direct.exceptAll(sif).isEmpty)
+    // and the hash->mesh element equals the direct mapping
+    val mti = spark.read.parquet(d.element("mti_mesh_ids"))
+    val mtiDirect = DumpRegistry.hashMeshIds(ro)
+    assert(mti.exceptAll(mtiDirect).isEmpty &&
+      mtiDirect.exceptAll(mti).isEmpty)
   }
 }
