@@ -24,6 +24,32 @@ final case class DictGrounder(entries: Map[String, (String, String)]) extends Gr
 final case class GroundingEntry(
     text: String, ns: String, id: String, prior: Double = 0.0)
 
+/** Context-aware disambiguation hook — the seam gilda's ML models plug
+  * into (`gilda.ground(text, context=...)` feeds the surrounding text to
+  * a per-surface disambiguation classifier). No model ships in this
+  * environment, so the engine keeps the INTERFACE: an injected scorer
+  * re-ranks a surface's candidates within their string-match tier —
+  * match quality still gates (as in gilda), the model score outranks the
+  * popularity prior, and an abstaining scorer (all zeros) leaves the
+  * prior ranking untouched. */
+trait ContextScorer extends Serializable {
+  /** Relevance of `candidate` for `text` given surrounding `context`;
+    * higher wins. Return 0.0 to abstain. */
+  def score(text: String, context: String, candidate: GroundingEntry): Double
+}
+
+/** Deterministic stand-in for a learned disambiguator: per grounding, a
+  * bag of cue words; the score is how many cues occur in the context
+  * (case-insensitive). */
+final case class KeywordContextScorer(
+    cues: Map[(String, String), Seq[String]]) extends ContextScorer {
+  def score(text: String, context: String, c: GroundingEntry): Double = {
+    val ctx = context.toLowerCase
+    cues.getOrElse((c.ns, c.id), Nil).count(w => ctx.contains(w.toLowerCase))
+      .toDouble
+  }
+}
+
 /** Gilda-shaped scored grounding — the public gilda ranking skeleton
   * (string-match tier, then prior): candidates are scored by how much
   * normalization the match needed and ranked by (score desc, prior desc,
@@ -37,7 +63,9 @@ final case class GroundingEntry(
   * Gilda's ML disambiguation model has no in-container analog; the tier
   * table is the deterministic stand-in behind the same interface.
   */
-final case class ScoredGrounder(entries: Seq[GroundingEntry]) extends Grounder {
+final case class ScoredGrounder(
+    entries: Seq[GroundingEntry],
+    contextScorer: Option[ContextScorer] = None) extends Grounder {
 
   private def stripPunct(s: String): String = s.replaceAll("[-_. ]", "")
 
@@ -71,6 +99,24 @@ final case class ScoredGrounder(entries: Seq[GroundingEntry]) extends Grounder {
         .groupBy(_._2).values.map(_.maxBy(_._1)).toSeq
     best.sortBy { case (s, e) => (-s, -e.prior, e.ns, e.id) }
   }
+
+  /** Candidates re-ranked by the injected context scorer (gilda's
+    * `ground(text, context=...)`): within a string-match tier the model
+    * score outranks the popularity prior; without a scorer (or an
+    * abstaining one) the ranking equals [[candidates]]. */
+  def candidatesInContext(
+      text: String, context: String): Seq[(Double, GroundingEntry)] =
+    contextScorer match {
+      case None => candidates(text)
+      case Some(cs) => candidates(text)
+        .sortBy { case (s, e) =>
+          (-s, -cs.score(text, context, e), -e.prior, e.ns, e.id) }
+    }
+
+  def groundInContext(
+      text: String, context: String): Option[(String, String)] =
+    candidatesInContext(text, context).headOption
+      .map { case (_, e) => (e.ns, e.id) }
 
   def ground(text: String): Option[(String, String)] =
     candidates(text).headOption.map { case (_, e) => (e.ns, e.id) }

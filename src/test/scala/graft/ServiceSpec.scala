@@ -78,4 +78,30 @@ class ServiceSpec extends AnyFunSuite {
     // unknown surfaces stay ungrounded -> AUTO falls back to NAME
     assert(g.ground("no-such-entity-xyz").isEmpty)
   }
+
+  test("injected context scorer re-ranks the ER candidates") {
+    import graft.core.{Grounder, KeywordContextScorer, ScoredGrounder}
+    // the gilda disambiguation seam: same tier table, plus a cue-word
+    // scorer standing in for the per-surface ML model
+    val g = ScoredGrounder(Grounder.scoredDefault.entries,
+      contextScorer = Some(KeywordContextScorer(Map(
+        ("GO", "GO:0005783") -> Seq("endoplasmic", "reticulum", "organelle"),
+        ("HGNC", "3467") -> Seq("esr1", "gene", "transcript"),
+        ("FPLX", "ESR") -> Seq("estrogen", "receptor")))))
+    // without context the popularity prior ranks the family first
+    assert(g.ground("ER").contains(("FPLX", "ESR")))
+    // organelle context flips the ranking to the GO term...
+    assert(g.groundInContext("ER",
+      "unfolded protein response and endoplasmic reticulum stress")
+      .contains(("GO", "GO:0005783")))
+    // ...gene context to ESR1...
+    assert(g.groundInContext("ER", "ESR1 gene transcript levels")
+      .contains(("HGNC", "3467")))
+    // ...and an uninformative context leaves the prior ranking untouched
+    assert(g.groundInContext("ER", "measured in three replicates")
+      .contains(("FPLX", "ESR")))
+    // match quality still gates: context can only re-rank WITHIN a tier
+    assert(g.candidatesInContext("KRAS", "endoplasmic reticulum")
+      .head._2.id == "6407")
+  }
 }
