@@ -80,6 +80,18 @@ object IncrementalBelief {
   private def inShards(c: Column, ss: Seq[Int]): Column =
     if (ss.isEmpty) lit(false) else c.isin(ss: _*)
 
+  /** A closure pair table that may not exist yet: a crash between the
+    * FIRST-ever c_by_anc append (which created that table) and the
+    * c_by_desc append that would have created ITS table leaves the store
+    * with one of the pair copies missing — the replay must read it as
+    * empty and heal, not fail on TABLE_NOT_FOUND. (The soak spec found
+    * exactly this window.) */
+  private def pairsOrEmpty(
+      spark: SparkSession, db: String, name: String): DataFrame =
+    if (exists(spark, db, name)) refreshed(spark, db, name)
+    else spark.range(0).select(col("id").as("desc"), col("id").as("anc"),
+      col("id").cast("int").as(Shard))
+
   /** (mk_hash, stype, keys) from agent rows — the same sorted-set key
     * derivation as [[Pipeline.refinementEdges]]. */
   def keysets(stmts: DataFrame, agents: DataFrame): DataFrame =
@@ -221,7 +233,7 @@ object IncrementalBelief {
           .select(col("c.desc").as("desc"), col("e.anc").as("anc"))))
       val elAnc = extendedLeft.select(col("anc")).distinct()
         .withColumn(Shard, shardOf(col("anc"), shards))
-      val cD = refreshed(spark, db, "c_by_desc")
+      val cD = pairsOrEmpty(spark, db, "c_by_desc")
       val right = cD.filter(inShards(col(Shard), shardsOf(elAnc)))
         .join(elAnc.select(col("anc").as("l_anc")),
           col("desc") === col("l_anc"), "left_semi")
@@ -290,7 +302,7 @@ object IncrementalBelief {
       .distinct()
       .withColumn(Shard, shardOf(col("mk_hash"), shards))
       .localCheckpoint(false)
-    val ancOfDelta = refreshed(spark, db, "c_by_desc")
+    val ancOfDelta = pairsOrEmpty(spark, db, "c_by_desc")
       .filter(inShards(col(Shard), shardsOf(deltaH)))
       .join(deltaH.select(col("mk_hash").as("d_h")),
         col("desc") === col("d_h"), "left_semi")

@@ -23,7 +23,9 @@ object StoreFaults {
 
   @volatile private var hook: String => Unit = _ => ()
 
-  private[assembly] def onWrite(site: String): Unit = hook(site)
+  /** Called by every store write site ([[ShardedStore]]; also the dedup
+    * index's [[graft.operators.Dedup.appendIndex]] table appends). */
+  private[graft] def onWrite(site: String): Unit = hook(site)
 
   /** Arm: crash immediately before the `n`-th store write from now
     * (1-based); disarms itself after throwing. `n` larger than the run's

@@ -281,6 +281,7 @@ object Dedup {
     val freshSigs = shBatch.join(
         spark.table(s"$db.band_sigs").select("doc_id").distinct(),
         Seq("doc_id"), "left_anti")
+    graft.assembly.StoreFaults.onWrite(s"$db.band_sigs")
     bandSignatures(minhash(freshSigs, k), r).write
       .mode("append").bucketBy(buckets, "band", "sig")
       .sortBy("band", "sig").format("parquet")
@@ -288,6 +289,7 @@ object Dedup {
     val freshSh = shBatch.join(
         spark.table(s"$db.shingles").select("doc_id").distinct(),
         Seq("doc_id"), "left_anti")
+    graft.assembly.StoreFaults.onWrite(s"$db.shingles")
     freshSh.write
       .mode("append").bucketBy(buckets, "doc_id").sortBy("doc_id")
       .format("parquet").saveAsTable(s"$db.shingles")

@@ -182,6 +182,32 @@ class IncrementalBeliefSpec extends AnyFunSuite {
     assert(storeBelief(db) == bel)
   }
 
+  test("crash at the FIRST c_by_desc write heals (table never created)") {
+    import graft.assembly.StoreFaults
+    val db = "graft_ib_spec5"
+    IncrementalBelief.reset(spark, db)
+    // first-ever batch WITH closure pairs; write order is s_keysets,
+    // s_keys, s_counts, c_by_anc, c_by_desc, s_agg — crash exactly at
+    // the c_by_desc boundary, so that table is never created at all
+    def run() = IncrementalBelief.init(spark, stmtsDf(b0s ++ b1s),
+      agentsDf(b0a ++ b1a), countsDf(b0c ++ b1c), db, shards = 4)
+    StoreFaults.armCrashAt(5)
+    try intercept[StoreFaults.InjectedCrash](run())
+    finally StoreFaults.disarm()
+    assert(spark.catalog.tableExists(s"$db.c_by_anc"))
+    assert(!spark.catalog.tableExists(s"$db.c_by_desc"),
+      "test setup: the crash must precede c_by_desc creation")
+    // the replay must read the missing pair copy as empty and heal —
+    // not fail on TABLE_NOT_FOUND (the soak found this window)
+    run()
+    val (c1, bel1) = batchOracle(b0s ++ b1s, b0a ++ b1a, b0c ++ b1c)
+    assert(storeClosure(db) == c1)
+    assert(storeBelief(db) == bel1)
+    def pairs(t: String) = spark.table(s"$db.$t").select("desc", "anc")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs("c_by_desc") == pairs("c_by_anc"))
+  }
+
   test("extra edges compose with stored closure across batches") {
     import spark.implicits._
     val db = "graft_ib_spec3"

@@ -200,6 +200,64 @@ class SoakSpec extends AnyFunSuite {
     assert(canon(compacted.agentInteractions) == canon(inc.agentInteractions))
   }
 
+  test("dedup-index soak: crashes + in-stream compaction == fresh build") {
+    import graft.operators.Dedup
+    import graft.sources.Tables
+    val rng = new scala.util.Random(7L)
+    val docsDir = java.nio.file.Files.createTempDirectory("soak-dd-docs").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("soak-dd-ck").toString
+    val pairsDir = java.nio.file.Files.createTempDirectory("soak-dd-pairs").toString
+    val idxDb = "graft_soak_dd_idx"
+    val freshDb = "graft_soak_dd_fresh"
+    Seq(idxDb, freshDb).foreach { d =>
+      spark.sql(s"DROP DATABASE IF EXISTS $d CASCADE")
+    }
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    // seed index, then six delta waves with crashes armed at the two
+    // appendIndex write boundaries and the file-pressure compaction
+    // firing in-stream (maxFilesPerBucket = 2)
+    Dedup.writeIndex(docs.filter(col("doc_id") % 8 === 0),
+      "doc_id", "text", idxDb, buckets = 4)
+    var crashes = 0
+    try (1 to 6).foreach { w =>
+      docs.filter(col("doc_id") % 8 === w)
+        .coalesce(1).write.mode("append").parquet(docsDir)
+      var plan =
+        if (rng.nextBoolean()) List(1 + rng.nextInt(2)) else Nil
+      var done = false
+      while (!done) {
+        plan match {
+          case n :: rest => StoreFaults.armCrashAt(n); plan = rest
+          case Nil => StoreFaults.disarm()
+        }
+        val q = Streams.streamingNearDups(spark, docsDir, idxDb,
+          indexBuckets = 4, ckDir, pairsDir, maxFilesPerBucket = 2)
+        try { q.awaitTermination(); StoreFaults.disarm(); done = true }
+        catch { case e: Throwable if isInjected(e) => crashes += 1 }
+      }
+    } finally StoreFaults.disarm()
+    assert(crashes >= 2, s"dedup soak must actually crash (got $crashes)")
+
+    // the soaked (crashed, replayed, compacted) index equals a fresh
+    // single-shot build over the union corpus — rows and probe results
+    val ingested = docs.filter(col("doc_id") % 8 <= 6)
+    Dedup.writeIndex(ingested, "doc_id", "text", freshDb, buckets = 4)
+    val (sigs, sh) = Dedup.loadIndex(spark, idxDb)
+    val (fSigs, fSh) = Dedup.loadIndex(spark, freshDb)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(sigs) == rows(fSigs), "band_sigs diverged from fresh build")
+    assert(rows(sh) == rows(fSh), "shingles diverged from fresh build")
+    val probe = docs.filter(col("doc_id") % 8 === 7)
+      .select((col("doc_id") + 700000L).as("doc_id"), col("text"))
+    def pairsOf(si: org.apache.spark.sql.DataFrame,
+        shi: org.apache.spark.sql.DataFrame) =
+      Dedup.deltaNearDups(probe, "doc_id", "text", si, shi)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsOf(sigs, sh) == pairsOf(fSigs, fSh))
+  }
+
   test("8-batch crash-injection soak (small world)") {
     soak("s", waves = 8, entities = 5, specifics = 4,
       stmtsPerWave = 4, seed = 41L)
