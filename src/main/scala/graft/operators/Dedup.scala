@@ -521,4 +521,73 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
   }
+
+  /** Duplicated token-span occurrences for exact-substring dedup (Lee et
+    * al. 2022, arXiv:2107.06499: repeated long substrings across a corpus
+    * are memorization hazards and get removed at span granularity, not doc
+    * granularity). A span is a length-`n` token window; every occurrence of
+    * a window text except the corpus-globally first one (smallest
+    * (doc_id, pos)) is duplicated. Returns (doc_id, pos, gram) of the
+    * duplicated occurrences, pos 1-based.
+    *
+    * Scale shape: windows come from ONE generate over the token array per
+    * document (`sequence` + `slice` — no token self-join), first-occurrence
+    * ranking is ONE hash shuffle on the window text with a row_number
+    * window, and nothing is ever all-pairs: cost is O(total tokens × n)
+    * map-side plus one corpus-wide shuffle keyed on the gram. */
+  def duplicatedSpans(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val d = df
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+    val grams = d
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - n + 1)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        array_join(slice(col("toks"), col("pos"), lit(n)), " ").as("gram"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("gram").orderBy(col("doc_id"), col("pos"))
+    grams
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("gram"))
+  }
+
+  /** Exact-substring dedup of a corpus: remove every token covered by a
+    * duplicated length-`n` span ([[duplicatedSpans]]) and reassemble the
+    * remaining tokens in order — the reference pipeline of Lee et al.
+    * 2022 re-expressed relationally. Overlapping duplicated spans merge
+    * naturally because coverage is a DISTINCT (doc, position) set, and the
+    * globally-first occurrence of any repeated span survives verbatim.
+    * Documents fully covered come back with empty text, never vanish.
+    * Returns (doc_id, text_deduped, kept_tokens, total_tokens).
+    *
+    * All four stages shuffle on bounded keys (gram, then doc_id); the
+    * rebuild is one doc-keyed aggregation over surviving tokens. */
+  def exactSubstrDedup(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val covered = duplicatedSpans(df, idCol, textCol, n)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + n - 1)).as("pos"))
+      .distinct()
+    val toks = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
+    val rebuilt = toks
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          _.getField("tok")), " ").as("text_deduped"),
+        count(lit(1)).as("kept_tokens"))
+    df.select(col(idCol).as("doc_id"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("total_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        col("total_tokens"))
+  }
 }

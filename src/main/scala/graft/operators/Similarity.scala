@@ -615,4 +615,54 @@ object Similarity {
       .filter(col("cos") >= minCos)
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"), col("cos"))
   }
+
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space coarsely, then compare
+    * pairs ONLY within a cluster — the published recipe for semantic dedup
+    * at web-corpus scale, where sign-LSH ([[lshPairs]]) keys on direction
+    * buckets but k-means cells adapt to the corpus's actual density. The
+    * within-cell self-join shuffles on the cell id, so candidate
+    * generation is df-bounded per cell, never all-pairs; cells larger than
+    * `maxCell` are dropped before pairing ([[Dedup.capBucketDf]]), the
+    * same hot-bucket guard as every other dedup family member.
+    *
+    * Cells are the deterministic seed assignment ([[ivfIndex]]); a
+    * [[kmeansCentroids]] refinement can replace the seeding via
+    * [[assignCells]] without changing the pairing. Returns
+    * (a_id, b_id, cell, cos) with a_id < b_id.
+    */
+  def semanticNearDups(
+      vectors: DataFrame, nCells: Int, minCos: Double,
+      scale: Int = 4, maxCell: Long = 1000): DataFrame = {
+    val idx = ivfIndex(vectors, nCells, scale)
+    val b = Dedup.capBucketDf(idx, Seq("cell"), maxCell)
+    b.as("x").join(b.as("y"),
+        col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
+      .withColumn("cos", round(
+        dot(col("x.embedding"), col("y.embedding")) /
+          (col("x.nrm") * col("y.nrm")), scale))
+      .filter(col("cos") >= minCos)
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        col("x.cell").as("cell"), col("cos"))
+  }
+
+  /** SemDeDup survivor selection: every vector keeps or drops by whether a
+    * LOWER-id near-duplicate shares its cell — the deterministic stand-in
+    * for the paper's "keep one example per intra-cluster duplicate group"
+    * (the paper picks by distance to centroid; id-order is engine-portable
+    * and equally one-per-group on exact-duplicate groups). Returns every
+    * input id with its cell and a `kept` flag, so downstream filtering is
+    * one semi-join — the corpus-removal shape of [[Dedup.dedupCorpus]] in
+    * embedding space. */
+  def semanticDedup(
+      vectors: DataFrame, nCells: Int, minCos: Double,
+      scale: Int = 4, maxCell: Long = 1000): DataFrame = {
+    val dropped = semanticNearDups(vectors, nCells, minCos, scale, maxCell)
+      .select(col("b_id").as("id")).distinct()
+      .withColumn("hit", lit(true))
+    ivfIndex(vectors, nCells, scale)
+      .join(dropped, Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        coalesce(!col("hit"), lit(true)).as("kept"))
+  }
 }

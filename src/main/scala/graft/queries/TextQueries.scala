@@ -46,6 +46,30 @@ object TextQueries extends QueryPack {
            len(string_split_regex(trim(text), '\s+')) - 2), ' ')
   FROM documents WHERE doc_id % 5 = 0)"""
 
+  /** DuckDB twin of [[graft.operators.Similarity.ivfIndex]]'s seed-cell
+    * assignment over the embeddings table: `assign(id, embedding, nrm,
+    * cell)` by max rounded cosine against the id<8 seed centroids,
+    * centroid-id tie-break — shared by the SemDeDup gates. */
+  private val SEMANTIC_CELLS = """v AS (
+    SELECT vec_id AS id, embedding FROM embeddings),
+  n AS (SELECT id, embedding,
+      sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform(range(1, 65),
+          p -> CAST(embedding[p] AS DOUBLE) * CAST(embedding[p] AS DOUBLE))),
+        (a, b) -> a + b)) AS nrm
+    FROM v),
+  cents AS (SELECT id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm
+            FROM n WHERE id < 8),
+  assign AS (SELECT id, embedding, nrm, cell FROM (
+    SELECT x.id, x.embedding, x.nrm, c.cent_id AS cell,
+      ROW_NUMBER() OVER (PARTITION BY x.id ORDER BY
+        round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range(1, 65),
+            p -> CAST(x.embedding[p] AS DOUBLE) * CAST(c.cent_emb[p] AS DOUBLE))),
+          (a, b) -> a + b) / (x.nrm * c.cent_nrm), 4) DESC,
+        c.cent_id ASC) AS rn
+    FROM n x CROSS JOIN cents c) WHERE rn = 1)"""
+
   /** DuckDB rolling hash identical to TextAnalysis.rollingHash. */
   private def duckHash(expr: String) =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -342,6 +366,74 @@ shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
         JOIN szs s1 ON s1.doc_id = p.a_id
         JOIN szs s2 ON s2.doc_id = p.b_id
         WHERE CAST(p.i_cnt AS DOUBLE)/CAST(s1.sz + s2.sz - p.i_cnt AS DOUBLE) >= 0.5"""),
+    ),
+
+    // exact-substring dedup (Lee et al. 2022): every occurrence of a
+    // repeated 8-token window except the corpus-globally-first one is
+    // removed at TOKEN granularity, overlaps merged, docs reassembled.
+    // The oracle replays window extraction, global first-occurrence
+    // ranking, coverage, and the rebuild relationally.
+    "q_dedup_substr" -> QueryDef(
+      (s, dir) => Dedup.exactSubstrDedup(docs(s, dir), "doc_id", "text", n = 8),
+      Some("""WITH d AS (SELECT doc_id,
+          string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        g AS (SELECT doc_id, CAST(p AS BIGINT) AS pos,
+                array_to_string(list_slice(toks, p, p + 7), ' ') AS gram
+              FROM d, range(1, len(toks) + 1) t(p) WHERE p + 7 <= len(toks)),
+        f AS (SELECT doc_id, pos,
+                row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+              FROM g),
+        cov AS (SELECT DISTINCT doc_id, pos + o AS pos
+                FROM f, range(0, 8) r(o) WHERE rn > 1),
+        tok AS (SELECT doc_id, CAST(p AS BIGINT) AS pos, toks[p] AS tok
+                FROM d, range(1, len(toks) + 1) t(p)),
+        kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+                 ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos),
+        reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_deduped,
+                  count(*) AS kept_tokens
+                FROM kept GROUP BY 1)
+        SELECT d.doc_id, COALESCE(reb.text_deduped, '') AS text_deduped,
+               COALESCE(reb.kept_tokens, 0) AS kept_tokens,
+               CAST(len(d.toks) AS BIGINT) AS total_tokens
+        FROM d LEFT JOIN reb USING (doc_id)"""),
+    ),
+
+    // SemDeDup (Abbas et al. 2023): k-means-cell-scoped cosine near-dup
+    // pairs — the oracle replays the deterministic seed-cell assignment
+    // (max rounded cosine, centroid-id tie-break) and the within-cell join
+    "q_dedup_semantic" -> QueryDef(
+      (s, dir) => Similarity.semanticNearDups(
+        Tables.table(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding")),
+        nCells = 8, minCos = 0.3),
+      Some(s"""WITH $SEMANTIC_CELLS
+        SELECT a_id, b_id, cell, cos FROM (
+          SELECT x.id AS a_id, y.id AS b_id, x.cell AS cell,
+            round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(range(1, 65),
+                p -> CAST(x.embedding[p] AS DOUBLE) * CAST(y.embedding[p] AS DOUBLE))),
+              (a, b) -> a + b) / (x.nrm * y.nrm), 4) AS cos
+          FROM assign x JOIN assign y
+            ON x.cell = y.cell AND x.id < y.id)
+        WHERE cos >= 0.3"""),
+    ),
+
+    // SemDeDup survivor selection: drop every vector with a lower-id
+    // in-cell near-dup; one row per input id with its keep verdict
+    "q_dedup_semantic_kept" -> QueryDef(
+      (s, dir) => Similarity.semanticDedup(
+        Tables.table(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding")),
+        nCells = 8, minCos = 0.3),
+      Some(s"""WITH $SEMANTIC_CELLS,
+        dropped AS (SELECT DISTINCT y.id FROM assign x JOIN assign y
+          ON x.cell = y.cell AND x.id < y.id
+          WHERE round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(range(1, 65),
+                p -> CAST(x.embedding[p] AS DOUBLE) * CAST(y.embedding[p] AS DOUBLE))),
+              (a, b) -> a + b) / (x.nrm * y.nrm), 4) >= 0.3)
+        SELECT a.id, a.cell, (d.id IS NULL) AS kept
+        FROM assign a LEFT JOIN dropped d ON a.id = d.id"""),
     ),
 
     // --- multimodal plumbing ---------------------------------------------
