@@ -377,16 +377,20 @@ shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
       (s, dir) => Dedup.exactSubstrDedup(docs(s, dir), "doc_id", "text", n = 8),
       Some("""WITH d AS (SELECT doc_id,
           string_split_regex(trim(text), '\s+') AS toks FROM documents),
-        g AS (SELECT doc_id, CAST(p AS BIGINT) AS pos,
-                array_to_string(list_slice(toks, p, p + 7), ' ') AS gram
-              FROM d, range(1, len(toks) + 1) t(p) WHERE p + 7 <= len(toks)),
+        g0 AS (SELECT doc_id, toks,
+                CAST(unnest(range(1, len(toks) - 6)) AS BIGINT) AS pos FROM d),
+        g AS (SELECT doc_id, pos,
+                array_to_string(list_slice(toks, pos, pos + 7), ' ') AS gram
+              FROM g0),
         f AS (SELECT doc_id, pos,
                 row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
               FROM g),
-        cov AS (SELECT DISTINCT doc_id, pos + o AS pos
-                FROM f, range(0, 8) r(o) WHERE rn > 1),
-        tok AS (SELECT doc_id, CAST(p AS BIGINT) AS pos, toks[p] AS tok
-                FROM d, range(1, len(toks) + 1) t(p)),
+        cov0 AS (SELECT doc_id, pos, unnest(range(0, 8)) AS o
+                 FROM f WHERE rn > 1),
+        cov AS (SELECT DISTINCT doc_id, pos + o AS pos FROM cov0),
+        tok0 AS (SELECT doc_id, toks,
+                  CAST(unnest(range(1, len(toks) + 1)) AS BIGINT) AS pos FROM d),
+        tok AS (SELECT doc_id, pos, toks[pos] AS tok FROM tok0),
         kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
                  ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos),
         reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_deduped,

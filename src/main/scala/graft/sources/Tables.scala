@@ -61,14 +61,31 @@ object Tables {
       .csv(outputLocation)
   }
 
-  /** `events.ts` arrives as a nanosecond epoch long (see GraftSession's
-    * nanosAsLong flag); normalize to a proper timestamp column once here.
+  /** `events.ts` normalized to one session-zone timestamp type regardless
+    * of how the driver generated the parquet: older testdata stores
+    * TIMESTAMP(NANOS), which Spark reads as a nanosecond epoch long under
+    * GraftSession's nanosAsLong flag; newer testdata stores micros, read
+    * as TIMESTAMP_NTZ. Downstream (windows, rollups, oracles) always sees
+    * TimestampType in the UTC session, so both generations hash alike.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    // integer division: `/` on longs is double division, and epoch-nano
-    // values exceed 2^53, so it would round the microsecond off by ±1
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(table(spark, dir, "events"))
+  }
+
+  /** See [[events]]; exposed for streaming readers of the same table. */
+  def normalizeTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    raw.schema("ts").dataType match {
+      // integer division: `/` on longs is double division, and epoch-nano
+      // values exceed 2^53, so it would round the microsecond off by ±1
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // NTZ -> session-zone instant is identity under the UTC session
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 }

@@ -311,4 +311,117 @@ class DedupSpec extends AnyFunSuite {
       .collect()
     assert(got.forall(r => r.getString(0) == r.getString(1)))
   }
+
+  // --- exact-substring dedup (Lee et al. 2022) ---------------------------
+
+  test("duplicatedSpans flags every occurrence except the global first") {
+    import spark.implicits._
+    val span = "one two three four five six seven eight"
+    val df = Seq(
+      (1L, s"head $span tail"),
+      (2L, s"$span middle words $span"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(df, "doc_id", "text", n = 8)
+      .filter(col("gram") === span)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toSet
+    // doc 1 pos 2 is the corpus-global first (smallest doc_id, pos): only
+    // the two occurrences in doc 2 are duplicated
+    assert(got == Set((2L, 1L), (2L, 11L)))
+  }
+
+  test("exactSubstrDedup removes only the repeated span, overlaps merged") {
+    import spark.implicits._
+    val span = "one two three four five six seven eight"
+    val df = Seq(
+      (1L, s"head $span tail"),
+      // nine-token repeat: two overlapping 8-windows whose coverage must
+      // merge to exactly nine removed tokens, not 16
+      (2L, s"$span nine unique2 words2"),
+      (3L, s"$span nine unique3 words3"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSubstrDedup(df, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1 holds the global first occurrence: survives verbatim
+    assert(got(1L) == (s"head $span tail", 10L, 10L))
+    // doc 2's first 8-window repeats doc 1, and "two three ... nine"
+    // windows repeat between docs 2 and 3; doc 2 keeps only its
+    // non-covered tail
+    assert(got(2L) == ("nine unique2 words2", 3L, 11L), s"got ${got(2L)}")
+    assert(got(3L)._1 == "unique3 words3", s"got ${got(3L)}")
+    // no token is ever invented: kept <= total, and kept tokens are a
+    // subsequence of the original
+    assert(got.values.forall { case (_, kept, total) => kept <= total })
+  }
+
+  test("exactSubstrDedup keeps fully-covered docs with empty text") {
+    import spark.implicits._
+    val span = "one two three four five six seven eight"
+    val df = Seq((1L, span), (2L, span)).toDF("doc_id", "text")
+    val got = Dedup.exactSubstrDedup(df, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == (span, 8L, 8L))
+    assert(got(2L) == ("", 0L, 8L)) // present, empty — never vanishes
+  }
+
+  test("exactSubstrDedup passes short docs through untouched") {
+    import spark.implicits._
+    val df = Seq((1L, "too short to window"), (2L, "too short to window"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactSubstrDedup(df, "doc_id", "text", n = 8).collect()
+    assert(got.length == 2)
+    assert(got.forall(_.getString(1) == "too short to window"))
+  }
+
+  // --- SemDeDup (Abbas et al. 2023) --------------------------------------
+
+  def plantedVecs = {
+    import spark.implicits._
+    // 8 well-separated seed directions (ids 0-7 are the ivfIndex seeds),
+    // plus exact copies of seeds 0 and 3 under higher ids
+    val dim = 8
+    val rows = (0 until 8).map { i =>
+      (i.toLong, Array.tabulate(dim)(j => if (j == i) 1f else 0f))
+    } ++ Seq(
+      (100L, Array.tabulate(dim)(j => if (j == 0) 1f else 0f)),
+      (101L, Array.tabulate(dim)(j => if (j == 3) 1f else 0f)))
+    rows.toDF("id", "embedding")
+  }
+
+  test("semanticNearDups pairs exact copies within their cell only") {
+    val pairs = Similarity.semanticNearDups(plantedVecs, nCells = 8,
+        minCos = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(pairs == Set((0L, 100L, 1.0), (3L, 101L, 1.0)))
+  }
+
+  test("semanticDedup keeps the lowest id of each duplicate group") {
+    val kept = Similarity.semanticDedup(plantedVecs, nCells = 8, minCos = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(kept.size == 10) // every input id present with a verdict
+    assert(kept(100L) == false && kept(101L) == false)
+    assert((0L to 7L).forall(kept(_)))
+  }
+
+  test("semanticNearDups hot-cell cap bounds the within-cell join") {
+    import spark.implicits._
+    // 60 copies of direction 0 in one cell: uncapped that is 60*59/2
+    // pairs from a single cell; capped at maxCell=10 the cell is dropped
+    // before pairing, so candidate generation stays bounded
+    val dim = 4
+    val seeds = (0 until 4).map { i =>
+      (i.toLong, Array.tabulate(dim)(j => if (j == i) 1f else 0f))
+    }
+    val hot = (10 until 70).map { i =>
+      (i.toLong, Array.tabulate(dim)(j => if (j == 0) 1f else 0f))
+    }
+    val df = (seeds ++ hot).toDF("id", "embedding")
+    val capped = Similarity.semanticNearDups(df, nCells = 4, minCos = 0.9,
+      maxCell = 10)
+    assert(capped.count() == 0)
+    val uncapped = Similarity.semanticNearDups(df, nCells = 4, minCos = 0.9,
+      maxCell = 100000)
+    assert(uncapped.count() == 61L * 60 / 2)
+  }
 }

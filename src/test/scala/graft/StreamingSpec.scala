@@ -31,10 +31,9 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
       .toSet
 
-    val streamEvents = spark.readStream
+    val streamEvents = Tables.normalizeTs(spark.readStream
       .schema(Tables.table(spark, dir, "events").schema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(eventsDir))
     val q = Streams.hourlyRollup(streamEvents)
       .writeStream.outputMode(OutputMode.Complete())
       .format("memory").queryName("rollup_out").start()
