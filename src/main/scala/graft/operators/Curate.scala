@@ -341,4 +341,90 @@ object Curate {
         .when(b < trainPct + valPct, "val")
         .otherwise("test"))
   }
+
+  /** Distributed running sum over a TOTAL order — the scalable form of
+    * `sum(v) OVER (ORDER BY ...)`, which Spark otherwise executes as a
+    * SINGLE-partition window (the one-task global sort that dies first at
+    * 100 TB). Three steps, all distributed:
+    *
+    *   1. range-partition on the order columns (sampled split points,
+    *      TeraSort-style), tagging each row with its ordered bucket id;
+    *   2. a bucket-partitioned window computes the within-bucket running
+    *      sum — parallel across buckets;
+    *   3. per-bucket totals (`buckets` rows, driver-scale) get their own
+    *      cumulative offsets and broadcast back; global = offset + local.
+    *
+    * Correct for ANY bucket boundaries because the order columns form a
+    * total order (callers append a unique id tie-break), so the result is
+    * boundary- and sampling-invariant. */
+  private def rangedCumsum(
+      df: DataFrame, order: Seq[Column], value: Column, out: String,
+      buckets: Int = 64): DataFrame = {
+    val ranged = df.repartitionByRange(buckets, order: _*)
+      .withColumn("_bucket", spark_partition_id())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_bucket").orderBy(order: _*)
+    val local = ranged.withColumn("_lcum", sum(value).over(w))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy("_bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    // bucket totals: <= `buckets` rows, so ITS unpartitioned window is fine
+    val offsets = local.groupBy("_bucket").agg(sum(value).as("_n"))
+      .withColumn("_off", coalesce(sum(col("_n")).over(wOff), lit(0L)))
+      .select("_bucket", "_off")
+    local.join(broadcast(offsets), "_bucket")
+      .withColumn(out, col("_off") + col("_lcum"))
+      .drop("_bucket", "_lcum", "_off")
+  }
+
+  /** Deterministic seeded corpus shuffle — the training-order permutation
+    * every data pipeline needs between curation and packing. Each row's
+    * sort key is the content hash of `seed || '-' || id`, so the order is
+    * (a) pseudo-random and decorrelated from ingest order, (b) a pure
+    * function of (seed, id): re-runs, engines, and resumed jobs agree
+    * row-for-row, and a different seed is a fresh epoch permutation.
+    *
+    * Scale shape: the 1-based position comes from [[rangedCumsum]] over
+    * the (hash, id) total order — a range-partitioned distributed sort
+    * with no skew by construction (the keys are hashes), never a
+    * single-partition window.
+    *
+    * Returns the input columns plus (shuffle_key, pos), pos 1-based. */
+  def seededShuffle(df: DataFrame, idCol: String, seed: String): DataFrame = {
+    // mix32 after the polynomial hash is load-bearing: the rolling hash is
+    // AFFINE in a changed seed prefix (a near-constant additive shift mod
+    // p), so without the finalizer two seeds yield nearly the SAME order —
+    // the xorshift-multiply mixer destroys that structure
+    val key = TextAnalysis.mix32(TextAnalysis.rollingHash(
+      concat(lit(seed), lit("-"), col(idCol).cast("string"))))
+    rangedCumsum(df.withColumn("shuffle_key", key),
+      Seq(col("shuffle_key").asc, col(idCol).asc), lit(1L), "pos")
+  }
+
+  /** Greedy token-budget selection: order candidates by a quality score
+    * (best first, id tie-break makes the order total) and keep documents
+    * until the running token total reaches `budget` — the "select the best
+    * N-token subset" step between quality scoring and training. A document
+    * is selected iff the tokens BEFORE it leave budget headroom
+    * (cum - own < budget), so the output can overshoot by at most one
+    * document — the standard greedy cut, stable under appends of
+    * lower-scored rows.
+    *
+    * Every input row comes back with its running total and verdict, so the
+    * caller gets the selection AND the audit trail in one pass. The running
+    * total is [[rangedCumsum]] over the global (score desc, id) order —
+    * distributed, not a single-partition window.
+    *
+    * Returns (idCol, tokensCol, scoreCol, cum_tokens, selected). */
+  def tokenBudgetSelect(
+      df: DataFrame, idCol: String, tokensCol: String, scoreCol: String,
+      budget: Long): DataFrame = {
+    rangedCumsum(
+      df.select(col(idCol), col(tokensCol).cast("long").as(tokensCol),
+        col(scoreCol)),
+      Seq(col(scoreCol).desc, col(idCol).asc), col(tokensCol), "cum_tokens")
+      .withColumn("selected",
+        col("cum_tokens") - col(tokensCol) < budget)
+  }
 }

@@ -178,4 +178,42 @@ object TextAnalysis {
         round(col("lp_sum_micro").cast("double") / 1e6 /
           col("n_bigrams").cast("double"), 4))
   }
+
+  /** Top-k characteristic terms per document by tf-idf — the classic
+    * keyword/topic signal used for corpus exploration and cluster labeling
+    * in training-data pipelines. tf is the raw in-doc term count; idf is
+    * the smoothed ln((N+1)/(df+1)) quantized to micro-units BEFORE the
+    * multiply ([[lmScore]]'s convention: both engines round the log to
+    * 1e-6 first, so cross-engine libm drift in the last ulp can never
+    * reach the compared value).
+    *
+    * Scale shape: term counting is one hash shuffle on (doc, term) with
+    * map-side combine; document frequency is one shuffle on term over the
+    * per-doc-distinct terms; N is a scalar broadcast; top-k is a window
+    * over the doc partition — everything pre-aggregates before it moves.
+    *
+    * Returns (idCol, term, tf, df, tfidf) with k rows per doc, ordered
+    * ties broken by term. */
+  def tfIdfTopTerms(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val terms = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // corpus size as a broadcast one-row join, not an eager count: the
+    // whole operator stays one Catalyst plan (no driver-side scan)
+    val nDocs = df.select(countDistinct(col(idCol)).as("n_docs"))
+    val idfMicro = round(
+      log((col("n_docs").cast("double") + 1d) /
+        (col("df").cast("double") + 1d)) * 1e6).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(docFreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(
+        col("tf").cast("double") * idfMicro.cast("double") / 1e6, 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
 }

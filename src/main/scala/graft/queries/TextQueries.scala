@@ -1285,5 +1285,72 @@ shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
                THEN 'val'
              ELSE 'test' END AS split FROM documents"""),
     ),
+
+    // deterministic seeded training-order shuffle: position is a pure
+    // function of (seed, doc_id) — the oracle replays the hash + mix32
+    // finalizer (the DUCK_TOKMIX chain over the seeded key) and the
+    // (key, id) total order
+    "q_shuffle_seeded" -> QueryDef(
+      (s, dir) => Curate.seededShuffle(
+        docs(s, dir).select("doc_id"), "doc_id", seed = "epoch1"),
+      Some(s"""WITH h0 AS (SELECT doc_id,
+          ${duckHash("'epoch1-' || CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents),
+        m1 AS (SELECT doc_id, xor(h, h >> 16) AS z1 FROM h0),
+        m2 AS (SELECT doc_id, (z1 * 73244475) % 4294967296 AS z2 FROM m1),
+        m3 AS (SELECT doc_id, xor(z2, z2 >> 16) AS z3 FROM m2),
+        m4 AS (SELECT doc_id, (z3 * 73244475) % 4294967296 AS z4 FROM m3),
+        k AS (SELECT doc_id, xor(z4, z4 >> 16) AS shuffle_key FROM m4)
+        SELECT doc_id, shuffle_key,
+          CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT)
+            AS pos
+        FROM k"""),
+    ),
+
+    // greedy token-budget selection over quality-ordered docs: every row
+    // returns with its running token total and keep verdict; the oracle
+    // replays the (ttr desc, doc_id) cumulative window
+    "q_token_budget" -> QueryDef(
+      (s, dir) => Curate.tokenBudgetSelect(
+        TextAnalysis.qualityStats(docs(s, dir).select("doc_id", "text"),
+            "text", TextAnalysis.langProfiles.head._2)
+          .select("doc_id", "n_tokens", "ttr"),
+        "doc_id", "n_tokens", "ttr", budget = 5000L),
+      Some("""WITH t AS (SELECT doc_id,
+          string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct(toks)) AS DOUBLE)/CAST(len(toks) AS DOUBLE)
+            AS ttr FROM t),
+        c AS (SELECT doc_id, n_tokens, ttr,
+          CAST(sum(n_tokens) OVER (ORDER BY ttr DESC, doc_id ASC) AS BIGINT)
+            AS cum_tokens FROM s)
+        SELECT doc_id, n_tokens, ttr, cum_tokens,
+          (cum_tokens - n_tokens < 5000) AS selected FROM c"""),
+    ),
+
+    // top-3 characteristic terms per doc by tf-idf; the smoothed idf log
+    // is quantized to micro-units on BOTH sides before the multiply (the
+    // lm-score convention), so libm ulp drift never reaches the hash
+    "q_text_tfidf" -> QueryDef(
+      (s, dir) => TextAnalysis.tfIdfTopTerms(
+        docs(s, dir).select("doc_id", "text"), "doc_id", "text", k = 3),
+      Some("""WITH t AS (SELECT doc_id,
+          string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        term AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM term GROUP BY 1, 2),
+        dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM t),
+        sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+            round(CAST(tf.tf AS DOUBLE) *
+              CAST(CAST(round(ln((n.n_docs + 1) /
+                (CAST(dfq.df AS DOUBLE) + 1)) * 1e6) AS BIGINT) AS DOUBLE)
+              / 1e6, 4) AS tfidf
+          FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        rk AS (SELECT doc_id, term, tf, df, tfidf,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, term ASC) AS rn FROM sc)
+        SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, df, tfidf
+        FROM rk WHERE rn <= 3"""),
+    ),
   )
 }

@@ -146,6 +146,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), s"bucket pruning semi join missing:\n$p")
   }
 
+  test("global running sums range-partition; only bucket totals ever " +
+      "hit one reducer") {
+    // seededShuffle / tokenBudgetSelect compute sum() OVER a global order
+    // via the two-phase ranged cumsum: a naive unpartitioned window would
+    // drag the whole corpus through ONE task. The plan must show the
+    // distributed range sort, and at most one SinglePartition exchange —
+    // the <=64-row bucket-totals branch, never the data path.
+    for (df <- Seq(
+        graft.operators.Curate.seededShuffle(
+          Tables.table(spark, dir, "documents").select("doc_id"),
+          "doc_id", "epoch1"),
+        graft.operators.Curate.tokenBudgetSelect(
+          Tables.table(spark, dir, "documents")
+            .select(col("doc_id"), col("n_chars").as("toks"),
+              col("doc_id").cast("double").as("score")),
+          "doc_id", "toks", "score", budget = 1000L))) {
+      val p = plan(df)
+      assert(p.contains("rangepartitioning"),
+        s"distributed range sort missing:\n$p")
+      val singles = "SinglePartition".r.findAllIn(p).size
+      assert(singles <= 1, s"data path windows on one reducer:\n$p")
+    }
+  }
+
   test("hash expressions stay inside whole-stage codegen") {
     // parquet-backed input so the optimizer can't constant-fold the hashes
     val df = Tables.table(spark, dir, "documents")
