@@ -69,9 +69,15 @@ object IncrementalOntologyEdges {
     */
   def upsert(
       spark: SparkSession, stmts: DataFrame, agents: DataFrame,
-      ontology: DataFrame, db: String, shards: Int): DataFrame = {
+      ontology: DataFrame, db: String, shards: Int,
+      ontologyClosure: Option[DataFrame] = None): DataFrame = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-    val sigs = Refinement.signatures(stmts, agents, ontology)
+    // the ontology is a slowly-changing dimension: a per-batch caller (the
+    // streaming path) precomputes its ancestor closure once per ontology
+    // version instead of re-running the iterative closure per micro-batch
+    val closure = ontologyClosure.getOrElse(
+      Refinement.transitiveClosure(ontology.select(col("desc"), col("anc"))))
+    val sigs = Refinement.signaturesWithClosure(stmts, agents, closure)
       .localCheckpoint(false)
     val act = sigs.select(col("mk_hash"), col("stype"), col("sig"))
       .withColumn(Shard, sigShard(col("stype"), col("sig"), shards))

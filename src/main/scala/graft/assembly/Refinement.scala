@@ -64,10 +64,17 @@ object Refinement {
     * both compare the two columns with the SAME fold shape, which is the
     * whole correctness argument of the signature join. */
   private[assembly] def signatures(
-      uniq: DataFrame, agents: DataFrame, ontology: DataFrame): DataFrame = {
-    // ancestor closure of the ontology dimension; small enough to broadcast
-    val closure = transitiveClosure(
-      ontology.select(col("desc"), col("anc")))
+      uniq: DataFrame, agents: DataFrame, ontology: DataFrame): DataFrame =
+    signaturesWithClosure(uniq, agents,
+      transitiveClosure(ontology.select(col("desc"), col("anc"))))
+
+  /** [[signatures]] with the ontology's ancestor closure already computed.
+    * The closure is an iterative job (path doubling, one action per
+    * round); per-batch callers ([[IncrementalOntologyEdges.upsert]] from a
+    * stream) precompute it ONCE per ontology version instead of once per
+    * micro-batch — the ontology is a slowly-changing dimension. */
+  private[assembly] def signaturesWithClosure(
+      uniq: DataFrame, agents: DataFrame, closure: DataFrame): DataFrame = {
     val keyed = agents.select(col("mk_hash"), col("ag_num"),
       concat(col("db_name"), lit(":"), col("db_id")).as("key"))
     // per position: the key itself plus every ontology ancestor of it

@@ -47,6 +47,57 @@ object Curate {
         col("n_hits").cast("double") / col("n_shingles").cast("double"))
   }
 
+  /** Bloom-filter decontamination — the constant-memory scale path for
+    * [[ngramOverlap]] when even the benchmark's distinct shingle set is too
+    * large to broadcast as an exact table. The eval-set shingles fold into
+    * `bits` bloom positions under `nHash` independent affine hash functions
+    * (the same engine-portable family the MinHash signatures use); a corpus
+    * shingle is flagged iff ALL its positions are set. One-sided error by
+    * construction: `n_flagged >= n_exact` always (no false negatives), and
+    * the gate surfaces both counts so the false-positive rate is visible.
+    *
+    * Scale shape: the bloom set is at most `bits` rows (a bitmap in
+    * disguise — kept relational so the probe stays a broadcast hash join
+    * Catalyst can see through), corpus probes are map-side, and the only
+    * wide exchanges are the per-doc count aggregations.
+    *
+    * Output: (doc_id, n_shingles, n_flagged, n_exact) per corpus doc. */
+  def bloomContaminated(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      bits: Int = 4096,
+      nHash: Int = 3): DataFrame = {
+    val cs = Dedup.shingleSet(corpus, idCol, textCol, n)
+      .select("doc_id", "sh_hash")
+    val bs = Dedup.shingleSet(bench, idCol, textCol, n)
+      .select("sh_hash").distinct()
+    def posOf(j: Int): Column =
+      pmod(col("sh_hash") * (131L * j + 7L) + (97L * j + 3L),
+        lit(1000000007L)) % bits
+    val allPos = array((0 until nHash).map(posOf): _*)
+    val bloom = bs.select(explode(allPos).as("bp")).distinct()
+    val flagged = cs
+      .select(col("doc_id"), col("sh_hash"),
+        posexplode(allPos).as(Seq("j", "bp")))
+      .join(broadcast(bloom), Seq("bp"))
+      .groupBy("doc_id", "sh_hash")
+      .agg(countDistinct(col("j")).as("n_set"))
+      .filter(col("n_set") === nHash)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_flagged"))
+    val exact = cs
+      .join(broadcast(bs), Seq("sh_hash"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_exact"))
+    cs.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(flagged, Seq("doc_id"), "left")
+      .join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+  }
+
   /** The contaminated subset at `minFrac` overlap. */
   def contaminated(
       corpus: DataFrame,

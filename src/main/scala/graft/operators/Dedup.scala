@@ -590,4 +590,48 @@ object Dedup {
         coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
         col("total_tokens"))
   }
+
+  /** Cross-corpus line (paragraph) deduplication: a line whose hash occurs
+    * in at least `minDf` distinct documents is boilerplate and is dropped
+    * from EVERY document; the remaining lines reassemble in original order.
+    * This is the ccnet/RefinedWeb "remove duplicated lines" stage, distinct
+    * from [[exactSubstrDedup]] (which removes long repeated token spans
+    * wherever they recur — here the unit is a whole line and the trigger is
+    * corpus-wide document frequency, so one repeat inside a single doc is
+    * kept).
+    *
+    * Scale shape: the per-line aggregation shuffles 8-byte hashes, not
+    * text; the resulting hot-line set is tiny by construction (boilerplate
+    * is what repeats corpus-wide), so it broadcasts and the corpus probe is
+    * a map-side anti-join — the only text-bearing shuffle is the final
+    * doc-keyed reassembly.
+    *
+    * Returns (doc_id, clean_text, n_lines, n_dropped); a fully-boilerplate
+    * document comes back with empty text, never vanishes. */
+  def lineDedup(
+      df: DataFrame, idCol: String, textCol: String, minDf: Long): DataFrame = {
+    val lines = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("lh", TextAnalysis.rollingHash(col("line")))
+    val hot = lines
+      .groupBy("lh").agg(countDistinct(col("doc_id")).as("line_df"))
+      .filter(col("line_df") >= minDf)
+      .select("lh")
+    val rebuilt = lines
+      .join(broadcast(hot), Seq("lh"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          _.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
 }

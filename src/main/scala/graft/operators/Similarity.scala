@@ -665,4 +665,69 @@ object Similarity {
       .select(col("id"), col("cell"),
         coalesce(!col("hit"), lit(true)).as("kept"))
   }
+
+  // --- SQ8 scalar quantization ------------------------------------------
+
+  /** Per-dimension corpus [min, max] for SQ8 scalar quantization, packed
+    * into one broadcastable row (mins, maxs). min/max are order-independent
+    * aggregates, so the trained stats are engine-portable bit-for-bit —
+    * unlike a mean/variance formulation, whose float sums would depend on
+    * shuffle order. */
+  def sqStats(corpus: DataFrame, dim: Int): DataFrame =
+    corpus
+      .select(posexplode(col("embedding")).as(Seq("p", "x")))
+      .groupBy("p")
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .groupBy()
+      .agg(
+        transform(array_sort(collect_list(struct(col("p"), col("mn")))),
+          _.getField("mn")).as("mins"),
+        transform(array_sort(collect_list(struct(col("p"), col("mx")))),
+          _.getField("mx")).as("maxs"))
+
+  /** SQ8 encode: one uint8 code per dimension (stored int in [0,255]) —
+    * a 4x smaller index than float32, the classic faiss SQ8 layout. A
+    * degenerate dimension (mx == mn) codes to 0 and decodes back to mn.
+    * Returns (id, codes); the stats row rides along broadcast. */
+  def sqEncode(vectors: DataFrame, stats: DataFrame, dim: Int): DataFrame =
+    vectors.crossJoin(broadcast(stats))
+      .select(col("id"),
+        transform(sequence(lit(1), lit(dim)), p => {
+          val x = element_at(col("embedding"), p).cast("double")
+          val mn = element_at(col("mins"), p)
+          val mx = element_at(col("maxs"), p)
+          when(mx === mn, lit(0L)).otherwise(
+            least(lit(255L), greatest(lit(0L),
+              round((x - mn) * lit(255.0) / (mx - mn), 0).cast("long"))))
+        }).as("codes"))
+
+  /** Asymmetric SQ8 top-k: queries stay float, candidates decode from
+    * their uint8 codes (dec_p = mn_p + code_p·(mx_p−mn_p)/255) — the
+    * asymmetric-distance trick that keeps query precision while the
+    * corpus side reads 1 byte/dim. Decoded norms are computed once per
+    * candidate. Output (q_id, c_id, cos, rn) like [[topK]]. */
+  def sqTopK(
+      queries: DataFrame, codes: DataFrame, stats: DataFrame,
+      dim: Int, k: Int, scale: Int = 4): DataFrame = {
+    val dec = codes.crossJoin(broadcast(stats))
+      .select(col("id").as("c_id"),
+        transform(sequence(lit(1), lit(dim)), p => {
+          val mn = element_at(col("mins"), p)
+          val mx = element_at(col("maxs"), p)
+          mn + element_at(col("codes"), p).cast("double") * (mx - mn) / lit(255.0)
+        }).as("d"))
+      .withColumn("d_nrm", sqrt(ddot(col("d"), col("d"))))
+    val q = queries.select(col("id").as("q_id"), col("embedding").as("q_emb"),
+      sqrt(ddot(col("embedding"), col("embedding"))).as("q_nrm"))
+    val scored = q.join(dec, col("q_id") =!= col("c_id"))
+      .withColumn("cos", round(
+        ddot(col("q_emb"), col("d")) / (col("q_nrm") * col("d_nrm")), scale))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rn").cast("long").as("rn"))
+  }
 }

@@ -408,6 +408,37 @@ object RelationalQueries extends QueryPack {
               FROM lineitem GROUP BY 1"""),
     ),
 
+    // salted equi-join: a planted hot key (every 3rd order collapses to
+    // key 0) joins a non-broadcastable-in-spirit dim; the salt is internal
+    // so the joined result is salt-invariant and the oracle is the plain
+    // join. Decimal-cast sum keeps the float aggregate order-independent.
+    "q_skew_salted_join" -> QueryDef(
+      (s, dir) => {
+        val li = Tables.table(s, dir, "lineitem")
+          .select(
+            when(col("l_orderkey") % 3 === 0, lit(0L))
+              .otherwise(col("l_orderkey") % 1000).as("k"),
+            col("l_quantity"))
+        val dim = Tables.table(s, dir, "part")
+          .groupBy((col("p_partkey") % 1000).as("k"))
+          .agg(max(col("p_retailprice")).as("max_price"))
+        graft.operators.Skew.saltedJoin(li, dim, "k", salts = 8)
+          .groupBy((col("k") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("l_quantity"))).cast("double").as("qty"),
+            max(col("max_price")).as("max_price"))
+      },
+      Some("""WITH li AS (SELECT CASE WHEN l_orderkey % 3 = 0 THEN 0
+                ELSE l_orderkey % 1000 END AS k, l_quantity FROM lineitem),
+        dim AS (SELECT p_partkey % 1000 AS k, max(p_retailprice) AS max_price
+                FROM part GROUP BY 1)
+        SELECT li.k % 10 AS bucket, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+          MAX(max_price) AS max_price
+        FROM li JOIN dim ON li.k = dim.k
+        GROUP BY 1"""),
+    ),
+
     // exact interpolated percentiles (both engines use linear
     // interpolation between order statistics - no float-sum ordering risk)
     "q_percentiles" -> QueryDef(

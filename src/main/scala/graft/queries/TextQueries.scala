@@ -38,6 +38,32 @@ object TextQueries extends QueryPack {
           array_join(slice(toks, lit(1), size(toks) - 2), " ").as("text")))
   }
 
+  /** documents re-chunked into 8-token lines, with boilerplate header and
+    * footer lines planted on every doc — the corpus-wide duplicate lines
+    * the line-dedup stage must strip. */
+  private def corpusLines(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val nLines = floor((size(toks) + lit(7)) / lit(8)).cast("long")
+    docs(s, dir).select(col("doc_id"),
+      concat(
+        lit("follow us for updates\n"),
+        array_join(transform(
+          sequence(lit(0L), nLines - 1),
+          i => array_join(slice(toks, (i * 8 + 1).cast("int"), lit(8)), " ")),
+          "\n"),
+        lit("\nall rights reserved")).as("text"))
+  }
+
+  private val CORPUS_LINES = """corpus AS (
+  SELECT doc_id,
+    'follow us for updates' || chr(10) ||
+    array_to_string(list_transform(range(0, (len(toks) + 7) // 8),
+      i -> array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' ')),
+      chr(10)) ||
+    chr(10) || 'all rights reserved' AS text
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents))"""
+
   private val CORPUS_NEAR = """corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
@@ -402,6 +428,36 @@ shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
         FROM d LEFT JOIN reb USING (doc_id)"""),
     ),
 
+    // ccnet/RefinedWeb-style line dedup: lines (paragraphs) appearing in
+    // >= 30 distinct docs are boilerplate and drop from every doc; the
+    // corpus plants a header+footer on all docs so the hot set is
+    // non-trivial at every SF
+    "q_dedup_lines" -> QueryDef(
+      (s, dir) => Dedup.lineDedup(corpusLines(s, dir), "doc_id", "text",
+        minDf = 30L),
+      Some(s"""WITH $CORPUS_LINES,
+        ls AS (SELECT doc_id, string_split(text, chr(10)) AS la FROM corpus),
+        lp AS (SELECT doc_id, la, unnest(range(1, len(la) + 1)) AS pos FROM ls),
+        lines AS (SELECT doc_id, pos, la[pos] AS line FROM lp),
+        lh AS (SELECT doc_id, pos, line, ${duckHash("line")} AS h FROM lines),
+        hot AS (SELECT h FROM (
+                  SELECT h, count(DISTINCT doc_id) AS line_df
+                  FROM lh GROUP BY 1)
+                WHERE line_df >= 30),
+        kept AS (SELECT doc_id, pos, line FROM lh
+                 WHERE h NOT IN (SELECT h FROM hot)),
+        agg AS (SELECT doc_id,
+                  string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                  count(*) AS n_kept
+                FROM kept GROUP BY 1),
+        tot AS (SELECT doc_id,
+                  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
+                FROM corpus)
+        SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text, t.n_lines,
+               t.n_lines - COALESCE(a.n_kept, 0) AS n_dropped
+        FROM tot t LEFT JOIN agg a USING (doc_id)"""),
+    ),
+
     // SemDeDup (Abbas et al. 2023): k-means-cell-scoped cosine near-dup
     // pairs — the oracle replays the deterministic seed-cell assignment
     // (max rounded cosine, centroid-id tie-break) and the within-cell join
@@ -479,6 +535,54 @@ shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
           WHERE q.id < 20),
         ranked AS (SELECT q_id, c_id, cos,
           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn
+          FROM scored)
+        SELECT q_id, c_id, cos, rn FROM ranked WHERE rn <= 3"""),
+    ),
+
+    // SQ8 scalar quantization (faiss-style): per-dim [min,max] -> uint8
+    // codes, asymmetric top-k (float query x decoded candidate); the
+    // oracle replays the train/encode/decode arithmetic exactly
+    "q_embed_sq_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding"))
+        val stats = Similarity.sqStats(emb, 64)
+        val codes = Similarity.sqEncode(emb, stats, 64)
+        Similarity.sqTopK(emb.filter(col("id") < 20), codes, stats, 64, k = 3)
+      },
+      Some("""WITH v AS (SELECT vec_id AS id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings),
+        st AS (SELECT p, min(emb[p]) AS mn, max(emb[p]) AS mx
+               FROM (SELECT emb, unnest(range(1, 65)) AS p FROM v) GROUP BY p),
+        arrs AS (SELECT list(mn ORDER BY p) AS mins, list(mx ORDER BY p) AS maxs
+                 FROM st),
+        codes AS (SELECT id, list_transform(range(1, 65), p ->
+            CASE WHEN maxs[p] = mins[p] THEN CAST(0 AS BIGINT)
+                 ELSE least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+                   CAST(round((emb[p] - mins[p]) * 255.0 / (maxs[p] - mins[p]),
+                     0) AS BIGINT)))
+            END) AS cs
+          FROM v CROSS JOIN arrs),
+        dec AS (SELECT id, list_transform(range(1, 65), p ->
+            mins[p] + cs[p] * (maxs[p] - mins[p]) / 255.0) AS d
+          FROM codes CROSS JOIN arrs),
+        dn AS (SELECT id, d, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(range(1, 65), p -> d[p] * d[p])),
+            (a, b) -> a + b)) AS dnrm
+          FROM dec),
+        qn AS (SELECT id, emb, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(range(1, 65), p -> emb[p] * emb[p])),
+            (a, b) -> a + b)) AS qnrm
+          FROM v WHERE id < 20),
+        scored AS (SELECT q.id AS q_id, c.id AS c_id,
+            round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(range(1, 65), p -> q.emb[p] * c.d[p])),
+              (a, b) -> a + b) / (q.qnrm * c.dnrm), 4) AS cos
+          FROM qn q JOIN dn c ON q.id <> c.id),
+        ranked AS (SELECT q_id, c_id, cos,
+            ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, c_id ASC) AS rn
           FROM scored)
         SELECT q_id, c_id, cos, rn FROM ranked WHERE rn <= 3"""),
     ),
@@ -1021,6 +1125,42 @@ shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
           CAST(count(*) FILTER (WHERE sh_hash IN (SELECT sh_hash FROM b))
               AS DOUBLE) / CAST(count(*) AS DOUBLE) AS overlap_frac
         FROM shh GROUP BY doc_id"""),
+    ),
+
+    // Bloom-filter decontamination: the constant-memory variant — eval
+    // shingles fold into 4096 bloom positions under 3 affine hashes; a
+    // shingle is flagged iff all 3 positions are set. One-sided error:
+    // n_flagged >= n_exact per doc, both surfaced
+    "q_decontaminate_bloom" -> QueryDef(
+      (s, dir) => Curate.bloomContaminated(
+        docs(s, dir).select("doc_id", "text"),
+        docs(s, dir).filter(col("doc_id") % 7 === 0).select("doc_id", "text"),
+        "doc_id", "text", n = 3, bits = 4096, nHash = 3),
+      Some(s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+        $DUCK_SHINGLES,
+        js AS (SELECT unnest(range(0, 3)) AS j),
+        bset AS (SELECT DISTINCT sh_hash FROM shh WHERE doc_id % 7 = 0),
+        bloom AS (SELECT DISTINCT
+            ((sh_hash * (131 * j + 7) + (97 * j + 3)) % 1000000007) % 4096 AS bp
+          FROM bset CROSS JOIN js),
+        probes AS (SELECT s.doc_id, s.sh_hash, j.j,
+            ((s.sh_hash * (131 * j.j + 7) + (97 * j.j + 3)) % 1000000007) % 4096
+              AS bp
+          FROM shh s CROSS JOIN js j),
+        hits AS (SELECT doc_id, sh_hash FROM probes
+                 WHERE bp IN (SELECT bp FROM bloom)
+                 GROUP BY doc_id, sh_hash HAVING count(DISTINCT j) = 3),
+        flag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged
+                 FROM hits GROUP BY 1),
+        ex AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_exact FROM shh
+               WHERE sh_hash IN (SELECT sh_hash FROM bset) GROUP BY 1),
+        tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+                FROM shh GROUP BY 1)
+        SELECT t.doc_id, t.n_shingles,
+          COALESCE(f.n_flagged, 0) AS n_flagged,
+          COALESCE(e.n_exact, 0) AS n_exact
+        FROM tot t LEFT JOIN flag f ON t.doc_id = f.doc_id
+        LEFT JOIN ex e ON t.doc_id = e.doc_id"""),
     ),
 
     // PII redaction over a corpus with planted identifiers (the raw

@@ -243,15 +243,19 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.assembly.{IncrementalReadonly, Preassembly, StatementWorld}
         val (valid, _) = Preassembly.partitionValid(Preassembly.parse(batch))
-        // one parse feeds three frames
+        // one parse feeds three frames; the slim derived frames checkpoint
+        // too so the upsert's many downstream actions analyze LogicalRDDs,
+        // not the full statement-JSON parse expression tree (driver-side
+        // Catalyst cost per action — see streamingScoredReadonly)
         val v = valid.localCheckpoint(false)
         val statements = v
           .select(col("mk_hash"), col("stmt.type").as("stype")).distinct()
           .withColumn("belief", lit(null).cast("double"))
+          .localCheckpoint(false)
         val evidence = v.select(col("raw_stmt_id").as("sid"), col("mk_hash"),
           col("src"), col("raw_stmt_id").as("rid"),
           lit(null).cast("long").as("pmid"))
-        val agents = Preassembly.agentRows(v)
+        val agents = Preassembly.agentRows(v).localCheckpoint(false)
         val mesh = v.select(col("raw_stmt_id").as("sid"),
           lit(0L).as("mesh_num"), lit(0).cast("int").as("is_concept"))
           .limit(0)
@@ -299,6 +303,18 @@ object Streams {
     // error inside the first micro-batch
     require(ontology.isEmpty || ontologyDb.nonEmpty,
       "streamingScoredReadonly: ontology given but ontologyDb is empty")
+    // The ontology is a slowly-changing dimension: compute its ancestor
+    // closure ONCE at stream construction (an iterative multi-action job),
+    // not once per micro-batch, and collect it — it is broadcast-sized by
+    // the same argument Refinement.signatures broadcasts it. Each batch
+    // rebuilds a LocalRelation on ITS OWN session: foreachBatch runs on a
+    // cloned session, and plans referencing another session's DataFrame
+    // can't reuse that session's cached exchanges.
+    val ontClosure = ontology.map { ont =>
+      val c = graft.assembly.Refinement.transitiveClosure(
+        ont.select(col("desc"), col("anc")))
+      (c.collect().toSeq, c.schema)
+    }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("raw_stmt_id",
         org.apache.spark.sql.types.LongType),
@@ -316,16 +332,32 @@ object Streams {
         val ses = batch.sparkSession
         val (valid, _) = Preassembly.partitionValid(Preassembly.parse(batch))
         val v = valid.localCheckpoint(false)
+        // checkpoint the slim derived frames too, not just v: their plans
+        // otherwise carry the full statement-JSON parse expression tree
+        // (hundreds of nested CaseWhen/struct nodes), and EVERY action the
+        // three store upserts run downstream re-pays Catalyst
+        // analysis/AQE-normalization over that tree — at any scale this is
+        // driver time, per action, for work done once here
         val stmts = v
           .select(col("mk_hash"), col("stmt.type").as("stype")).distinct()
-        val agents = Preassembly.agentRows(v)
+          .localCheckpoint(false)
+        val agents = Preassembly.agentRows(v).localCheckpoint(false)
         val counts = v.groupBy("mk_hash", "src").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(false)
         // ontology dimension: the persisted signature index yields the
         // batch's generalized-match edges, which the closure maintenance
         // composes with stored key-subset pairs
-        val ontologyEdges = ontology.map(ont =>
+        val ontologyEdges = ontology.map { ont =>
+          val closure = ontClosure.map { case (rows, schema) =>
+            ses.createDataFrame(
+              new java.util.ArrayList(
+                scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+              schema)
+          }
           graft.assembly.IncrementalOntologyEdges.upsert(
-            ses, stmts, agents, ont, ontologyDb, shards))
+            ses, stmts, agents, ont, ontologyDb, shards,
+            ontologyClosure = closure)
+        }
         val beliefUpd = IncrementalBelief.upsert(ses, stmts, agents,
           counts, beliefDb, shards, batchId,
           extraEdges = ontologyEdges).localCheckpoint(false)

@@ -26,6 +26,31 @@ class CurateSpec extends AnyFunSuite {
       s"bench members not flagged: ${benchIds -- flaggedIds}")
   }
 
+  test("bloom decontamination: no false negatives, FP-prone at tiny widths") {
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val out = Curate.bloomContaminated(docs, bench, "doc_id", "text",
+      n = 3, bits = 4096, nHash = 3).collect()
+    assert(out.nonEmpty)
+    // one-sided error: every exact hit is flagged
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_flagged") >= r.getAs[Long]("n_exact"),
+        s"false negative on doc ${r.getAs[Long]("doc_id")}")
+    }
+    // bench members are fully flagged (their shingles are all in the set)
+    val benchIds = bench.collect().map(_.getLong(0)).toSet
+    out.filter(r => benchIds(r.getAs[Long]("doc_id"))).foreach { r =>
+      assert(r.getAs[Long]("n_flagged") == r.getAs[Long]("n_shingles"))
+    }
+    // a wide-enough filter converges to the exact counts
+    val wide = Curate.bloomContaminated(docs, bench, "doc_id", "text",
+      n = 3, bits = 1 << 22, nHash = 3).collect()
+    wide.foreach { r =>
+      assert(r.getAs[Long]("n_flagged") == r.getAs[Long]("n_exact"),
+        s"doc ${r.getAs[Long]("doc_id")}: " +
+          s"${r.getAs[Long]("n_flagged")} != ${r.getAs[Long]("n_exact")}")
+    }
+  }
+
   test("a doc sharing no shingle with the benchmark has zero hits") {
     import spark.implicits._
     val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta"))

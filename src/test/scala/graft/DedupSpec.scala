@@ -424,4 +424,65 @@ class DedupSpec extends AnyFunSuite {
       maxCell = 100000)
     assert(uncapped.count() == 61L * 60 / 2)
   }
+
+  test("lineDedup strips corpus-wide boilerplate, keeps unique lines in order") {
+    import spark.implicits._
+    val docs = (1L to 5L).map { i =>
+      (i, s"header line\nbody $i one\nbody $i two\nfooter line")
+    }.toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text", minDf = 4)
+      .orderBy("doc_id").collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("clean_text") == s"body $id one\nbody $id two")
+      assert(r.getAs[Long]("n_lines") == 4L)
+      assert(r.getAs[Long]("n_dropped") == 2L)
+    }
+  }
+
+  test("lineDedup: intra-doc repeats survive; fully-boilerplate doc stays") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "dup\nown a\nown a\nown b"), // 'own a' repeats inside ONE doc
+      (2L, "dup\nown c"),
+      (3L, "dup")) // fully boilerplate once 'dup' is hot
+      .toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text", minDf = 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("clean_text") == "own a\nown a\nown b")
+    assert(out(1).getAs[String]("clean_text") == "own c")
+    assert(out(2).getAs[String]("clean_text") == "" &&
+      out(2).getAs[Long]("n_dropped") == 1L)
+  }
+
+  test("SQ8 round-trips within one quantization step; topk finds exact twin") {
+    import spark.implicits._
+    val base = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(8)(d => (math.sin(i * 8 + d) * 5).toFloat))
+    }
+    // plant an exact copy of vector 3 at id 100
+    val df = (base :+ (100L, base(3)._2)).toDF("id", "embedding")
+    val stats = Similarity.sqStats(df, 8)
+    val codes = Similarity.sqEncode(df, stats, 8)
+    val Array(st) = stats.collect()
+    val mins = st.getSeq[Double](0)
+    val maxs = st.getSeq[Double](1)
+    val codeMap = codes.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // decode error bounded by half a step per dim
+    base.foreach { case (id, v) =>
+      val cs = codeMap(id)
+      v.zipWithIndex.foreach { case (x, d) =>
+        val step = (maxs(d) - mins(d)) / 255.0
+        val dec = mins(d) + cs(d) * step
+        assert(math.abs(dec - x) <= step / 2 + 1e-9,
+          s"id=$id dim=$d x=$x dec=$dec step=$step")
+      }
+    }
+    val top = Similarity.sqTopK(
+      df.filter(col("id") === 3), codes, stats, 8, k = 1).collect()
+    assert(top.length == 1 && top.head.getAs[Long]("c_id") == 100L,
+      s"expected exact twin 100, got ${top.toSeq}")
+  }
 }

@@ -86,6 +86,34 @@ class PlanSpec extends AnyFunSuite {
       s"corpus-side shuffle join crept in:\n$p")
   }
 
+  test("bloom + line-dedup probes broadcast their small sets; SQ stats ride broadcast") {
+    val docs = Tables.table(spark, dir, "documents").select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val pBloom = plan(graft.operators.Curate.bloomContaminated(
+      docs, bench, "doc_id", "text"))
+    assert(pBloom.contains("BroadcastHashJoin"),
+      s"bloom position set not broadcast:\n$pBloom")
+    assert(!pBloom.contains("SortMergeJoin"),
+      s"corpus-side shuffle join crept into the bloom probe:\n$pBloom")
+    val pLines = plan(graft.operators.Dedup.lineDedup(
+      docs, "doc_id", "text", minDf = 30))
+    assert(pLines.contains("BroadcastHashJoin"),
+      s"hot-line set not broadcast:\n$pLines")
+    // the SQ8 stats row joins encode + search as a broadcast nest — a
+    // shuffle there would move the whole corpus for a 1-row dimension
+    import graft.operators.Similarity
+    val emb = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val stats = Similarity.sqStats(emb, 64)
+    val codes = Similarity.sqEncode(emb, stats, 64)
+    val pSq = plan(Similarity.sqTopK(emb.filter(col("id") < 5), codes, stats,
+      64, k = 3))
+    assert(pSq.contains("BroadcastNestedLoopJoin") ||
+      pSq.contains("BroadcastHashJoin"), s"stats row not broadcast:\n$pSq")
+    assert(!pSq.contains("CartesianProduct"),
+      s"non-broadcast cartesian crept into SQ search:\n$pSq")
+  }
+
   test("PQ search broadcasts distance tables; code scan never shuffle-joins") {
     import graft.operators.Similarity
     val emb = Tables.table(spark, dir, "embeddings")

@@ -27,6 +27,18 @@ import graft.streaming.Streams
 class SoakSpec extends AnyFunSuite {
   lazy val spark = GraftSession.local("soak-test")
 
+  /** The soak's cost is fixed per-write overhead (hundreds of tiny store
+    * writes across stream restarts), and streaming disables AQE so every
+    * shuffle runs the full session width. Pin shuffle width down for the
+    * duration of a soak — semantics are width-independent (the unit specs
+    * and gates run at the session default) — and restore it after, since
+    * suites share the forked JVM's session. */
+  private def withNarrowShuffle[T](body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private def complexJs(members: Seq[String]) =
     s"""{"type":"Complex","members":[${members.map(m =>
       s"""{"name":"$m"}""").mkString(",")}]}"""
@@ -201,6 +213,7 @@ class SoakSpec extends AnyFunSuite {
   }
 
   test("dedup-index soak: crashes + in-stream compaction == fresh build") {
+   withNarrowShuffle {
     import graft.operators.Dedup
     import graft.sources.Tables
     val rng = new scala.util.Random(7L)
@@ -256,15 +269,20 @@ class SoakSpec extends AnyFunSuite {
       Dedup.deltaNearDups(probe, "doc_id", "text", si, shi)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairsOf(sigs, sh) == pairsOf(fSigs, fSh))
+   }
   }
 
   test("8-batch crash-injection soak (small world)") {
-    soak("s", waves = 8, entities = 5, specifics = 4,
-      stmtsPerWave = 4, seed = 41L)
+    withNarrowShuffle {
+      soak("s", waves = 8, entities = 5, specifics = 4,
+        stmtsPerWave = 4, seed = 41L)
+    }
   }
 
   test("10-batch crash-injection soak (larger world)") {
-    soak("l", waves = 10, entities = 9, specifics = 6,
-      stmtsPerWave = 12, seed = 4242L)
+    withNarrowShuffle {
+      soak("l", waves = 10, entities = 9, specifics = 6,
+        stmtsPerWave = 12, seed = 4242L)
+    }
   }
 }
