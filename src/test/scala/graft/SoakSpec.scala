@@ -58,9 +58,17 @@ class SoakSpec extends AnyFunSuite {
 
   /** Drive `waves` delta batches with `entities` complex-member names and
     * `specifics` ontology-grounded subjects; crash each wave's micro-batch
-    * 0-2 times at random write boundaries before letting it drain. */
+    * 0-2 times at random write boundaries before letting it drain. With
+    * `ontologyDeltaAt` set, the ontology gains a new FPLX:F0 -> FPLX:SUPER
+    * edge after that wave — the delta flows through
+    * [[IncrementalOntologyEdges.ontologyDelta]], its exposed edges through
+    * an edge-only belief upsert, and the re-scored hashes through a
+    * belief-only readonly upsert; later waves emit SUPER-keyed statements
+    * so old-desc x new-anc compositions actually arise, and the final
+    * oracle rebuilds with the UPDATED ontology. */
   private def soak(tag: String, waves: Int, entities: Int, specifics: Int,
-      stmtsPerWave: Int, seed: Long): Unit = {
+      stmtsPerWave: Int, seed: Long,
+      ontologyDeltaAt: Option[Int] = None): Unit = {
     import spark.implicits._
     val rng = new scala.util.Random(seed)
     val rawDir = java.nio.file.Files.createTempDirectory(s"soak-$tag-raw").toString
@@ -73,9 +81,12 @@ class SoakSpec extends AnyFunSuite {
     IncrementalOntologyEdges.reset(spark, odb)
     Seq(s"${db}_c1", s"${db}_c2", s"${db}_cf")
       .foreach(IncrementalReadonly.reset(spark, _))
-    // two-level ontology: HGNC:<i> specific under FPLX:F<i%3> family
+    // two-level ontology: HGNC:<i> specific under FPLX:F<i%3> family;
+    // an ontologyDeltaAt soak later adds FPLX:F0 -> FPLX:SUPER (3 levels)
     val ontology = (0 until specifics)
       .map(i => (s"HGNC:$i", s"FPLX:F${i % 3}")).toDF("desc", "anc")
+    var curOnt = ontology
+    var deltaApplied = false
 
     val pool = (0 until entities).map(i => s"E$i")
     val srcs = Seq("reach", "medscan", "signor")
@@ -104,6 +115,14 @@ class SoakSpec extends AnyFunSuite {
         emitted += js
         rows += ((sid(), srcs(rng.nextInt(srcs.size)), js))
       }
+      // after the mid-soak ontology delta: statements at the NEW top level,
+      // so old F0/HGNC:0-family statements gain a strictly-more-general
+      // counterpart (old-desc x new-anc through the evolved closure)
+      if (deltaApplied && rng.nextBoolean()) {
+        val js = actJs(""""FPLX":"SUPER"""", "SUPERFAM")
+        emitted += js
+        rows += ((sid(), srcs(rng.nextInt(srcs.size)), js))
+      }
       // counts-only deltas: re-deliver earlier statements as new evidence
       (1 to rng.nextInt(3)).foreach { _ =>
         rows += ((sid(), srcs(rng.nextInt(srcs.size)),
@@ -117,7 +136,7 @@ class SoakSpec extends AnyFunSuite {
     // 8 shards keeps per-write partition fan-out (the soak's dominant
     // cost at toy scale) down without changing any guard semantics
     def startStream() = Streams.streamingScoredReadonly(spark, rawDir, ckDir,
-      db, bdb, shards = 8, ontology = Some(ontology), ontologyDb = odb)
+      db, bdb, shards = 8, ontology = Some(curOnt), ontologyDb = odb)
 
     var crashes = 0
     val allRows = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
@@ -148,6 +167,41 @@ class SoakSpec extends AnyFunSuite {
       if (w == waves / 2)
         IncrementalReadonly.compactIfNeeded(spark, db, s"${db}_c1",
           buckets = 4, maxFilesPerShard = 1)
+      // mid-soak ontology evolution: signature-index delta -> edge-only
+      // belief upsert -> belief-only readonly upsert, between two streams
+      // and right after a compaction
+      if (ontologyDeltaAt.contains(w)) {
+        // two delta edges: F0 -> SUPER creates a NEW top level (edges only
+        // arise once later waves emit SUPER-keyed statements), F1 -> F2
+        // connects two EXISTING families, so the delta exposes edges
+        // immediately and the edge-only belief path moves real scores
+        val newEdge = Seq(("FPLX:F0", "FPLX:SUPER"), ("FPLX:F1", "FPLX:F2"))
+          .toDF("desc", "anc")
+        curOnt = curOnt.unionByName(newEdge).localCheckpoint(true)
+        deltaApplied = true
+        val d = IncrementalOntologyEdges.ontologyDelta(
+          spark, newEdge, curOnt, odb, shards = 8).localCheckpoint(false)
+        def emptyLike(table: String, drop: Seq[String]) =
+          spark.table(s"$db.$table").drop(drop: _*).limit(0)
+        val eStmts = Seq.empty[(Long, String)].toDF("mk_hash", "stype")
+        val eAgents = Seq.empty[(Long, Int, String, String, Int)]
+          .toDF("mk_hash", "ag_num", "db_name", "db_id", "role_num")
+        val eCounts = Seq.empty[(Long, String, Long)]
+          .toDF("mk_hash", "src", "cnt")
+        val bu = IncrementalBelief.upsert(spark, eStmts, eAgents, eCounts,
+          bdb, shards = 8, batchId = 900000L + w, extraEdges = Some(d))
+          .localCheckpoint(false)
+        IncrementalReadonly.upsert(spark,
+          StatementWorld(
+            emptyLike("p_statements", Seq("shard")),
+            emptyLike("p_evidence", Seq("shard")),
+            emptyLike("p_agents", Seq("shard", "batch_id")),
+            emptyLike("p_mesh", Seq("shard", "mk_hash")),
+            emptyLike("p_refs", Seq("shard"))),
+          graft.core.TypeRegistry.indra, Seq("reach", "medscan"),
+          Seq("signor"), None, db, shards = 8, batchId = 900000L + w,
+          agentsPerHash = true, beliefUpdates = Some(bu))
+      }
       if (w == waves - 1)
         IncrementalReadonly.compactIfNeeded(spark, db, s"${db}_c2",
           buckets = 4, maxFilesPerShard = 1)
@@ -162,7 +216,7 @@ class SoakSpec extends AnyFunSuite {
     val agents = Preassembly.agentRows(v)
     val closure = Refinement.transitiveClosure(
       Pipeline.refinementEdges(uniq, agents).unionByName(
-        Refinement.ontologyRefinementEdges(uniq, agents, ontology))
+        Refinement.ontologyRefinementEdges(uniq, agents, curOnt))
         .distinct())
     val srcCounts = v.groupBy("mk_hash", "src").agg(count(lit(1)).as("cnt"))
       .groupBy("mk_hash")
@@ -279,10 +333,10 @@ class SoakSpec extends AnyFunSuite {
     }
   }
 
-  test("10-batch crash-injection soak (larger world)") {
+  test("10-batch crash-injection soak (larger world, mid-soak ontology delta)") {
     withNarrowShuffle {
       soak("l", waves = 10, entities = 9, specifics = 6,
-        stmtsPerWave = 12, seed = 4242L)
+        stmtsPerWave = 12, seed = 4242L, ontologyDeltaAt = Some(5))
     }
   }
 }
