@@ -98,6 +98,58 @@ object Curate {
         coalesce(col("n_exact"), lit(0L)).as("n_exact"))
   }
 
+  /** DSIR-style importance scoring + selection (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): hashed
+    * unigram features, add-one-smoothed target-vs-raw log-likelihood
+    * ratio per feature, per-document score = sum of its tokens' ratios,
+    * and the top-`topK` docs by score flagged as selected. Log weights
+    * quantize to micro-units BEFORE the per-doc sum, so the doc scores
+    * are integer sums — shuffle-order-independent and engine-portable
+    * (the [[TextAnalysis.tfIdfTopTerms]] determinism trick; a float sum
+    * would depend on reduction order).
+    *
+    * Scale shape: count aggregations shuffle 8-byte feature ids; the
+    * weight table is at most `buckets` rows and BROADCASTS into the
+    * per-doc probe; selection is a TakeOrdered top-k, never a global
+    * sort. Output: (doc_id, n_tokens, score_micro, selected).
+    */
+  def dsirSelect(
+      corpus: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 8192,
+      topK: Int = 100): DataFrame = {
+    def feats(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"),
+        (TextAnalysis.rollingHash(col("tok")) % buckets).as("f"))
+    val cf = feats(corpus)
+    val tf = feats(target)
+    val rc = cf.groupBy("f").agg(count(lit(1)).as("rc"))
+    val tc = tf.groupBy("f").agg(count(lit(1)).as("tc"))
+    val nr = cf.groupBy().agg(count(lit(1)).as("nr"))
+    val nt = tf.groupBy().agg(count(lit(1)).as("nt"))
+    val b = lit(buckets).cast("double")
+    val w = rc.join(tc, Seq("f"), "left")
+      .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
+      .select(col("f"),
+        round((log((coalesce(col("tc"), lit(0L)) + lit(1.0)) / (col("nt") + b)) -
+               log((col("rc") + lit(1.0)) / (col("nr") + b))) * lit(1000000.0), 0)
+          .cast("long").as("w_micro"))
+    val dc = cf.groupBy("doc_id", "f").agg(count(lit(1)).as("cnt"))
+    val scored = dc.join(broadcast(w), Seq("f"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt") * col("w_micro")).as("score_micro"),
+        sum(col("cnt")).as("n_tokens"))
+    val top = scored.orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(topK).select(col("doc_id").as("sel_id"))
+    scored.join(top, scored("doc_id") === top("sel_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("score_micro"),
+        col("sel_id").isNotNull.as("selected"))
+  }
+
   /** The contaminated subset at `minFrac` overlap. */
   def contaminated(
       corpus: DataFrame,

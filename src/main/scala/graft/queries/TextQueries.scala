@@ -1163,6 +1163,40 @@ shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
         LEFT JOIN ex e ON t.doc_id = e.doc_id"""),
     ),
 
+    // DSIR importance resampling (Xie et al. 2023): hashed-unigram
+    // log-likelihood ratio of target (every 7th doc) vs raw corpus,
+    // micro-quantized weights -> integer doc scores, top-100 selected
+    "q_dsir_select" -> QueryDef(
+      (s, dir) => Curate.dsirSelect(
+        docs(s, dir).select("doc_id", "text"),
+        docs(s, dir).filter(col("doc_id") % 7 === 0).select("doc_id", "text"),
+        "doc_id", "text", buckets = 8192, topK = 100),
+      Some(s"""WITH tok AS (SELECT doc_id,
+            unnest(string_split_regex(trim(text), '\\s+')) AS tok
+          FROM documents),
+        fx AS (SELECT doc_id, ${duckHash("tok")} % 8192 AS f FROM tok),
+        rc AS (SELECT f, count(*) AS rc FROM fx GROUP BY 1),
+        tc AS (SELECT f, count(*) AS tc FROM fx WHERE doc_id % 7 = 0
+               GROUP BY 1),
+        nr AS (SELECT count(*) AS nr FROM fx),
+        nt AS (SELECT count(*) AS nt FROM fx WHERE doc_id % 7 = 0),
+        w AS (SELECT rc.f,
+            CAST(round((ln((COALESCE(tc.tc, 0) + 1.0) / (nt.nt + 8192.0)) -
+                        ln((rc.rc + 1.0) / (nr.nr + 8192.0))) * 1000000.0, 0)
+              AS BIGINT) AS w_micro
+          FROM rc LEFT JOIN tc ON rc.f = tc.f CROSS JOIN nr CROSS JOIN nt),
+        dc AS (SELECT doc_id, f, count(*) AS cnt FROM fx GROUP BY 1, 2),
+        sc AS (SELECT doc_id,
+            CAST(SUM(cnt * w_micro) AS BIGINT) AS score_micro,
+            CAST(SUM(cnt) AS BIGINT) AS n_tokens
+          FROM dc JOIN w ON dc.f = w.f GROUP BY 1),
+        top AS (SELECT doc_id FROM sc ORDER BY score_micro DESC, doc_id
+                LIMIT 100)
+        SELECT sc.doc_id, sc.n_tokens, sc.score_micro,
+          sc.doc_id IN (SELECT doc_id FROM top) AS selected
+        FROM sc"""),
+    ),
+
     // PII redaction over a corpus with planted identifiers (the raw
     // documents are clean synthetic tokens, so the gate plants them
     // deterministically on both sides)

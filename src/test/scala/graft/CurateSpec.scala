@@ -51,6 +51,25 @@ class CurateSpec extends AnyFunSuite {
     }
   }
 
+  test("DSIR ranks on-distribution docs above off-distribution docs") {
+    import spark.implicits._
+    val target = (1L to 5L).map(i => (100L + i, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"), // matches the target distribution
+      (2L, "zeta eta theta iota"), // fully off-distribution
+      (3L, "alpha beta zeta eta")) // mixed
+      .toDF("doc_id", "text")
+    val out = Curate.dsirSelect(corpus, target, "doc_id", "text",
+      buckets = 1024, topK = 1).collect()
+    val score = out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("score_micro")).toMap
+    assert(score(1L) > score(3L) && score(3L) > score(2L),
+      s"importance order wrong: $score")
+    assert(out.filter(_.getAs[Boolean]("selected"))
+      .map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+  }
+
   test("a doc sharing no shingle with the benchmark has zero hits") {
     import spark.implicits._
     val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta"))
