@@ -114,6 +114,17 @@ class PlanSpec extends AnyFunSuite {
       s"non-broadcast cartesian crept into SQ search:\n$pSq")
   }
 
+  test("DSIR weight table broadcasts; selection is TakeOrdered, not a sort") {
+    val docs = Tables.table(spark, dir, "documents").select("doc_id", "text")
+    val target = docs.filter(col("doc_id") % 7 === 0)
+    val p = plan(graft.operators.Curate.dsirSelect(docs, target,
+      "doc_id", "text"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"weight table not broadcast into the per-doc probe:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k selection planned as something other than TakeOrdered:\n$p")
+  }
+
   test("PQ search broadcasts distance tables; code scan never shuffle-joins") {
     import graft.operators.Similarity
     val emb = Tables.table(spark, dir, "embeddings")
