@@ -591,6 +591,98 @@ object Dedup {
         col("total_tokens"))
   }
 
+  /** Distinct (doc_id, lh) line-hash pairs of a corpus — the unit the
+    * line-frequency index stores (df counts distinct documents). */
+  def docLineHashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "\n")).as("line"))
+      .select(col("doc_id"), TextAnalysis.rollingHash(col("line")).as("lh"))
+      .distinct()
+
+  /** Incremental [[lineDedup]]: dedup a delta batch against the
+    * ACCUMULATED line frequencies — a batch doc's line drops iff its
+    * corpus-wide document frequency (stored pairs + this batch) reaches
+    * `minDf`. Stream semantics: earlier-emitted documents are not
+    * revisited, so a line that becomes boilerplate later stops appearing
+    * in FUTURE output only (same contract as [[deltaNearDups]] vs the
+    * batch run).
+    *
+    * Delta-shaped: only line hashes PRESENT IN THE BATCH matter, so the
+    * stored side is semi-joined down to them before any counting — work
+    * scales with the batch's lines times their index fan-in, never the
+    * corpus. With `storedLineDocs` loaded from [[writeLineIndex]]'s
+    * lh-bucketed table, both the semi join and the df aggregation
+    * co-locate without an exchange. */
+  def lineDedupDelta(
+      batch: DataFrame, idCol: String, textCol: String,
+      storedLineDocs: DataFrame, minDf: Long): DataFrame = {
+    val lines = batch
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("lh", TextAnalysis.rollingHash(col("line")))
+    val batchPairs = lines.select("doc_id", "lh").distinct()
+      .localCheckpoint(false)
+    val hot = storedLineDocs.select("doc_id", "lh")
+      .join(batchPairs.select("lh").distinct(), Seq("lh"), "left_semi")
+      .unionByName(batchPairs)
+      .distinct()
+      .groupBy("lh").agg(count(lit(1)).as("line_df"))
+      .filter(col("line_df") >= minDf)
+      .select("lh")
+    val rebuilt = lines
+      .join(broadcast(hot), Seq("lh"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          _.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    batch.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
+  /** Persist the line-frequency index: distinct (doc_id, lh) pairs
+    * bucketed by lh — the probe key, so [[lineDedupDelta]]'s semi join
+    * and df aggregation run bucket-local. */
+  def writeLineIndex(
+      df: DataFrame, idCol: String, textCol: String,
+      db: String, buckets: Int): Unit =
+    graft.assembly.Deploy.saveBucketed(df.sparkSession,
+      docLineHashes(df, idCol, textCol), db, "line_docs", buckets,
+      Seq("lh"))
+
+  /** Reload the persisted line-frequency index (catalog refreshed, like
+    * [[loadIndex]]). */
+  def loadLineIndex(
+      spark: org.apache.spark.sql.SparkSession, db: String): DataFrame = {
+    spark.catalog.refreshTable(s"$db.line_docs")
+    spark.table(s"$db.line_docs")
+  }
+
+  /** Append one batch's line pairs — first-wins per doc_id (the id space
+    * is append-only by contract), so an at-least-once replay heals
+    * instead of double-counting a doc into every line's df. The guard
+    * scans only the slim (doc_id) column of the index; a doc-bucketed
+    * twin table would prune it further at extreme scale. */
+  def appendLineIndex(
+      batch: DataFrame, idCol: String, textCol: String,
+      db: String, buckets: Int): Unit = {
+    val spark = batch.sparkSession
+    spark.catalog.refreshTable(s"$db.line_docs")
+    val fresh = docLineHashes(batch, idCol, textCol)
+      .localCheckpoint(false)
+      .join(spark.table(s"$db.line_docs").select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+    graft.assembly.StoreFaults.onWrite(s"$db.line_docs")
+    fresh.write.mode("append").bucketBy(buckets, "lh").sortBy("lh")
+      .format("parquet").saveAsTable(s"$db.line_docs")
+  }
+
   /** Cross-corpus line (paragraph) deduplication: a line whose hash occurs
     * in at least `minDf` distinct documents is boilerplate and is dropped
     * from EVERY document; the remaining lines reassemble in original order.

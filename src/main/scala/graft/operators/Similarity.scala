@@ -702,6 +702,30 @@ object Similarity {
               round((x - mn) * lit(255.0) / (mx - mn), 0).cast("long"))))
         }).as("codes"))
 
+  /** Persist the SQ8 index: uint8 codes bucketed by id plus the one-row
+    * per-dimension stats table (it broadcasts at search time). A
+    * persisted [[sqTopK]] reads 1 byte/dim of corpus data and nothing
+    * else — the same serving shape as [[writeAnnIndex]] one memory tier
+    * up. */
+  def writeSqIndex(
+      vectors: DataFrame, db: String, buckets: Int, dim: Int): Unit = {
+    val spark = vectors.sparkSession
+    val stats = sqStats(vectors, dim).localCheckpoint(false)
+    graft.assembly.Deploy.saveBucketed(
+      spark, sqEncode(vectors, stats, dim), db, "sq_codes", buckets,
+      Seq("id"))
+    graft.assembly.Deploy.saveBucketed(
+      spark, stats.withColumn("p0", lit(0)), db, "sq_stats", 1, Seq("p0"))
+  }
+
+  /** Reload a persisted SQ8 index: (codes, stats) for [[sqTopK]]. */
+  def loadSqIndex(spark: org.apache.spark.sql.SparkSession, db: String)
+      : (DataFrame, DataFrame) = {
+    Seq("sq_codes", "sq_stats")
+      .foreach(t => spark.catalog.refreshTable(s"$db.$t"))
+    (spark.table(s"$db.sq_codes"), spark.table(s"$db.sq_stats").drop("p0"))
+  }
+
   /** Asymmetric SQ8 top-k: queries stay float, candidates decode from
     * their uint8 codes (dec_p = mn_p + code_p·(mx_p−mn_p)/255) — the
     * asymmetric-distance trick that keeps query precision while the

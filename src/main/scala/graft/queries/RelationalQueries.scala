@@ -489,6 +489,33 @@ object RelationalQueries extends QueryPack {
               FROM lineitem GROUP BY 1"""),
     ),
 
+    // approx quantiles sketch (KLL/GK-style approx_percentile), gated like
+    // q_approx_distinct: Spark checks the sketch's answer against its own
+    // exact interpolated percentiles at the rank-error bounds (accuracy
+    // 1000 -> eps 1/1000, widened 2x) and emits the verdict alongside the
+    // exact median, which DuckDB reproduces exactly
+    "q_approx_quantiles" -> QueryDef(
+      (s, dir) => Tables.table(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          expr("approx_percentile(o_totalprice, 0.5, 1000)").as("ap50"),
+          expr("approx_percentile(o_totalprice, 0.9, 1000)").as("ap90"),
+          expr("percentile(o_totalprice, 0.498)").as("lo50"),
+          expr("percentile(o_totalprice, 0.502)").as("hi50"),
+          expr("percentile(o_totalprice, 0.898)").as("lo90"),
+          expr("percentile(o_totalprice, 0.902)").as("hi90"),
+          expr("percentile(o_totalprice, 0.5)").as("median"))
+        .select(col("o_orderpriority"), col("median"),
+          (col("ap50") >= col("lo50") && col("ap50") <= col("hi50"))
+            .as("p50_in_bounds"),
+          (col("ap90") >= col("lo90") && col("ap90") <= col("hi90"))
+            .as("p90_in_bounds")),
+      Some("""SELECT o_orderpriority,
+              quantile_cont(o_totalprice, 0.5) AS median,
+              TRUE AS p50_in_bounds, TRUE AS p90_in_bounds
+              FROM orders GROUP BY 1"""),
+    ),
+
     // --- events (temporal + json-ish props) ------------------------------
     "q_events_hourly" -> QueryDef(
       (s, dir) => {

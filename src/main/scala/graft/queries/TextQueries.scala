@@ -458,6 +458,42 @@ shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
         FROM tot t LEFT JOIN agg a USING (doc_id)"""),
     ),
 
+    // incremental line dedup: the even half's (doc, line-hash) pairs are
+    // the persisted index; the odd half arrives as a delta and drops a
+    // line iff the ACCUMULATED df (stored + batch = full corpus here)
+    // reaches 30. Oracle = the batch run restricted to the delta docs.
+    "q_dedup_lines_incremental" -> QueryDef(
+      (s, dir) => {
+        val c = corpusLines(s, dir)
+        val stored = Dedup.docLineHashes(
+          c.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+          .localCheckpoint(false) // persisted-artifact stand-in
+        Dedup.lineDedupDelta(c.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", stored, minDf = 30L)
+      },
+      Some(s"""WITH $CORPUS_LINES,
+        ls AS (SELECT doc_id, string_split(text, chr(10)) AS la FROM corpus),
+        lp AS (SELECT doc_id, la, unnest(range(1, len(la) + 1)) AS pos FROM ls),
+        lines AS (SELECT doc_id, pos, la[pos] AS line FROM lp),
+        lh AS (SELECT doc_id, pos, line, ${duckHash("line")} AS h FROM lines),
+        hot AS (SELECT h FROM (
+                  SELECT h, count(DISTINCT doc_id) AS line_df
+                  FROM lh GROUP BY 1)
+                WHERE line_df >= 30),
+        kept AS (SELECT doc_id, pos, line FROM lh
+                 WHERE doc_id % 2 = 1 AND h NOT IN (SELECT h FROM hot)),
+        agg AS (SELECT doc_id,
+                  string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                  count(*) AS n_kept
+                FROM kept GROUP BY 1),
+        tot AS (SELECT doc_id,
+                  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
+                FROM corpus WHERE doc_id % 2 = 1)
+        SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text, t.n_lines,
+               t.n_lines - COALESCE(a.n_kept, 0) AS n_dropped
+        FROM tot t LEFT JOIN agg a USING (doc_id)"""),
+    ),
+
     // SemDeDup (Abbas et al. 2023): k-means-cell-scoped cosine near-dup
     // pairs — the oracle replays the deterministic seed-cell assignment
     // (max rounded cosine, centroid-id tie-break) and the within-cell join

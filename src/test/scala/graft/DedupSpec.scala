@@ -456,6 +456,52 @@ class DedupSpec extends AnyFunSuite {
       out(2).getAs[Long]("n_dropped") == 1L)
   }
 
+  test("lineDedupDelta == batch lineDedup restricted to the delta docs") {
+    import graft.sources.Tables
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"),
+        concat(lit("shared header\n"), col("text"),
+          lit("\nshared footer")).as("text"))
+    val stored = Dedup.docLineHashes(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      .localCheckpoint(false)
+    val delta = docs.filter(col("doc_id") % 2 === 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val inc = rows(Dedup.lineDedupDelta(delta, "doc_id", "text", stored, 30L))
+    val batch = rows(Dedup.lineDedup(docs, "doc_id", "text", 30L)
+      .filter(col("doc_id") % 2 === 1))
+    assert(inc.nonEmpty && inc == batch)
+  }
+
+  test("appendLineIndex is idempotent per doc; persisted delta == stand-in") {
+    import graft.sources.Tables
+    val db = "graft_line_idx_spec"
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    // Deploy.saveBucketed (inside writeLineIndex) clears any stale location
+    spark.sql(s"CREATE DATABASE $db")
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"),
+        concat(lit("shared header\n"), col("text")).as("text"))
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    Dedup.writeLineIndex(half.filter(col("doc_id") % 4 === 0),
+      "doc_id", "text", db, buckets = 4)
+    val b2 = half.filter(col("doc_id") % 4 === 2)
+    Dedup.appendLineIndex(b2, "doc_id", "text", db, buckets = 4)
+    val n1 = Dedup.loadLineIndex(spark, db).count()
+    // a replayed append must not double-count any doc into the df
+    Dedup.appendLineIndex(b2, "doc_id", "text", db, buckets = 4)
+    assert(Dedup.loadLineIndex(spark, db).count() == n1)
+    val delta = docs.filter(col("doc_id") % 2 === 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val fromStore = rows(Dedup.lineDedupDelta(delta, "doc_id", "text",
+      Dedup.loadLineIndex(spark, db), 30L))
+    val standIn = rows(Dedup.lineDedupDelta(delta, "doc_id", "text",
+      Dedup.docLineHashes(half, "doc_id", "text"), 30L))
+    assert(fromStore == standIn)
+  }
+
   test("SQ8 round-trips within one quantization step; topk finds exact twin") {
     import spark.implicits._
     val base = (0 until 30).map { i =>

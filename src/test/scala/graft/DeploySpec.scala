@@ -227,6 +227,23 @@ class DeploySpec extends AnyFunSuite {
     assert(pqP.nonEmpty && pqP == pqF)
   }
 
+  test("persisted SQ8 index serves searches identical to the fresh build") {
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val emb = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    Similarity.writeSqIndex(emb, "graft_sq_idx", buckets = 4, dim = 64)
+    val (codes, stats) = Similarity.loadSqIndex(spark, "graft_sq_idx")
+    val qs = emb.filter(col("id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val persisted = rows(Similarity.sqTopK(qs, codes, stats, 64, k = 3))
+    val freshStats = Similarity.sqStats(emb, 64)
+    val fresh = rows(Similarity.sqTopK(qs,
+      Similarity.sqEncode(emb, freshStats, 64), freshStats, 64, k = 3))
+    assert(persisted.nonEmpty && persisted == fresh)
+  }
+
   test("AUTO namespace grounds through the dictionary grounder") {
     // TpchWorld ids are P<n>, unknown to the grounder -> falls back to NAME
     val ro = TpchWorld.readonly(spark, dir)
