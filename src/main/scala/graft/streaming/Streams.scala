@@ -154,6 +154,44 @@ object Streams {
       }
       .start()
 
+  /** Streaming line dedup over a document directory stream: each
+    * micro-batch dedups against the ACCUMULATED line frequencies
+    * ([[graft.operators.Dedup.lineDedupDelta]] probing the persisted
+    * [[graft.operators.Dedup.writeLineIndex]] table — the batch's own
+    * lines count toward the threshold), then appends its distinct
+    * (doc, line-hash) pairs so every later batch sees it. Same
+    * exactly-once shape as [[streamingNearDups]]: the cleaned-doc sink
+    * dynamically overwrites its own batch partition on a replay, and the
+    * index append is first-wins per doc. Stream semantics: a line that
+    * becomes boilerplate later stops appearing in FUTURE output only —
+    * already-emitted batches are immutable. */
+  def streamingLineDedup(
+      spark: org.apache.spark.sql.SparkSession,
+      docsDir: String,
+      indexDb: String,
+      indexBuckets: Int,
+      checkpointDir: String,
+      outDir: String,
+      minDf: Long): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(docStreamSchema).parquet(docsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.Dedup
+        val b = batch.localCheckpoint(false)
+        Dedup.lineDedupDelta(b, "doc_id", "text",
+            Dedup.loadLineIndex(spark, indexDb), minDf)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+        Dedup.appendLineIndex(b, "doc_id", "text", indexDb, indexBuckets)
+        ()
+      }
+      .start()
+
   /** Streaming ingest-to-training-shards: each micro-batch runs the
     * quality funnel, keeps the survivors, counts their tokens, and packs
     * them into fixed-budget sequences (best-fit-decreasing within the

@@ -154,6 +154,52 @@ class StreamingSpec extends AnyFunSuite {
       "in-stream compaction should have rewritten the index")
   }
 
+  test("streaming line dedup probes accumulated df and grows the index") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val idxDb = "graft_stream_line_idx"
+    spark.sql(s"DROP DATABASE IF EXISTS $idxDb CASCADE")
+    spark.sql(s"CREATE DATABASE $idxDb")
+    val docsDir = java.nio.file.Files.createTempDirectory("ld-docs").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("ld-ck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ld-out").toString +
+      "/clean"
+    val docs = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit("shared header\n"), col("text")).as("text"))
+    // seed the index with the first half of the corpus
+    Dedup.writeLineIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", idxDb, buckets = 4)
+    // run 1: a quarter of the odd docs; header df (evens + batch) >= 30
+    val b1 = docs.filter(col("doc_id") % 4 === 1)
+    b1.coalesce(1).write.mode("append").parquet(docsDir)
+    Streams.streamingLineDedup(spark, docsDir, idxDb, indexBuckets = 4,
+      ckDir, outDir, minDf = 30L).awaitTermination()
+    val run1 = spark.read.parquet(outDir)
+    val expected1 = Dedup.lineDedupDelta(b1, "doc_id", "text",
+      Dedup.docLineHashes(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text"), 30L)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "clean_text", "n_lines", "n_dropped")
+        .collect().map(_.toString).sorted.toSeq
+    assert(canon(run1) == canon(expected1))
+    assert(run1.filter(col("n_dropped") === 0).count() == 0,
+      "the shared header must drop from every doc")
+    // run 2: the rest of the odd docs — the accumulated index now holds
+    // evens + run 1, so the stand-in is the delta against that union
+    val b2 = docs.filter(col("doc_id") % 4 === 3)
+    b2.coalesce(1).write.mode("append").parquet(docsDir)
+    Streams.streamingLineDedup(spark, docsDir, idxDb, indexBuckets = 4,
+      ckDir, outDir, minDf = 30L).awaitTermination()
+    val run2 = spark.read.parquet(outDir)
+      .filter(col("batch_id") === 1)
+    val expected2 = Dedup.lineDedupDelta(b2, "doc_id", "text",
+      Dedup.docLineHashes(
+        docs.filter(col("doc_id") % 2 === 0).unionByName(b1),
+        "doc_id", "text"), 30L)
+    assert(canon(run2) == canon(expected2))
+  }
+
   test("streaming curate-and-pack equals the batch funnel + packing") {
     import spark.implicits._
     import graft.operators.{Curate, TextAnalysis}
