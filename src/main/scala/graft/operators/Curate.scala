@@ -348,6 +348,42 @@ object Curate {
         (col("span_start") - col("tok_offset")).as("doc_tok_start"),
         (col("span_end") - col("span_start")).as("span_len"))
 
+  /** Sliding-window document chunking — the embedding/retrieval pipeline
+    * shape ([[packSpans]] chops a contiguous token STREAM at exact budget
+    * boundaries with no overlap; here each document chunks independently
+    * into `window`-token pieces every `stride` tokens, so consecutive
+    * chunks overlap by window−stride and no token is more than one chunk
+    * from a chunk boundary). Chunk count is 1 + ceil(max(n−window,0)/
+    * stride); the last chunk clips at the document end. Pure map-side
+    * work — one projection, no shuffle, no UDF.
+    *
+    * Output: (doc_id, chunk_id, tok_start, chunk_len, chunk_text) with
+    * 1-based chunk ids and token offsets. */
+  def chunkSliding(
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(stride > 0 && stride <= window,
+      s"chunkSliding: need 0 < stride <= window, got $stride/$window")
+    val toks = TextAnalysis.tokens(col(textCol))
+    df.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("k",
+        (lit(1) + floor((greatest(col("n") - window, lit(0)) + stride - 1)
+          / lit(stride))).cast("int"))
+      .select(col("doc_id"), col("n"),
+        posexplode(transform(sequence(lit(0), col("k") - 1), i =>
+          struct((i * stride + 1).cast("long").as("tok_start"),
+            array_join(
+              slice(col("toks"), (i * stride + 1).cast("int"), lit(window)),
+              " ").as("chunk_text")))).as(Seq("pos", "c")))
+      .select(col("doc_id"),
+        (col("pos") + 1).cast("long").as("chunk_id"),
+        col("c.tok_start").as("tok_start"),
+        least(lit(window.toLong), col("n") - col("c.tok_start") + 1)
+          .cast("long").as("chunk_len"),
+        col("c.chunk_text").as("chunk_text"))
+  }
+
   /** Best-fit-decreasing sequence packing — the padding-sensitive variant
     * of [[packSequences]]: instead of chopping a contiguous stream (which
     * splits documents at sequence boundaries), each document is placed

@@ -1199,6 +1199,25 @@ shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
         LEFT JOIN ex e ON t.doc_id = e.doc_id"""),
     ),
 
+    // sliding-window chunking (48-token windows every 32 tokens, 16-token
+    // overlap) — the embedding/retrieval pipeline shape, map-side only
+    "q_chunk_sliding" -> QueryDef(
+      (s, dir) => Curate.chunkSliding(docs(s, dir).select("doc_id", "text"),
+        "doc_id", "text", window = 48, stride = 32),
+      Some("""WITH t AS (SELECT doc_id,
+            string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        d AS (SELECT doc_id, toks, len(toks) AS n,
+            1 + (greatest(len(toks) - 48, 0) + 31) // 32 AS k FROM t),
+        c AS (SELECT doc_id, toks, n, unnest(range(0, k)) AS i FROM d)
+        SELECT doc_id,
+          CAST(i + 1 AS BIGINT) AS chunk_id,
+          CAST(i * 32 + 1 AS BIGINT) AS tok_start,
+          CAST(least(48, n - i * 32) AS BIGINT) AS chunk_len,
+          array_to_string(list_slice(toks, i * 32 + 1, i * 32 + 48), ' ')
+            AS chunk_text
+        FROM c"""),
+    ),
+
     // DSIR importance resampling (Xie et al. 2023): hashed-unigram
     // log-likelihood ratio of target (every 7th doc) vs raw corpus,
     // micro-quantized weights -> integer doc scores, top-100 selected

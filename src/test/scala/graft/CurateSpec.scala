@@ -51,6 +51,34 @@ class CurateSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkSliding: overlap, coverage, and short-doc passthrough") {
+    import spark.implicits._
+    val doc = (1L, (1 to 100).map(i => s"t$i").mkString(" "))
+    val short = (2L, "a b c")
+    val out = Curate.chunkSliding(Seq(doc, short).toDF("doc_id", "text"),
+      "doc_id", "text", window = 48, stride = 32)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    // 100 tokens, W=48, S=32 -> 1 + ceil(52/32) = 3 chunks
+    val chunks = out(1L).sortBy(_.getAs[Long]("chunk_id"))
+    assert(chunks.length == 3)
+    assert(chunks.map(_.getAs[Long]("tok_start")).toSeq == Seq(1L, 33L, 65L))
+    assert(chunks.map(_.getAs[Long]("chunk_len")).toSeq == Seq(48L, 48L, 36L))
+    // consecutive chunks overlap by W-S = 16 tokens
+    val w1 = chunks(0).getAs[String]("chunk_text").split(" ")
+    val w2 = chunks(1).getAs[String]("chunk_text").split(" ")
+    assert(w1.takeRight(16).toSeq == w2.take(16).toSeq)
+    // stride-deduped reassembly covers the doc exactly
+    val rebuilt = chunks.flatMap { r =>
+      val ws = r.getAs[String]("chunk_text").split(" ")
+      if (r.getAs[Long]("chunk_id") == 1L) ws else ws.drop(16)
+    }
+    assert(rebuilt.toSeq == (1 to 100).map(i => s"t$i"))
+    // a doc shorter than the window is one whole chunk
+    val s2 = out(2L)
+    assert(s2.length == 1 && s2.head.getAs[String]("chunk_text") == "a b c" &&
+      s2.head.getAs[Long]("chunk_len") == 3L)
+  }
+
   test("DSIR ranks on-distribution docs above off-distribution docs") {
     import spark.implicits._
     val target = (1L to 5L).map(i => (100L + i, "alpha beta gamma delta"))
