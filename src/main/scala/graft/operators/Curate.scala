@@ -481,6 +481,41 @@ object Curate {
         .otherwise("test"))
   }
 
+  /** Leakage-safe train/val/test assignment: near-duplicate documents must
+    * land in the SAME split (a test doc whose near-copy sits in train is a
+    * leak that inflates eval), so the split hash is taken over each doc's
+    * duplicate-cluster root rather than its own id. `pairs` is the
+    * (a_id, b_id, …) output of any near-dup pair generator; docs in no
+    * pair hash on themselves, which reduces to [[hashSplit]].
+    *
+    * Scale shape: the component propagation runs on the pair graph only
+    * (tiny next to the corpus — see [[Dedup.dedupCorpus]]); the corpus is
+    * touched once by a LEFT join on the id to pick up its root. Stable
+    * under appends for ids that sort by ingest time: new near-dups of an
+    * existing cluster adopt its root (min id), so existing members never
+    * migrate splits.
+    *
+    * Returns (idCol, root, split). */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      trainPct: Int = 90,
+      valPct: Int = 5,
+      maxIter: Int = 30): DataFrame = {
+    val comp = graft.assembly.Refinement.connectedComponents(
+      pairs.select(col("a_id").as("node"), col("b_id").as("peer")), maxIter)
+      .select(col("node").as(idCol), col("component"))
+    val b = hashBucket(col("root"), 100L)
+    df.join(comp, Seq(idCol), "left")
+      .withColumn("root", coalesce(col("component"), col(idCol)))
+      .withColumn("split",
+        when(b < trainPct, "train")
+          .when(b < trainPct + valPct, "val")
+          .otherwise("test"))
+      .select(col(idCol), col("root"), col("split"))
+  }
+
   /** Distributed running sum over a TOTAL order — the scalable form of
     * `sum(v) OVER (ORDER BY ...)`, which Spark otherwise executes as a
     * SINGLE-partition window (the one-task global sort that dies first at

@@ -246,6 +246,41 @@ object Similarity {
     adc.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Two-stage ANN search: a cheap ADC shortlist re-ranked EXACTLY — the
+    * standard production pattern (PQ compresses 100 TB of vectors into
+    * RAM-scale codes; the exact pass then touches only `shortlist` full
+    * vectors per query, restoring exact-cosine quality at approximate-scan
+    * cost). Stage 1 is [[pqTopK]] with k = shortlist; stage 2 joins the
+    * shortlist back to the full vectors — a key join against the corpus
+    * whose probe side is |queries|·shortlist rows, so the full-vector scan
+    * never exceeds the shortlist budget — and re-ranks by rounded exact
+    * cosine with id tie-breaks.
+    *
+    * Returns (q_id, id, cos, rn) with rn ≤ k. */
+  def pqRerankTopK(
+      queries: DataFrame, codes: DataFrame, codebooks: DataFrame,
+      corpus: DataFrame,
+      m: Int, dim: Int, ksub: Int, shortlist: Int, k: Int,
+      scale: Int = 4): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val cand = pqTopK(queries, codes, codebooks, m, dim, ksub, shortlist,
+      scale).select(col("q_id"), col("id"))
+    val qn = queries.select(col("id").as("q_id"),
+      col("embedding").as("q_emb"), norm(col("embedding")).as("q_nrm"))
+    val cn = corpus.select(col("id"),
+      col("embedding").as("c_emb"), norm(col("embedding")).as("c_nrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("id").asc)
+    cand.join(broadcast(qn), "q_id")
+      .join(cn, "id")
+      .withColumn("cos", round(
+        ddot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")),
+        scale))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "id", "cos", "rn")
+  }
+
   /** Lloyd-refined PQ codebooks: per subspace, each iteration assigns
     * every subvector to its nearest centroid (integer-scaled L2,
     * centroid-id tie-break) and recomputes the centroid as the element

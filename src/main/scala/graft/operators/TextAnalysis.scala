@@ -179,6 +179,166 @@ object TextAnalysis {
           col("n_bigrams").cast("double"), 4))
   }
 
+  /** BM25 top-k retrieval: score every document against a (small) query
+    * set and keep the k best per query — the standard lexical-retrieval
+    * primitive training-data pipelines use for targeted corpus mining and
+    * contamination lookups. Okapi BM25 with the usual k1/b defaults; query
+    * terms are deduplicated (short-query convention: query tf is ignored).
+    *
+    * Determinism across engines: the idf log is quantized to micro-units
+    * before it multiplies anything ([[lmScore]]'s convention), each
+    * per-term contribution is quantized to integer micro-units map-side,
+    * and only the integer sum aggregates — shuffle order cannot perturb
+    * the score. The float expression shapes here are mirrored exactly by
+    * the DuckDB oracle (same literals, same parenthesization), so both
+    * engines execute identical IEEE-754 op sequences.
+    *
+    * Scale shape: the corpus-side stats (tf, dl, df) are plain partial
+    * aggregations of one exploded token pass; the query set and its df
+    * rows are tiny and BROADCAST into the postings join, so the only wide
+    * shuffle is the final (query, doc) partial-aggregated groupBy; corpus
+    * stats (n_docs, sum_dl) ride a one-row broadcast cross join. Nothing
+    * driver-side, no corpus×corpus product — this survives 100 TB with a
+    * bounded query set.
+    *
+    * Returns (qidCol, idCol, n_terms, score) with ≤k rows per query,
+    * score ties broken by doc id. */
+  def bm25TopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dl = docs.select(
+      col(idCol), size(tokens(col(textCol))).cast("long").as("dl"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val qTerms = queries.select(
+      col(qidCol),
+      explode(array_distinct(tokens(col(qtextCol)))).as("term"))
+    // df is per-term over the whole corpus (large); restrict it to the
+    // query vocabulary FIRST (broadcast the query terms into that join),
+    // then the surviving (qid, term, df) sliver broadcasts into postings
+    val qdf = docFreq.join(broadcast(qTerms), "term")
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = round(
+      log(lit(1d) + (col("n_docs") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5))) * 1e6).cast("long").cast("double") / 1e6
+    val denom = col("tf") +
+      lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl)
+    val contrib = round(
+      idf * (col("tf") * (lit(k1) + lit(1d))) / denom * 1e6).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qidCol)
+      .orderBy(col("score_micro").desc, col(idCol).asc)
+    tf.join(dl, idCol)
+      .join(broadcast(qdf), "term")
+      .crossJoin(broadcast(stats))
+      .select(col(qidCol), col(idCol), contrib.as("contrib_micro"))
+      .groupBy(qidCol, idCol)
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("contrib_micro")).as("score_micro"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      // full micro precision — see [[nbPredict]] on the half-way-tie trap
+      .select(col(qidCol), col(idCol), col("n_terms"),
+        (col("score_micro").cast("double") / 1e6).as("score"))
+  }
+
+  // --- multinomial Naive Bayes (fastText-style quality/domain filter) ----
+
+  /** Train a multinomial Naive Bayes text classifier — the relational
+    * analog of the linear fastText/CCNet classifiers used to score
+    * training-data quality and domain membership at corpus scale.
+    *
+    * Returns (tokenCounts (label, term, c), classStats (label, n_docs,
+    * tot)) — all exact integer counts from two partial-aggregated groupBys
+    * over one exploded token pass, so the model is deterministic and
+    * engine-portable. At 100 TB the token-count table is vocab×labels and
+    * stays distributed, joined by key at scoring time (AQE broadcasts it
+    * when it is small); classStats is |labels| rows, always broadcast. */
+  def nbTrain(labeled: DataFrame, textCol: String, labelCol: String)
+      : (DataFrame, DataFrame) = {
+    val terms = labeled.select(
+      col(labelCol).as("label"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val tokenCounts =
+      terms.groupBy("label", "term").agg(count(lit(1)).as("c"))
+    val classStats = labeled
+      .groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(tokenCounts.groupBy("label").agg(sum(col("c")).as("tot")),
+        "label")
+    (tokenCounts, classStats)
+  }
+
+  /** Score and argmax-classify documents under an add-one-smoothed
+    * multinomial NB model from [[nbTrain]]; `vocab` is the smoothing
+    * denominator mass ([[lmScore]]'s convention).
+    *
+    * Determinism: class priors and per-(label, term) log-probs are
+    * quantized to integer micro-nats BEFORE any aggregation, and the
+    * per-doc score is an integer dot product (tf × lp) summed exactly —
+    * shuffle order cannot perturb it; argmax ties break on label asc.
+    *
+    * Scale shape: per-doc term counting is one (id, term) shuffle with
+    * map-side combine; candidate scoring expands each doc term by the
+    * (tiny, broadcast) label set and LEFT-joins the distributed model by
+    * (term, label) with an unseen-token fallback; the only remaining
+    * shuffle is the (id, label) partial-aggregated sum. No driver-side
+    * model materialization.
+    *
+    * Returns one row per doc: (idCol, pred, score) where score is the
+    * winning log-likelihood in nats, rounded to 4 places. */
+  def nbPredict(
+      df: DataFrame, idCol: String, textCol: String,
+      tokenCounts: DataFrame, classStats: DataFrame,
+      vocab: Long): DataFrame = {
+    val nTotal = classStats.agg(sum(col("n_docs")).as("n_total"))
+    val labels = classStats
+      .crossJoin(broadcast(nTotal))
+      .select(col("label"), col("tot"),
+        round(log(col("n_docs").cast("double") /
+          col("n_total").cast("double")) * 1e6).cast("long")
+          .as("prior_micro"),
+        round(log(lit(1.0) / (col("tot").cast("double") + vocab.toDouble))
+          * 1e6).cast("long").as("lp0_micro"))
+    // per-(label, term) smoothed log-prob; tot rides in via classStats
+    val lpWithTot = tokenCounts
+      .join(broadcast(classStats.select("label", "tot")), "label")
+      .select(col("label"), col("term"),
+        round(log((col("c").cast("double") + 1.0) /
+          (col("tot").cast("double") + vocab.toDouble)) * 1e6).cast("long")
+          .as("lp_micro"))
+    val docTf = df
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol)
+      .orderBy(col("score_micro").desc, col("label").asc)
+    docTf
+      .crossJoin(broadcast(labels.select("label", "prior_micro", "lp0_micro")))
+      .join(lpWithTot, Seq("term", "label"), "left")
+      .select(col(idCol), col("label"), col("prior_micro"),
+        (col("tf") * coalesce(col("lp_micro"), col("lp0_micro")))
+          .as("term_micro"))
+      .groupBy(idCol, "label")
+      .agg(first(col("prior_micro")).as("prior_micro"),
+        sum(col("term_micro")).as("terms_micro"))
+      .withColumn("score_micro", col("prior_micro") + col("terms_micro"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      // full micro precision, NOT round(…, 4): a micro sum ending in …50
+      // puts the 4-place round exactly on a half-way tie, where Spark
+      // (shortest-decimal HALF_UP) and other engines (binary-value round)
+      // legitimately disagree; the raw integer/1e6 division is the same
+      // IEEE op on the same inputs everywhere
+      .select(col(idCol), col("label").as("pred"),
+        (col("score_micro").cast("double") / 1e6).as("score"))
+  }
+
   /** Top-k characteristic terms per document by tf-idf — the classic
     * keyword/topic signal used for corpus exploration and cluster labeling
     * in training-data pipelines. tf is the raw in-doc term count; idf is

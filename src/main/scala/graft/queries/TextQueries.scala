@@ -130,6 +130,37 @@ sh1 AS (SELECT doc_id,
 sh AS (SELECT DISTINCT doc_id, shingle FROM sh1),
 shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
 
+  /** DuckDB minhash-LSH pair pipeline + recursive connected components
+    * over `shh` -> comp(node, component) — the oracle twin of
+    * Dedup.minhashNearDups (n=3, k=12, r=3, t=0.6) feeding
+    * Refinement.connectedComponents. Callers must open WITH RECURSIVE. */
+  private val DUCK_MINHASH_COMPONENTS = """mh AS (SELECT s.doc_id, t.i,
+         min(((131*t.i + 7) * s.sh_hash + (97*t.i + 3)) % 1000000007) AS minh
+       FROM shh s CROSS JOIN range(0, 12) t(i) GROUP BY 1, 2),
+bands AS (SELECT doc_id, i // 3 AS band,
+            string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS sig
+          FROM mh GROUP BY 1, 2),
+cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+szs AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY 1),
+inter AS (SELECT c.a_id, c.b_id, count(*) AS i_cnt
+          FROM cand c
+          JOIN shh p ON p.doc_id = c.a_id
+          JOIN shh q ON q.doc_id = c.b_id AND q.sh_hash = p.sh_hash
+          GROUP BY 1, 2),
+pairs AS (SELECT i.a_id, i.b_id FROM inter i
+  JOIN szs s1 ON s1.doc_id = i.a_id
+  JOIN szs s2 ON s2.doc_id = i.b_id
+  WHERE CAST(i.i_cnt AS DOUBLE)/CAST(s1.sz + s2.sz - i.i_cnt AS DOUBLE)
+    >= 0.6),
+edges AS (SELECT a_id AS node, b_id AS peer FROM pairs
+          UNION SELECT b_id, a_id FROM pairs),
+reach AS (SELECT node, node AS lab FROM (SELECT DISTINCT node FROM edges)
+          UNION
+          SELECT e.node, r.lab FROM edges e JOIN reach r ON r.node = e.peer),
+comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
+
   def defs: Map[String, QueryDef] = Map(
 
     // --- text analysis ---------------------------------------------------
@@ -241,36 +272,33 @@ shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
             n = 3, k = 12, r = 3, threshold = 0.6))
       },
       Some(s"""WITH RECURSIVE $CORPUS_NEAR, $DUCK_SHINGLES,
-        mh AS (SELECT s.doc_id, t.i,
-                 min(((131*t.i + 7) * s.sh_hash + (97*t.i + 3)) % 1000000007) AS minh
-               FROM shh s CROSS JOIN range(0, 12) t(i) GROUP BY 1, 2),
-        bands AS (SELECT doc_id, i // 3 AS band,
-                    string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS sig
-                  FROM mh GROUP BY 1, 2),
-        cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-                 FROM bands x JOIN bands y
-                   ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
-        szs AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY 1),
-        inter AS (SELECT c.a_id, c.b_id, count(*) AS i_cnt
-                  FROM cand c
-                  JOIN shh p ON p.doc_id = c.a_id
-                  JOIN shh q ON q.doc_id = c.b_id AND q.sh_hash = p.sh_hash
-                  GROUP BY 1, 2),
-        pairs AS (SELECT i.a_id, i.b_id FROM inter i
-          JOIN szs s1 ON s1.doc_id = i.a_id
-          JOIN szs s2 ON s2.doc_id = i.b_id
-          WHERE CAST(i.i_cnt AS DOUBLE)/CAST(s1.sz + s2.sz - i.i_cnt AS DOUBLE)
-            >= 0.6),
-        edges AS (SELECT a_id AS node, b_id AS peer FROM pairs
-                  UNION SELECT b_id, a_id FROM pairs),
-        reach AS (SELECT node, node AS lab FROM (SELECT DISTINCT node FROM edges)
-                  UNION
-                  SELECT e.node, r.lab FROM edges e JOIN reach r ON r.node = e.peer),
-        comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1),
+        $DUCK_MINHASH_COMPONENTS,
         losers AS (SELECT node AS doc_id FROM comp WHERE node <> component)
         SELECT c.doc_id, c.text FROM corpus c
         LEFT JOIN losers l ON l.doc_id = c.doc_id
         WHERE l.doc_id IS NULL"""),
+    ),
+
+    // leakage-safe splitting: a near-dup cluster must not straddle splits,
+    // so the split hash runs over the cluster ROOT (min reachable id);
+    // singletons hash on themselves and reduce to q_hash_split
+    "q_split_leakage_safe" -> QueryDef(
+      (s, dir) => {
+        val c = corpusNear(s, dir)
+        Curate.leakageSafeSplit(c.select("doc_id"), "doc_id",
+          Dedup.minhashNearDups(c, "doc_id", "text",
+            n = 3, k = 12, r = 3, threshold = 0.6))
+      },
+      Some(s"""WITH RECURSIVE $CORPUS_NEAR, $DUCK_SHINGLES,
+        $DUCK_MINHASH_COMPONENTS,
+        root AS (SELECT c.doc_id, coalesce(p.component, c.doc_id) AS root
+                 FROM corpus c LEFT JOIN comp p ON p.node = c.doc_id)
+        SELECT doc_id, root,
+          CASE WHEN ${duckHash("CAST(root AS VARCHAR)")} % 100 < 90
+                 THEN 'train'
+               WHEN ${duckHash("CAST(root AS VARCHAR)")} % 100 < 95
+                 THEN 'val'
+               ELSE 'test' END AS split FROM root"""),
     ),
 
     // incremental near-dup: the persisted band-signature index of the OLD
@@ -699,6 +727,55 @@ shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
         SELECT q_id, id, CAST(adc AS BIGINT) AS adc, rn FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
             ORDER BY adc, id) AS rn FROM adc) WHERE rn <= 5"""),
+    ),
+
+    // two-stage search: the ADC shortlist (rn <= 20) re-ranked by EXACT
+    // cosine over the full vectors; the oracle replays shortlist + rerank
+    "q_embed_pq_rerank" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding"))
+        val cb = Similarity.pqCodebooks(emb, m = 8, dim = 64, ksub = 16)
+        val codes = Similarity.pqEncode(emb, cb, m = 8, dim = 64)
+        Similarity.pqRerankTopK(emb.filter(col("id") < 10), codes, cb, emb,
+          m = 8, dim = 64, ksub = 16, shortlist = 20, k = 5)
+      },
+      Some("""WITH v AS (SELECT vec_id AS id, embedding FROM embeddings),
+        sv AS (SELECT id, sub, list_slice(embedding, sub*8 + 1, sub*8 + 8) AS svec
+               FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) t),
+        cb AS (SELECT sub, id AS cent_id, svec AS cent FROM sv WHERE id < 16),
+        d AS (SELECT sv.id, sv.sub, cb.cent_id,
+                CAST(round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(range(1, 9),
+                    p -> (CAST(sv.svec[p] AS DOUBLE) - CAST(cb.cent[p] AS DOUBLE))
+                       * (CAST(sv.svec[p] AS DOUBLE) - CAST(cb.cent[p] AS DOUBLE)))),
+                  (a, b) -> a + b) * 10000.0) AS BIGINT) AS dl
+              FROM sv JOIN cb USING (sub)),
+        code AS (SELECT id, sub, cent_id FROM (
+                  SELECT *, row_number() OVER (PARTITION BY id, sub
+                    ORDER BY dl, cent_id) AS rn FROM d) WHERE rn = 1),
+        adc AS (SELECT q.id AS q_id, c.id, SUM(q.dl) AS adc
+                FROM code c JOIN d q ON q.sub = c.sub AND q.cent_id = c.cent_id
+                WHERE q.id < 10 AND q.id <> c.id
+                GROUP BY 1, 2),
+        short AS (SELECT q_id, id FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY adc, id) AS rn FROM adc) WHERE rn <= 20),
+        n AS (SELECT id, embedding,
+          sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(range(1, 65),
+              p -> CAST(embedding[p] AS DOUBLE) * CAST(embedding[p] AS DOUBLE))),
+            (a, b) -> a + b)) AS nrm
+          FROM v),
+        sc AS (SELECT s.q_id, s.id,
+            round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(range(1, 65),
+                p -> CAST(q.embedding[p] AS DOUBLE) * CAST(c.embedding[p] AS DOUBLE))),
+              (a, b) -> a + b) / (q.nrm * c.nrm), 4) AS cos
+          FROM short s JOIN n q ON q.id = s.q_id JOIN n c ON c.id = s.id)
+        SELECT q_id, id, cos, rn FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cos DESC, id ASC) AS rn FROM sc) WHERE rn <= 5"""),
     ),
 
     "q_embed_ivf_kmeans" -> QueryDef(
@@ -1560,6 +1637,111 @@ shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
     // top-3 characteristic terms per doc by tf-idf; the smoothed idf log
     // is quantized to micro-units on BOTH sides before the multiply (the
     // lm-score convention), so libm ulp drift never reaches the hash
+    // multinomial Naive Bayes (fastText-style filter analog): train on the
+    // documents' lang labels, argmax-classify every doc; integer micro-nat
+    // dot products make the scores engine-exact
+    "q_text_nb_classify" -> QueryDef(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val (tc, cs) =
+          TextAnalysis.nbTrain(d.select("text", "lang"), "text", "lang")
+        TextAnalysis.nbPredict(
+          d.select("doc_id", "text"), "doc_id", "text", tc, cs,
+          vocab = 65536L)
+      },
+      Some("""WITH tk AS (SELECT doc_id, lang,
+          string_split_regex(trim(lower(text)), '\s+') AS toks
+          FROM documents),
+        tr AS (SELECT lang AS label, unnest(toks) AS term FROM tk),
+        tc AS (SELECT label, term, count(*) AS c FROM tr GROUP BY 1, 2),
+        nd AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY 1),
+        tt AS (SELECT label, CAST(sum(c) AS BIGINT) AS tot
+          FROM tc GROUP BY 1),
+        nt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM nd),
+        lb AS (SELECT nd.label, tt.tot,
+            CAST(round(ln(CAST(nd.n_docs AS DOUBLE) /
+              CAST(nt.n_total AS DOUBLE)) * 1e6) AS BIGINT) AS prior_micro,
+            CAST(round(ln(1.0 / (CAST(tt.tot AS DOUBLE) + 65536.0)) * 1e6)
+              AS BIGINT) AS lp0_micro
+          FROM nd JOIN tt USING (label) CROSS JOIN nt),
+        lp AS (SELECT tc.label, tc.term,
+            CAST(round(ln((CAST(tc.c AS DOUBLE) + 1.0) /
+              (CAST(tt.tot AS DOUBLE) + 65536.0)) * 1e6) AS BIGINT)
+              AS lp_micro
+          FROM tc JOIN tt USING (label)),
+        dt AS (SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(toks) AS term FROM tk)
+          GROUP BY 1, 2),
+        sc AS (SELECT dt.doc_id, lb.label, lb.prior_micro,
+            dt.tf * coalesce(lp.lp_micro, lb.lp0_micro) AS term_micro
+          FROM dt CROSS JOIN lb
+          LEFT JOIN lp ON dt.term = lp.term AND lb.label = lp.label),
+        ag AS (SELECT doc_id, label,
+            any_value(prior_micro) + CAST(sum(term_micro) AS BIGINT)
+              AS score_micro
+          FROM sc GROUP BY 1, 2),
+        rk AS (SELECT doc_id, label, score_micro,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY score_micro DESC, label ASC) AS rn FROM ag)
+        SELECT doc_id, label AS pred,
+          CAST(score_micro AS DOUBLE) / 1e6 AS score
+        FROM rk WHERE rn = 1"""),
+    ),
+
+    // BM25 top-k retrieval against a fixed three-query set; contributions
+    // are micro-quantized integers (order-independent sums) and every
+    // float expression shape is mirrored literally by the oracle
+    "q_retrieve_bm25" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val qs = Seq(
+          (1L, "spark join merge"),
+          (2L, "window sort batch table"),
+          (3L, "customer data quality filter"),
+        ).toDF("query_id", "qtext")
+        TextAnalysis.bm25TopK(
+          docs(s, dir).select("doc_id", "text"), "doc_id", "text",
+          qs, "query_id", "qtext", k = 10)
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+          string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        term AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM term GROUP BY 1, 2),
+        dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tok),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+        q AS (SELECT CAST(query_id AS BIGINT) AS query_id, qtext
+          FROM (VALUES (1, 'spark join merge'),
+                       (2, 'window sort batch table'),
+                       (3, 'customer data quality filter'))
+            v(query_id, qtext)),
+        qt AS (SELECT query_id,
+            unnest(list_distinct(string_split_regex(trim(qtext), '\s+')))
+              AS term FROM q),
+        qdf AS (SELECT qt.query_id, qt.term,
+            CAST(CAST(round(ln(1 + (st.n_docs - dfq.df + 0.5) /
+                (dfq.df + 0.5)) * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS idf
+          FROM dfq JOIN qt USING (term) CROSS JOIN st),
+        sc AS (SELECT qdf.query_id, tf.doc_id,
+            CAST(round(qdf.idf * (tf.tf * (1.2 + 1)) /
+              (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl /
+                (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))
+              * 1e6) AS BIGINT) AS contrib
+          FROM tf JOIN dl USING (doc_id) JOIN qdf ON tf.term = qdf.term
+          CROSS JOIN st),
+        ag AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+            CAST(sum(contrib) AS BIGINT) AS score_micro
+          FROM sc GROUP BY 1, 2),
+        rk AS (SELECT query_id, doc_id, n_terms, score_micro,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY score_micro DESC, doc_id ASC) AS rn FROM ag)
+        SELECT query_id, doc_id, n_terms,
+          CAST(score_micro AS DOUBLE) / 1e6 AS score
+        FROM rk WHERE rn <= 10"""),
+    ),
+
     "q_text_tfidf" -> QueryDef(
       (s, dir) => TextAnalysis.tfIdfTopTerms(
         docs(s, dir).select("doc_id", "text"), "doc_id", "text", k = 3),

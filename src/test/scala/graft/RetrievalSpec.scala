@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Curate, Dedup, TextAnalysis}
+
+/** Semantics of the retrieval / classification / split operators beyond
+  * what the DuckDB gates check: BM25 ranks by term rarity, tf, and length
+  * normalization; Naive Bayes recovers planted class vocabularies and
+  * breaks ties deterministically; the leakage-safe split keeps near-dup
+  * clusters together and reduces to the plain hash split for singletons.
+  */
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local("retrieval-test")
+  import spark.implicits._
+
+  test("bm25TopK: rare-term match outranks common-term match") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha alpha alpha alpha"), // common term, high tf
+      (3L, "zeta theta gamma delta"),  // no query terms
+      (4L, "alpha beta zeta zeta"),
+    ).toDF("doc_id", "text")
+    // every doc but 3 has alpha; only 1 and 4 have beta ⇒ beta is rarer
+    val qs = Seq((1L, "beta")).toDF("query_id", "qtext")
+    val hits = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      qs, "query_id", "qtext", k = 10).collect()
+    val ranked = hits.map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    assert(ranked.map(_._1).toSet == Set(1L, 4L)) // only beta-holders hit
+    // equal tf and dl ⇒ equal score, id tie-break
+    assert(ranked.head._2 == ranked.last._2)
+  }
+
+  test("bm25TopK: tf raises and length lowers the score") {
+    val docs = Seq(
+      (1L, "term filler filler filler"),
+      (2L, "term term filler filler"),       // higher tf, same length
+      (3L, "term filler filler filler filler filler filler filler"),
+    ).toDF("doc_id", "text")
+    val qs = Seq((1L, "term")).toDF("query_id", "qtext")
+    val byId = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      qs, "query_id", "qtext", k = 10).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(byId(2L) > byId(1L), "higher tf must score higher")
+    assert(byId(1L) > byId(3L), "longer doc must be penalized")
+  }
+
+  test("naive bayes recovers planted class vocabularies") {
+    val train = Seq(
+      ("spark shuffle partition executor", "eng"),
+      ("shuffle codegen partition stage", "eng"),
+      ("gradient loss epoch optimizer", "ml"),
+      ("loss batch epoch learning", "ml"),
+    ).toDF("text", "label")
+    val (tc, cs) = TextAnalysis.nbTrain(train, "text", "label")
+    val test_ = Seq(
+      (1L, "partition shuffle stage"),
+      (2L, "epoch gradient loss"),
+    ).toDF("doc_id", "text")
+    val pred = TextAnalysis.nbPredict(test_, "doc_id", "text", tc, cs, 1024L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred"))
+      .toMap
+    assert(pred(1L) == "eng")
+    assert(pred(2L) == "ml")
+  }
+
+  test("naive bayes: unseen-vocab doc falls to prior, label-asc tie-break") {
+    val train = Seq(
+      ("aaa bbb", "x"),
+      ("ccc ddd", "y"),
+    ).toDF("text", "label")
+    val (tc, cs) = TextAnalysis.nbTrain(train, "text", "label")
+    // both classes: equal priors, equal token mass ⇒ identical scores on
+    // an out-of-vocabulary doc; argmax must break on label asc
+    val pred = TextAnalysis.nbPredict(
+      Seq((1L, "zzz qqq")).toDF("doc_id", "text"), "doc_id", "text",
+      tc, cs, 1024L).collect()
+    assert(pred.length == 1 && pred.head.getAs[String]("pred") == "x")
+  }
+
+  test("leakageSafeSplit keeps near-dup clusters in one split") {
+    val base = (1 to 40).map(i =>
+      (i.toLong, s"w$i x$i y$i z$i a$i b$i c$i d$i e$i f$i"))
+    // plant exact copies of every 4th doc (ids +1000) ⇒ guaranteed pairs
+    val dups = base.filter(_._1 % 4 == 0)
+      .map { case (i, t) => (i + 1000L, t) }
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      n = 3, k = 12, r = 3, threshold = 0.6)
+    val out = Curate.leakageSafeSplit(docs.select("doc_id"), "doc_id", pairs)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("root"), r.getAs[String]("split")))
+    val byId = out.map(t => t._1 -> t).toMap
+    // every planted dup shares root AND split with its original
+    dups.foreach { case (dupId, _) =>
+      val orig = byId(dupId - 1000L)
+      val dup = byId(dupId)
+      assert(dup._2 == orig._2 && dup._3 == orig._3,
+        s"cluster ($dupId, ${dupId - 1000L}) straddles splits: $dup vs $orig")
+    }
+    // singletons carry their own id as root and match plain hashSplit
+    val plain = Curate.hashSplit(docs.select("doc_id"), "doc_id")
+      .collect().map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    out.filter(t => t._1 == t._2).foreach { case (id, _, split) =>
+      assert(split == plain(id))
+    }
+    // and the paired docs' splits equal the hash split of their ROOT
+    out.filter(t => t._1 != t._2).foreach { case (id, root, split) =>
+      assert(split == plain(root), s"doc $id: split != hashSplit(root=$root)")
+    }
+  }
+}
