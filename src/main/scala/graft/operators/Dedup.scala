@@ -404,6 +404,21 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Duplicate-cluster size histogram — the dedup-audit summary a corpus
+    * card reports (how much of the corpus is duplicated, and in what
+    * cluster shapes: many pairs vs few giant boilerplate clusters).
+    * Sizes count every clustered doc including the survivor, so
+    * sum(size·n_clusters) − sum(n_clusters) is the row count dedup
+    * removes. Runs entirely on the pair graph (tiny next to the corpus);
+    * two partial-aggregated shuffles, the second over ≤|distinct sizes|
+    * rows. Returns (size, n_clusters). */
+  def clusterSizeHistogram(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val comp = graft.assembly.Refinement.connectedComponents(
+      pairs.select(col("a_id").as("node"), col("b_id").as("peer")), maxIter)
+    comp.groupBy("component").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+  }
+
   /** Incremental MinHash-LSH near-dup: dedup a NEW batch against an
     * existing corpus without re-processing the corpus — the delta shape
     * every growing 100 TB corpus needs (re-running [[minhashNearDups]] over

@@ -247,6 +247,40 @@ object TextAnalysis {
         (col("score_micro").cast("double") / 1e6).as("score"))
   }
 
+  /** Tokenizer-vocabulary coverage: build the top-`vocabSize` term
+    * vocabulary by corpus frequency (ties on term asc) and report each
+    * document's out-of-vocabulary token count and ratio — the standard
+    * pre-tokenizer-training analysis for sizing a vocab and catching
+    * domains a fixed vocab would shred into bytes.
+    *
+    * Scale shape: term counting is one partial-aggregated shuffle; the
+    * top-k cut is a TakeOrdered-sized slice of the term table (vocabSize
+    * rows) that BROADCASTS into the per-doc probe, so the corpus is
+    * re-touched exactly once; the OOV ratio is a plain integer division
+    * (no float-tie trap).
+    *
+    * Returns (idCol, n_tokens, n_oov, oov_ratio). */
+  def vocabCoverage(
+      df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    val terms = df
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
+    // orderBy+limit plans as TakeOrderedAndProject: per-partition partial
+    // top-k, never the single-partition global-window sort
+    val vocab = terms.groupBy("term").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term").asc)
+      .limit(vocabSize)
+      .select("term")
+    terms
+      .join(broadcast(vocab.withColumn("in_vocab", lit(1L))), Seq("term"),
+        "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ratio",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
   // --- multinomial Naive Bayes (fastText-style quality/domain filter) ----
 
   /** Train a multinomial Naive Bayes text classifier — the relational

@@ -1637,6 +1637,42 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
     // top-3 characteristic terms per doc by tf-idf; the smoothed idf log
     // is quantized to micro-units on BOTH sides before the multiply (the
     // lm-score convention), so libm ulp drift never reaches the hash
+    // tokenizer-vocabulary coverage: top-20 corpus vocabulary (freq desc,
+    // term asc), per-doc OOV counts; the corpus has 31 distinct terms so
+    // the cut is non-trivial at every SF
+    "q_text_vocab_coverage" -> QueryDef(
+      (s, dir) => TextAnalysis.vocabCoverage(
+        docs(s, dir).select("doc_id", "text"), "doc_id", "text",
+        vocabSize = 20),
+      Some("""WITH tk AS (SELECT doc_id,
+          string_split_regex(trim(lower(text)), '\s+') AS toks
+          FROM documents),
+        tm AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+        vf AS (SELECT term, count(*) AS freq FROM tm GROUP BY 1),
+        vocab AS (SELECT term FROM vf ORDER BY freq DESC, term ASC LIMIT 20)
+        SELECT tm.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_oov,
+          CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*) AS oov_ratio
+        FROM tm LEFT JOIN vocab v ON tm.term = v.term
+        GROUP BY 1"""),
+    ),
+
+    // dedup-audit histogram: near-dup clusters by size — how much of the
+    // corpus is duplicated and in what shapes; runs on the pair graph only
+    "q_dedup_cluster_sizes" -> QueryDef(
+      (s, dir) => Dedup.clusterSizeHistogram(
+        Dedup.minhashNearDups(corpusNear(s, dir), "doc_id", "text",
+          n = 3, k = 12, r = 3, threshold = 0.6)),
+      Some(s"""WITH RECURSIVE $CORPUS_NEAR, $DUCK_SHINGLES,
+        $DUCK_MINHASH_COMPONENTS,
+        cz AS (SELECT component, count(*) AS size FROM comp GROUP BY 1)
+        SELECT CAST(size AS BIGINT) AS size,
+          CAST(count(*) AS BIGINT) AS n_clusters
+        FROM cz GROUP BY 1"""),
+    ),
+
     // multinomial Naive Bayes (fastText-style filter analog): train on the
     // documents' lang labels, argmax-classify every doc; integer micro-nat
     // dot products make the scores engine-exact

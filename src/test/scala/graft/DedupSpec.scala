@@ -37,6 +37,19 @@ class DedupSpec extends AnyFunSuite {
       s"missing: ${planted -- found}") // identical docs collide in every band
   }
 
+  test("clusterSizeHistogram accounts exactly for dedupCorpus removals") {
+    val corpus = withExactCopies
+    val pairs = Dedup.minhashNearDups(corpus, "doc_id", "text",
+      n = 3, k = 12, r = 3, threshold = 0.6)
+    val hist = Dedup.clusterSizeHistogram(pairs).collect()
+      .map(r => (r.getAs[Long]("size"), r.getAs[Long]("n_clusters")))
+    assert(hist.forall(_._1 >= 2), "singleton clusters must not appear")
+    val removed = hist.map { case (sz, n) => (sz - 1) * n }.sum
+    val kept = Dedup.dedupCorpus(corpus, "doc_id", pairs).count()
+    assert(kept == corpus.count() - removed,
+      s"histogram says $removed removals; dedupCorpus kept $kept")
+  }
+
   test("incremental near-dup equals the batch run restricted to new pairs") {
     val toks = TextAnalysis.tokens(col("text"))
     val newBatch = docs.filter(col("doc_id") % 5 === 0)

@@ -114,6 +114,42 @@ class PlanSpec extends AnyFunSuite {
       s"non-broadcast cartesian crept into SQ search:\n$pSq")
   }
 
+  test("BM25 broadcasts the query vocabulary; NB broadcasts class stats; " +
+      "rerank never cartesians the corpus") {
+    import graft.operators.{Similarity, TextAnalysis}
+    import spark.implicits._
+    val docs = Tables.table(spark, dir, "documents").select("doc_id", "text")
+    val qs = Seq((1L, "spark join merge")).toDF("query_id", "qtext")
+    val pBm = plan(TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      qs, "query_id", "qtext", k = 10))
+    // the postings side must meet the query-vocabulary sliver and the
+    // 1-row corpus stats as broadcasts — a shuffle join there moves the
+    // corpus-wide df/postings tables for a bounded query set
+    assert(pBm.contains("BroadcastHashJoin"),
+      s"query vocabulary not broadcast into postings:\n$pBm")
+    assert(pBm.contains("BroadcastNestedLoopJoin"),
+      s"corpus-stats row not a broadcast nest:\n$pBm")
+    assert(!pBm.contains("CartesianProduct"),
+      s"non-broadcast cartesian in BM25:\n$pBm")
+    val (tc, cs) = TextAnalysis.nbTrain(
+      Tables.table(spark, dir, "documents").select("text", "lang"),
+      "text", "lang")
+    val pNb = plan(TextAnalysis.nbPredict(docs, "doc_id", "text",
+      tc, cs, vocab = 65536L))
+    assert(pNb.contains("BroadcastNestedLoopJoin"),
+      s"label table not a broadcast nest in NB scoring:\n$pNb")
+    assert(!pNb.contains("CartesianProduct"),
+      s"non-broadcast cartesian in NB scoring:\n$pNb")
+    val emb = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val cb = Similarity.pqCodebooks(emb, m = 8, dim = 64, ksub = 16)
+    val codes = Similarity.pqEncode(emb, cb, m = 8, dim = 64)
+    val pRr = plan(Similarity.pqRerankTopK(emb.filter(col("id") < 5),
+      codes, cb, emb, m = 8, dim = 64, ksub = 16, shortlist = 10, k = 3))
+    assert(!pRr.contains("CartesianProduct"),
+      s"exact rerank degenerated into a corpus cartesian:\n$pRr")
+  }
+
   test("DSIR weight table broadcasts; selection is TakeOrdered, not a sort") {
     val docs = Tables.table(spark, dir, "documents").select("doc_id", "text")
     val target = docs.filter(col("doc_id") % 7 === 0)
