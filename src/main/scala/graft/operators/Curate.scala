@@ -481,6 +481,46 @@ object Curate {
         .otherwise("test"))
   }
 
+  /** The flagship end-to-end curation pipeline a training-data run
+    * actually executes, composed from the audited stages: quality funnel
+    * (length / language / type-token ratio) → MinHash-LSH near-dup
+    * removal → benchmark decontamination → deterministic hash split.
+    * Returns one row per surviving doc: (idCol, split, n_tokens).
+    *
+    * Composition is the point — every stage is individually oracle-gated,
+    * and this operator's own gate proves the stages compose without
+    * boundary bugs (a doc dropped twice, a survivor misplaced, a stats
+    * column lost en route). Scale shape inherits from the parts: stats
+    * and the funnel are map-side, dedup runs on the banded pair graph,
+    * decontamination probes a broadcast benchmark, and the split is a
+    * pure hash — the corpus text is never shuffled. */
+  def curationPipeline(
+      docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame,
+      stopwords: Seq[String] = Nil,
+      minTokens: Long = 30, lang: String = "en", minTtr: Double = 0.2,
+      n: Int = 3, k: Int = 12, r: Int = 3,
+      dedupThreshold: Double = 0.6, contamFrac: Double = 0.5): DataFrame = {
+    val stats = TextAnalysis.qualityStats(docs, textCol, stopwords)
+      .withColumn("lang_pred",
+        TextAnalysis.langId(col(textCol), stopwords))
+    val kept = stats
+      .filter(col("n_tokens") >= minTokens &&
+        col("lang_pred") === lang && col("ttr") >= minTtr)
+      .select(col(idCol), col(textCol),
+        col("n_tokens").cast("long").as("n_tokens"))
+    val pairs = Dedup.minhashNearDups(
+      kept.select(idCol, textCol), idCol, textCol,
+      n = n, k = k, r = r, threshold = dedupThreshold)
+    val deduped = Dedup.dedupCorpus(kept, idCol, pairs)
+    val clean = deduped.join(
+      contaminated(deduped.select(idCol, textCol), bench, idCol, textCol,
+        n = n, minFrac = contamFrac).select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti")
+    hashSplit(clean, idCol)
+      .select(col(idCol), col("split"), col("n_tokens"))
+  }
+
   /** Leakage-safe train/val/test assignment: near-duplicate documents must
     * land in the SAME split (a test doc whose near-copy sits in train is a
     * leak that inflates eval), so the split hash is taken over each doc's

@@ -120,15 +120,19 @@ th AS (SELECT doc_id, xor(z4, z4 >> 16) AS th FROM m4)"""
   private val OPQ_SIGNS = graft.functions.RotateKernel.signs(64)
     .map(d => if (d > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
 
-  /** DuckDB shingle pipeline over `corpus` -> shh(doc_id, sh_hash). */
-  private val DUCK_SHINGLES = s"""
-sh0 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM corpus),
-sh1 AS (SELECT doc_id,
+  /** DuckDB shingle pipeline over `src` -> `<p>h`(doc_id, sh_hash), with
+    * CTE names prefixed by `p` so two shingle chains can coexist. */
+  private def duckShingles(p: String, src: String) = s"""
+${p}0 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM $src),
+${p}1 AS (SELECT doc_id,
           unnest(list_transform(range(1, len(toks) - 1),
             i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingle
-        FROM sh0),
-sh AS (SELECT DISTINCT doc_id, shingle FROM sh1),
-shh AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM sh)"""
+        FROM ${p}0),
+$p AS (SELECT DISTINCT doc_id, shingle FROM ${p}1),
+${p}h AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM $p)"""
+
+  /** DuckDB shingle pipeline over `corpus` -> shh(doc_id, sh_hash). */
+  private val DUCK_SHINGLES = duckShingles("sh", "corpus")
 
   /** DuckDB minhash-LSH pair pipeline + recursive connected components
     * over `shh` -> comp(node, component) — the oracle twin of
@@ -1637,6 +1641,73 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
     // top-3 characteristic terms per doc by tf-idf; the smoothed idf log
     // is quantized to micro-units on BOTH sides before the multiply (the
     // lm-score convention), so libm ulp drift never reaches the hash
+    // the flagship composed pipeline: funnel -> near-dup removal ->
+    // decontamination -> hash split, all stages replayed in one oracle
+    "q_curation_pipeline" -> QueryDef(
+      (s, dir) => Curate.curationPipeline(
+        corpusNear(s, dir), "doc_id", "text",
+        docs(s, dir).filter(col("doc_id") % 7 === 0)
+          .select("doc_id", "text")),
+      Some(s"""WITH RECURSIVE corpus0 AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000,
+                 array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 1,
+                   len(string_split_regex(trim(text), '\\s+')) - 2), ' ')
+          FROM documents WHERE doc_id % 5 = 0),
+        t AS (SELECT doc_id,
+          string_split_regex(trim(text), '\\s+') AS toks,
+          string_split_regex(trim(lower(text)), '\\s+') AS toks_l
+          FROM corpus0),
+        s AS (SELECT doc_id, len(toks) AS n_tokens,
+          CAST(len(list_distinct(toks)) AS DOUBLE)/CAST(len(toks) AS DOUBLE)
+            AS ttr,
+          len(list_filter(toks_l, x -> x IN ('the','a','of','and','is')))
+            AS c_en,
+          len(list_filter(toks_l, x -> x IN ('der','die','das','und','ist')))
+            AS c_de,
+          len(list_filter(toks_l, x -> x IN ('el','los','que','y','es')))
+            AS c_es,
+          len(list_filter(toks_l, x -> x IN ('le','les','et','est','une')))
+            AS c_fr
+          FROM t),
+        keepd AS (SELECT doc_id, n_tokens FROM s
+          WHERE n_tokens >= 30
+            AND (CASE WHEN greatest(c_en, c_de, c_es, c_fr) = 0 THEN 'und'
+                      WHEN c_en = greatest(c_en, c_de, c_es, c_fr) THEN 'en'
+                      WHEN c_de = greatest(c_en, c_de, c_es, c_fr) THEN 'de'
+                      WHEN c_es = greatest(c_en, c_de, c_es, c_fr) THEN 'es'
+                      ELSE 'fr' END) = 'en'
+            AND ttr >= 0.2),
+        corpus AS (SELECT c.doc_id, c.text FROM corpus0 c
+          JOIN keepd kd ON kd.doc_id = c.doc_id),
+        $DUCK_SHINGLES,
+        $DUCK_MINHASH_COMPONENTS,
+        losers AS (SELECT node AS doc_id FROM comp WHERE node <> component),
+        surv AS (SELECT c.doc_id FROM corpus c
+          LEFT JOIN losers l ON l.doc_id = c.doc_id
+          WHERE l.doc_id IS NULL),
+        benchsrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+        ${duckShingles("bs", "benchsrc")},
+        bset AS (SELECT DISTINCT sh_hash FROM bsh),
+        ov AS (SELECT doc_id,
+            CAST(count(*) FILTER (WHERE sh_hash IN (SELECT sh_hash FROM bset))
+              AS DOUBLE) / CAST(count(*) AS DOUBLE) AS frac
+          FROM shh GROUP BY 1),
+        contam AS (SELECT doc_id FROM ov WHERE frac >= 0.5),
+        fin AS (SELECT sv.doc_id FROM surv sv
+          LEFT JOIN contam c ON c.doc_id = sv.doc_id
+          WHERE c.doc_id IS NULL)
+        SELECT f.doc_id,
+          CASE WHEN ${duckHash("CAST(f.doc_id AS VARCHAR)")} % 100 < 90
+                 THEN 'train'
+               WHEN ${duckHash("CAST(f.doc_id AS VARCHAR)")} % 100 < 95
+                 THEN 'val'
+               ELSE 'test' END AS split,
+          CAST(kd.n_tokens AS BIGINT) AS n_tokens
+        FROM fin f JOIN keepd kd ON kd.doc_id = f.doc_id"""),
+    ),
+
     // tokenizer-vocabulary coverage: top-20 corpus vocabulary (freq desc,
     // term asc), per-doc OOV counts; the corpus has 31 distinct terms so
     // the cut is non-trivial at every SF
