@@ -121,12 +121,13 @@ th AS (SELECT doc_id, xor(z4, z4 >> 16) AS th FROM m4)"""
     .map(d => if (d > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
 
   /** DuckDB shingle pipeline over `src` -> `<p>h`(doc_id, sh_hash), with
-    * CTE names prefixed by `p` so two shingle chains can coexist. */
-  private def duckShingles(p: String, src: String) = s"""
+    * CTE names prefixed by `p` so two shingle chains can coexist; `n` is
+    * the shingle width (Dedup.shingleSet twin). */
+  private def duckShingles(p: String, src: String, n: Int = 3) = s"""
 ${p}0 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM $src),
 ${p}1 AS (SELECT doc_id,
-          unnest(list_transform(range(1, len(toks) - 1),
-            i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingle
+          unnest(list_transform(range(1, len(toks) - ${n - 2}),
+            i -> array_to_string(list_slice(toks, i, i + ${n - 1}), ' '))) AS shingle
         FROM ${p}0),
 $p AS (SELECT DISTINCT doc_id, shingle FROM ${p}1),
 ${p}h AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM $p)"""
@@ -1644,10 +1645,14 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
     // the flagship composed pipeline: funnel -> near-dup removal ->
     // decontamination -> hash split, all stages replayed in one oracle
     "q_curation_pipeline" -> QueryDef(
+      // 5-gram shingles: the synthetic 31-word vocabulary saturates the
+      // 3-gram space at sf0.1 (the benchmark would "contaminate" every
+      // doc); 31^5 does not saturate at any test SF
       (s, dir) => Curate.curationPipeline(
         corpusNear(s, dir), "doc_id", "text",
         docs(s, dir).filter(col("doc_id") % 7 === 0)
-          .select("doc_id", "text")),
+          .select("doc_id", "text"),
+        n = 5),
       Some(s"""WITH RECURSIVE corpus0 AS (
           SELECT doc_id, text FROM documents
           UNION ALL
@@ -1681,14 +1686,14 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
             AND ttr >= 0.2),
         corpus AS (SELECT c.doc_id, c.text FROM corpus0 c
           JOIN keepd kd ON kd.doc_id = c.doc_id),
-        $DUCK_SHINGLES,
+        ${duckShingles("sh", "corpus", n = 5)},
         $DUCK_MINHASH_COMPONENTS,
         losers AS (SELECT node AS doc_id FROM comp WHERE node <> component),
         surv AS (SELECT c.doc_id FROM corpus c
           LEFT JOIN losers l ON l.doc_id = c.doc_id
           WHERE l.doc_id IS NULL),
         benchsrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
-        ${duckShingles("bs", "benchsrc")},
+        ${duckShingles("bs", "benchsrc", n = 5)},
         bset AS (SELECT DISTINCT sh_hash FROM bsh),
         ov AS (SELECT doc_id,
             CAST(count(*) FILTER (WHERE sh_hash IN (SELECT sh_hash FROM bset))
