@@ -247,6 +247,49 @@ object TextAnalysis {
         (col("score_micro").cast("double") / 1e6).as("score"))
   }
 
+  // --- count-min sketch (bounded-memory term statistics) -----------------
+
+  /** Count-min sketch of corpus term frequencies: `d` hash rows × `w`
+    * buckets, the bounded-memory structure for heavy-hitter/frequency
+    * queries when the exact term table is too large to keep. The sketch
+    * is a (j, bucket, cnt) relation of at most d·w rows built by ONE
+    * partial-aggregated shuffle over the exploded (token × row) stream;
+    * hashes are the same engine-portable affine family the MinHash
+    * signatures use, so the sketch is deterministic and engine-exact. */
+  def cmsBuild(
+      df: DataFrame, textCol: String, d: Int, w: Int): DataFrame = {
+    val terms = df.select(
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val h = rollingHash(col("term"))
+    terms
+      .select(h.as("h"),
+        posexplode(sequence(lit(0), lit(d - 1))).as(Seq("pos", "j")))
+      .select(col("j"),
+        (((lit(131) * col("j") + 7) * col("h") + (lit(97) * col("j") + 3))
+          % HashMod % w).as("bucket"))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the sketch for each term in `terms`: the estimate is the
+    * MIN over the d hashed cells — classic CMS, one-sided error (estimate
+    * ≥ true count, overshoot only from bucket collisions). The sketch is
+    * at most d·w rows and BROADCASTS into the probe; output is
+    * (term, est) with est exact-integer and engine-portable. */
+  def cmsEstimate(
+      sketch: DataFrame, terms: DataFrame, termCol: String,
+      d: Int, w: Int): DataFrame = {
+    val h = rollingHash(col(termCol))
+    terms
+      .select(col(termCol), h.as("h"),
+        posexplode(sequence(lit(0), lit(d - 1))).as(Seq("pos", "j")))
+      .select(col(termCol), col("j"),
+        (((lit(131) * col("j") + 7) * col("h") + (lit(97) * col("j") + 3))
+          % HashMod % w).as("bucket"))
+      .join(broadcast(sketch), Seq("j", "bucket"), "left")
+      .groupBy(termCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   /** Tokenizer-vocabulary coverage: build the top-`vocabSize` term
     * vocabulary by corpus frequency (ties on term asc) and report each
     * document's out-of-vocabulary token count and ratio — the standard

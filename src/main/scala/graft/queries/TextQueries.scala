@@ -1713,6 +1713,44 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM fin f JOIN keepd kd ON kd.doc_id = f.doc_id"""),
     ),
 
+    // count-min sketch: 3×16 cells over the 31-term vocabulary, so bucket
+    // collisions make est > exact for some terms (the one-sided error is
+    // visible); the oracle replays the affine cells and the min exactly
+    "q_text_cms_counts" -> QueryDef(
+      (s, dir) => {
+        val dd = docs(s, dir).select("text")
+        val sketch = TextAnalysis.cmsBuild(dd, "text", d = 3, w = 16)
+        val exact = dd
+          .select(explode(TextAnalysis.tokens(lower(col("text"))))
+            .as("term"))
+          .groupBy("term").agg(count(lit(1)).as("exact"))
+        TextAnalysis.cmsEstimate(sketch, exact.select("term"), "term",
+            d = 3, w = 16)
+          .join(exact, "term")
+          .select(col("term"), col("exact"), col("est"))
+      },
+      Some(s"""WITH tm AS (SELECT
+          unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+          FROM documents),
+        ex AS (SELECT term, CAST(count(*) AS BIGINT) AS exact
+          FROM tm GROUP BY 1),
+        hh AS (SELECT term, exact, ${duckHash("term")} AS h FROM ex),
+        sk AS (SELECT t.j AS j,
+            ((131*t.j + 7) * hh.h + (97*t.j + 3)) % 1000000007 % 16
+              AS bucket,
+            CAST(sum(hh.exact) AS BIGINT) AS cnt
+          FROM hh CROSS JOIN range(0, 3) t(j) GROUP BY 1, 2),
+        pr AS (SELECT hh.term, t.j AS j,
+            ((131*t.j + 7) * hh.h + (97*t.j + 3)) % 1000000007 % 16
+              AS bucket
+          FROM hh CROSS JOIN range(0, 3) t(j)),
+        est AS (SELECT pr.term, min(coalesce(sk.cnt, 0)) AS est
+          FROM pr LEFT JOIN sk ON sk.j = pr.j AND sk.bucket = pr.bucket
+          GROUP BY 1)
+        SELECT e.term, x.exact, CAST(e.est AS BIGINT) AS est
+        FROM est e JOIN ex x ON x.term = e.term"""),
+    ),
+
     // tokenizer-vocabulary coverage: top-20 corpus vocabulary (freq desc,
     // term asc), per-doc OOV counts; the corpus has 31 distinct terms so
     // the cut is non-trivial at every SF

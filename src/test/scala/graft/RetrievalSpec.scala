@@ -79,6 +79,31 @@ class RetrievalSpec extends AnyFunSuite {
     assert(pred.length == 1 && pred.head.getAs[String]("pred") == "x")
   }
 
+  test("count-min sketch: one-sided error, exact at sufficient width") {
+    val docs = graft.sources.Tables.table(spark, "/root/testdata/sf0.001",
+      "documents").select("text")
+    val exact = docs.select(
+        explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("exact"))
+    def run(w: Int) = TextAnalysis.cmsEstimate(
+        TextAnalysis.cmsBuild(docs, "text", d = 3, w = w),
+        exact.select("term"), "term", d = 3, w = w)
+      .join(exact, "term").collect()
+      .map(r => (r.getAs[String]("term"),
+        r.getAs[Long]("exact"), r.getAs[Long]("est")))
+    val narrow = run(16)
+    narrow.foreach { case (t, ex, est) =>
+      assert(est >= ex, s"CMS UNDER-estimated $t: $est < $ex")
+    }
+    assert(narrow.exists { case (_, ex, est) => est > ex },
+      "31 terms in 16 buckets must collide somewhere")
+    // a sketch wider than the vocabulary square collides nowhere under
+    // 3 independent rows — estimates become exact
+    run(4096).foreach { case (t, ex, est) =>
+      assert(est == ex, s"wide CMS off on $t: $est != $ex")
+    }
+  }
+
   test("leakageSafeSplit keeps near-dup clusters in one split") {
     val base = (1 to 40).map(i =>
       (i.toLong, s"w$i x$i y$i z$i a$i b$i c$i d$i e$i f$i"))
