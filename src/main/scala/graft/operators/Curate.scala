@@ -161,6 +161,19 @@ object Curate {
     ngramOverlap(corpus, bench, idCol, textCol, n)
       .filter(col("overlap_frac") >= minFrac)
 
+  // --- text normalization --------------------------------------------------
+
+  /** CCNet-style text normalization for robust dedup keys: lowercase,
+    * strip everything outside [a-z0-9\\s], collapse whitespace runs to one
+    * space, trim. Pure codegen'd map work (lower + two regexp_replace +
+    * trim), engine-portable (the classes behave identically under Java
+    * regex and RE2/DuckDB). Normalize BEFORE hashing so case/punctuation/
+    * spacing variants of the same content collide. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", ""),
+      "\\s+", " "))
+
   // --- PII redaction -------------------------------------------------------
 
   /** (name, pattern, replacement) applied in order. Patterns restrict to

@@ -220,6 +220,36 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Containment near-dup pairs: like [[minhashNearDups]] but verified on
+    * shingle CONTAINMENT — |A∩B| / min(|A|, |B|) — instead of Jaccard.
+    * Containment catches the asymmetric duplicates Jaccard structurally
+    * misses: a short document quoted or excerpted inside a much longer
+    * one scores near 1.0 containment while its Jaccard stays near
+    * |A|/|B| (tiny). The standard second pass of a dedup stage hunting
+    * quote farms and wrapper pages.
+    *
+    * Candidates still come from the banded MinHash index, which is tuned
+    * for Jaccard — an excerpt buried in a LONG host may not collide in
+    * any band, so recall for extreme ratios needs a lower `r` or a
+    * dedicated suffix path ([[substrDedup]]); pairs that DO collide are
+    * verified exactly. Same scale shape as the Jaccard path.
+    *
+    * Returns (a_id, b_id, containment) at `threshold`. */
+  def containmentNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 12, r: Int = 3,
+      threshold: Double = 0.8, maxBucket: Long = 1000): DataFrame = {
+    val sh = shingleSet(df, idCol, textCol, n).select("doc_id", "sh_hash")
+      .localCheckpoint(false)
+    val cands = lshCandidates(minhash(sh, k), r, maxBucket)
+    jaccard(cands, sh)
+      .withColumn("containment",
+        col("inter").cast("double") /
+          least(col("sz_a"), col("sz_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("a_id", "b_id", "containment")
+  }
+
   /** Persist the incremental-dedup index of a corpus: the band-signature
     * table bucketed by its probe key (band, sig) and the slim shingle set
     * bucketed by doc_id — what [[deltaNearDups]] probes per batch. With the

@@ -135,11 +135,10 @@ ${p}h AS (SELECT doc_id, shingle, ${duckHash("shingle")} AS sh_hash FROM $p)"""
   /** DuckDB shingle pipeline over `corpus` -> shh(doc_id, sh_hash). */
   private val DUCK_SHINGLES = duckShingles("sh", "corpus")
 
-  /** DuckDB minhash-LSH pair pipeline + recursive connected components
-    * over `shh` -> comp(node, component) — the oracle twin of
-    * Dedup.minhashNearDups (n=3, k=12, r=3, t=0.6) feeding
-    * Refinement.connectedComponents. Callers must open WITH RECURSIVE. */
-  private val DUCK_MINHASH_COMPONENTS = """mh AS (SELECT s.doc_id, t.i,
+  /** DuckDB minhash-LSH candidate pipeline over `shh` -> cand / szs /
+    * inter — the verified-candidate prefix of Dedup.minhashNearDups
+    * (n=3, k=12, r=3); Jaccard/containment filters layer on top. */
+  private val DUCK_MINHASH_CANDS = """mh AS (SELECT s.doc_id, t.i,
          min(((131*t.i + 7) * s.sh_hash + (97*t.i + 3)) % 1000000007) AS minh
        FROM shh s CROSS JOIN range(0, 12) t(i) GROUP BY 1, 2),
 bands AS (SELECT doc_id, i // 3 AS band,
@@ -153,7 +152,13 @@ inter AS (SELECT c.a_id, c.b_id, count(*) AS i_cnt
           FROM cand c
           JOIN shh p ON p.doc_id = c.a_id
           JOIN shh q ON q.doc_id = c.b_id AND q.sh_hash = p.sh_hash
-          GROUP BY 1, 2),
+          GROUP BY 1, 2)"""
+
+  /** [[DUCK_MINHASH_CANDS]] + Jaccard filter at t=0.6 + recursive
+    * connected components -> comp(node, component) — the oracle twin of
+    * minhashNearDups feeding Refinement.connectedComponents. Callers must
+    * open WITH RECURSIVE. */
+  private val DUCK_MINHASH_COMPONENTS = s"""$DUCK_MINHASH_CANDS,
 pairs AS (SELECT i.a_id, i.b_id FROM inter i
   JOIN szs s1 ON s1.doc_id = i.a_id
   JOIN szs s2 ON s2.doc_id = i.b_id
@@ -1642,6 +1647,53 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
     // top-3 characteristic terms per doc by tf-idf; the smoothed idf log
     // is quantized to micro-units on BOTH sides before the multiply (the
     // lm-score convention), so libm ulp drift never reaches the hash
+    // containment near-dup: |A∩B|/min(|A|,|B|) over the LSH candidates —
+    // the truncated copies score containment 1.0 exactly (their shingles
+    // are a subset) where Jaccard reads (m-2)/m < 1
+    "q_dedup_containment" -> QueryDef(
+      (s, dir) => Dedup.containmentNearDups(corpusNear(s, dir),
+        "doc_id", "text", n = 3, k = 12, r = 3, threshold = 0.95),
+      Some(s"""WITH $CORPUS_NEAR, $DUCK_SHINGLES, $DUCK_MINHASH_CANDS,
+        cpairs AS (SELECT i.a_id, i.b_id,
+            CAST(i.i_cnt AS DOUBLE) / CAST(least(s1.sz, s2.sz) AS DOUBLE)
+              AS containment
+          FROM inter i
+          JOIN szs s1 ON s1.doc_id = i.a_id
+          JOIN szs s2 ON s2.doc_id = i.b_id)
+        SELECT a_id, b_id, containment FROM cpairs
+        WHERE containment >= 0.95"""),
+    ),
+
+    // normalization-robust exact dedup: planted case/punctuation/spacing
+    // variants collide once both sides hash the NORMALIZED text
+    "q_dedup_normalized" -> QueryDef(
+      (s, dir) => {
+        val d = docs(s, dir).select("doc_id", "text")
+        val variants = d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(lit("!! "),
+              upper(regexp_replace(col("text"), " ", "  "))).as("text"))
+        Dedup.exact(
+          d.unionByName(variants)
+            .withColumn("text", Curate.normalizeText(col("text"))),
+          "doc_id", "text")
+      },
+      Some("""WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, '!! ' || upper(replace(text, ' ', '  '))
+          FROM documents WHERE doc_id % 10 = 0),
+        nrm AS (SELECT doc_id,
+            md5(trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS digest
+          FROM corpus),
+        grp AS (SELECT digest, min(doc_id) AS canonical_id, count(*) AS n
+          FROM nrm GROUP BY 1)
+        SELECT g.canonical_id, n.doc_id AS dup_id
+        FROM grp g JOIN nrm n ON n.digest = g.digest
+        WHERE g.n > 1 AND n.doc_id <> g.canonical_id"""),
+    ),
+
     // the flagship composed pipeline: funnel -> near-dup removal ->
     // decontamination -> hash split, all stages replayed in one oracle
     "q_curation_pipeline" -> QueryDef(

@@ -37,6 +37,38 @@ class DedupSpec extends AnyFunSuite {
       s"missing: ${planted -- found}") // identical docs collide in every band
   }
 
+  test("containment catches excerpts that Jaccard misses") {
+    // plant an "excerpt" (first half of the tokens) of every 4th doc;
+    // its shingles are a subset of the host's, so containment reads 1.0
+    // while Jaccard reads ~0.5. r=1 bands (single-minhash buckets) give
+    // the Jaccard-tuned index enough collision probability at J≈0.5.
+    val toks = TextAnalysis.tokens(col("text"))
+    val excerpts = docs.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 500000).as("doc_id"),
+        array_join(slice(toks, lit(1), (size(toks) / 2)), " ").as("text"))
+    val corpus = docs.unionByName(excerpts)
+    val found = Dedup.containmentNearDups(corpus, "doc_id", "text",
+        n = 3, k = 12, r = 1, threshold = 0.9)
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("containment")))
+    val planted = excerpts.select("doc_id").collect().map(_.getLong(0)).toSet
+    val hits = found.filter(t => planted(t._2) && t._2 - 500000 == t._1)
+    assert(hits.length >= planted.size * 8 / 10,
+      s"found ${hits.length} of ${planted.size} planted excerpts")
+    hits.foreach { case (a, b, c) =>
+      assert(c == 1.0, s"excerpt ($a,$b) containment $c != 1.0")
+    }
+    // the same pairs fail a Jaccard threshold that containment clears
+    val jac = Dedup.minhashNearDups(corpus, "doc_id", "text",
+        n = 3, k = 12, r = 1, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    hits.foreach { case (a, b, _) =>
+      assert(!jac.contains((a, b)),
+        s"excerpt pair ($a,$b) unexpectedly clears Jaccard 0.9")
+    }
+  }
+
   test("clusterSizeHistogram accounts exactly for dedupCorpus removals") {
     val corpus = withExactCopies
     val pairs = Dedup.minhashNearDups(corpus, "doc_id", "text",
