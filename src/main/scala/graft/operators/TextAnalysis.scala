@@ -270,6 +270,15 @@ object TextAnalysis {
       .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Merge two CMS sketches built with the SAME (d, w): cell-wise sum —
+    * the property that makes the sketch maintainable incrementally (per
+    * batch / per shard / per day) and foldable on a stream. Exact:
+    * build(A ∪ B) == merge(build(A), build(B)) cell-for-cell, because
+    * building is itself a sum over occurrences. */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("j", "bucket").agg(sum(col("cnt")).as("cnt"))
+
   /** Point-query the sketch for each term in `terms`: the estimate is the
     * MIN over the d hashed cells — classic CMS, one-sided error (estimate
     * ≥ true count, overshoot only from bucket collisions). The sketch is

@@ -154,6 +154,79 @@ object Streams {
       }
       .start()
 
+  private val docMetaStreamSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("lang",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("source",
+      org.apache.spark.sql.types.StringType)))
+
+  /** Streaming corpus card: maintain per-(lang, source) doc/token counts
+    * and a count-min sketch of term frequencies as documents arrive — the
+    * observability layer an ingest pipeline reads to watch mixture drift
+    * and vocabulary heavy-hitters without a full recount.
+    *
+    * Both structures are MERGEABLE (counts add; CMS cells add —
+    * [[graft.operators.TextAnalysis.cmsMerge]]), so each micro-batch
+    * writes only its own DELTA, dynamically overwriting its batch_id
+    * partition on a replay (the [[streamingNearDups]] exactly-once
+    * shape); [[loadCorpusStats]] folds the deltas at read time. Delta
+    * partitions are tiny (|langs×sources| + d·w rows per batch), so the
+    * read-side fold stays cheap for thousands of batches; compact by
+    * rewriting the folded tables under a new prefix if file pressure ever
+    * matters. */
+  def streamingCorpusStats(
+      spark: org.apache.spark.sql.SparkSession,
+      docsDir: String,
+      statsDir: String,
+      checkpointDir: String,
+      d: Int = 3, w: Int = 1 << 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(docMetaStreamSchema).parquet(docsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.TextAnalysis
+        val b = batch.localCheckpoint(false)
+        b.groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(TextAnalysis.tokens(col("text"))).cast("long"))
+              .as("n_tokens"))
+          .withColumn("batch_id", lit(batchId))
+          .coalesce(1)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(s"$statsDir/card")
+        TextAnalysis.cmsBuild(b.select("text"), "text", d, w)
+          .withColumn("batch_id", lit(batchId))
+          .coalesce(1)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(s"$statsDir/sketch")
+        ()
+      }
+      .start()
+
+  /** Fold the [[streamingCorpusStats]] deltas into the current corpus
+    * card and sketch: (card(lang, source, n_docs, n_tokens),
+    * sketch(j, bucket, cnt)). */
+  def loadCorpusStats(
+      spark: org.apache.spark.sql.SparkSession,
+      statsDir: String): (DataFrame, DataFrame) = (
+    spark.read.parquet(s"$statsDir/card")
+      .groupBy("lang", "source")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens")),
+    spark.read.parquet(s"$statsDir/sketch")
+      .groupBy("j", "bucket").agg(sum(col("cnt")).as("cnt")),
+  )
+
   /** Streaming line dedup over a document directory stream: each
     * micro-batch dedups against the ACCUMULATED line frequencies
     * ([[graft.operators.Dedup.lineDedupDelta]] probing the persisted

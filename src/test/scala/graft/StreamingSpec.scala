@@ -200,6 +200,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(canon(run2) == canon(expected2))
   }
 
+  test("streaming corpus stats fold to the batch card and sketch") {
+    import graft.operators.TextAnalysis
+    val docsDir = java.nio.file.Files.createTempDirectory("cs-docs").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("cs-ck").toString
+    val statsDir = java.nio.file.Files.createTempDirectory("cs-out").toString
+    val docs = Tables.table(spark, dir, "documents")
+      .select("doc_id", "text", "lang", "source")
+    val b1 = docs.filter(col("doc_id") % 2 === 0)
+    val b2 = docs.filter(col("doc_id") % 2 === 1)
+    b1.coalesce(1).write.mode("append").parquet(docsDir)
+    Streams.streamingCorpusStats(spark, docsDir, statsDir, ckDir,
+      d = 3, w = 64).awaitTermination()
+    b2.coalesce(1).write.mode("append").parquet(docsDir)
+    Streams.streamingCorpusStats(spark, docsDir, statsDir, ckDir,
+      d = 3, w = 64).awaitTermination()
+    val (card, sketch) = Streams.loadCorpusStats(spark, statsDir)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // folded deltas == one batch build over the whole corpus
+    val batchCard = docs.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.tokens(col("text"))).cast("long"))
+          .as("n_tokens"))
+    assert(canon(card) == canon(batchCard))
+    val batchSketch = TextAnalysis.cmsBuild(docs.select("text"), "text",
+      d = 3, w = 64)
+    assert(canon(sketch) == canon(batchSketch))
+    // and the merge law directly: build(all) == merge(build(b1), build(b2))
+    val merged = TextAnalysis.cmsMerge(
+      TextAnalysis.cmsBuild(b1.select("text"), "text", d = 3, w = 64),
+      TextAnalysis.cmsBuild(b2.select("text"), "text", d = 3, w = 64))
+    assert(canon(merged) == canon(batchSketch))
+  }
+
   test("streaming curate-and-pack equals the batch funnel + packing") {
     import spark.implicits._
     import graft.operators.{Curate, TextAnalysis}
