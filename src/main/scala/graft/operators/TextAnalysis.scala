@@ -360,6 +360,21 @@ object TextAnalysis {
     (tokenCounts, classStats)
   }
 
+  /** Merge two Naive Bayes models from [[nbTrain]]: both parts are exact
+    * count relations, so the merge is a cell-wise sum — train(A ∪ B) ==
+    * merge(train(A), train(B)) exactly. This is what makes the classifier
+    * maintainable incrementally: per-batch deltas fold into the serving
+    * model without retraining ([[cmsMerge]]'s shape). */
+  def nbMerge(
+      a: (DataFrame, DataFrame), b: (DataFrame, DataFrame))
+      : (DataFrame, DataFrame) = (
+    a._1.unionByName(b._1)
+      .groupBy("label", "term").agg(sum(col("c")).as("c")),
+    a._2.unionByName(b._2)
+      .groupBy("label")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot")).as("tot")),
+  )
+
   /** Score and argmax-classify documents under an add-one-smoothed
     * multinomial NB model from [[nbTrain]]; `vocab` is the smoothing
     * denominator mass ([[lmScore]]'s convention).

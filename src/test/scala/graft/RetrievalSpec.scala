@@ -79,6 +79,29 @@ class RetrievalSpec extends AnyFunSuite {
     assert(pred.length == 1 && pred.head.getAs[String]("pred") == "x")
   }
 
+  test("naive bayes model merges exactly: train(A∪B) == merge(train(A), train(B))") {
+    val docs = graft.sources.Tables.table(spark, "/root/testdata/sf0.001",
+      "documents").select("text", "lang", "doc_id")
+    val a = docs.filter(col("doc_id") % 2 === 0).select("text", "lang")
+    val b = docs.filter(col("doc_id") % 2 === 1).select("text", "lang")
+    val whole = TextAnalysis.nbTrain(docs.select("text", "lang"),
+      "text", "lang")
+    val merged = TextAnalysis.nbMerge(
+      TextAnalysis.nbTrain(a, "text", "lang"),
+      TextAnalysis.nbTrain(b, "text", "lang"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(canon(merged._1) == canon(whole._1))
+    assert(canon(merged._2) == canon(whole._2))
+    // and the merged model classifies identically
+    val test_ = docs.select("doc_id", "text")
+    def preds(m: (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame)) =
+      TextAnalysis.nbPredict(test_, "doc_id", "text", m._1, m._2, 65536L)
+        .collect().map(_.toString).sorted.toSeq
+    assert(preds(merged) == preds(whole))
+  }
+
   test("count-min sketch: one-sided error, exact at sufficient width") {
     val docs = graft.sources.Tables.table(spark, "/root/testdata/sf0.001",
       "documents").select("text")
