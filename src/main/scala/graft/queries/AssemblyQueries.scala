@@ -67,6 +67,26 @@ object AssemblyQueries extends QueryPack {
         FROM numbered GROUP BY 1, 2"""),
     ),
 
+    // ordered conversion funnel: first view, first click strictly after
+    // it, first purchase strictly after that — per-step reached-user
+    // counts, the oracle replaying each stage as a min-after join
+    "q_events_funnel" -> QueryDef(
+      (s, dir) => graft.streaming.Streams.eventFunnel(
+        Tables.events(s, dir), Seq("view", "click", "purchase")),
+      Some("""WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+          WHERE event_type = 'view' GROUP BY 1),
+        s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+          JOIN s0 ON s0.user_id = e.user_id AND e.ts > s0.t
+          WHERE e.event_type = 'click' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+          JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t
+          WHERE e.event_type = 'purchase' GROUP BY 1)
+        SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+          (SELECT CAST(count(*) AS BIGINT) FROM s0) AS n_users
+        UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+        UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)"""),
+    ),
+
     // window-function variety: lag delta, ntile quartile, dense_rank
     "q_window_variety" -> QueryDef(
       (s, dir) => {

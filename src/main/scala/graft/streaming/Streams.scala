@@ -30,6 +30,35 @@ object Streams {
         unix_timestamp(col("window.start")).as("hour_epoch"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Ordered conversion funnel: for each step i, the users whose FIRST
+    * step-i event strictly follows their first qualifying step-(i-1)
+    * event — the classic product-analytics funnel (view → click →
+    * purchase) computed without per-user sorting. Each stage is one
+    * filtered aggregation joined to the previous survivors by user_id
+    * (the funnel length bounds the join count, not the data); counts are
+    * exact, so the result is engine-portable.
+    *
+    * Returns (step_idx, step, n_users), one row per step. */
+  def eventFunnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val e = events.select(col("user_id"), col("event_type"), col("ts"))
+    var reached = e.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min(col("ts")).as("t"))
+    def counted(step: String, i: Int, r: DataFrame): DataFrame =
+      r.agg(count(lit(1)).as("n_users"))
+        .select(lit(i.toLong).as("step_idx"), lit(step).as("step"),
+          col("n_users"))
+    var out = Seq(counted(steps.head, 0, reached))
+    steps.tail.zipWithIndex.foreach { case (s, i) =>
+      reached = e.filter(col("event_type") === s)
+        .join(reached, "user_id")
+        .filter(col("ts") > col("t"))
+        .groupBy("user_id").agg(min(col("ts")).as("t"))
+      out = out :+ counted(s, i + 1, reached)
+    }
+    out.reduce(_ unionByName _)
+  }
+
   /** Batch sessionization: a session breaks after `gapMinutes` of user
     * inactivity. Two windows over the same (user_id, ts) partitioning: lag
     * marks session starts, a running sum numbers them — the batch shape of
