@@ -87,6 +87,21 @@ object AssemblyQueries extends QueryPack {
         UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)"""),
     ),
 
+    // cohort retention triangle: first-active-date cohorts counted on
+    // each later active day
+    "q_events_retention" -> QueryDef(
+      (s, dir) => graft.streaming.Streams.retentionCohorts(
+        Tables.events(s, dir)),
+      Some("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+          FROM events),
+        firstd AS (SELECT user_id, min(day) AS cohort FROM days GROUP BY 1)
+        SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+          CAST(date_diff('day', f.cohort, d.day) AS BIGINT) AS day_offset,
+          CAST(count(*) AS BIGINT) AS n_users
+        FROM days d JOIN firstd f ON f.user_id = d.user_id
+        GROUP BY f.cohort, date_diff('day', f.cohort, d.day)"""),
+    ),
+
     // window-function variety: lag delta, ntile quartile, dense_rank
     "q_window_variety" -> QueryDef(
       (s, dir) => {

@@ -59,6 +59,24 @@ object Streams {
     out.reduce(_ unionByName _)
   }
 
+  /** Cohort retention: users grouped by their first-active date, counted
+    * on each later day they return — the product-analytics retention
+    * triangle. Two partial-aggregated shuffles over the distinct
+    * (user, day) activity set plus one user-keyed join; day counts are
+    * exact, nothing driver-side. Returns (cohort, day_offset, n_users)
+    * with cohort formatted as a string so the value is engine-portable. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val first = days.groupBy("user_id").agg(min(col("day")).as("cohort"))
+    days.join(first, "user_id")
+      .groupBy(col("cohort"),
+        datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        col("day_offset"), col("n_users"))
+  }
+
   /** Batch sessionization: a session breaks after `gapMinutes` of user
     * inactivity. Two windows over the same (user_id, ts) partitioning: lag
     * marks session starts, a running sum numbers them — the batch shape of
