@@ -171,6 +171,46 @@ reach AS (SELECT node, node AS lab FROM (SELECT DISTINCT node FROM edges)
           SELECT e.node, r.lab FROM edges e JOIN reach r ON r.node = e.peer),
 comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
 
+  /** DuckDB twin of nbTrain + nbPredict over the documents table (lang
+    * labels, vocab 65536): CTE chain ending in rk(doc_id, label,
+    * score_micro, rn) where rn = 1 is the argmax — shared by the
+    * classify and confusion gates. */
+  private val DUCK_NB = """tk AS (SELECT doc_id, lang,
+          string_split_regex(trim(lower(text)), '\s+') AS toks
+          FROM documents),
+        tr AS (SELECT lang AS label, unnest(toks) AS term FROM tk),
+        tc AS (SELECT label, term, count(*) AS c FROM tr GROUP BY 1, 2),
+        nd AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY 1),
+        tt AS (SELECT label, CAST(sum(c) AS BIGINT) AS tot
+          FROM tc GROUP BY 1),
+        nt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM nd),
+        lb AS (SELECT nd.label, tt.tot,
+            CAST(round(ln(CAST(nd.n_docs AS DOUBLE) /
+              CAST(nt.n_total AS DOUBLE)) * 1e6) AS BIGINT) AS prior_micro,
+            CAST(round(ln(1.0 / (CAST(tt.tot AS DOUBLE) + 65536.0)) * 1e6)
+              AS BIGINT) AS lp0_micro
+          FROM nd JOIN tt USING (label) CROSS JOIN nt),
+        lp AS (SELECT tc.label, tc.term,
+            CAST(round(ln((CAST(tc.c AS DOUBLE) + 1.0) /
+              (CAST(tt.tot AS DOUBLE) + 65536.0)) * 1e6) AS BIGINT)
+              AS lp_micro
+          FROM tc JOIN tt USING (label)),
+        dt AS (SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(toks) AS term FROM tk)
+          GROUP BY 1, 2),
+        sc AS (SELECT dt.doc_id, lb.label, lb.prior_micro,
+            dt.tf * coalesce(lp.lp_micro, lb.lp0_micro) AS term_micro
+          FROM dt CROSS JOIN lb
+          LEFT JOIN lp ON dt.term = lp.term AND lb.label = lp.label),
+        ag AS (SELECT doc_id, label,
+            any_value(prior_micro) + CAST(sum(term_micro) AS BIGINT)
+              AS score_micro
+          FROM sc GROUP BY 1, 2),
+        rk AS (SELECT doc_id, label, score_micro,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY score_micro DESC, label ASC) AS rn FROM ag)"""
+
   def defs: Map[String, QueryDef] = Map(
 
     // --- text analysis ---------------------------------------------------
@@ -1851,44 +1891,32 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
           d.select("doc_id", "text"), "doc_id", "text", tc, cs,
           vocab = 65536L)
       },
-      Some("""WITH tk AS (SELECT doc_id, lang,
-          string_split_regex(trim(lower(text)), '\s+') AS toks
-          FROM documents),
-        tr AS (SELECT lang AS label, unnest(toks) AS term FROM tk),
-        tc AS (SELECT label, term, count(*) AS c FROM tr GROUP BY 1, 2),
-        nd AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs
-          FROM documents GROUP BY 1),
-        tt AS (SELECT label, CAST(sum(c) AS BIGINT) AS tot
-          FROM tc GROUP BY 1),
-        nt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM nd),
-        lb AS (SELECT nd.label, tt.tot,
-            CAST(round(ln(CAST(nd.n_docs AS DOUBLE) /
-              CAST(nt.n_total AS DOUBLE)) * 1e6) AS BIGINT) AS prior_micro,
-            CAST(round(ln(1.0 / (CAST(tt.tot AS DOUBLE) + 65536.0)) * 1e6)
-              AS BIGINT) AS lp0_micro
-          FROM nd JOIN tt USING (label) CROSS JOIN nt),
-        lp AS (SELECT tc.label, tc.term,
-            CAST(round(ln((CAST(tc.c AS DOUBLE) + 1.0) /
-              (CAST(tt.tot AS DOUBLE) + 65536.0)) * 1e6) AS BIGINT)
-              AS lp_micro
-          FROM tc JOIN tt USING (label)),
-        dt AS (SELECT doc_id, term, count(*) AS tf
-          FROM (SELECT doc_id, unnest(toks) AS term FROM tk)
-          GROUP BY 1, 2),
-        sc AS (SELECT dt.doc_id, lb.label, lb.prior_micro,
-            dt.tf * coalesce(lp.lp_micro, lb.lp0_micro) AS term_micro
-          FROM dt CROSS JOIN lb
-          LEFT JOIN lp ON dt.term = lp.term AND lb.label = lp.label),
-        ag AS (SELECT doc_id, label,
-            any_value(prior_micro) + CAST(sum(term_micro) AS BIGINT)
-              AS score_micro
-          FROM sc GROUP BY 1, 2),
-        rk AS (SELECT doc_id, label, score_micro,
-            row_number() OVER (PARTITION BY doc_id
-              ORDER BY score_micro DESC, label ASC) AS rn FROM ag)
+      Some(s"""WITH $DUCK_NB
         SELECT doc_id, label AS pred,
           CAST(score_micro AS DOUBLE) / 1e6 AS score
         FROM rk WHERE rn = 1"""),
+    ),
+
+    // classifier evaluation in-engine: the confusion matrix of NB
+    // predictions against the declared labels (the train-set self-eval a
+    // filter pipeline reports before thresholding)
+    "q_text_nb_confusion" -> QueryDef(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val (tc, cs) =
+          TextAnalysis.nbTrain(d.select("text", "lang"), "text", "lang")
+        TextAnalysis.nbPredict(
+            d.select("doc_id", "text"), "doc_id", "text", tc, cs,
+            vocab = 65536L)
+          .join(d.select("doc_id", "lang"), "doc_id")
+          .groupBy(col("lang"), col("pred"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(s"""WITH $DUCK_NB,
+        pred AS (SELECT doc_id, label AS pred FROM rk WHERE rn = 1)
+        SELECT d.lang, p.pred, CAST(count(*) AS BIGINT) AS n
+        FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+        GROUP BY 1, 2"""),
     ),
 
     // BM25 top-k retrieval against a fixed three-query set; contributions
