@@ -220,6 +220,80 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Distinct char n-gram shingles of a (short) name column, hashed —
+    * the blocking unit for fuzzy NAME matching, where word shingles are
+    * useless (a name is one or a few words). Sub-n-length names yield
+    * their clamped prefix shingles, mirroring SQL substr semantics. */
+  def charShingleSet(
+      df: DataFrame, idCol: String, nameCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), col(nameCol).as("nm"))
+      .select(col("id"), explode(transform(
+        sequence(lit(1), greatest(length(col("nm")) - (n - 1), lit(1))),
+        i => col("nm").substr(i, lit(n)))).as("shingle"))
+      .distinct()
+      .select(col("id"),
+        TextAnalysis.rollingHash(col("shingle")).as("sh_hash"))
+
+  /** Fuzzy name matching (record linkage): best reference-side match for
+    * each query-side name by char-trigram Jaccard. Blocking is PREFIX
+    * FILTERING (the AllPairs/PPJoin principle): order every trigram by
+    * global rarity (ascending combined df, hash tie-break) and index only
+    * each name's first |x| − ⌈t·|x|⌉ + 1 trigrams — two sets with
+    * Jaccard ≥ t MUST share a prefix trigram under a common global
+    * order, so candidate recall is exact BY CONSTRUCTION, with no df cap
+    * to saturate on a skewed vocabulary (a fixed cap returns zero
+    * candidates once every trigram is hot). Verification is exact
+    * Jaccard over the FULL shingle sets; the winner per query row is max
+    * Jaccard with reference-id tie-break.
+    *
+    * Scale shape: both shingle tables are slim (id, hash8) relations;
+    * the global df table joins by key; the prefix cut is an id-partition
+    * window; candidates come from a key join on prefix trigrams whose
+    * per-key fan-in the prefix bound keeps small; the exact verify is
+    * two key joins + one partial-aggregated count.
+    *
+    * Returns (a_id, b_id, jaccard), one row per matched query id. */
+  def nameMatch(
+      a: DataFrame, aIdCol: String, aNameCol: String,
+      b: DataFrame, bIdCol: String, bNameCol: String,
+      n: Int = 3, threshold: Double = 0.3): DataFrame = {
+    val sa = charShingleSet(a, aIdCol, aNameCol, n)
+      .select(col("id").as("a_id"), col("sh_hash")).localCheckpoint(false)
+    val sb = charShingleSet(b, bIdCol, bNameCol, n)
+      .select(col("id").as("b_id"), col("sh_hash")).localCheckpoint(false)
+    val dfTab = sa.select("sh_hash").unionByName(sb.select("sh_hash"))
+      .groupBy("sh_hash").agg(count(lit(1)).as("df"))
+    def prefix(s: DataFrame, idc: String): DataFrame = {
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(idc).orderBy(col("df").asc, col("sh_hash").asc)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(idc)
+      s.join(dfTab, "sh_hash")
+        .withColumn("sz", count(lit(1)).over(wAll))
+        .withColumn("rnk", row_number().over(wOrd))
+        .filter(col("rnk") <=
+          col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+        .select(idc, "sh_hash")
+    }
+    val cands = prefix(sa, "a_id").join(prefix(sb, "b_id"), "sh_hash")
+      .select("a_id", "b_id").distinct()
+    val inter = cands
+      .join(sa, "a_id")
+      .join(sb, Seq("b_id", "sh_hash"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    val szA = sa.groupBy("a_id").agg(count(lit(1)).as("sz_a"))
+    val szB = sb.groupBy("b_id").agg(count(lit(1)).as("sz_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a_id").orderBy(col("jaccard").desc, col("b_id").asc)
+    inter.join(szA, "a_id").join(szB, "b_id")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("a_id", "b_id", "jaccard")
+  }
+
   /** Containment near-dup pairs: like [[minhashNearDups]] but verified on
     * shingle CONTAINMENT — |A∩B| / min(|A|, |B|) — instead of Jaccard.
     * Containment catches the asymmetric duplicates Jaccard structurally

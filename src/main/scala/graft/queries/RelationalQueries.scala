@@ -23,7 +23,75 @@ object RelationalQueries extends QueryPack {
   private def dec(c: Column, p: Int = 18, s: Int = 2): Column =
     c.cast(DecimalType(p, s))
 
+  /** DuckDB rolling hash identical to TextAnalysis.rollingHash. */
+  private def duckHash(expr: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       list_transform(string_split($expr, ''), c -> CAST(ascii(c) AS BIGINT))),
+       (a, b) -> (a * 31 + b) % 1000000007)"""
+
   def defs: Map[String, QueryDef] = Map(
+
+    // fuzzy name matching (record linkage): perturbed part names (a
+    // trailing 's' typo) linked back to the catalog by char-trigram Jaccard,
+    // candidates from PPJoin-style prefix filtering (rarest-trigram
+    // prefixes under a global df order — recall exact by construction)
+    "q_match_names" -> QueryDef(
+      (s, dir) => {
+        val p = Tables.table(s, dir, "part").select("p_partkey", "p_name")
+        val variants = p.select(
+          (col("p_partkey") + 1000000L).as("v_key"),
+          concat(col("p_name"), lit("s")).as("v_name"))
+        graft.operators.Dedup.nameMatch(
+          variants, "v_key", "v_name", p, "p_partkey", "p_name")
+      },
+      Some(s"""WITH pa AS (SELECT p_partkey + 1000000 AS id,
+          p_name || 's' AS nm FROM part),
+        pb AS (SELECT p_partkey AS id, p_name AS nm FROM part),
+        sa0 AS (SELECT id, unnest(list_transform(
+            range(1, greatest(len(nm) - 2, 1) + 1),
+            i -> substr(nm, CAST(i AS INTEGER), 3))) AS shingle FROM pa),
+        sa1 AS (SELECT DISTINCT id AS a_id, shingle FROM sa0),
+        sa AS (SELECT a_id, ${duckHash("shingle")} AS sh_hash FROM sa1),
+        sb0 AS (SELECT id, unnest(list_transform(
+            range(1, greatest(len(nm) - 2, 1) + 1),
+            i -> substr(nm, CAST(i AS INTEGER), 3))) AS shingle FROM pb),
+        sb1 AS (SELECT DISTINCT id AS b_id, shingle FROM sb0),
+        sb AS (SELECT b_id, ${duckHash("shingle")} AS sh_hash FROM sb1),
+        dft AS (SELECT sh_hash, count(*) AS df FROM (
+            SELECT sh_hash FROM sa UNION ALL SELECT sh_hash FROM sb)
+          GROUP BY 1),
+        caA AS (SELECT a_id, sh_hash FROM (
+            SELECT sa.a_id, sa.sh_hash,
+              count(*) OVER (PARTITION BY sa.a_id) AS sz,
+              row_number() OVER (PARTITION BY sa.a_id
+                ORDER BY dft.df ASC, sa.sh_hash ASC) AS rnk
+            FROM sa JOIN dft USING (sh_hash))
+          WHERE rnk <= sz - CAST(ceil(0.3 * sz) AS BIGINT) + 1),
+        caB AS (SELECT b_id, sh_hash FROM (
+            SELECT sb.b_id, sb.sh_hash,
+              count(*) OVER (PARTITION BY sb.b_id) AS sz,
+              row_number() OVER (PARTITION BY sb.b_id
+                ORDER BY dft.df ASC, sb.sh_hash ASC) AS rnk
+            FROM sb JOIN dft USING (sh_hash))
+          WHERE rnk <= sz - CAST(ceil(0.3 * sz) AS BIGINT) + 1),
+        cand AS (SELECT DISTINCT a_id, b_id FROM caA JOIN caB USING (sh_hash)),
+        inter AS (SELECT c.a_id, c.b_id, count(*) AS i FROM cand c
+          JOIN sa ON sa.a_id = c.a_id
+          JOIN sb ON sb.b_id = c.b_id AND sb.sh_hash = sa.sh_hash
+          GROUP BY 1, 2),
+        szA AS (SELECT a_id, count(*) AS sz_a FROM sa GROUP BY 1),
+        szB AS (SELECT b_id, count(*) AS sz_b FROM sb GROUP BY 1),
+        sc AS (SELECT i.a_id, i.b_id,
+            CAST(i.i AS DOUBLE) / CAST(szA.sz_a + szB.sz_b - i.i AS DOUBLE)
+              AS jaccard
+          FROM inter i JOIN szA USING (a_id) JOIN szB USING (b_id)),
+        rk AS (SELECT a_id, b_id, jaccard,
+            row_number() OVER (PARTITION BY a_id
+              ORDER BY jaccard DESC, b_id ASC) AS rn
+          FROM sc WHERE jaccard >= 0.3)
+        SELECT a_id, b_id, jaccard FROM rk WHERE rn = 1"""),
+    ),
+
     // --- aggregation -----------------------------------------------------
     "q_agg_pricing" -> QueryDef(
       (s, dir) => {

@@ -69,6 +69,27 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("nameMatch links perturbed names back to their source rows") {
+    val p = Tables.table(spark, dir, "part").select("p_partkey", "p_name")
+    val variants = p.select((col("p_partkey") + 1000000L).as("v_key"),
+      concat(col("p_name"), lit("s")).as("v_name"))
+    val matched = Dedup.nameMatch(variants, "v_key", "v_name",
+        p, "p_partkey", "p_name")
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    assert(matched.nonEmpty)
+    // TPC-H part names repeat word combinations, so a variant can
+    // legitimately tie onto a different row with the identical name —
+    // count a link as correct when the matched name EQUALS the source's
+    val names = p.collect()
+      .map(r => r.getAs[Long]("p_partkey") -> r.getAs[String]("p_name"))
+      .toMap
+    val correct = matched.count { case (a, b) =>
+      b == a - 1000000L || names(b) == names(a - 1000000L)
+    }
+    assert(correct >= matched.length * 9 / 10,
+      s"only $correct of ${matched.length} links point at the source name")
+  }
+
   test("clusterSizeHistogram accounts exactly for dedupCorpus removals") {
     val corpus = withExactCopies
     val pairs = Dedup.minhashNearDups(corpus, "doc_id", "text",
