@@ -127,6 +127,50 @@ object Refinement {
     * are single equi-join shuffles, converging in O(component diameter).
     * Returns (node, component) with component = min node id reachable.
     */
+  /** PageRank over a directed edge list — the iterative graph-centrality
+    * companion to [[connectedComponents]] (e.g. ranking statements by
+    * refinement in-flow, or corpus pages by link mass). Fixed `iters`
+    * power iterations of the 1.0-per-node formulation:
+    * pr' = (1 − d) + d · Σ_in pr/outdeg, dangling mass dropped (the
+    * standard simplified variant).
+    *
+    * Engine-exact by the repo's quantization convention: ranks live in
+    * integer MICRO-units; the per-edge contribution is integer division
+    * pr div outdeg (floor — both engines), the damped update re-rounds to
+    * micro after the one double multiply, and only integers ever
+    * aggregate, so shuffle order cannot perturb ranks and a relational
+    * oracle can replay every iteration verbatim.
+    *
+    * Scale shape: each iteration is one key join of the edge list with
+    * the rank/degree tables plus one partial-aggregated groupBy on dst;
+    * lineage is truncated per round (mandatory for any fixpoint on a real
+    * cluster). Returns (node, pr) with pr in rank units (sums to ≤ N). */
+  def pageRank(
+      edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(false)
+    val outd = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false)
+    val baseMicro = math.round((1 - damping) * 1e6)
+    var pr = nodes.withColumn("pr", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(pr.withColumnRenamed("node", "src"), "src")
+        .join(outd, "src")
+        .select(col("dst").as("node"), expr("pr div deg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(baseMicro) +
+            round(lit(damping) * coalesce(col("s"), lit(0L))).cast("long"))
+            .as("pr"))
+        .localCheckpoint(false)
+    }
+    pr.select(col("node"), (col("pr").cast("double") / 1e6).as("pr"))
+  }
+
   def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
     val sym = edges.select(col("node"), col("peer"))
       .union(edges.select(col("peer").as("node"), col("node").as("peer")))

@@ -533,6 +533,47 @@ object AssemblyQueries extends QueryPack {
     // connected components via generic min-label propagation; the planted
     // chain graph (k -- k-1 within each decade) has the closed-form answer
     // component = k - k%10, which the oracle states directly
+    // PageRank over a deterministic citation DAG (p cites p//2 and p//3):
+    // 5 micro-quantized power iterations, the oracle replaying each one
+    // verbatim as an unrolled CTE chain
+    "q_graph_pagerank" -> QueryDef(
+      (s, dir) => {
+        val p = Tables.table(s, dir, "part")
+          .select(col("p_partkey").cast("long").as("pk"))
+        val edges = p.filter(col("pk") >= 2)
+          .select(col("pk").as("src"), expr("pk div 2").as("dst"))
+          .unionByName(p.filter(col("pk") >= 3)
+            .select(col("pk").as("src"), expr("pk div 3").as("dst")))
+          .distinct()
+        Refinement.pageRank(edges, iters = 5)
+      },
+      Some {
+        val iterSql = (1 to 5).map { i =>
+          s"""i$i AS (SELECT e.dst AS node, sum(p.pr // o.deg) AS s
+            FROM edges e JOIN p${i - 1} p ON p.node = e.src
+            JOIN outd o ON o.node = e.src GROUP BY 1),
+          p$i AS (SELECT n.node,
+              150000 + CAST(round(0.85 * coalesce(i$i.s, 0)) AS BIGINT) AS pr
+            FROM nodes n LEFT JOIN i$i ON i$i.node = n.node)"""
+        }.mkString(",\n          ")
+        s"""WITH edges AS (
+            SELECT CAST(p_partkey AS BIGINT) AS src,
+              CAST(p_partkey // 2 AS BIGINT) AS dst FROM part
+            WHERE p_partkey >= 2
+            UNION
+            SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey // 3 AS BIGINT)
+            FROM part WHERE p_partkey >= 3),
+          nodes AS (SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION ALL SELECT dst FROM edges)),
+          outd AS (SELECT src AS node, count(*) AS deg
+            FROM edges GROUP BY 1),
+          p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+          $iterSql
+          SELECT node, CAST(pr AS DOUBLE) / 1e6 AS pr FROM p5"""
+      },
+    ),
+
     "q_components" -> QueryDef(
       (s, dir) => {
         val edges = Tables.table(s, dir, "part")
