@@ -171,6 +171,42 @@ object Refinement {
     pr.select(col("node"), (col("pr").cast("double") / 1e6).as("pr"))
   }
 
+  /** Global triangle count of an undirected graph — the clustering /
+    * cohesion metric (e.g. how clique-like the near-dup graph is).
+    * Edges are canonicalized (u < v, distinct), then ORIENTED from the
+    * lower (degree, node) endpoint to the higher — the classic trick
+    * that bounds every node's out-degree by O(sqrt(|E|)), so the wedge
+    * self-join's per-key fan-in stays small on power-law graphs where a
+    * raw self-join on the hub node explodes. Each triangle is counted
+    * exactly once (its orientation is acyclic). Two key joins + one
+    * count; all integers. Returns one row: (n_triangles). */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(least(col("node"), col("peer")).as("u"),
+        greatest(col("node"), col("peer")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(false)
+    val deg = canon.select(col("u").as("n"))
+      .unionByName(canon.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val oriented = canon
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst")))
+          .otherwise(struct(col("v").as("src"), col("u").as("dst")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint(false)
+    oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(oriented.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
     val sym = edges.select(col("node"), col("peer"))
       .union(edges.select(col("peer").as("node"), col("node").as("peer")))

@@ -574,6 +574,41 @@ object AssemblyQueries extends QueryPack {
       },
     ),
 
+    // triangle count on a denser citation graph (p cites p//2, p//3, AND
+    // p//4 — so every p >= 4 closes the {p, p//2, p//4} triangle and the
+    // count scales with the data); the engine orients edges by degree
+    // (bounded wedge fan-in), the oracle counts u<v<w directly — both
+    // count each triangle exactly once
+    "q_graph_triangles" -> QueryDef(
+      (s, dir) => {
+        val p = Tables.table(s, dir, "part")
+          .select(col("p_partkey").cast("long").as("pk"))
+        val edges = p.filter(col("pk") >= 2)
+          .select(col("pk").as("node"), expr("pk div 2").as("peer"))
+          .unionByName(p.filter(col("pk") >= 3)
+            .select(col("pk").as("node"), expr("pk div 3").as("peer")))
+          .unionByName(p.filter(col("pk") >= 4)
+            .select(col("pk").as("node"), expr("pk div 4").as("peer")))
+        Refinement.triangleCount(edges)
+      },
+      Some("""WITH e0 AS (
+          SELECT CAST(p_partkey AS BIGINT) AS a,
+            CAST(p_partkey // 2 AS BIGINT) AS b FROM part
+          WHERE p_partkey >= 2
+          UNION
+          SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey // 3 AS BIGINT)
+          FROM part WHERE p_partkey >= 3
+          UNION
+          SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey // 4 AS BIGINT)
+          FROM part WHERE p_partkey >= 4),
+        canon AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+          FROM e0 WHERE a <> b)
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM canon e1
+        JOIN canon e2 ON e2.u = e1.v
+        JOIN canon e3 ON e3.u = e1.u AND e3.v = e2.v"""),
+    ),
+
     "q_components" -> QueryDef(
       (s, dir) => {
         val edges = Tables.table(s, dir, "part")
