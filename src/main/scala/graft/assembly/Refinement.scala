@@ -207,6 +207,40 @@ object Refinement {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Unweighted shortest-hop distances from a source set over an
+    * undirected edge list — frontier-expansion BFS, the level-synchronous
+    * shape every distributed graph engine uses: each round joins ONLY the
+    * current frontier against the adjacency (not the whole visited set),
+    * anti-joins out already-visited nodes, and truncates lineage; the
+    * loop stops at the first empty frontier (≤ graph diameter rounds,
+    * one cheap isEmpty action each). Unreachable nodes are absent.
+    * Returns (node, dist). */
+  def bfsLevels(
+      edges: DataFrame, sources: DataFrame, maxIter: Int = 30): DataFrame = {
+    val sym = edges.select(col("node"), col("peer"))
+      .union(edges.select(col("peer").as("node"), col("node").as("peer")))
+      .distinct().localCheckpoint(false)
+    var dist = sources.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(false)
+    var frontier = dist.select("node")
+    var i = 0L
+    var done = false
+    while (!done && i < maxIter) {
+      i += 1
+      val next = sym.join(frontier, "node")
+        .select(col("peer").as("node")).distinct()
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(i))
+        .localCheckpoint(false)
+      if (next.isEmpty) done = true
+      else {
+        dist = dist.unionByName(next).localCheckpoint(false)
+        frontier = next.select("node")
+      }
+    }
+    dist
+  }
+
   def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
     val sym = edges.select(col("node"), col("peer"))
       .union(edges.select(col("peer").as("node"), col("node").as("peer")))

@@ -609,6 +609,37 @@ object AssemblyQueries extends QueryPack {
         JOIN canon e3 ON e3.u = e1.u AND e3.v = e2.v"""),
     ),
 
+    // BFS shortest-hop levels from node 1 over the citation graph; the
+    // oracle is a recursive min-dist CTE
+    "q_graph_bfs" -> QueryDef(
+      (s, dir) => {
+        val p = Tables.table(s, dir, "part")
+          .select(col("p_partkey").cast("long").as("pk"))
+        val edges = p.filter(col("pk") >= 2)
+          .select(col("pk").as("node"), expr("pk div 2").as("peer"))
+          .unionByName(p.filter(col("pk") >= 3)
+            .select(col("pk").as("node"), expr("pk div 3").as("peer")))
+        import s.implicits._
+        Refinement.bfsLevels(edges, Seq(1L).toDF("node"))
+      },
+      Some("""WITH RECURSIVE e0 AS (
+          SELECT CAST(p_partkey AS BIGINT) AS a,
+            CAST(p_partkey // 2 AS BIGINT) AS b FROM part
+          WHERE p_partkey >= 2
+          UNION
+          SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey // 3 AS BIGINT)
+          FROM part WHERE p_partkey >= 3),
+        sym AS (SELECT a AS node, b AS peer FROM e0
+          UNION SELECT b, a FROM e0),
+        r AS (
+          SELECT CAST(1 AS BIGINT) AS node, 0 AS dist
+          UNION
+          SELECT s.peer, r.dist + 1 FROM r JOIN sym s ON s.node = r.node
+          WHERE r.dist < 30)
+        SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        FROM r GROUP BY 1"""),
+    ),
+
     "q_components" -> QueryDef(
       (s, dir) => {
         val edges = Tables.table(s, dir, "part")
