@@ -47,15 +47,18 @@ object RelationalQueries extends QueryPack {
       Some(s"""WITH pa AS (SELECT p_partkey + 1000000 AS id,
           p_name || 's' AS nm FROM part),
         pb AS (SELECT p_partkey AS id, p_name AS nm FROM part),
-        sa0 AS (SELECT id, unnest(list_transform(
+        pan AS (SELECT DISTINCT nm FROM pa),
+        pbn AS (SELECT nm, CAST(min(id) AS BIGINT) AS b_row
+          FROM pb GROUP BY 1),
+        sa0 AS (SELECT nm, unnest(list_transform(
             range(1, greatest(len(nm) - 2, 1) + 1),
-            i -> substr(nm, CAST(i AS INTEGER), 3))) AS shingle FROM pa),
-        sa1 AS (SELECT DISTINCT id AS a_id, shingle FROM sa0),
+            i -> substr(nm, CAST(i AS INTEGER), 3))) AS shingle FROM pan),
+        sa1 AS (SELECT DISTINCT nm AS a_id, shingle FROM sa0),
         sa AS (SELECT a_id, ${duckHash("shingle")} AS sh_hash FROM sa1),
-        sb0 AS (SELECT id, unnest(list_transform(
+        sb0 AS (SELECT nm, unnest(list_transform(
             range(1, greatest(len(nm) - 2, 1) + 1),
-            i -> substr(nm, CAST(i AS INTEGER), 3))) AS shingle FROM pb),
-        sb1 AS (SELECT DISTINCT id AS b_id, shingle FROM sb0),
+            i -> substr(nm, CAST(i AS INTEGER), 3))) AS shingle FROM pbn),
+        sb1 AS (SELECT DISTINCT nm AS b_id, shingle FROM sb0),
         sb AS (SELECT b_id, ${duckHash("shingle")} AS sh_hash FROM sb1),
         dft AS (SELECT sh_hash, count(*) AS df FROM (
             SELECT sh_hash FROM sa UNION ALL SELECT sh_hash FROM sb)
@@ -85,11 +88,12 @@ object RelationalQueries extends QueryPack {
             CAST(i.i AS DOUBLE) / CAST(szA.sz_a + szB.sz_b - i.i AS DOUBLE)
               AS jaccard
           FROM inter i JOIN szA USING (a_id) JOIN szB USING (b_id)),
-        rk AS (SELECT a_id, b_id, jaccard,
-            row_number() OVER (PARTITION BY a_id
-              ORDER BY jaccard DESC, b_id ASC) AS rn
-          FROM sc WHERE jaccard >= 0.3)
-        SELECT a_id, b_id, jaccard FROM rk WHERE rn = 1"""),
+        rk AS (SELECT s.a_id, n.b_row, s.jaccard,
+            row_number() OVER (PARTITION BY s.a_id
+              ORDER BY s.jaccard DESC, n.b_row ASC) AS rn
+          FROM sc s JOIN pbn n ON n.nm = s.b_id WHERE s.jaccard >= 0.3)
+        SELECT CAST(pa.id AS BIGINT) AS a_id, rk.b_row AS b_id, rk.jaccard
+        FROM rk JOIN pa ON pa.nm = rk.a_id WHERE rk.rn = 1"""),
     ),
 
     // --- aggregation -----------------------------------------------------
