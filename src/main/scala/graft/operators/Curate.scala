@@ -629,6 +629,29 @@ object Curate {
       Seq(col("shuffle_key").asc, col(idCol).asc), lit(1L), "pos")
   }
 
+  /** Weighted sampling WITHOUT replacement — k rows with inclusion
+    * probability proportional to `weightCol` (Efraimidis–Spirakis
+    * exponential keys: key = ln(u)/w, keep the k largest). The usual
+    * quality-weighted subsample step, with the repo's no-RNG discipline:
+    * u derives from the seeded content hash of the id ([[seededShuffle]]'s
+    * mix32 chain), so membership is a pure function of (seed, id, w) —
+    * re-runs and engines agree row-for-row and a different seed is a
+    * fresh draw. The log is micro-quantized before the weight division
+    * (engine-portable); selection is TakeOrdered top-k, never a global
+    * sort. Returns the input columns plus es_key. */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: String): DataFrame = {
+    val h = TextAnalysis.mix32(TextAnalysis.rollingHash(
+      concat(lit(seed), lit("-"), col(idCol).cast("string"))))
+    val u = (h + lit(1L)).cast("double") / lit(4294967296.0) // (0, 1]
+    val lnU = round(log(u) * 1e6).cast("long")
+    df.withColumn("es_key",
+        lnU.cast("double") / col(weightCol).cast("double"))
+      .orderBy(col("es_key").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Greedy token-budget selection: order candidates by a quality score
     * (best first, id tie-break makes the order total) and keep documents
     * until the running token total reaches `budget` — the "select the best

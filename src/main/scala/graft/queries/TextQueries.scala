@@ -1663,6 +1663,30 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM k"""),
     ),
 
+    // weighted sampling without replacement (exponential keys over the
+    // seeded hash): 100 docs with inclusion odds ∝ n_chars; the oracle
+    // replays the mix32 chain, the micro-quantized log, and the top-k
+    "q_sample_weighted" -> QueryDef(
+      (s, dir) => Curate.weightedSample(
+        docs(s, dir).select("doc_id", "n_chars"), "doc_id", "n_chars",
+        k = 100, seed = "wsamp"),
+      Some(s"""WITH h0 AS (SELECT doc_id, n_chars,
+          ${duckHash("'wsamp-' || CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents),
+        m1 AS (SELECT doc_id, n_chars, xor(h, h >> 16) AS z1 FROM h0),
+        m2 AS (SELECT doc_id, n_chars,
+          (z1 * 73244475) % 4294967296 AS z2 FROM m1),
+        m3 AS (SELECT doc_id, n_chars, xor(z2, z2 >> 16) AS z3 FROM m2),
+        m4 AS (SELECT doc_id, n_chars,
+          (z3 * 73244475) % 4294967296 AS z4 FROM m3),
+        k AS (SELECT doc_id, n_chars, xor(z4, z4 >> 16) AS th FROM m4),
+        ky AS (SELECT doc_id, n_chars,
+          CAST(CAST(round(ln((th + 1) / 4294967296.0) * 1e6) AS BIGINT)
+            AS DOUBLE) / CAST(n_chars AS DOUBLE) AS es_key FROM k)
+        SELECT doc_id, n_chars, es_key FROM ky
+        ORDER BY es_key DESC, doc_id ASC LIMIT 100"""),
+    ),
+
     // greedy token-budget selection over quality-ordered docs: every row
     // returns with its running token total and keep verdict; the oracle
     // replays the (ttr desc, doc_id) cumulative window
