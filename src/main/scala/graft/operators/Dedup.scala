@@ -264,14 +264,13 @@ object Dedup {
     * the final row fan-out is a key join on the name.
     *
     * Returns (a_id, b_id, jaccard), one row per matched query row. */
-  def nameMatch(
-      a: DataFrame, aIdCol: String, aNameCol: String,
-      b: DataFrame, bIdCol: String, bNameCol: String,
-      n: Int = 3, threshold: Double = 0.3): DataFrame = {
-    val aNames = a.select(col(aNameCol).as("nm_a")).distinct()
-      .localCheckpoint(false)
-    val bNames = b.groupBy(col(bNameCol).as("nm_b"))
-      .agg(min(col(bIdCol)).as("b_id")).localCheckpoint(false)
+  /** Distinct-name prefix-filtered candidate pairs shared by the
+    * [[nameMatch]] verifiers: (sa, sb, cands(a_id, b_id)) where a_id /
+    * b_id are the NAME strings and cands has exact recall for trigram
+    * Jaccard ≥ `threshold`. */
+  private def namePrefixCandidates(
+      aNames: DataFrame, bNames: DataFrame, n: Int, threshold: Double)
+      : (DataFrame, DataFrame, DataFrame) = {
     val sa = charShingleSet(aNames, "nm_a", "nm_a", n)
       .select(col("id").as("a_id"), col("sh_hash")).localCheckpoint(false)
     val sb = charShingleSet(bNames, "nm_b", "nm_b", n)
@@ -291,6 +290,18 @@ object Dedup {
     }
     val cands = prefix(sa, "a_id").join(prefix(sb, "b_id"), "sh_hash")
       .select("a_id", "b_id").distinct()
+    (sa, sb, cands)
+  }
+
+  def nameMatch(
+      a: DataFrame, aIdCol: String, aNameCol: String,
+      b: DataFrame, bIdCol: String, bNameCol: String,
+      n: Int = 3, threshold: Double = 0.3): DataFrame = {
+    val aNames = a.select(col(aNameCol).as("nm_a")).distinct()
+      .localCheckpoint(false)
+    val bNames = b.groupBy(col(bNameCol).as("nm_b"))
+      .agg(min(col(bIdCol)).as("b_id")).localCheckpoint(false)
+    val (sa, sb, cands) = namePrefixCandidates(aNames, bNames, n, threshold)
     val inter = cands
       .join(sa, "a_id")
       .join(sb, Seq("b_id", "sh_hash"))
@@ -314,6 +325,45 @@ object Dedup {
     a.select(col(aIdCol), col(aNameCol).as("nm")).join(best, "nm")
       .select(col(aIdCol).as("a_id"), col("b_row").as("b_id"),
         col("jaccard"))
+  }
+
+  /** [[nameMatch]] verified by NORMALIZED EDIT SIMILARITY
+    * 1 − lev(a, b) / max(|a|, |b|) instead of trigram Jaccard — the
+    * right metric when variants are typos/transpositions rather than
+    * token edits (edit distance sees character order; bag-of-trigrams
+    * largely doesn't). Candidates still come from the trigram prefix
+    * index at `blockThreshold` — exact for Jaccard, a standard heuristic
+    * for edit similarity (an edit-sim pair with almost no shared
+    * trigrams can be missed; lower blockThreshold to taste). The
+    * levenshtein kernel is Spark's codegen'd built-in.
+    *
+    * Returns (a_id, b_id, sim), best reference match per query row at
+    * `threshold`. */
+  def nameMatchEdit(
+      a: DataFrame, aIdCol: String, aNameCol: String,
+      b: DataFrame, bIdCol: String, bNameCol: String,
+      n: Int = 3, blockThreshold: Double = 0.2,
+      threshold: Double = 0.7): DataFrame = {
+    val aNames = a.select(col(aNameCol).as("nm_a")).distinct()
+      .localCheckpoint(false)
+    val bNames = b.groupBy(col(bNameCol).as("nm_b"))
+      .agg(min(col(bIdCol)).as("b_id")).localCheckpoint(false)
+    val (_, _, cands) = namePrefixCandidates(aNames, bNames, n,
+      blockThreshold)
+    val bRow = bNames.toDF("b_name", "b_row")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a_id").orderBy(col("sim").desc, col("b_row").asc)
+    val best = cands
+      .join(bRow, col("b_id") === col("b_name"))
+      .withColumn("sim",
+        lit(1.0) - levenshtein(col("a_id"), col("b_id")).cast("double") /
+          greatest(length(col("a_id")), length(col("b_id"))).cast("double"))
+      .filter(col("sim") >= threshold)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("a_id").as("nm"), col("b_row"), col("sim"))
+    a.select(col(aIdCol), col(aNameCol).as("nm")).join(best, "nm")
+      .select(col(aIdCol).as("a_id"), col("b_row").as("b_id"), col("sim"))
   }
 
   /** Containment near-dup pairs: like [[minhashNearDups]] but verified on

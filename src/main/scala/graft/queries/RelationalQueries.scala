@@ -29,23 +29,12 @@ object RelationalQueries extends QueryPack {
        list_transform(string_split($expr, ''), c -> CAST(ascii(c) AS BIGINT))),
        (a, b) -> (a * 31 + b) % 1000000007)"""
 
-  def defs: Map[String, QueryDef] = Map(
-
-    // fuzzy name matching (record linkage): perturbed part names (a
-    // trailing 's' typo) linked back to the catalog by char-trigram Jaccard,
-    // candidates from PPJoin-style prefix filtering (rarest-trigram
-    // prefixes under a global df order — recall exact by construction)
-    "q_match_names" -> QueryDef(
-      (s, dir) => {
-        val p = Tables.table(s, dir, "part").select("p_partkey", "p_name")
-        val variants = p.select(
-          (col("p_partkey") + 1000000L).as("v_key"),
-          concat(col("p_name"), lit("s")).as("v_name"))
-        graft.operators.Dedup.nameMatch(
-          variants, "v_key", "v_name", p, "p_partkey", "p_name")
-      },
-      Some(s"""WITH pa AS (SELECT p_partkey + 1000000 AS id,
-          p_name || 's' AS nm FROM part),
+  /** DuckDB twin of Dedup.namePrefixCandidates over the perturbed-part
+    * linkage fixture (variants = p_name || 's'): CTE chain pa/pb/pan/pbn
+    * -> sa/sb (name-keyed shingle hashes) -> cand(a_id, b_id), with the
+    * prefix cut at block threshold `t`. */
+  private def duckNameCands(t: String) = s"""pa AS (
+          SELECT p_partkey + 1000000 AS id, p_name || 's' AS nm FROM part),
         pb AS (SELECT p_partkey AS id, p_name AS nm FROM part),
         pan AS (SELECT DISTINCT nm FROM pa),
         pbn AS (SELECT nm, CAST(min(id) AS BIGINT) AS b_row
@@ -69,15 +58,32 @@ object RelationalQueries extends QueryPack {
               row_number() OVER (PARTITION BY sa.a_id
                 ORDER BY dft.df ASC, sa.sh_hash ASC) AS rnk
             FROM sa JOIN dft USING (sh_hash))
-          WHERE rnk <= sz - CAST(ceil(0.3 * sz) AS BIGINT) + 1),
+          WHERE rnk <= sz - CAST(ceil($t * sz) AS BIGINT) + 1),
         caB AS (SELECT b_id, sh_hash FROM (
             SELECT sb.b_id, sb.sh_hash,
               count(*) OVER (PARTITION BY sb.b_id) AS sz,
               row_number() OVER (PARTITION BY sb.b_id
                 ORDER BY dft.df ASC, sb.sh_hash ASC) AS rnk
             FROM sb JOIN dft USING (sh_hash))
-          WHERE rnk <= sz - CAST(ceil(0.3 * sz) AS BIGINT) + 1),
-        cand AS (SELECT DISTINCT a_id, b_id FROM caA JOIN caB USING (sh_hash)),
+          WHERE rnk <= sz - CAST(ceil($t * sz) AS BIGINT) + 1),
+        cand AS (SELECT DISTINCT a_id, b_id FROM caA JOIN caB USING (sh_hash))"""
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // fuzzy name matching (record linkage): perturbed part names (a
+    // trailing 's' typo) linked back to the catalog by char-trigram Jaccard,
+    // candidates from PPJoin-style prefix filtering (rarest-trigram
+    // prefixes under a global df order — recall exact by construction)
+    "q_match_names" -> QueryDef(
+      (s, dir) => {
+        val p = Tables.table(s, dir, "part").select("p_partkey", "p_name")
+        val variants = p.select(
+          (col("p_partkey") + 1000000L).as("v_key"),
+          concat(col("p_name"), lit("s")).as("v_name"))
+        graft.operators.Dedup.nameMatch(
+          variants, "v_key", "v_name", p, "p_partkey", "p_name")
+      },
+      Some(s"""WITH ${duckNameCands("0.3")},
         inter AS (SELECT c.a_id, c.b_id, count(*) AS i FROM cand c
           JOIN sa ON sa.a_id = c.a_id
           JOIN sb ON sb.b_id = c.b_id AND sb.sh_hash = sa.sh_hash
@@ -93,6 +99,31 @@ object RelationalQueries extends QueryPack {
               ORDER BY s.jaccard DESC, n.b_row ASC) AS rn
           FROM sc s JOIN pbn n ON n.nm = s.b_id WHERE s.jaccard >= 0.3)
         SELECT CAST(pa.id AS BIGINT) AS a_id, rk.b_row AS b_id, rk.jaccard
+        FROM rk JOIN pa ON pa.nm = rk.a_id WHERE rk.rn = 1"""),
+    ),
+
+    // linkage verified by normalized edit similarity (typo-shaped
+    // variants): same prefix blocking at 0.2, Spark's codegen'd
+    // levenshtein as the verifier
+    "q_match_names_edit" -> QueryDef(
+      (s, dir) => {
+        val p = Tables.table(s, dir, "part").select("p_partkey", "p_name")
+        val variants = p.select(
+          (col("p_partkey") + 1000000L).as("v_key"),
+          concat(col("p_name"), lit("s")).as("v_name"))
+        graft.operators.Dedup.nameMatchEdit(
+          variants, "v_key", "v_name", p, "p_partkey", "p_name")
+      },
+      Some(s"""WITH ${duckNameCands("0.2")},
+        ed AS (SELECT c.a_id, n.b_row,
+            1.0 - CAST(levenshtein(c.a_id, c.b_id) AS DOUBLE) /
+              CAST(greatest(len(c.a_id), len(c.b_id)) AS DOUBLE) AS sim
+          FROM cand c JOIN pbn n ON n.nm = c.b_id),
+        rk AS (SELECT a_id, b_row, sim,
+            row_number() OVER (PARTITION BY a_id
+              ORDER BY sim DESC, b_row ASC) AS rn
+          FROM ed WHERE sim >= 0.7)
+        SELECT CAST(pa.id AS BIGINT) AS a_id, rk.b_row AS b_id, rk.sim
         FROM rk JOIN pa ON pa.nm = rk.a_id WHERE rk.rn = 1"""),
     ),
 
