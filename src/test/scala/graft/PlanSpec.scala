@@ -150,6 +150,24 @@ class PlanSpec extends AnyFunSuite {
       s"exact rerank degenerated into a corpus cartesian:\n$pRr")
   }
 
+  test("weighted sampling plans as TakeOrdered; name matching never " +
+      "cartesians") {
+    import spark.implicits._
+    val docs = Tables.table(spark, dir, "documents")
+      .select("doc_id", "n_chars")
+    val pWs = plan(graft.operators.Curate.weightedSample(
+      docs, "doc_id", "n_chars", k = 50, seed = "ps"))
+    assert(pWs.contains("TakeOrderedAndProject"),
+      s"weighted sample planned as a global sort:\n$pWs")
+    val p = Tables.table(spark, dir, "part").select("p_partkey", "p_name")
+    val variants = p.select((col("p_partkey") + 1000000L).as("v_key"),
+      concat(col("p_name"), lit("s")).as("v_name"))
+    val pNm = plan(graft.operators.Dedup.nameMatch(
+      variants, "v_key", "v_name", p, "p_partkey", "p_name"))
+    assert(!pNm.contains("CartesianProduct"),
+      s"name matching degenerated into a cartesian:\n$pNm")
+  }
+
   test("DSIR weight table broadcasts; selection is TakeOrdered, not a sort") {
     val docs = Tables.table(spark, dir, "documents").select("doc_id", "text")
     val target = docs.filter(col("doc_id") % 7 === 0)
