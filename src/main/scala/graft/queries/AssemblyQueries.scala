@@ -102,6 +102,23 @@ object AssemblyQueries extends QueryPack {
         GROUP BY f.cohort, date_diff('day', f.cohort, d.day)"""),
     ),
 
+    // last-touch attribution: purchases credited to the nearest earlier
+    // non-purchase event of the same user (window replayed verbatim)
+    "q_events_attribution" -> QueryDef(
+      (s, dir) => graft.streaming.Streams.lastTouchAttribution(
+        Tables.events(s, dir), "purchase"),
+      Some("""WITH t AS (SELECT user_id, event_id, ts, event_type,
+          last_value(CASE WHEN event_type <> 'purchase'
+              THEN event_type END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS last_touch
+          FROM events)
+        SELECT coalesce(last_touch, 'none') AS touch_type,
+          CAST(count(*) AS BIGINT) AS n_conversions
+        FROM t WHERE event_type = 'purchase' GROUP BY 1"""),
+    ),
+
     // window-function variety: lag delta, ntile quartile, dense_rank
     "q_window_variety" -> QueryDef(
       (s, dir) => {

@@ -77,6 +77,30 @@ object Streams {
         col("day_offset"), col("n_users"))
   }
 
+  /** Last-touch attribution: each conversion event is credited to the
+    * user's nearest strictly-earlier non-conversion event — one window
+    * per user over the (ts, event_id) total order (last ignoreNulls over
+    * the preceding frame), then a per-touch-type rollup. Conversions
+    * with no prior touch report as 'none'. One user-partitioned window +
+    * one partial-aggregated groupBy. Returns (touch_type,
+    * n_conversions). */
+  def lastTouchAttribution(
+      events: DataFrame, conversionType: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    events.select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"))
+      .withColumn("last_touch",
+        last(when(col("event_type") =!= conversionType, col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === conversionType)
+      .groupBy(coalesce(col("last_touch"), lit("none")).as("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"))
+  }
+
   /** Batch sessionization: a session breaks after `gapMinutes` of user
     * inactivity. Two windows over the same (user_id, ts) partitioning: lag
     * marks session starts, a running sum numbers them — the batch shape of
