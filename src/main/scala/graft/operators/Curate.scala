@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators for large-scale training-data pipelines:
@@ -584,7 +585,7 @@ object Curate {
     * Correct for ANY bucket boundaries because the order columns form a
     * total order (callers append a unique id tie-break), so the result is
     * boundary- and sampling-invariant. */
-  private def rangedCumsum(
+  private[operators] def rangedCumsum(
       df: DataFrame, order: Seq[Column], value: Column, out: String,
       buckets: Int = 64): DataFrame = {
     val ranged = df.repartitionByRange(buckets, order: _*)
@@ -650,6 +651,71 @@ object Curate {
         lnU.cast("double") / col(weightCol).cast("double"))
       .orderBy(col("es_key").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** CCNet-style perplexity bucketing: rank documents by a quality score
+    * (higher = less perplexed = better) and cut the ranked corpus into
+    * head/middle/tail by integer percent thresholds — the standard
+    * precursor to per-bucket sampling rates ("keep head, downsample
+    * middle, drop tail"). Thresholds compare `rank * 100` against
+    * `N * pct`, all integer math, so bucket membership is engine-exact.
+    *
+    * Scale shape: the rank comes from [[rangedCumsum]] over the
+    * (score desc, id) total order — a range-partitioned distributed sort,
+    * never a single-partition global window.
+    *
+    * Returns the input columns plus (ppl_rank, bucket). */
+  def perplexityBuckets(
+      df: DataFrame, idCol: String, scoreCol: String,
+      headPct: Int, midPct: Int): DataFrame = {
+    require(headPct > 0 && midPct >= 0 && headPct + midPct <= 100,
+      s"bad percents: head=$headPct mid=$midPct")
+    val n = df.agg(count(lit(1)).as("_n"))
+    rangedCumsum(df, Seq(col(scoreCol).desc, col(idCol).asc),
+        lit(1L), "ppl_rank")
+      .crossJoin(broadcast(n))
+      .withColumn("bucket",
+        when(col("ppl_rank") * 100 <= col("_n") * headPct, "head")
+          .when(col("ppl_rank") * 100 <= col("_n") * (headPct + midPct),
+            "middle")
+          .otherwise("tail"))
+      .drop("_n")
+  }
+
+  /** Exact stratified sampling: `n` rows per stratum, chosen by the seeded
+    * content hash of the id ([[seededShuffle]]'s mix32 chain) — membership
+    * is a pure function of (seed, stratum, id), so re-runs, engines, and
+    * resumed jobs agree row-for-row, and strata with fewer than `n` rows
+    * keep everything.
+    *
+    * Scale shape: two-phase salted top-n. Phase 1 ranks within
+    * (stratum, hash-salt shard) partitions — bounded tasks even when one
+    * stratum holds most of the corpus; phase 2 re-ranks the at most
+    * `salts * n` per-stratum survivors. A shard row outside its shard's
+    * top n ranks behind n shard-mates, hence behind n stratum-mates, so
+    * it cannot be in the stratum's true top n — the two-phase result is
+    * exactly the single-window result (CurateSpec asserts equality).
+    *
+    * Returns the input columns plus the rank key (`sample_key`). */
+  def stratifiedSample(
+      df: DataFrame, stratumCol: String, idCol: String,
+      n: Int, seed: String, salts: Int = 16): DataFrame = {
+    require(n > 0 && salts > 0, s"n ($n) and salts ($salts) must be positive")
+    val key = TextAnalysis.mix32(TextAnalysis.rollingHash(
+      concat(lit(seed), lit("-"), col(idCol).cast("string"))))
+    val keyed = df.withColumn("sample_key", key)
+    val wShard = Window
+      .partitionBy(col(stratumCol), pmod(col("sample_key"), lit(salts)))
+      .orderBy(col("sample_key").asc, col(idCol).asc)
+    val wStratum = Window
+      .partitionBy(stratumCol)
+      .orderBy(col("sample_key").asc, col(idCol).asc)
+    keyed
+      .withColumn("_shard_rn", row_number().over(wShard))
+      .where(col("_shard_rn") <= n)
+      .withColumn("_rn", row_number().over(wStratum))
+      .where(col("_rn") <= n)
+      .drop("_shard_rn", "_rn")
   }
 
   /** Greedy token-budget selection: order candidates by a quality score

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Bounded-memory frequency sketches beyond the count-min family
+  * ([[TextAnalysis.cmsBuild]]): the Misra–Gries / space-saving heavy-hitters
+  * summary, as a typed Spark `Aggregator` (a `TypedColumn`, per the
+  * engine's extension ladder — the semantics are genuinely stateful
+  * per-group, so neither built-ins nor a Catalyst scalar expression can
+  * express them).
+  *
+  * Why it earns a place next to CMS: CMS answers "how often did THIS term
+  * occur" but enumerating the frequent terms requires knowing them; MG
+  * IS the enumerator — k counters that provably contain every term with
+  * frequency > N/(k+1), with undercount at most N/(k+1). The buffers are
+  * mergeable (Agarwal et al., "Mergeable Summaries", PODS'12: combine
+  * counter sums, then subtract the (k+1)-th largest and drop non-positive)
+  * with the SAME error bound after arbitrary merge trees — exactly the
+  * contract Spark's partial aggregation needs: map-side partials of k
+  * counters shuffle instead of rows, one k-sized buffer per partition.
+  *
+  * Counter VALUES depend on partitioning/merge order (only the bounds are
+  * deterministic), so gates check guarantees — presence above threshold,
+  * est <= true, true - est <= N/(k+1) — not raw sketch state
+  * (SketchesSpec asserts them under 1-, 7-, and 32-way partitionings).
+  */
+object Sketches {
+
+  /** Misra–Gries aggregator over a string stream; buffer = at most k
+    * (term, counter) pairs. Kryo-encoded buffer (opaque binary between
+    * partial and final aggregation); per-row cost O(1) on counter hit,
+    * O(k) on eviction.
+    */
+  final class MisraGriesAgg(k: Int)
+      extends Aggregator[String, mutable.HashMap[String, Long], Map[String, Long]] {
+    require(k > 0, s"k must be positive (got $k)")
+
+    def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
+
+    def reduce(
+        b: mutable.HashMap[String, Long], t: String): mutable.HashMap[String, Long] = {
+      b.get(t) match {
+        case Some(c) => b.update(t, c + 1L)
+        case None if b.size < k => b.update(t, 1L)
+        case None =>
+          // decrement-all: the arriving element and one unit of every
+          // counter cancel; drop exhausted counters
+          val dead = mutable.ArrayBuffer.empty[String]
+          b.keysIterator.foreach { key =>
+            val c = b(key) - 1L
+            if (c == 0L) dead += key else b.update(key, c)
+          }
+          dead.foreach(b.remove)
+      }
+      b
+    }
+
+    def merge(
+        a: mutable.HashMap[String, Long],
+        b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+      b.foreach { case (t, c) => a.update(t, a.getOrElse(t, 0L) + c) }
+      if (a.size > k) {
+        // subtract the (k+1)-th largest counter from everything; at most
+        // k counters stay positive, and every counter loses <= what a
+        // sequential decrement-all run would have taken (the mergeable-
+        // summaries argument)
+        val cut = a.values.toArray.sortInPlaceWith(_ > _).apply(k)
+        val dead = mutable.ArrayBuffer.empty[String]
+        a.keysIterator.foreach { key =>
+          val c = a(key) - cut
+          if (c <= 0L) dead += key else a.update(key, c)
+        }
+        dead.foreach(a.remove)
+      }
+      a
+    }
+
+    def finish(b: mutable.HashMap[String, Long]): Map[String, Long] = b.toMap
+
+    def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
+      Encoders.kryo[mutable.HashMap[String, Long]]
+
+    def outputEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** The Misra–Gries summary of `termCol` as rows (term, est): at most k
+    * rows; every term with true frequency > N/(k+1) is present, with
+    * est <= true and true - est <= N/(k+1). */
+  def misraGries(df: DataFrame, termCol: String, k: Int): DataFrame = {
+    val ds = df.select(col(termCol).cast("string")).na.drop()
+      .as(ExpressionEncoder[String]())
+    ds.select(new MisraGriesAgg(k).toColumn.name("mg"))
+      .select(explode(col("mg")).as(Seq("term", "est")))
+  }
+
+  /** Guarantee audit of [[misraGries]] against the exact counts, for the
+    * provably-findable terms only (true frequency strictly above
+    * N/(k+1)): each comes back with whether the sketch held it and
+    * whether the estimate respected both error bounds. Integer-only
+    * comparisons (scaled by k+1) keep the verdicts engine-exact. */
+  def heavyHitters(df: DataFrame, termCol: String, k: Int): DataFrame = {
+    val terms = df.select(col(termCol).cast("string").as("term")).na.drop()
+    val est = misraGries(terms, "term", k)
+    val exact = terms.groupBy("term").agg(count(lit(1)).as("exact"))
+    val total = terms.agg(count(lit(1)).as("total"))
+    exact
+      .crossJoin(broadcast(total))
+      .where(col("exact") * (k + 1) > col("total"))
+      .join(broadcast(est), Seq("term"), "left")
+      .select(col("term"), col("exact"),
+        col("est").isNotNull.as("found"),
+        (col("est").isNotNull && col("est") <= col("exact") &&
+          (col("exact") - col("est")) * (k + 1) <= col("total"))
+          .as("within_bound"))
+  }
+}

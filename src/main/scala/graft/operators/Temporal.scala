@@ -1,0 +1,244 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins the built-in operator set lacks: backward as-of join and
+  * point-in-interval range join.
+  *
+  * Neither is expressible as a plain equi-join, and the naive formulations
+  * are scale killers (an inequality theta-join degenerates to
+  * BroadcastNestedLoopJoin / a per-row scan of the other side). Both
+  * operators here reduce to ONE hash shuffle plus sort — the shapes that
+  * survive a 1000-executor cluster:
+  *
+  *   - `asofJoin` uses the union trick: tag both inputs, union them, and
+  *     run a single `last(..., ignoreNulls)` window per key ordered by
+  *     (ts, tag). No join node at all — one Exchange on the key, one sort.
+  *   - `asofJoinBucketed` bounds the window partition size for hot keys:
+  *     per-(key, time-bucket) windows seeded with a carry-in computed from
+  *     bucket-level summaries (two cheap aggregations over ~#buckets rows
+  *     per key). Same result, task size capped at one bucket's rows.
+  *   - `rangeJoin` bins the time axis at the max interval width, explodes
+  *     each interval into the (at most two) bins it overlaps, equi-joins
+  *     points on the bin, and re-checks containment as a residual
+  *     predicate. Candidate blowup is bounded by 2x the true matches.
+  *
+  * The reference engine exposes only equi-join chains (readonly views
+  * joined on mk_hash / reading ids); these operators extend the engine for
+  * event-shaped corpora (training-data telemetry, conversion analysis)
+  * where "most recent fact at time t" and "points in window" are the
+  * bread-and-butter access paths.
+  */
+object Temporal {
+
+  /** Epoch micros of a timestamp-ish column. TIMESTAMP_NTZ (what parquet
+    * DATE-less dumps read as) casts to TIMESTAMP first — an identity under
+    * the engine's pinned UTC session. */
+  private def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  private val K = "__asof_k"
+  private val TS = "__asof_ts"
+  private val LEFT = "__asof_is_left"
+  private val TB = "__asof_tb"
+  private val MATCH = "__asof_match"
+  private val RTS = "asof_ts"
+
+  /** Tagged union of left/right with a right-payload struct column.
+    *
+    * Right rows carry `MATCH` = struct(payload..., asof_ts); left rows
+    * carry null. A single `last(MATCH, ignoreNulls)` over
+    * (key ORDER BY ts, isLeft, tieBreak) then yields, on every left row,
+    * the latest right row with `right.ts <= left.ts` — right rows sort
+    * before left rows at equal ts, so the join is inclusive. The struct
+    * (rather than per-column last_value) guarantees all payload fields
+    * come from the SAME winning right row even when payload values are
+    * legitimately null.
+    */
+  private def taggedUnion(
+      left: DataFrame,
+      leftKey: String,
+      leftTs: String,
+      right: DataFrame,
+      rightKey: String,
+      rightTs: String,
+      payload: Seq[String],
+      rightTieBreak: String): DataFrame = {
+    val leftPart = left
+      .withColumn(K, col(leftKey))
+      .withColumn(TS, col(leftTs))
+      .withColumn(LEFT, lit(1))
+    val rightPart = right
+      .select(
+        col(rightKey).as(K),
+        col(rightTs).as(TS),
+        lit(0).as(LEFT),
+        col(rightTieBreak).as(TB),
+        struct(payload.map(col) :+ col(rightTs).as(RTS): _*).as(MATCH))
+    leftPart.unionByName(rightPart, allowMissingColumns = true)
+  }
+
+  private def finish(
+      afterWindow: DataFrame,
+      leftCols: Seq[String],
+      payload: Seq[String],
+      toleranceUs: Option[Long]): DataFrame = {
+    val matched = toleranceUs match {
+      case None => col(MATCH)
+      case Some(tol) =>
+        when(
+          micros(col(TS)) - micros(col(MATCH)(RTS)) <= tol,
+          col(MATCH))
+    }
+    afterWindow
+      .where(col(LEFT) === 1)
+      .withColumn(MATCH, matched)
+      .select(
+        leftCols.map(col) ++
+          payload.map(p => col(MATCH)(p).as(p)) :+
+          col(MATCH)(RTS).as(RTS): _*)
+  }
+
+  /** Backward as-of join: each left row gets the latest right row of the
+    * same key with `right.ts <= left.ts` (ties on ts broken toward the
+    * larger `rightTieBreak`), or nulls when none exists — left-outer
+    * semantics. `toleranceUs` additionally nulls matches older than the
+    * given age in microseconds.
+    *
+    * Output: every left column, then `payload` (from the matched right
+    * row) and `asof_ts` (the matched right timestamp).
+    *
+    * Plan shape: ONE Exchange on the key + one sort; no join operator.
+    * Skewed keys serialize into one task's sort — for bounded task sizes
+    * under hot keys use [[asofJoinBucketed]].
+    */
+  def asofJoin(
+      left: DataFrame,
+      leftKey: String,
+      leftTs: String,
+      right: DataFrame,
+      rightKey: String,
+      rightTs: String,
+      payload: Seq[String],
+      rightTieBreak: String,
+      toleranceUs: Option[Long] = None): DataFrame = {
+    val unioned = taggedUnion(
+      left, leftKey, leftTs, right, rightKey, rightTs, payload, rightTieBreak)
+    val w = Window
+      .partitionBy(K)
+      .orderBy(col(TS).asc, col(LEFT).asc, col(TB).asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    finish(
+      unioned.withColumn(MATCH, last(col(MATCH), ignoreNulls = true).over(w)),
+      left.columns.toSeq, payload, toleranceUs)
+  }
+
+  /** [[asofJoin]] with bounded window partitions: rows are windowed per
+    * (key, `bucketUs`-wide time bucket) and each bucket is seeded with a
+    * carry-in — the latest right row of any EARLIER bucket — computed from
+    * per-bucket maxima. A key with a billion rows never sorts in one task;
+    * the largest task holds one bucket of one key.
+    *
+    * Identical results to [[asofJoin]] (TemporalSpec asserts equality).
+    */
+  def asofJoinBucketed(
+      left: DataFrame,
+      leftKey: String,
+      leftTs: String,
+      right: DataFrame,
+      rightKey: String,
+      rightTs: String,
+      payload: Seq[String],
+      rightTieBreak: String,
+      bucketUs: Long,
+      toleranceUs: Option[Long] = None): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive (got $bucketUs)")
+    val B = "__asof_bucket"
+    val unioned = taggedUnion(
+      left, leftKey, leftTs, right, rightKey, rightTs, payload, rightTieBreak)
+      .withColumn(B, floor(micros(col(TS)) / bucketUs))
+
+    // Latest right row per (key, bucket): an aggregation, not a window —
+    // max_by over (ts, tieBreak) among right rows only.
+    val perBucket = unioned
+      .where(col(LEFT) === 0)
+      .groupBy(col(K), col(B))
+      .agg(max_by(
+        col(MATCH),
+        struct(col(TS), col(TB))).as("__bucket_last"))
+
+    // Carry-in per (key, bucket), for EVERY active bucket — including
+    // buckets holding only left rows, which inherit the latest right row
+    // of any earlier bucket. Window over bucket-level rows — cardinality
+    // is the number of active buckets per key, not the number of rows.
+    val wB = Window
+      .partitionBy(K)
+      .orderBy(col(B).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = unioned
+      .select(col(K), col(B)).distinct()
+      .join(perBucket, Seq(K, B), "left")
+      .withColumn(
+        "__carry", last(col("__bucket_last"), ignoreNulls = true).over(wB))
+      .select(col(K), col(B), col("__carry"))
+
+    // Within-bucket window (bounded partition), seeded by the carry-in.
+    val wIn = Window
+      .partitionBy(K, B)
+      .orderBy(col(TS).asc, col(LEFT).asc, col(TB).asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seeded = unioned
+      .join(carry, Seq(K, B), "left")
+      .withColumn(
+        MATCH,
+        coalesce(
+          last(col(MATCH), ignoreNulls = true).over(wIn),
+          col("__carry")))
+    finish(seeded, left.columns.toSeq, payload, toleranceUs)
+  }
+
+  /** Point-in-interval range join: pairs each point row with every
+    * interval row whose `[startCol, endCol]` (inclusive) contains the
+    * point's `pointTs`. Returns point columns + interval columns.
+    *
+    * `binUs` must be >= the longest interval (validated with a cheap
+    * aggregation): each interval then overlaps at most two bins, so the
+    * bin equi-join produces at most 2x-the-matches candidates, re-checked
+    * by the residual containment predicate. The plan is a plain hash join
+    * on the bin — shuffle-partitioned, AQE-skew-splittable — instead of
+    * the O(|points| * |intervals|) nested-loop a raw inequality join
+    * compiles to.
+    */
+  def rangeJoin(
+      points: DataFrame,
+      pointTs: String,
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String,
+      binUs: Long): DataFrame = {
+    require(binUs > 0, s"binUs must be positive (got $binUs)")
+    val maxLen = intervals
+      .agg(max(micros(col(endCol)) - micros(col(startCol))))
+      .head.getLong(0)
+    require(
+      maxLen <= binUs,
+      s"binUs ($binUs) must cover the longest interval ($maxLen us)")
+
+    val B = "__range_bin"
+    val binnedPoints = points
+      .withColumn(B, floor(micros(col(pointTs)) / binUs))
+    val explodedIntervals = intervals
+      .withColumn(
+        B,
+        explode(sequence(
+          floor(micros(col(startCol)) / binUs),
+          floor(micros(col(endCol)) / binUs))))
+    binnedPoints
+      .join(
+        explodedIntervals,
+        binnedPoints(B) === explodedIntervals(B) &&
+          col(pointTs) >= col(startCol) && col(pointTs) <= col(endCol))
+      .drop(B)
+  }
+}

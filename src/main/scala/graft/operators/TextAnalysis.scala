@@ -397,6 +397,30 @@ object TextAnalysis {
       df: DataFrame, idCol: String, textCol: String,
       tokenCounts: DataFrame, classStats: DataFrame,
       vocab: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol)
+      .orderBy(col("score_micro").desc, col("label").asc)
+    nbClassScores(df, idCol, textCol, tokenCounts, classStats, vocab)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      // full micro precision, NOT round(…, 4): a micro sum ending in …50
+      // puts the 4-place round exactly on a half-way tie, where Spark
+      // (shortest-decimal HALF_UP) and other engines (binary-value round)
+      // legitimately disagree; the raw integer/1e6 division is the same
+      // IEEE op on the same inputs everywhere
+      .select(col(idCol), col("label").as("pred"),
+        (col("score_micro").cast("double") / 1e6).as("score"))
+  }
+
+  /** The full per-(doc, label) NB log-likelihood table behind
+    * [[nbPredict]] — one row per document and class with the integer
+    * micro-nat score. This is what threshold sweeps, calibration, and
+    * [[rocAuc]] consume: a one-vs-rest evaluation reads a single label's
+    * scores instead of only the argmax. */
+  def nbClassScores(
+      df: DataFrame, idCol: String, textCol: String,
+      tokenCounts: DataFrame, classStats: DataFrame,
+      vocab: Long): DataFrame = {
     val nTotal = classStats.agg(sum(col("n_docs")).as("n_total"))
     val labels = classStats
       .crossJoin(broadcast(nTotal))
@@ -416,9 +440,6 @@ object TextAnalysis {
     val docTf = df
       .select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
       .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol)
-      .orderBy(col("score_micro").desc, col("label").asc)
     docTf
       .crossJoin(broadcast(labels.select("label", "prior_micro", "lp0_micro")))
       .join(lpWithTot, Seq("term", "label"), "left")
@@ -429,15 +450,42 @@ object TextAnalysis {
       .agg(first(col("prior_micro")).as("prior_micro"),
         sum(col("term_micro")).as("terms_micro"))
       .withColumn("score_micro", col("prior_micro") + col("terms_micro"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      // full micro precision, NOT round(…, 4): a micro sum ending in …50
-      // puts the 4-place round exactly on a half-way tie, where Spark
-      // (shortest-decimal HALF_UP) and other engines (binary-value round)
-      // legitimately disagree; the raw integer/1e6 division is the same
-      // IEEE op on the same inputs everywhere
-      .select(col(idCol), col("label").as("pred"),
-        (col("score_micro").cast("double") / 1e6).as("score"))
+      .select(col(idCol), col("label"), col("score_micro"))
+  }
+
+  /** Exact ROC-AUC of an integer-scored binary classifier, by the
+    * rank-sum (Mann–Whitney) identity with full tie handling — the
+    * threshold-free quality number a filter pipeline reports next to the
+    * confusion matrix.
+    *
+    * Scale shape: never ranks individual rows. Scores collapse to a
+    * HISTOGRAM first (one hash shuffle on the score), the running
+    * negative count comes from [[Curate.rangedCumsum]] — a
+    * range-partitioned distributed cumsum, never a single-partition
+    * global window even when the histogram stays row-sized (micro-nat NB
+    * scores are near-unique) — and the AUC folds out of one aggregation:
+    * sum over score groups of np * (2 * cum_nn_below + nn) = 2 * U.
+    * Ties contribute nn/2 each, exactly as integer arithmetic in `u2`.
+    *
+    * `posCol` must be boolean; `scoreCol` integral (micro-quantized
+    * scores — [[nbClassScores]]'s output — keep ties engine-exact).
+    *
+    * Returns one row: (n_pos, n_neg, u2, auc) with auc = u2/(2*np*nn). */
+  def rocAuc(scored: DataFrame, scoreCol: String, posCol: String): DataFrame = {
+    val hist = scored
+      .groupBy(col(scoreCol).as("s"))
+      .agg(
+        sum(when(col(posCol), 1L).otherwise(0L)).as("np"),
+        sum(when(col(posCol), 0L).otherwise(1L)).as("nn"))
+    Curate.rangedCumsum(hist, Seq(col("s").asc), col("nn"), "_cum_nn")
+      .withColumn("cum_nn", col("_cum_nn") - col("nn"))
+      .agg(
+        sum(col("np")).as("n_pos"),
+        sum(col("nn")).as("n_neg"),
+        sum(col("np") * (lit(2L) * col("cum_nn") + col("nn"))).as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        (col("u2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
   }
 
   /** Top-k characteristic terms per document by tf-idf — the classic

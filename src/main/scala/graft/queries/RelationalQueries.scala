@@ -23,6 +23,13 @@ object RelationalQueries extends QueryPack {
   private def dec(c: Column, p: Int = 18, s: Int = 2): Column =
     c.cast(DecimalType(p, s))
 
+  /** DuckDB twin of Layout.interleave: unrolled Morton bit-interleave of
+    * two `bits`-bit BIGINT expressions (a's bit i at 2i+1, b's at 2i). */
+  private def duckInterleave(a: String, b: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($a >> $i) & 1) << ${2 * i + 1}) + ((($b >> $i) & 1) << ${2 * i})"
+    }.mkString(" + ")
+
   /** DuckDB rolling hash identical to TextAnalysis.rollingHash. */
   private def duckHash(expr: String) =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -619,6 +626,114 @@ object RelationalQueries extends QueryPack {
               FROM orders GROUP BY 1"""),
     ),
 
+    // backward as-of join (Temporal.asofJoin, union-trick single shuffle):
+    // each purchase matched to the user's latest strictly-prior-or-equal
+    // non-purchase event; ts ties broken toward the larger event_id; the
+    // oracle replays the tagged union + IGNORE NULLS window verbatim
+    "q_join_asof" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select("user_id", "event_id", "ts")
+        val touches = ev.where(col("event_type") =!= "purchase")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("touch_event_id"),
+            col("event_type").as("touch_type"))
+        graft.operators.Temporal.asofJoin(
+            purchases, "user_id", "ts",
+            touches, "user_id", "ts",
+            payload = Seq("touch_event_id", "touch_type"),
+            rightTieBreak = "touch_event_id")
+          .select(col("user_id"), col("event_id"),
+            coalesce(col("touch_event_id"), lit(-1L)).as("touch_event_id"),
+            coalesce(col("touch_type"), lit("none")).as("touch_type"),
+            coalesce(unix_micros(col("ts")) - unix_micros(col("asof_ts")),
+              lit(-1L)).as("age_us"))
+      },
+      Some("""WITH u AS (
+          SELECT user_id, ts, 1 AS is_left, event_id,
+                 CAST(NULL AS BIGINT) AS tb,
+                 CAST(NULL AS STRUCT(e BIGINT, t VARCHAR, rts TIMESTAMP)) AS m
+          FROM events WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT user_id, ts, 0, NULL, event_id,
+                 struct_pack(e := event_id, t := event_type, rts := ts)
+          FROM events WHERE event_type <> 'purchase'),
+        w AS (
+          SELECT user_id, ts, is_left, event_id,
+            last_value(m IGNORE NULLS) OVER (
+              PARTITION BY user_id
+              ORDER BY ts ASC, is_left ASC, tb ASC NULLS FIRST
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+          FROM u)
+        SELECT user_id, event_id,
+          coalesce(m.e, -1) AS touch_event_id,
+          coalesce(m.t, 'none') AS touch_type,
+          coalesce(epoch_us(ts) - epoch_us(m.rts), -1) AS age_us
+        FROM w WHERE is_left = 1"""),
+    ),
+
+    // point-in-interval range join (Temporal.rangeJoin, binned equi-join
+    // instead of the nested-loop a raw inequality join compiles to):
+    // per order, how many heavy (l_quantity > 49) shipments were in their
+    // 3-day post-shipdate window on the order date
+    "q_join_range" -> QueryDef(
+      (s, dir) => {
+        val orders = Tables.table(s, dir, "orders")
+          .select("o_orderkey", "o_orderdate")
+        val intervals = Tables.table(s, dir, "lineitem")
+          .where(col("l_quantity") > 49)
+          .select(col("l_shipdate").as("ship_start"),
+            (col("l_shipdate") + expr("INTERVAL 3 DAYS")).as("ship_end"))
+        val matched = graft.operators.Temporal.rangeJoin(
+            orders, "o_orderdate",
+            intervals, "ship_start", "ship_end",
+            binUs = 4L * 86400L * 1000000L)
+          .groupBy("o_orderkey")
+          .agg(count(lit(1)).as("n_open"))
+        orders.select("o_orderkey").join(matched, Seq("o_orderkey"), "left")
+          .select(col("o_orderkey"),
+            coalesce(col("n_open"), lit(0L)).as("n_open"))
+      },
+      Some("""WITH iv AS (
+          SELECT l_shipdate AS s, l_shipdate + INTERVAL 3 DAY AS e
+          FROM lineitem WHERE l_quantity > 49),
+        m AS (
+          SELECT o.o_orderkey, count(*) AS n
+          FROM orders o JOIN iv ON o.o_orderdate >= iv.s AND o.o_orderdate <= iv.e
+          GROUP BY 1)
+        SELECT o.o_orderkey, CAST(coalesce(m.n, 0) AS BIGINT) AS n_open
+        FROM orders o LEFT JOIN m USING (o_orderkey)"""),
+    ),
+
+    // Z-order (Morton) clustering key for 2-D scan pruning
+    // (Layout.zorderBy): o_custkey x order epoch normalized to 16 bits and
+    // bit-interleaved; the oracle replays the ratio-first normalization
+    // and the unrolled interleave literally. LayoutSpec measures the
+    // actual file-level pruning the layout buys.
+    "q_layout_zorder" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.table(s, dir, "orders")
+          .withColumn("ts_sec", unix_timestamp(col("o_orderdate")))
+        graft.operators.Layout.zorderBy(o, "o_custkey", "ts_sec",
+            partitions = 8)
+          .select("o_orderkey", "z_value")
+      },
+      Some(s"""WITH b AS (SELECT
+          min(o_custkey) AS amn, max(o_custkey) AS amx,
+          min(CAST(epoch(o_orderdate) AS BIGINT)) AS bmn,
+          max(CAST(epoch(o_orderdate) AS BIGINT)) AS bmx FROM orders),
+        n AS (SELECT o_orderkey,
+            CAST(floor((o_custkey - amn) / (amx - amn) * 65535)
+              AS BIGINT) AS na,
+            CAST(floor((CAST(epoch(o_orderdate) AS BIGINT) - bmn)
+              / (bmx - bmn) * 65535) AS BIGINT) AS nb
+          FROM orders, b)
+        SELECT o_orderkey,
+          CAST(${duckInterleave("na", "nb", 16)} AS BIGINT) AS z_value
+        FROM n"""),
+    ),
+
     // --- events (temporal + json-ish props) ------------------------------
     "q_events_hourly" -> QueryDef(
       (s, dir) => {
@@ -631,6 +746,26 @@ object RelationalQueries extends QueryPack {
               event_type, COUNT(*) AS n,
               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
               FROM events GROUP BY 1, 2"""),
+    ),
+
+    // robust outlier screen (Streams.robustAnomalies): per event type,
+    // |value - median| > 3 * MAD — median/MAD so the outliers can't drag
+    // the threshold; the oracle replays the exact interpolated quantiles
+    // (percentile == quantile_cont) and the same IEEE comparison
+    "q_events_anomaly" -> QueryDef(
+      (s, dir) => graft.streaming.Streams.robustAnomalies(
+        Tables.events(s, dir), "event_id", "event_type", "value", k = 3.0),
+      Some("""WITH med AS (SELECT event_type,
+            quantile_cont(value, 0.5) AS med
+          FROM events GROUP BY 1),
+        d AS (SELECT e.event_id, e.event_type, e.value, med.med,
+            abs(e.value - med.med) AS absdev
+          FROM events e JOIN med USING (event_type)),
+        mad AS (SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+          FROM d GROUP BY 1)
+        SELECT d.event_id, d.event_type, d.value, d.med, mad.mad
+        FROM d JOIN mad USING (event_type)
+        WHERE d.absdev > 3.0 * mad.mad"""),
     ),
 
     "q_events_props" -> QueryDef(

@@ -1597,6 +1597,52 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM sc GROUP BY 1"""),
     ),
 
+    // CCNet perplexity bucketing: docs ranked by bigram-LM average
+    // log-prob (micro-nat sum / bigram count, one IEEE division both
+    // engines replay) and cut 30/40/30 into head/middle/tail with
+    // integer-exact thresholds
+    "q_text_ppl_buckets" -> QueryDef(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val (bi, ctx) = TextAnalysis.lmTrain(d, "doc_id", "text")
+        val scored = TextAnalysis
+          .lmScore(d, "doc_id", "text", bi, ctx, vocab = 65536L)
+          .withColumn("avg_micro",
+            col("lp_sum_micro") / col("n_bigrams"))
+        Curate.perplexityBuckets(
+            scored.select("doc_id", "avg_micro"), "doc_id", "avg_micro",
+            headPct = 30, midPct = 40)
+          .select(col("doc_id"), col("ppl_rank"), col("bucket"))
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+          string_split_regex(trim(lower(text)), '\s+') AS toks
+          FROM documents),
+        b AS (SELECT doc_id,
+            unnest(list_transform(range(1, len(toks)),
+              i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS p
+          FROM tk WHERE len(toks) >= 2),
+        bg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM b),
+        c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        sc AS (SELECT bg.doc_id, CAST(round(ln(
+              (CAST(c2.c2 AS DOUBLE) + 1.0) /
+              (CAST(c1.c1 AS DOUBLE) + 65536.0)) * 1000000.0) AS BIGINT)
+            AS lp
+          FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+        d AS (SELECT doc_id, CAST(sum(lp) AS BIGINT) AS lp_sum,
+            CAST(count(*) AS BIGINT) AS n FROM sc GROUP BY 1),
+        a AS (SELECT doc_id, lp_sum / n AS avg_micro FROM d),
+        r AS (SELECT doc_id, CAST(row_number() OVER (
+            ORDER BY avg_micro DESC, doc_id ASC) AS BIGINT) AS ppl_rank
+          FROM a),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM a)
+        SELECT doc_id, ppl_rank,
+          CASE WHEN ppl_rank * 100 <= total * 30 THEN 'head'
+               WHEN ppl_rank * 100 <= total * 70 THEN 'middle'
+               ELSE 'tail' END AS bucket
+        FROM r, t"""),
+    ),
+
     // best-fit-decreasing packing: docs placed whole, largest first, into
     // the open bin with least room that fits. Two planted size classes
     // (30/60 tokens, budget 100) make the BFD outcome closed-form: each 60
@@ -1661,6 +1707,29 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
           CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT)
             AS pos
         FROM k"""),
+    ),
+
+    // exact stratified sampling: 20 docs per language, membership a pure
+    // function of (seed, lang, doc_id); the engine runs the two-phase
+    // salted top-n (bounded tasks under a hot stratum), the oracle the
+    // equivalent single window over the same mix32 rank key
+    "q_sample_stratified" -> QueryDef(
+      (s, dir) => Curate.stratifiedSample(
+        docs(s, dir).select("doc_id", "lang"), "lang", "doc_id",
+        n = 20, seed = "s8"),
+      Some(s"""WITH h0 AS (SELECT doc_id, lang,
+          ${duckHash("'s8-' || CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents),
+        m1 AS (SELECT doc_id, lang, xor(h, h >> 16) AS z1 FROM h0),
+        m2 AS (SELECT doc_id, lang, (z1 * 73244475) % 4294967296 AS z2 FROM m1),
+        m3 AS (SELECT doc_id, lang, xor(z2, z2 >> 16) AS z3 FROM m2),
+        m4 AS (SELECT doc_id, lang, (z3 * 73244475) % 4294967296 AS z4 FROM m3),
+        k AS (SELECT doc_id, lang, xor(z4, z4 >> 16) AS sample_key FROM m4),
+        r AS (SELECT doc_id, lang, sample_key,
+            row_number() OVER (PARTITION BY lang
+              ORDER BY sample_key ASC, doc_id ASC) AS rn
+          FROM k)
+        SELECT doc_id, lang, sample_key FROM r WHERE rn <= 20"""),
     ),
 
     // weighted sampling without replacement (exponential keys over the
@@ -1941,6 +2010,57 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         SELECT d.lang, p.pred, CAST(count(*) AS BIGINT) AS n
         FROM pred p JOIN documents d ON d.doc_id = p.doc_id
         GROUP BY 1, 2"""),
+    ),
+
+    // Misra–Gries heavy hitters over the lang stream at k=3 (VOCAB > k, so
+    // counters churn): the gate pins the sketch's CONTRACT — every term
+    // above the N/(k+1) threshold is found with both error bounds intact —
+    // because counter values themselves legitimately vary with merge order
+    // (q_approx_distinct's bounds-gate pattern); SketchesSpec drills the
+    // guarantees on a planted Zipf stream across partitionings
+    "q_text_heavy_hitters" -> QueryDef(
+      (s, dir) => graft.operators.Sketches.heavyHitters(
+        docs(s, dir).select("lang"), "lang", k = 3),
+      Some("""WITH t AS (SELECT lang AS term FROM documents),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM t),
+        e AS (SELECT term, CAST(count(*) AS BIGINT) AS exact
+          FROM t GROUP BY 1)
+        SELECT term, exact, TRUE AS found, TRUE AS within_bound
+        FROM e, n WHERE exact * 4 > total"""),
+    ),
+
+    // threshold-free classifier eval: exact tie-handled ROC-AUC of the NB
+    // 'en' one-vs-rest score by the rank-sum identity, folded from a score
+    // HISTOGRAM (rangedCumsum, no row-level ranking); u2 = 2*U stays
+    // integer so the only float op is the final division, mirrored
+    // literally by the oracle
+    "q_text_nb_auc" -> QueryDef(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val (tc, cs) =
+          TextAnalysis.nbTrain(d.select("text", "lang"), "text", "lang")
+        val scores = TextAnalysis.nbClassScores(
+            d.select("doc_id", "text"), "doc_id", "text", tc, cs,
+            vocab = 65536L)
+          .where(col("label") === "en")
+          .join(d.select("doc_id", "lang"), "doc_id")
+          .select(col("score_micro"), (col("lang") === "en").as("y"))
+        TextAnalysis.rocAuc(scores, "score_micro", "y")
+      },
+      Some(s"""WITH $DUCK_NB,
+        sc2 AS (SELECT ag.doc_id, ag.score_micro AS s,
+            CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM ag JOIN documents d USING (doc_id) WHERE ag.label = 'en'),
+        h AS (SELECT s, CAST(sum(y) AS BIGINT) AS np,
+            CAST(count(*) - sum(y) AS BIGINT) AS nn FROM sc2 GROUP BY 1),
+        c AS (SELECT np, nn, coalesce(sum(nn) OVER (ORDER BY s ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_nn
+          FROM h),
+        t AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+            CAST(sum(nn) AS BIGINT) AS n_neg,
+            CAST(sum(np * (2 * cum_nn + nn)) AS BIGINT) AS u2 FROM c)
+        SELECT n_pos, n_neg, u2,
+          CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg) AS auc FROM t"""),
     ),
 
     // BM25 top-k retrieval against a fixed three-query set; contributions

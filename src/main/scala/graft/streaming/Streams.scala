@@ -101,6 +101,36 @@ object Streams {
       .agg(count(lit(1)).as("n_conversions"))
   }
 
+  /** Robust per-group outlier detection: flag rows whose value deviates
+    * from the group median by more than `k` times the group MAD (median
+    * absolute deviation). Median/MAD instead of mean/stddev because the
+    * outliers being hunted would drag a mean-based threshold toward
+    * themselves — the standard telemetry/metric-quality screen.
+    *
+    * Scale shape: two grouped exact-percentile aggregations (Spark's
+    * `percentile`, partial-aggregated per group) and two broadcast-sized
+    * joins on the group key — the value rows shuffle once per pass, and
+    * at fixed group cardinality the stats side stays dimension-sized. The
+    * comparisons are the same IEEE ops on both engines, so flagged
+    * membership is exact.
+    *
+    * Returns the flagged rows: (idCol, groupCol, valueCol, med, mad). */
+  def robustAnomalies(
+      df: DataFrame, idCol: String, groupCol: String, valueCol: String,
+      k: Double): DataFrame = {
+    val med = df.groupBy(groupCol)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val dev = df.select(col(idCol), col(groupCol), col(valueCol))
+      .join(broadcast(med), Seq(groupCol))
+      .withColumn("absdev", abs(col(valueCol) - col("med")))
+    val mad = dev.groupBy(groupCol)
+      .agg(expr("percentile(absdev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .where(col("absdev") > lit(k) * col("mad"))
+      .select(col(idCol), col(groupCol), col(valueCol),
+        col("med"), col("mad"))
+  }
+
   /** Batch sessionization: a session breaks after `gapMinutes` of user
     * inactivity. Two windows over the same (user_id, ts) partitioning: lag
     * marks session starts, a running sum numbers them — the batch shape of

@@ -298,4 +298,45 @@ class CurateSpec extends AnyFunSuite {
     val byScore = out.sortBy(_._2)
     assert(byScore.dropWhile(_._3).forall(!_._3))
   }
+  test("stratifiedSample: exact n per stratum, two-phase == single window") {
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "lang")
+    val n = 15
+    val out = Curate.stratifiedSample(docs, "lang", "doc_id", n, "seedA")
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("sample_key")))
+    // exact n per stratum (every lang has >= n docs in the fixture)
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.length == n, s"$lang: ${rows.length} != $n")
+    }
+    // equals the single-window reference regardless of salt count
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+      .orderBy(col("sample_key").asc, col("doc_id").asc)
+    val reference = Curate.stratifiedSample(docs, "lang", "doc_id", n, "seedA",
+        salts = 1)
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("sample_key"))).toSet
+    assert(out.toSet == reference)
+    // a different seed draws a different sample
+    val other = Curate.stratifiedSample(docs, "lang", "doc_id", n, "seedB")
+      .collect().map(r => r.getAs[Long]("doc_id")).toSet
+    assert(other != out.map(_._2).toSet)
+  }
+
+  test("stratifiedSample: short strata keep everything; append-stable") {
+    import spark.implicits._
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "g")
+    val out = Curate.stratifiedSample(tiny, "g", "doc_id", 5, "s")
+    assert(out.count() == 3)
+    // appending rows to stratum b never evicts an already-chosen a-row
+    val before = Curate.stratifiedSample(tiny, "g", "doc_id", 2, "s")
+      .where(col("g") === "a").collect().map(_.getLong(0)).toSet
+    val grown = tiny.union(Seq((4L, "b"), (5L, "b")).toDF("doc_id", "g"))
+    val after = Curate.stratifiedSample(grown, "g", "doc_id", 2, "s")
+      .where(col("g") === "a").collect().map(_.getLong(0)).toSet
+    assert(before == after)
+  }
 }

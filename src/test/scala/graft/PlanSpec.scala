@@ -274,4 +274,46 @@ class PlanSpec extends AnyFunSuite {
       p.contains("WholeStageCodegen"), s"codegen lost:\n$p")
     assert(df.distinct().count() > 0)
   }
+  test("round-8 ops: anomaly stats broadcast; stratified sample has no " +
+      "global window; AUC cumsum range-partitions") {
+    // robustAnomalies: both stats joins are broadcasts — the fact rows
+    // never shuffle for dimension-sized median/MAD tables
+    val anomaly = graft.streaming.Streams.robustAnomalies(
+      Tables.events(spark, dir), "event_id", "event_type", "value", 3.0)
+    val ap = plan(anomaly)
+    assert(ap.contains("BroadcastHashJoin"), s"anomaly stats not broadcast:\n$ap")
+    assert(!ap.contains("SortMergeJoin"), s"fact-side shuffle join:\n$ap")
+
+    // stratifiedSample: every window is partitioned (two-phase salted
+    // top-n) — no single-task global sort
+    val strat = graft.operators.Curate.stratifiedSample(
+      Tables.table(spark, dir, "documents").select("doc_id", "lang"),
+      "lang", "doc_id", 10, "s8")
+    val sp = plan(strat)
+    // no GLOBAL sort (a Sort node with global=true) — every sort is a
+    // partition-local one under a hash exchange
+    assert(!sp.split("\n").exists(l =>
+      l.contains("Sort ") && l.contains(", true, 0")),
+      s"global sort in stratified sample:\n$sp")
+
+    // rocAuc: the cumulative pass range-partitions (Exchange rangepartitioning)
+    import spark.implicits._
+    val auc = graft.operators.TextAnalysis.rocAuc(
+      Seq((1L, true), (2L, false)).toDF("s", "y"), "s", "y")
+    val aucp = plan(auc)
+    assert(aucp.contains("rangepartitioning"),
+      s"AUC cumsum not range-partitioned:\n$aucp")
+  }
+
+  test("z-order key stays in whole-stage codegen; layout is a range exchange") {
+    val o = Tables.table(spark, dir, "orders")
+      .withColumn("ts_sec", unix_timestamp(col("o_orderdate")))
+    val z = graft.operators.Layout.zorderBy(o, "o_custkey", "ts_sec", 8)
+    val p = plan(z)
+    assert(p.contains("rangepartitioning(z_value"),
+      s"no range partition on z_value:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"z computation left codegen:\n$p")
+  }
+
 }

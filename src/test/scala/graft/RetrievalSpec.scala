@@ -160,4 +160,43 @@ class RetrievalSpec extends AnyFunSuite {
       assert(split == plain(root), s"doc $id: split != hashSplit(root=$root)")
     }
   }
+  test("rocAuc: perfect separation is 1.0, reversal 0.0, all-ties 0.5") {
+    def auc(rows: Seq[(Long, Boolean)]): (Long, Long, Long, Double) = {
+      val df = rows.toDF("s", "y")
+      val r = TextAnalysis.rocAuc(df, "s", "y").collect().head
+      (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+        r.getAs[Long]("u2"), r.getAs[Double]("auc"))
+    }
+    // every positive above every negative
+    assert(auc(Seq((10L, true), (9L, true), (1L, false), (2L, false)))._4
+      == 1.0)
+    // every positive below every negative
+    assert(auc(Seq((1L, true), (2L, true), (9L, false), (10L, false)))._4
+      == 0.0)
+    // one score for everything: pure ties
+    assert(auc(Seq((5L, true), (5L, true), (5L, false), (5L, false)))._4
+      == 0.5)
+  }
+
+  test("rocAuc: tie handling matches the averaged-rank closed form") {
+    // scores: pos {3, 2, 2}, neg {2, 1}. Pairs: (3,2)=1, (3,1)=1,
+    // (2,2)=.5 twice, (2,1)=1 twice -> U = 5, AUC = 5 / 6
+    val rows = Seq((3L, true), (2L, true), (2L, true), (2L, false),
+      (1L, false))
+    val r = TextAnalysis.rocAuc(rows.toDF("s", "y"), "s", "y")
+      .collect().head
+    assert(r.getAs[Long]("u2") == 10L)
+    assert(r.getAs[Double]("auc") == 10.0 / 12.0)
+  }
+
+  test("rocAuc: label swap complements the area") {
+    val rows = Seq((9L, true), (7L, false), (7L, true), (4L, false),
+      (2L, true), (1L, false), (1L, false), (0L, true))
+    val df = rows.toDF("s", "y")
+    val a = TextAnalysis.rocAuc(df, "s", "y").collect().head
+      .getAs[Double]("auc")
+    val b = TextAnalysis.rocAuc(df.withColumn("y", !col("y")), "s", "y")
+      .collect().head.getAs[Double]("auc")
+    assert(math.abs(a + b - 1.0) < 1e-12)
+  }
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Sketches
+
+/** Misra–Gries guarantees the DuckDB gate can't plant: on a Zipf stream
+  * with vocabulary far above k, every provably-findable term survives with
+  * bounded undercount, under any partitioning (merge order), and the
+  * sketch never holds more than k counters or overcounts anything.
+  */
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local("sketches-test")
+  import spark.implicits._
+
+  // Zipf-ish stream: term i occurs 2000/i times, i = 1..200;
+  // N ~ 11800, so at k=16 the findability threshold N/17 ~ 694 —
+  // t1 (2000) and t2 (1000) are guaranteed, the tail is not
+  private lazy val stream =
+    (1 to 200).flatMap(i => Seq.fill(2000 / i)(s"t$i"))
+  private lazy val exact = stream.groupBy(identity).map {
+    case (t, xs) => t -> xs.size.toLong
+  }
+
+  test("guaranteed terms survive with bounded undercount, any partitioning") {
+    val n = stream.size.toLong
+    val k = 16
+    val bound = n / (k + 1)
+    for (parts <- Seq(1, 7, 32)) {
+      val df = stream.toDF("term").repartition(parts)
+      val got = Sketches.misraGries(df, "term", k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got.size <= k, s"parts=$parts: ${got.size} counters > k")
+      // no overcount, ever
+      got.foreach { case (t, est) =>
+        assert(est <= exact(t), s"parts=$parts: $t overcounted")
+        assert(exact(t) - est <= bound, s"parts=$parts: $t est=$est")
+      }
+      // both provably-findable terms present
+      exact.filter(_._2 > bound).keys.foreach { t =>
+        assert(got.contains(t), s"parts=$parts: lost guaranteed term $t")
+      }
+    }
+  }
+
+  test("heavyHitters audit reports found + within_bound for every heavy term") {
+    val df = stream.toDF("term").repartition(13)
+    val rows = Sketches.heavyHitters(df, "term", 16).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("t1", "t2"))
+    rows.foreach { r =>
+      assert(r.getBoolean(2), s"${r.getString(0)} not found")
+      assert(r.getBoolean(3), s"${r.getString(0)} out of bounds")
+      assert(r.getLong(1) == exact(r.getString(0)))
+    }
+  }
+
+  test("degenerate cases: vocab <= k is exact; k=1 finds a majority element") {
+    val small = Seq("a", "a", "b", "c", "a", "b").toDF("term")
+    val got = Sketches.misraGries(small.repartition(3), "term", 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 2L, "c" -> 1L)) // no eviction: exact
+    val majority = (Seq.fill(60)("x") ++ (1 to 40).map(i => s"y$i"))
+      .toDF("term").repartition(5)
+    val mg1 = Sketches.misraGries(majority, "term", 1)
+      .collect().map(_.getString(0))
+    assert(mg1.sameElements(Array("x"))) // freq > N/2 must be THE counter
+  }
+}
