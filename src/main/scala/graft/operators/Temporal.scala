@@ -241,4 +241,44 @@ object Temporal {
           col(pointTs) >= col(startCol) && col(pointTs) <= col(endCol))
       .drop(B)
   }
+
+  /** Interval-overlap join: pairs each left interval `[lStart, lEnd]` with
+    * every right interval `[rStart, rEnd]` that overlaps it (inclusive
+    * endpoints). Returns left columns + right columns; the four interval
+    * column names must be distinct across the two sides.
+    *
+    * Same binning idea as [[rangeJoin]], generalized: BOTH sides explode
+    * into the bins they span and equi-join on the bin. A pair overlapping
+    * across several shared bins would duplicate, so a pair is emitted ONLY
+    * in the first bin both occupy — `floor(greatest(starts) / bin)`, which
+    * the overlap predicate guarantees lies in both spans. Exact dedup with
+    * no `distinct` shuffle. `binUs` is a perf knob, not a correctness one
+    * (aim near the typical interval length: explode factor is
+    * len/bin + 1 per row, candidate fan-out grows as bins widen).
+    */
+  def intervalJoin(
+      left: DataFrame,
+      lStart: String,
+      lEnd: String,
+      right: DataFrame,
+      rStart: String,
+      rEnd: String,
+      binUs: Long): DataFrame = {
+    require(binUs > 0, s"binUs must be positive (got $binUs)")
+    val BL = "__iv_bin_l"
+    val BR = "__iv_bin_r"
+    def bins(s: String, e: String): Column =
+      explode(sequence(
+        floor(micros(col(s)) / binUs),
+        floor(micros(col(e)) / binUs)))
+    val lx = left.withColumn(BL, bins(lStart, lEnd))
+    val rx = right.withColumn(BR, bins(rStart, rEnd))
+    lx.join(
+        rx,
+        col(BL) === col(BR) &&
+          col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+          col(BL) === floor(
+            greatest(micros(col(lStart)), micros(col(rStart))) / binUs))
+      .drop(BL, BR)
+  }
 }

@@ -488,6 +488,38 @@ object TextAnalysis {
           (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
   }
 
+  /** Calibration table of an integer-scored binary classifier: rows are
+    * ranked by (score, id), cut into `bins` equal-population bins, and
+    * each bin reports how many of its members are actually positive —
+    * the reliability-diagram data a filter pipeline reads next to
+    * [[rocAuc]] before picking a threshold.
+    *
+    * Scale shape: the rank is [[Curate.rangedCumsum]] (range-partitioned,
+    * no single-task window); the bin id is floor(rank0 * bins / N) —
+    * integer-valued arithmetic both engines replay — and the rest is one
+    * grouped aggregation over `bins` rows.
+    *
+    * Returns (bin, n, n_pos, sum_score_micro, pos_rate), bin ascending
+    * in score. */
+  def calibrationBins(
+      scored: DataFrame, idCol: String, scoreCol: String, posCol: String,
+      bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive (got $bins)")
+    val n = scored.agg(count(lit(1)).as("_n"))
+    Curate.rangedCumsum(
+        scored, Seq(col(scoreCol).asc, col(idCol).asc), lit(1L), "_rank")
+      .crossJoin(broadcast(n))
+      .withColumn("bin",
+        floor((col("_rank") - 1) * bins / col("_n")).cast("long"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col(posCol), 1L).otherwise(0L)).as("n_pos"),
+        sum(col(scoreCol)).as("sum_score_micro"))
+      .withColumn("pos_rate",
+        col("n_pos").cast("double") / col("n").cast("double"))
+  }
+
   /** Top-k characteristic terms per document by tf-idf — the classic
     * keyword/topic signal used for corpus exploration and cluster labeling
     * in training-data pipelines. tf is the raw in-doc term count; idf is

@@ -706,6 +706,41 @@ object RelationalQueries extends QueryPack {
         FROM orders o LEFT JOIN m USING (o_orderkey)"""),
     ),
 
+    // interval-overlap join (Temporal.intervalJoin, both sides
+    // bin-exploded, pair emitted only in the first shared bin — exact
+    // dedup without a distinct): per order, how many heavy shipments'
+    // 3-day windows overlap the order's first week
+    "q_join_interval" -> QueryDef(
+      (s, dir) => {
+        val orders = Tables.table(s, dir, "orders")
+        val oiv = orders.select(col("o_orderkey"),
+          col("o_orderdate").as("os"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("oe"))
+        val siv = Tables.table(s, dir, "lineitem")
+          .where(col("l_quantity") > 49)
+          .select(col("l_shipdate").as("ss"),
+            (col("l_shipdate") + expr("INTERVAL 3 DAYS")).as("se"))
+        val m = graft.operators.Temporal.intervalJoin(
+            oiv, "os", "oe", siv, "ss", "se",
+            binUs = 4L * 86400L * 1000000L)
+          .groupBy("o_orderkey")
+          .agg(count(lit(1)).as("n_overlap"))
+        orders.select("o_orderkey").join(m, Seq("o_orderkey"), "left")
+          .select(col("o_orderkey"),
+            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      },
+      Some("""WITH oiv AS (SELECT o_orderkey, o_orderdate AS os,
+            o_orderdate + INTERVAL 7 DAY AS oe FROM orders),
+        siv AS (SELECT l_shipdate AS ss,
+            l_shipdate + INTERVAL 3 DAY AS se
+          FROM lineitem WHERE l_quantity > 49),
+        m AS (SELECT o_orderkey, count(*) AS n
+          FROM oiv JOIN siv ON oiv.os <= siv.se AND siv.ss <= oiv.oe
+          GROUP BY 1)
+        SELECT o.o_orderkey, CAST(coalesce(m.n, 0) AS BIGINT) AS n_overlap
+        FROM orders o LEFT JOIN m USING (o_orderkey)"""),
+    ),
+
     // Z-order (Morton) clustering key for 2-D scan pruning
     // (Layout.zorderBy): o_custkey x order epoch normalized to 16 bits and
     // bit-interleaved; the oracle replays the ratio-first normalization

@@ -1597,6 +1597,41 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM sc GROUP BY 1"""),
     ),
 
+    // reliability-diagram calibration: 'en' one-vs-rest scores cut into
+    // 10 equal-population bins by (score, doc_id) rank — rangedCumsum
+    // rank, integer bin math, per-bin positives — the threshold-picking
+    // companion to q_text_nb_auc
+    "q_text_nb_calibration" -> QueryDef(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val (tc, cs) =
+          TextAnalysis.nbTrain(d.select("text", "lang"), "text", "lang")
+        val scored = TextAnalysis.nbClassScores(
+            d.select("doc_id", "text"), "doc_id", "text", tc, cs,
+            vocab = 65536L)
+          .where(col("label") === "en")
+          .join(d.select("doc_id", "lang"), "doc_id")
+          .select(col("doc_id"), col("score_micro"),
+            (col("lang") === "en").as("y"))
+        TextAnalysis.calibrationBins(
+          scored, "doc_id", "score_micro", "y", bins = 10)
+      },
+      Some(s"""WITH $DUCK_NB,
+        sc2 AS (SELECT ag.doc_id, ag.score_micro AS s,
+            CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM ag JOIN documents d USING (doc_id) WHERE ag.label = 'en'),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM sc2),
+        r AS (SELECT doc_id, s, y, CAST(row_number() OVER (
+            ORDER BY s ASC, doc_id ASC) AS BIGINT) AS rk FROM sc2),
+        b AS (SELECT CAST(floor((rk - 1) * 10 / total) AS BIGINT) AS bin,
+            s, y FROM r, t)
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(y) AS BIGINT) AS n_pos,
+          CAST(sum(s) AS BIGINT) AS sum_score_micro,
+          CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate
+        FROM b GROUP BY 1"""),
+    ),
+
     // CCNet perplexity bucketing: docs ranked by bigram-LM average
     // log-prob (micro-nat sum / bigram count, one IEEE division both
     // engines replay) and cut 30/40/30 into head/middle/tail with

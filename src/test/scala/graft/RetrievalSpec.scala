@@ -199,4 +199,18 @@ class RetrievalSpec extends AnyFunSuite {
       .collect().head.getAs[Double]("auc")
     assert(math.abs(a + b - 1.0) < 1e-12)
   }
+  test("calibrationBins: equal bins that sum back, monotone when separable") {
+    // scores 1..100, positive iff score > 50: a perfectly separable scorer
+    val rows = (1 to 100).map(i => (i.toLong, i.toLong, i > 50))
+      .toDF("id", "s", "y")
+    val bins = TextAnalysis.calibrationBins(rows, "id", "s", "y", 10)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Double]("pos_rate")))
+    assert(bins.map(_._1).toSeq == (0L to 9L))
+    assert(bins.forall(_._2 == 10L))            // equal population
+    assert(bins.map(_._3).sum == 50L)           // positives conserved
+    assert(bins.take(5).forall(_._4 == 0.0))    // low-score bins all negative
+    assert(bins.drop(5).forall(_._4 == 1.0))    // high-score bins all positive
+  }
 }

@@ -151,4 +151,28 @@ class TemporalSpec extends AnyFunSuite {
     assert(!rangePlan.contains("BroadcastNestedLoopJoin"),
       "range join must compile to an equi-join on the bin, not a nested loop")
   }
+  test("intervalJoin equals the naive overlap join, no duplicate pairs") {
+    val oiv = Tables.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate").as("os"),
+        (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("oe"))
+    val siv = Tables.table(spark, dir, "lineitem")
+      .where(col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").as("ss"),
+        (col("l_shipdate") + expr("INTERVAL 3 DAYS")).as("se"))
+    def key(df: DataFrame) = df
+      .select(col("o_orderkey"), col("l_orderkey"), col("l_linenumber"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val naive = key(oiv.join(siv,
+      col("os") <= col("se") && col("ss") <= col("oe")))
+    assert(naive.nonEmpty)
+    // bins smaller than the intervals (multi-bin spans exercise the
+    // first-shared-bin dedup) and larger than both
+    for (days <- Seq(2L, 10L)) {
+      val got = key(Temporal.intervalJoin(oiv, "os", "oe", siv, "ss", "se",
+        binUs = days * 86400L * 1000000L))
+      assert(got.length == naive.length, s"binDays=$days: duplicates or loss")
+      assert(got.toSet == naive.toSet, s"binDays=$days")
+    }
+  }
 }
