@@ -99,6 +99,26 @@ object Sketches {
       .select(explode(col("mg")).as(Seq("term", "est")))
   }
 
+  /** Mergeable distinct-count sketches: per-group HLL sketches
+    * (datasketches `hll_sketch_agg`) folded into a corpus-wide estimate
+    * with `hll_union_agg` — the incremental/partitioned form of
+    * `approx_count_distinct`, where per-shard or per-day sketch columns
+    * persist and re-aggregate without touching rows again. The union is
+    * register-wise max, so merging per-group sketches costs essentially
+    * nothing against sketching the whole stream directly — the union
+    * path re-estimates from a wider register encoding, so the two
+    * estimates can differ sub-percent (SketchesSpec pins the agreement).
+    *
+    * Returns one row: (estimate BIGINT, n_groups BIGINT). */
+  def hllMergeEstimate(
+      df: DataFrame, groupCol: String, valCol: String,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(groupCol)
+      .agg(expr(s"hll_sketch_agg($valCol, $lgK)").as("sk"))
+      .agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("estimate"),
+        count(lit(1)).cast("long").as("n_groups"))
+
   /** Guarantee audit of [[misraGries]] against the exact counts, for the
     * provably-findable terms only (true frequency strictly above
     * N/(k+1)): each comes back with whether the sketch held it and

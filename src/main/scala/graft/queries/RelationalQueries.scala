@@ -599,6 +599,27 @@ object RelationalQueries extends QueryPack {
               FROM lineitem GROUP BY 1"""),
     ),
 
+    // mergeable distinct sketches (Sketches.hllMergeEstimate): per-flag
+    // HLL sketches unioned into the global estimate — the persisted-
+    // sketch re-aggregation path — bounds-gated like q_approx_distinct
+    // (lgK=12 rsd ~1.6%, bound 3x); n_groups pins the pre-merge fan-in
+    "q_approx_distinct_merge" -> QueryDef(
+      (s, dir) => {
+        val li = Tables.table(s, dir, "lineitem")
+        val merged = graft.operators.Sketches.hllMergeEstimate(
+          li, "l_returnflag", "l_partkey")
+        val exact = li.agg(countDistinct(col("l_partkey")).as("exact_parts"))
+        merged.crossJoin(exact).select(
+          col("exact_parts"), col("n_groups"),
+          (abs(col("estimate") - col("exact_parts")) <=
+            col("exact_parts") * lit(0.05)).as("within_rsd"))
+      },
+      Some("""SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT)
+              AS exact_parts,
+              CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_groups,
+              TRUE AS within_rsd FROM lineitem"""),
+    ),
+
     // approx quantiles sketch (KLL/GK-style approx_percentile), gated like
     // q_approx_distinct: Spark checks the sketch's answer against its own
     // exact interpolated percentiles at the rank-error bounds (accuracy

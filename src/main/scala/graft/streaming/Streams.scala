@@ -131,6 +131,49 @@ object Streams {
         col("med"), col("mad"))
   }
 
+  /** Streaming as-of enrichment: each micro-batch of fact rows is matched
+    * against a static dimension snapshot with backward as-of semantics
+    * ([[graft.operators.Temporal.asofJoin]]) and written exactly-once
+    * (batch_id dynamic partition overwrite, the repo's replay-safe sink
+    * convention). No cross-batch state is needed BECAUSE the dimension is
+    * a full snapshot: a fact's latest-prior dimension row cannot depend
+    * on which micro-batch the fact arrived in. A slowly-changing
+    * dimension swaps in a refreshed snapshot between triggers.
+    *
+    * `normalize` adapts raw file-source types (e.g.
+    * [[graft.sources.Tables.normalizeTs]] for the events table's
+    * generation-dependent timestamp encoding). */
+  def streamingAsofEnrich(
+      spark: org.apache.spark.sql.SparkSession,
+      factsDir: String,
+      factsSchema: org.apache.spark.sql.types.StructType,
+      dim: DataFrame,
+      factKey: String, factTs: String,
+      dimKey: String, dimTs: String,
+      payload: Seq[String], dimTieBreak: String,
+      outDir: String, checkpointDir: String,
+      normalize: DataFrame => DataFrame = identity,
+      maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val reader = spark.readStream.schema(factsSchema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    reader.parquet(factsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Temporal.asofJoin(
+            normalize(batch), factKey, factTs,
+            dim, dimKey, dimTs, payload, dimTieBreak)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+      }.start()
+  }
+
   /** Batch sessionization: a session breaks after `gapMinutes` of user
     * inactivity. Two windows over the same (user_id, ts) partitioning: lag
     * marks session starts, a running sum numbers them — the batch shape of

@@ -65,4 +65,20 @@ class SketchesSpec extends AnyFunSuite {
       .collect().map(_.getString(0))
     assert(mg1.sameElements(Array("x"))) // freq > N/2 must be THE counter
   }
+  test("hllMergeEstimate: union of per-group sketches matches direct sketch") {
+    val df = (1 to 5000).map(i => (s"g${i % 7}", (i % 1200).toLong))
+      .toDF("g", "v")
+    val merged = Sketches.hllMergeEstimate(df, "g", "v").collect().head
+    val direct = df
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(v, 12))"))
+      .collect().head.getLong(0).toDouble
+    val est = merged.getAs[Long]("estimate").toDouble
+    assert(merged.getAs[Long]("n_groups") == 7L)
+    // register-wise max union: merging per-group sketches costs (almost)
+    // nothing vs sketching the stream directly — the union estimator uses
+    // a wider register encoding, so allow a sub-percent wobble
+    assert(math.abs(est - direct) <= direct * 0.01,
+      s"merged $est vs direct $direct")
+    assert(math.abs(est - 1200.0) <= 1200.0 * 0.05, s"estimate $est")
+  }
 }

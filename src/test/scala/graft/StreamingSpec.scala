@@ -597,4 +597,42 @@ class StreamingSpec extends AnyFunSuite {
     val specHash = closure.select("desc").head().getLong(0)
     assert(served(famHash) > served(specHash))
   }
+  test("streaming as-of enrichment == batch as-of join, exactly-once batches") {
+    import graft.operators.Temporal
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts")
+    val dim = ev.where(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("touch_event_id"),
+        col("event_type").as("touch_type"))
+    val expected = Temporal.asofJoin(purchases, "user_id", "ts",
+        dim, "user_id", "ts",
+        payload = Seq("touch_event_id", "touch_type"),
+        rightTieBreak = "touch_event_id")
+      .select("user_id", "event_id", "touch_event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSet
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-asof-stream")
+    val factsDir = s"$tmp/facts"
+    // two files -> two micro-batches under maxFilesPerTrigger=1
+    purchases.where(col("event_id") % 2 === 0)
+      .coalesce(1).write.parquet(s"$factsDir/a")
+    purchases.where(col("event_id") % 2 === 1)
+      .coalesce(1).write.parquet(s"$factsDir/b")
+    val factsGlob = spark.read.parquet(factsDir + "/*")
+    val q = Streams.streamingAsofEnrich(spark, factsDir + "/*",
+      factsGlob.schema, dim, "user_id", "ts", "user_id", "ts",
+      Seq("touch_event_id", "touch_type"), "touch_event_id",
+      s"$tmp/out", s"$tmp/ckpt", maxFilesPerTrigger = Some(1))
+    try q.processAllAvailable() finally q.stop()
+
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.select("batch_id").distinct().count() >= 2,
+      "expected multiple micro-batches")
+    val got = out.select("user_id", "event_id", "touch_event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSet
+    assert(got == expected)
+    assert(out.count() == purchases.count()) // exactly-once, no dup rows
+  }
 }
