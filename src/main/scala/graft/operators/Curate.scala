@@ -362,6 +362,54 @@ object Curate {
         (col("span_start") - col("tok_offset")).as("doc_tok_start"),
         (col("span_end") - col("span_start")).as("span_len"))
 
+  /** Content-defined chunking (CDC): chunk boundaries fall where the
+    * rolling hash of the local 3-token context lands on 0 mod `mask` —
+    * boundaries are a pure function of CONTENT, not position, so an edit
+    * early in a document leaves every chunk outside the edit's 3-token
+    * neighborhood byte-identical (the property fixed-stride chunking
+    * lacks, and the basis of chunk-level dedup across near-identical
+    * documents; CurateSpec plants the edit and watches the chunks
+    * survive). Expected chunk length is `mask` tokens.
+    *
+    * Shape: posexplode -> per-token boundary flag (compiled hash kernel +
+    * mix32, no UDF) -> running boundary count per document (a window
+    * PARTITIONED by doc, bounded by document length) -> one grouped
+    * aggregation; chunk text reassembles order-exactly via
+    * array_sort(collect_list(struct(pos, tok))), never relying on
+    * collect_list order.
+    *
+    * Output: (idCol, chunk_idx, n_tokens, chunk_text, chunk_hash) with
+    * 0-based chunk_idx and chunk_hash = rolling hash of chunk_text. */
+  def cdcChunks(
+      df: DataFrame, idCol: String, textCol: String,
+      mask: Long = 16L): DataFrame = {
+    require(mask > 0, s"mask must be positive (got $mask)")
+    val ex = df
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), col("_toks"),
+        posexplode(col("_toks")).as(Seq("p", "tok")))
+    // guard the slice behind the condition: slice() is 1-based and throws
+    // on start <= 0, and `when` evaluates its branch only when taken
+    val tri = when(col("p") >= 2,
+      concat_ws(" ", slice(col("_toks"), col("p") - 1, lit(3))))
+    val bflag = (col("p") >= 2 &&
+      pmod(TextAnalysis.mix32(TextAnalysis.rollingHash(tri)), lit(mask))
+        === 0).cast("long")
+    val w = Window.partitionBy(idCol).orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ex.withColumn("_b", bflag)
+      .withColumn("chunk_idx", coalesce(sum(col("_b")).over(w), lit(0L)))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("p"), col("tok")))),
+            x => x.getField("tok")),
+          " ").as("chunk_text"))
+      .withColumn("chunk_hash", TextAnalysis.rollingHash(col("chunk_text")))
+  }
+
   /** Sliding-window document chunking — the embedding/retrieval pipeline
     * shape ([[packSpans]] chops a contiguous token STREAM at exact budget
     * boundaries with no overlap; here each document chunks independently

@@ -1328,6 +1328,45 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
 
     // sliding-window chunking (48-token windows every 32 tokens, 16-token
     // overlap) — the embedding/retrieval pipeline shape, map-side only
+    // content-defined chunking (Curate.cdcChunks): boundaries where the
+    // mixed rolling hash of the 3-token context is 0 mod 16 — the
+    // edit-stable chunking dedup pipelines cut on; the oracle replays the
+    // hash + mixer chain per position and reassembles chunks with an
+    // ORDER BY string_agg
+    "q_chunk_cdc" -> QueryDef(
+      (s, dir) => Curate.cdcChunks(docs(s, dir).select("doc_id", "text"),
+        "doc_id", "text", mask = 16L),
+      Some(s"""WITH tk AS (SELECT doc_id,
+            string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+        ps AS (SELECT doc_id, toks, unnest(range(0, len(toks))) AS p
+          FROM tk),
+        tt AS (SELECT doc_id, p, toks[p + 1] AS tok,
+            CASE WHEN p >= 2 THEN toks[p - 1] || ' ' || toks[p] || ' ' ||
+              toks[p + 1] END AS tri
+          FROM ps),
+        h0 AS (SELECT doc_id, p, tok, ${duckHash("tri")} AS h FROM tt),
+        x1 AS (SELECT doc_id, p, tok, xor(h, h >> 16) AS z1 FROM h0),
+        x2 AS (SELECT doc_id, p, tok, (z1 * 73244475) % 4294967296 AS z2
+          FROM x1),
+        x3 AS (SELECT doc_id, p, tok, xor(z2, z2 >> 16) AS z3 FROM x2),
+        x4 AS (SELECT doc_id, p, tok, (z3 * 73244475) % 4294967296 AS z4
+          FROM x3),
+        mm AS (SELECT doc_id, p, tok, xor(z4, z4 >> 16) AS mh FROM x4),
+        bf AS (SELECT doc_id, p, tok,
+            CASE WHEN p >= 2 AND mh % 16 = 0 THEN 1 ELSE 0 END AS b
+          FROM mm),
+        cx AS (SELECT doc_id, p, tok,
+            coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY p
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ci
+          FROM bf),
+        ch AS (SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+            CAST(count(*) AS BIGINT) AS n_tokens,
+            string_agg(tok, ' ' ORDER BY p) AS chunk_text
+          FROM cx GROUP BY 1, 2)
+        SELECT doc_id, chunk_idx, n_tokens, chunk_text,
+          ${duckHash("chunk_text")} AS chunk_hash FROM ch"""),
+    ),
+
     "q_chunk_sliding" -> QueryDef(
       (s, dir) => Curate.chunkSliding(docs(s, dir).select("doc_id", "text"),
         "doc_id", "text", window = 48, stride = 32),

@@ -339,4 +339,40 @@ class CurateSpec extends AnyFunSuite {
       .where(col("g") === "a").collect().map(_.getLong(0)).toSet
     assert(before == after)
   }
+  test("cdcChunks: tokens conserved in order; edits don't shift distant chunks") {
+    import spark.implicits._
+    val core = (1 to 120).map(i => s"w${i % 37}").mkString(" ")
+    def chunksOf(prefix: String, id: Long): Array[(Long, Long, String)] =
+      Curate.cdcChunks(Seq((id, s"$prefix $core")).toDF("doc_id", "text"),
+          "doc_id", "text")
+        .collect()
+        .map(r => (r.getAs[Long]("chunk_idx"), r.getAs[Long]("n_tokens"),
+          r.getAs[String]("chunk_text")))
+        .sortBy(_._1)
+        .map(t => (t._1, t._2, t._3))
+    val c1 = chunksOf("aaa bbb", 1L)
+    val c2 = chunksOf("xxx yyy zzz qqq vvv", 2L)
+    // conservation: chunk concatenation rebuilds the document exactly
+    assert(c1.map(_._3).mkString(" ") == s"aaa bbb $core")
+    assert(c1.map(_._2).sum == 2 + 120)
+    // chunk ids are dense from 0
+    assert(c1.map(_._1).toSeq == (0L until c1.length.toLong))
+    // content-defined stability: different-length prefixes, yet the two
+    // documents share identical chunks once past the first boundary
+    // beyond the edit's 3-token neighborhood
+    val shared = c1.map(_._3).toSet.intersect(c2.map(_._3).toSet)
+    assert(shared.nonEmpty, "no shared chunks — boundaries are not content-defined")
+    // and a fixed-stride chunking of the same pair shares nothing
+    // (prefix length difference shifts every window)
+    val s1 = Curate.chunkSliding(
+        Seq((1L, s"aaa bbb $core")).toDF("doc_id", "text"),
+        "doc_id", "text", window = 16, stride = 16)
+      .collect().map(_.getAs[String]("chunk_text")).toSet
+    val s2 = Curate.chunkSliding(
+        Seq((2L, s"xxx yyy zzz qqq vvv $core")).toDF("doc_id", "text"),
+        "doc_id", "text", window = 16, stride = 16)
+      .collect().map(_.getAs[String]("chunk_text")).toSet
+    assert(s1.intersect(s2).size < shared.size,
+      "CDC should beat fixed-stride chunk reuse under a prefix edit")
+  }
 }
