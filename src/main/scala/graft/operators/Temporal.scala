@@ -83,13 +83,15 @@ object Temporal {
       afterWindow: DataFrame,
       leftCols: Seq[String],
       payload: Seq[String],
-      toleranceUs: Option[Long]): DataFrame = {
+      toleranceUs: Option[Long],
+      forward: Boolean = false): DataFrame = {
     val matched = toleranceUs match {
       case None => col(MATCH)
       case Some(tol) =>
-        when(
-          micros(col(TS)) - micros(col(MATCH)(RTS)) <= tol,
-          col(MATCH))
+        val age =
+          if (forward) micros(col(MATCH)(RTS)) - micros(col(TS))
+          else micros(col(TS)) - micros(col(MATCH)(RTS))
+        when(age <= tol, col(MATCH))
     }
     afterWindow
       .where(col(LEFT) === 1)
@@ -132,6 +134,36 @@ object Temporal {
     finish(
       unioned.withColumn(MATCH, last(col(MATCH), ignoreNulls = true).over(w)),
       left.columns.toSeq, payload, toleranceUs)
+  }
+
+  /** Forward as-of join — the time mirror of [[asofJoin]]: each left row
+    * gets the EARLIEST right row of the same key with
+    * `right.ts >= left.ts` (ties on ts broken toward the larger
+    * `rightTieBreak`), or nulls when none exists. `toleranceUs` nulls
+    * matches further than the given lead in microseconds. The "next
+    * reading after the order" / "first response after the alert" shape;
+    * identical plan (one Exchange, one sort, no join node) with the time
+    * axis reversed.
+    */
+  def asofJoinForward(
+      left: DataFrame,
+      leftKey: String,
+      leftTs: String,
+      right: DataFrame,
+      rightKey: String,
+      rightTs: String,
+      payload: Seq[String],
+      rightTieBreak: String,
+      toleranceUs: Option[Long] = None): DataFrame = {
+    val unioned = taggedUnion(
+      left, leftKey, leftTs, right, rightKey, rightTs, payload, rightTieBreak)
+    val w = Window
+      .partitionBy(K)
+      .orderBy(col(TS).desc, col(LEFT).asc, col(TB).asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    finish(
+      unioned.withColumn(MATCH, last(col(MATCH), ignoreNulls = true).over(w)),
+      left.columns.toSeq, payload, toleranceUs, forward = true)
   }
 
   /** [[asofJoin]] with bounded window partitions: rows are windowed per

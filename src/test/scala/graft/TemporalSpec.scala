@@ -175,4 +175,40 @@ class TemporalSpec extends AnyFunSuite {
       assert(got.toSet == naive.toSet, s"binDays=$days")
     }
   }
+  test("asofJoinForward matches a brute-force min-ts/max-tiebreak pick") {
+    val fwd = Temporal.asofJoinForward(purchases, "user_id", "ts",
+      touches, "user_id", "ts",
+      payload = Seq("touch_event_id", "touch_type"),
+      rightTieBreak = "touch_event_id")
+    val best = purchases
+      .join(touches.withColumnRenamed("ts", "t_ts"), Seq("user_id"))
+      .where(col("t_ts") >= col("ts"))
+      .groupBy("user_id", "event_id")
+      .agg(max_by(
+        struct(col("touch_event_id"), col("touch_type")),
+        struct((unix_micros(col("t_ts")) * -1).as("neg"),
+          col("touch_event_id"))).as("m"))
+      .select(col("user_id"), col("event_id"),
+        col("m.touch_event_id"), col("m.touch_type"))
+    val expected = purchases.join(best, Seq("user_id", "event_id"), "left")
+    assert(asofRows(fwd) == asofRows(expected))
+    assert(fwd.count() == purchases.count())
+    // forward tolerance keeps only near-future matches
+    val tol = 3600L * 1000000L
+    val fwdTol = Temporal.asofJoinForward(purchases, "user_id", "ts",
+      touches, "user_id", "ts",
+      payload = Seq("touch_event_id", "touch_type"),
+      rightTieBreak = "touch_event_id", toleranceUs = Some(tol))
+    val leads = fwd.select(col("user_id"), col("event_id"),
+        (unix_micros(col("asof_ts")) - unix_micros(col("ts"))).as("lead_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> Option(r.get(2)))
+      .toMap
+    fwdTol.select(col("user_id"), col("event_id"), col("touch_event_id"))
+      .collect().foreach { r =>
+        val lead = leads((r.getLong(0), r.getLong(1)))
+        val fresh = lead.exists(_.asInstanceOf[Long] <= tol)
+        assert((r.get(2) != null) == fresh)
+      }
+  }
 }
