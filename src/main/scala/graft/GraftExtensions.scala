@@ -12,10 +12,13 @@ import graft.functions._
   *   SparkSession.builder().withExtensions(new GraftExtensions)  — or
   *   spark.sql.extensions=graft.GraftExtensions
   *
-  * No custom optimizer Rule or SparkStrategy is registered by design: the
-  * engine's plans are expressible with built-in operators, and the DSL's
-  * algebraic rewrites run before DataFrames are built (SURVEY §4.1) — the
-  * same staging the reference uses.
+  * One optimizer Rule is registered — [[graft.plans.RangeJoinRewrite]],
+  * which turns inequality-only point-in-interval joins (planned as
+  * nested loops by the built-in strategies) into binned equi-joins. The
+  * rest of the engine needs no custom Rule or SparkStrategy by design:
+  * its plans are expressible with built-in operators, and the DSL's
+  * algebraic rewrites run before DataFrames are built (SURVEY §4.1) —
+  * the same staging the reference uses.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -24,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "", "", "", "scala_udf")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     ext.injectFunction((
       FunctionIdentifier("stable_hash64"),
       info("stable_hash64", "stable_hash64(str) - 64-bit MD5-prefix content hash"),

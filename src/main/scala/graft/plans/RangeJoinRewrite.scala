@@ -1,0 +1,144 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Optimizer rule: rewrite point-in-interval theta joins into binned
+  * equi-joins.
+  *
+  * An inner join whose condition is ONLY range predicates —
+  * `p >= s AND p <= e` with the point on one side and both bounds on the
+  * other — has no equi-join key, so Spark plans a
+  * BroadcastNestedLoopJoin: O(|points| * |intervals|) compute and the
+  * first operator to die at scale. The same query re-expressed as
+  * [[graft.operators.Temporal.rangeJoin]] — intervals exploded into
+  * fixed-width bins, an equi-join on the bin, the original predicates
+  * kept as residual — is a plain shuffled hash join.
+  *
+  * This rule performs that rewrite AUTOMATICALLY for raw SQL/DataFrame
+  * theta joins, so `... JOIN iv ON o.ts BETWEEN iv.s AND iv.e` scales
+  * without the caller knowing the operator exists. Exactness needs no bin
+  * validation: a point occupies exactly one bin, so each qualifying pair
+  * meets in exactly one exploded bin copy.
+  *
+  * Guards (all must hold, otherwise the join is left untouched):
+  *   - inner join, with NO cross-side equality conjunct (if one exists
+  *     the planner already hash-joins and the ranges ride as residual —
+  *     this also makes the rule idempotent on its own output);
+  *   - a conjunct pair bounding one side's expression between two
+  *     expressions of the other side, over timestamp / timestamp_ntz /
+  *     integral types.
+  *
+  * Configuration: `spark.graft.rangeJoin.enabled` (default true) and
+  * `spark.graft.rangeJoin.binUs` (default 86400000000, one day): the bin
+  * width in microseconds for timestamps, or in raw units for integral
+  * columns. The bin is a PERFORMANCE knob, not a correctness one — size
+  * it near the typical interval length (explode factor is len/bin + 1).
+  *
+  * Registered by [[graft.GraftExtensions]].
+  */
+object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  val ENABLED_CONF = "spark.graft.rangeJoin.enabled"
+  val BIN_CONF = "spark.graft.rangeJoin.binUs"
+  private val DEFAULT_BIN = 86400000000L // one day in microseconds
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(ENABLED_CONF, "true").toBoolean) return plan
+    val binUs = conf.getConfString(BIN_CONF, DEFAULT_BIN.toString).toLong
+    if (binUs <= 0) return plan
+    plan.transformUp {
+      case j @ Join(_, _, Inner, Some(_), _) =>
+        tryRewrite(j, binUs).getOrElse(j)
+    }
+  }
+
+  /** Epoch-micros (or raw integral) view of an expression, when its type
+    * supports binning. */
+  private def micros(e: Expression): Option[Expression] = e.dataType match {
+    case TimestampType => Some(UnixMicros(e))
+    case TimestampNTZType =>
+      // NTZ -> instant under the session zone (the engine pins UTC)
+      Some(UnixMicros(Cast(e, TimestampType, Some(conf.sessionLocalTimeZone))))
+    case LongType => Some(e)
+    case IntegerType | ShortType | ByteType => Some(Cast(e, LongType))
+    case _ => None
+  }
+
+  /** floor(a / b) for a possibly-negative long `a` (pre-epoch timestamps):
+    * IntegralDivide truncates toward zero, so subtract the non-negative
+    * Pmod remainder first — the difference is exactly divisible. */
+  private def floorDiv(a: Expression, b: Long): Expression = {
+    val lit = Literal(b)
+    IntegralDivide(Subtract(a, Pmod(a, lit)), lit)
+  }
+
+  private def tryRewrite(j: Join, binUs: Long): Option[LogicalPlan] = {
+    val Join(l, r, _, Some(cond), hint) = j
+    val conjuncts = splitConjunctivePredicates(cond)
+
+    def sideOf(e: Expression): Option[Boolean] = { // Some(true) = left
+      if (e.references.isEmpty) None
+      else if (e.references.subsetOf(l.outputSet)) Some(true)
+      else if (e.references.subsetOf(r.outputSet)) Some(false)
+      else None
+    }
+
+    // a cross-side equality key means the planner hash-joins already
+    // (and marks our own rewritten joins as done)
+    val hasEqui = conjuncts.exists {
+      case EqualTo(a, b) =>
+        (sideOf(a), sideOf(b)) match {
+          case (Some(x), Some(y)) => x != y
+          case _ => false
+        }
+      case _ => false
+    }
+    if (hasEqui) return None
+
+    // normalize comparisons to (lo <= hi) pairs; strict bounds stay exact
+    // because the original condition rides along as the residual
+    val bounds = conjuncts.collect {
+      case LessThanOrEqual(a, b) => (a, b)
+      case LessThan(a, b) => (a, b)
+      case GreaterThanOrEqual(a, b) => (b, a)
+      case GreaterThan(a, b) => (b, a)
+    }
+
+    val candidates = for {
+      (s, p1) <- bounds
+      (p2, e) <- bounds
+      if p1.canonicalized == p2.canonicalized
+      pSide <- sideOf(p1)
+      sSide <- sideOf(s)
+      eSide <- sideOf(e)
+      if sSide == eSide && sSide != pSide
+      pm <- micros(p1)
+      sm <- micros(s)
+      em <- micros(e)
+    } yield (pSide, pm, sm, em)
+
+    candidates.headOption.map { case (pointOnLeft, pm, sm, em) =>
+      val binAttr =
+        AttributeReference("__graft_range_bin", LongType, nullable = false)()
+      // post-analysis construction: TimeZoneAware expressions (Sequence)
+      // must carry their zone or the plan flips back to unresolved
+      val generator = Explode(
+        Sequence(floorDiv(sm, binUs), floorDiv(em, binUs), None,
+          Some(conf.sessionLocalTimeZone)))
+      val ivSide = if (pointOnLeft) r else l
+      val generate =
+        Generate(generator, Nil, outer = false, None, Seq(binAttr), ivSide)
+      val newCond = And(EqualTo(floorDiv(pm, binUs), binAttr), cond)
+      val newJoin =
+        if (pointOnLeft) Join(l, generate, Inner, Some(newCond), hint)
+        else Join(generate, r, Inner, Some(newCond), hint)
+      // the Generate adds the bin column to the join output; restore the
+      // original shape
+      Project(j.output, newJoin)
+    }
+  }
+}

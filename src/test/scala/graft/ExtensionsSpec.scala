@@ -99,4 +99,50 @@ class ExtensionsSpec extends AnyFunSuite {
     // tabs -> spaces, then newlines -> tabs, as in the reference
     assert(texts.toSeq == Seq((101L, "full one\tline two")))
   }
+  test("inequality-only interval joins auto-rewrite to binned equi-joins") {
+    import graft.sources.Tables
+    val dir = "/root/testdata/sf0.001"
+    Tables.table(spark, dir, "orders").createOrReplaceTempView("rj_orders")
+    Tables.table(spark, dir, "lineitem")
+      .where(col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").as("s"),
+        (col("l_shipdate") + expr("INTERVAL 3 DAYS")).as("e"))
+      .createOrReplaceTempView("rj_iv")
+    val sql = """SELECT o.o_orderkey, iv.l_orderkey, iv.l_linenumber
+      FROM rj_orders o JOIN rj_iv iv
+      ON o.o_orderdate >= iv.s AND o.o_orderdate <= iv.e"""
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    val rewritten = spark.sql(sql)
+    val plan = rewritten.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"rule did not fire:\n$plan")
+    assert(rewritten.queryExecution.optimizedPlan.toString
+      .contains("__graft_range_bin"))
+
+    spark.conf.set("spark.graft.rangeJoin.enabled", "false")
+    try {
+      val naive = spark.sql(sql)
+      assert(naive.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+      assert(rows(rewritten) == rows(naive))
+      assert(rows(rewritten).nonEmpty)
+    } finally spark.conf.set("spark.graft.rangeJoin.enabled", "true")
+
+    // mirrored orientation: point side on the right
+    val mirrored = spark.sql("""SELECT o.o_orderkey, iv.l_orderkey
+      FROM rj_iv iv JOIN rj_orders o
+      ON o.o_orderdate >= iv.s AND o.o_orderdate <= iv.e""")
+    assert(!mirrored.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+
+    // a join that already has an equi key is left alone
+    val equi = spark.sql("""SELECT o.o_orderkey FROM rj_orders o
+      JOIN rj_iv iv ON o.o_orderkey = iv.l_orderkey
+      AND o.o_orderdate >= iv.s AND o.o_orderdate <= iv.e""")
+    assert(!equi.queryExecution.optimizedPlan.toString
+      .contains("__graft_range_bin"))
+  }
 }
