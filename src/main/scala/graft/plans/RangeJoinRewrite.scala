@@ -22,7 +22,12 @@ import org.apache.spark.sql.types._
   * theta joins, so `... JOIN iv ON o.ts BETWEEN iv.s AND iv.e` scales
   * without the caller knowing the operator exists. Exactness needs no bin
   * validation: a point occupies exactly one bin, so each qualifying pair
-  * meets in exactly one exploded bin copy.
+  * meets in exactly one exploded bin copy. The interval-overlap shape
+  * (`B.start <= A.end AND A.start <= B.end`, no shared point expression)
+  * rewrites too — both sides explode and a first-shared-bin predicate
+  * dedups, mirroring [[graft.operators.Temporal.intervalJoin]]; the
+  * cheaper single-explode form is preferred when a point expression
+  * exists.
   *
   * Guards (all must hold, otherwise the join is left untouched):
   *   - inner join, with NO cross-side equality conjunct (if one exists
@@ -121,24 +126,64 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       em <- micros(e)
     } yield (pSide, pm, sm, em)
 
-    candidates.headOption.map { case (pointOnLeft, pm, sm, em) =>
-      val binAttr =
-        AttributeReference("__graft_range_bin", LongType, nullable = false)()
-      // post-analysis construction: TimeZoneAware expressions (Sequence)
-      // must carry their zone or the plan flips back to unresolved
-      val generator = Explode(
-        Sequence(floorDiv(sm, binUs), floorDiv(em, binUs), None,
-          Some(conf.sessionLocalTimeZone)))
-      val ivSide = if (pointOnLeft) r else l
-      val generate =
-        Generate(generator, Nil, outer = false, None, Seq(binAttr), ivSide)
-      val newCond = And(EqualTo(floorDiv(pm, binUs), binAttr), cond)
-      val newJoin =
-        if (pointOnLeft) Join(l, generate, Inner, Some(newCond), hint)
-        else Join(generate, r, Inner, Some(newCond), hint)
-      // the Generate adds the bin column to the join output; restore the
-      // original shape
-      Project(j.output, newJoin)
+    val pointRewrite = candidates.headOption.map {
+      case (pointOnLeft, pm, sm, em) =>
+        val binAttr =
+          AttributeReference("__graft_range_bin", LongType, nullable = false)()
+        val ivSide = if (pointOnLeft) r else l
+        val generate = Generate(
+          binsOf(sm, em, binUs), Nil, outer = false, None, Seq(binAttr),
+          ivSide)
+        val newCond = And(EqualTo(floorDiv(pm, binUs), binAttr), cond)
+        val newJoin =
+          if (pointOnLeft) Join(l, generate, Inner, Some(newCond), hint)
+          else Join(generate, r, Inner, Some(newCond), hint)
+        // the Generate adds the bin column to the join output; restore
+        // the original shape
+        Project(j.output, newJoin)
+    }
+    pointRewrite.orElse(intervalRewrite(j, bounds, sideOf, binUs))
+  }
+
+  /** Interval-overlap shape: `B.start <= A.end AND A.start <= B.end` with
+    * no shared point expression. Both sides explode into their bins and a
+    * pair is admitted only in the first bin both occupy —
+    * `floor(greatest(starts) / bin)`, a predicate rather than a distinct,
+    * mirroring [[graft.operators.Temporal.intervalJoin]]. */
+  private def intervalRewrite(
+      j: Join,
+      bounds: Seq[(Expression, Expression)],
+      sideOf: Expression => Option[Boolean],
+      binUs: Long): Option[LogicalPlan] = {
+    val Join(l, r, _, Some(cond), hint) = j
+    val candidates = for {
+      (s1, h1) <- bounds // B.start <= A.end
+      (s2, h2) <- bounds // A.start <= B.end
+      if sideOf(s1).contains(false) && sideOf(h1).contains(true) &&
+        sideOf(s2).contains(true) && sideOf(h2).contains(false)
+      aS <- micros(s2); aE <- micros(h1)
+      bS <- micros(s1); bE <- micros(h2)
+    } yield (aS, aE, bS, bE)
+    candidates.headOption.map { case (aS, aE, bS, bE) =>
+      val binL = AttributeReference(
+        "__graft_range_bin_l", LongType, nullable = false)()
+      val binR = AttributeReference(
+        "__graft_range_bin_r", LongType, nullable = false)()
+      val genL =
+        Generate(binsOf(aS, aE, binUs), Nil, outer = false, None, Seq(binL), l)
+      val genR =
+        Generate(binsOf(bS, bE, binUs), Nil, outer = false, None, Seq(binR), r)
+      val dedup =
+        EqualTo(binL, floorDiv(Greatest(Seq(aS, bS)), binUs))
+      val newCond = And(And(EqualTo(binL, binR), dedup), cond)
+      Project(j.output, Join(genL, genR, Inner, Some(newCond), hint))
     }
   }
+
+  /** Explode expression for the bins an interval spans. Post-analysis
+    * construction: TimeZoneAware expressions (Sequence) must carry their
+    * zone or the plan flips back to unresolved. */
+  private def binsOf(sm: Expression, em: Expression, binUs: Long): Explode =
+    Explode(Sequence(floorDiv(sm, binUs), floorDiv(em, binUs), None,
+      Some(conf.sessionLocalTimeZone)))
 }

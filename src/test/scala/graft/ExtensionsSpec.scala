@@ -145,4 +145,38 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!equi.queryExecution.optimizedPlan.toString
       .contains("__graft_range_bin"))
   }
+  test("interval-overlap theta joins rewrite with a first-shared-bin dedup") {
+    import graft.sources.Tables
+    val dir = "/root/testdata/sf0.001"
+    Tables.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate").as("os"),
+        (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("oe"))
+      .createOrReplaceTempView("rj_oiv")
+    Tables.table(spark, dir, "lineitem")
+      .where(col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").as("ss"),
+        (col("l_shipdate") + expr("INTERVAL 3 DAYS")).as("se"))
+      .createOrReplaceTempView("rj_siv")
+    val sql = """SELECT a.o_orderkey, b.l_orderkey, b.l_linenumber
+      FROM rj_oiv a JOIN rj_siv b ON a.os <= b.se AND b.ss <= a.oe"""
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+
+    val rewritten = spark.sql(sql)
+    val opt = rewritten.queryExecution.optimizedPlan.toString
+    assert(opt.contains("__graft_range_bin_l") &&
+      opt.contains("__graft_range_bin_r"), s"interval form did not fire:\n$opt")
+    assert(!rewritten.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+
+    spark.conf.set("spark.graft.rangeJoin.enabled", "false")
+    try {
+      val naive = rows(spark.sql(sql))
+      val got = rows(rewritten)
+      assert(got.length == naive.length, "duplicate or lost pairs")
+      assert(got.toSet == naive.toSet)
+      assert(got.nonEmpty)
+    } finally spark.conf.set("spark.graft.rangeJoin.enabled", "true")
+  }
 }
