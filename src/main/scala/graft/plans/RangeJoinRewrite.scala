@@ -65,8 +65,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * supports binning. */
   private def micros(e: Expression): Option[Expression] = e.dataType match {
     case TimestampType => Some(UnixMicros(e))
-    case TimestampNTZType =>
-      // NTZ -> instant under the session zone (the engine pins UTC)
+    case TimestampNTZType | DateType =>
+      // NTZ/date -> instant under the session zone (the engine pins UTC)
       Some(UnixMicros(Cast(e, TimestampType, Some(conf.sessionLocalTimeZone))))
     case LongType => Some(e)
     case IntegerType | ShortType | ByteType => Some(Cast(e, LongType))

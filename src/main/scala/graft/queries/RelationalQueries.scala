@@ -851,6 +851,34 @@ object RelationalQueries extends QueryPack {
               FROM events GROUP BY 1, 2"""),
     ),
 
+    // time-RANGE window frame (vs q_window_running's ROWS frame): per
+    // user, events and value seen in the trailing hour — the sliding
+    // rate-limit / velocity feature. RANGE frames need no unique tie
+    // order for aggregates (all peers share the frame), so the count is
+    // deterministic on the epoch-micros axis both engines share
+    "q_window_range_frame" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_us"))
+          .rangeBetween(-3600L * 1000000L, 0L)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            dec(col("value"), 18, 4).as("v"))
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            count(lit(1)).over(w).as("n_last_hour"),
+            sum(col("v")).over(w).cast("double").as("sum_last_hour"))
+      },
+      Some("""SELECT user_id, event_id,
+          CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+          CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+          CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+            AS sum_last_hour
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""),
+    ),
+
     // robust outlier screen (Streams.robustAnomalies): per event type,
     // |value - median| > 3 * MAD — median/MAD so the outliers can't drag
     // the threshold; the oracle replays the exact interpolated quantiles
