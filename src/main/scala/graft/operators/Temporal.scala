@@ -166,6 +166,54 @@ object Temporal {
       left.columns.toSeq, payload, toleranceUs, forward = true)
   }
 
+  /** Backward as-of join for a DIMENSION-SIZED right side: the right
+    * table packs into per-key sorted arrays and BROADCASTS, so the fact
+    * side is never shuffled at all — no Exchange, no sort, just a
+    * broadcast hash join plus an array probe per row (the 100 TB
+    * enrichment shape: a petabyte fact scan against a million-row
+    * dimension keeps its scan partitioning end to end).
+    *
+    * Identical semantics to [[asofJoin]] (TemporalSpec asserts equality);
+    * requires the whole packed right side to fit in a broadcast, and the
+    * probe is linear in the matched key's right-row count — use the
+    * shuffle variants when the right side is fact-sized.
+    */
+  def asofJoinBroadcast(
+      left: DataFrame,
+      leftKey: String,
+      leftTs: String,
+      right: DataFrame,
+      rightKey: String,
+      rightTs: String,
+      payload: Seq[String],
+      rightTieBreak: String,
+      toleranceUs: Option[Long] = None): DataFrame = {
+    // array elements sort lexicographically by (rts, tie-break, payload):
+    // the LAST element passing `rts <= ts` is the latest match, largest
+    // tie-break — the same winner the window variant picks
+    val packed = right
+      .groupBy(col(rightKey).as(K))
+      .agg(sort_array(collect_list(struct(
+        col(rightTs).as(RTS),
+        col(rightTieBreak).as(TB),
+        struct(payload.map(col): _*).as("p")))).as("__arr"))
+    val hits = filter(col("__arr"), x => x(RTS) <= col(leftTs))
+    // `when` guard: ANSI element_at errors on an empty array
+    val lastHit = when(size(hits) > 0, element_at(hits, -1))
+    val matched = toleranceUs match {
+      case None => lastHit
+      case Some(tol) =>
+        when(micros(col(leftTs)) - micros(lastHit(RTS)) <= tol, lastHit)
+    }
+    left
+      .join(broadcast(packed), col(leftKey) === col(K), "left")
+      .withColumn(MATCH, matched)
+      .select(
+        left.columns.map(col) ++
+          payload.map(p => col(MATCH)("p")(p).as(p)) :+
+          col(MATCH)(RTS).as(RTS): _*)
+  }
+
   /** [[asofJoin]] with bounded window partitions: rows are windowed per
     * (key, `bucketUs`-wide time bucket) and each bucket is seeded with a
     * carry-in — the latest right row of any EARLIER bucket — computed from

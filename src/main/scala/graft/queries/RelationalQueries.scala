@@ -694,6 +694,53 @@ object RelationalQueries extends QueryPack {
         FROM w WHERE is_left = 1"""),
     ),
 
+    // broadcast as-of join (Temporal.asofJoinBroadcast): identical
+    // semantics to q_join_asof — same oracle — but the dimension packs
+    // into per-key sorted arrays and broadcasts, so the fact side keeps
+    // its scan partitioning (no Exchange at all; TemporalSpec pins it)
+    "q_join_asof_bcast" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select("user_id", "event_id", "ts")
+        val touches = ev.where(col("event_type") =!= "purchase")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("touch_event_id"),
+            col("event_type").as("touch_type"))
+        graft.operators.Temporal.asofJoinBroadcast(
+            purchases, "user_id", "ts",
+            touches, "user_id", "ts",
+            payload = Seq("touch_event_id", "touch_type"),
+            rightTieBreak = "touch_event_id")
+          .select(col("user_id"), col("event_id"),
+            coalesce(col("touch_event_id"), lit(-1L)).as("touch_event_id"),
+            coalesce(col("touch_type"), lit("none")).as("touch_type"),
+            coalesce(unix_micros(col("ts")) - unix_micros(col("asof_ts")),
+              lit(-1L)).as("age_us"))
+      },
+      Some("""WITH u AS (
+          SELECT user_id, ts, 1 AS is_left, event_id,
+                 CAST(NULL AS BIGINT) AS tb,
+                 CAST(NULL AS STRUCT(e BIGINT, t VARCHAR, rts TIMESTAMP)) AS m
+          FROM events WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT user_id, ts, 0, NULL, event_id,
+                 struct_pack(e := event_id, t := event_type, rts := ts)
+          FROM events WHERE event_type <> 'purchase'),
+        w AS (
+          SELECT user_id, ts, is_left, event_id,
+            last_value(m IGNORE NULLS) OVER (
+              PARTITION BY user_id
+              ORDER BY ts ASC, is_left ASC, tb ASC NULLS FIRST
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+          FROM u)
+        SELECT user_id, event_id,
+          coalesce(m.e, -1) AS touch_event_id,
+          coalesce(m.t, 'none') AS touch_type,
+          coalesce(epoch_us(ts) - epoch_us(m.rts), -1) AS age_us
+        FROM w WHERE is_left = 1"""),
+    ),
+
     // forward as-of join (Temporal.asofJoinForward): each purchase
     // matched to the user's EARLIEST later-or-equal non-purchase event —
     // the "next touch after conversion" mirror of q_join_asof, same

@@ -211,4 +211,22 @@ class TemporalSpec extends AnyFunSuite {
         assert((r.get(2) != null) == fresh)
       }
   }
+  test("broadcast asofJoin equals the windowed one and never shuffles facts") {
+    val b = Temporal.asofJoinBroadcast(purchases, "user_id", "ts",
+      touches, "user_id", "ts",
+      payload = Seq("touch_event_id", "touch_type"),
+      rightTieBreak = "touch_event_id")
+    assert(asofRows(b) == asofRows(plain()))
+    val p = b.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"dimension not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"fact side shuffled or windowed:\n$p")
+    // tolerance parity too
+    val tol = 3600L * 1000000L
+    val bt = Temporal.asofJoinBroadcast(purchases, "user_id", "ts",
+      touches, "user_id", "ts",
+      payload = Seq("touch_event_id", "touch_type"),
+      rightTieBreak = "touch_event_id", toleranceUs = Some(tol))
+    assert(asofRows(bt) == asofRows(plain(Some(tol))))
+  }
 }
