@@ -46,6 +46,48 @@ object Layout {
     }.reduce(_ + _)
   }
 
+  /** N-column Morton interleave: column j's bit i lands at position
+    * i*N + j (column 0 most significant within each bit group). The 2-ary
+    * [[interleave]] is the N=2 case with (a, b) = (cols(0), cols(1)).
+    * Total bits = N * bits must fit a long (<= 63). */
+  def interleaveN(cols: Seq[Column], bits: Int = 16): Column = {
+    require(cols.size >= 2, s"need >= 2 columns (got ${cols.size})")
+    require(bits >= 1 && cols.size * bits <= 63,
+      s"${cols.size} cols * $bits bits exceed a long")
+    val n = cols.size
+    (for {
+      i <- 0 until bits
+      (c, j) <- cols.zipWithIndex
+    } yield shiftleft(
+      shiftright(c, i).bitwiseAND(lit(1L)),
+      i * n + (n - 1 - j))).reduce(_ + _)
+  }
+
+  /** Cluster `df` on the N-dimensional Morton curve of `colNames` — the
+    * multi-dim generalization of [[zorderBy]], same bounds-aggregate +
+    * range-partition shape. Bits per dimension shrink as dimensions grow
+    * (63 / N), which is the curve's real trade-off: more clustered
+    * columns, coarser per-column locality. */
+  def zorderByN(
+      df: DataFrame, colNames: Seq[String], partitions: Int): DataFrame = {
+    require(partitions > 0, s"partitions must be positive (got $partitions)")
+    require(colNames.size >= 2, "need >= 2 columns")
+    val bits = math.min(16, 63 / colNames.size)
+    val aggs = colNames.zipWithIndex.flatMap { case (c, j) =>
+      Seq(min(col(c).cast("long")).as(s"_mn_$j"),
+        max(col(c).cast("long")).as(s"_mx_$j"))
+    }
+    val bounds = df.agg(aggs.head, aggs.tail: _*)
+    val normed = colNames.zipWithIndex.map { case (c, j) =>
+      norm(col(c), col(s"_mn_$j"), col(s"_mx_$j"), bits)
+    }
+    df.crossJoin(broadcast(bounds))
+      .withColumn("z_value", interleaveN(normed, bits))
+      .drop(colNames.indices.flatMap(j => Seq(s"_mn_$j", s"_mx_$j")): _*)
+      .repartitionByRange(partitions, col("z_value"))
+      .sortWithinPartitions("z_value")
+  }
+
   /** Z-value of two numeric columns given their global bounds. */
   def zValue(
       a: Column, aMin: Column, aMax: Column,

@@ -90,4 +90,45 @@ class LayoutSpec extends AnyFunSuite {
     val zBox = scanned(zEnv, Some((aLo, aHi)), Some((bLo, bHi)))
     assert(zBox <= 0.4, s"z layout should skip most files for a box: $zBox")
   }
+  test("interleaveN generalizes the pairwise interleave; 3-D layout localizes") {
+    // N=2 agrees with the pairwise operator bit for bit
+    val r = spark.range(1).select(
+      Layout.interleave(lit(41L), lit(27L)).as("z2"),
+      Layout.interleaveN(Seq(lit(41L), lit(27L))).as("zn"),
+      Layout.interleaveN(Seq(lit(1L), lit(0L), lit(0L)), 1).as("a3"),
+      Layout.interleaveN(Seq(lit(0L), lit(1L), lit(0L)), 1).as("b3"),
+      Layout.interleaveN(Seq(lit(0L), lit(0L), lit(1L)), 1).as("c3"))
+      .collect().head
+    assert(r.getLong(0) == r.getLong(1))
+    // one bit per column: col 0 most significant
+    assert(r.getLong(2) == 4L && r.getLong(3) == 2L && r.getLong(4) == 1L)
+    // bits bound enforced
+    intercept[IllegalArgumentException] {
+      Layout.interleaveN(Seq(lit(0L), lit(0L), lit(0L), lit(0L)), 16)
+    }
+    // 3-D layout: every dimension's per-file envelope is narrower than
+    // the ingest-order layout's
+    val o = Tables.table(spark, dir, "orders")
+      .withColumn("ts_sec", unix_timestamp(col("o_orderdate")))
+      .select(col("o_custkey"), col("ts_sec"),
+        (col("o_totalprice").cast("long")).as("price"))
+    val tmp = Files.createTempDirectory("graft-layout3").toString
+    Layout.zorderByN(o, Seq("o_custkey", "ts_sec", "price"), 64)
+      .write.parquet(s"$tmp/z3")
+    val spans = spark.read.parquet(s"$tmp/z3")
+      .groupBy(input_file_name())
+      .agg(
+        (max("o_custkey") - min("o_custkey")).as("sa"),
+        (max("ts_sec") - min("ts_sec")).as("sb"),
+        (max("price") - min("price")).as("sc"))
+      .agg(avg("sa"), avg("sb"), avg("sc")).collect().head
+    val full = o.agg(
+      (max("o_custkey") - min("o_custkey")).cast("double"),
+      (max("ts_sec") - min("ts_sec")).cast("double"),
+      (max("price") - min("price")).cast("double")).collect().head
+    // each dimension localized: average file span well under the full span
+    assert(spans.getDouble(0) < full.getDouble(0) * 0.8)
+    assert(spans.getDouble(1) < full.getDouble(1) * 0.8)
+    assert(spans.getDouble(2) < full.getDouble(2) * 0.8)
+  }
 }
