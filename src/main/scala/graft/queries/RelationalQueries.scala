@@ -926,6 +926,21 @@ object RelationalQueries extends QueryPack {
           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""),
     ),
 
+    // user-journey transition table (Streams.transitionCounts): counts of
+    // (prev event type -> event type) edges per user timeline, stream
+    // starts as '^start' — the lag window replayed verbatim
+    "q_events_transitions" -> QueryDef(
+      (s, dir) => graft.streaming.Streams.transitionCounts(
+        Tables.events(s, dir)),
+      Some("""WITH t AS (SELECT
+            coalesce(lag(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts ASC, event_id ASC), '^start') AS prev_type,
+            event_type AS next_type
+          FROM events)
+        SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+        FROM t GROUP BY 1, 2"""),
+    ),
+
     // robust outlier screen (Streams.robustAnomalies): per event type,
     // |value - median| > 3 * MAD — median/MAD so the outliers can't drag
     // the threshold; the oracle replays the exact interpolated quantiles

@@ -101,6 +101,26 @@ object Streams {
       .agg(count(lit(1)).as("n_conversions"))
   }
 
+  /** User-journey transition counts: for each user's time-ordered event
+    * stream, count (previous event type -> event type) edges — the Markov
+    * transition table behind funnel discovery and next-action analysis.
+    * Stream starts contribute a '^start' source state so row counts
+    * reconcile (every event is the target of exactly one edge).
+    *
+    * One window per user (lag over the (ts, event_id) total order), one
+    * grouped count — the same two-shuffle shape as sessionization. */
+  def transitionCounts(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events.select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"))
+      .withColumn("prev_type",
+        coalesce(lag(col("event_type"), 1).over(w), lit("^start")))
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Robust per-group outlier detection: flag rows whose value deviates
     * from the group median by more than `k` times the group MAD (median
     * absolute deviation). Median/MAD instead of mean/stddev because the
