@@ -384,19 +384,23 @@ object Curate {
       df: DataFrame, idCol: String, textCol: String,
       mask: Long = 16L): DataFrame = {
     require(mask > 0, s"mask must be positive (got $mask)")
+    // exploded rows carry ONLY (id, p, tok): the trigram context comes
+    // from lag() over the same per-doc window the chunk assignment needs
+    // anyway, so each document contributes O(tokens) bytes to the
+    // exchange — retaining the token array per exploded row would be
+    // O(tokens^2) and dominate the shuffle at corpus scale
     val ex = df
-      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
-      .select(col(idCol), col("_toks"),
-        posexplode(col("_toks")).as(Seq("p", "tok")))
-    // guard the slice behind the condition: slice() is 1-based and throws
-    // on start <= 0, and `when` evaluates its branch only when taken
+      .select(col(idCol),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("p", "tok")))
+    val wRow = Window.partitionBy(idCol).orderBy("p")
     val tri = when(col("p") >= 2,
-      concat_ws(" ", slice(col("_toks"), col("p") - 1, lit(3))))
+      concat_ws(" ",
+        lag(col("tok"), 2).over(wRow), lag(col("tok"), 1).over(wRow),
+        col("tok")))
     val bflag = (col("p") >= 2 &&
       pmod(TextAnalysis.mix32(TextAnalysis.rollingHash(tri)), lit(mask))
         === 0).cast("long")
-    val w = Window.partitionBy(idCol).orderBy("p")
-      .rowsBetween(Window.unboundedPreceding, -1)
+    val w = wRow.rowsBetween(Window.unboundedPreceding, -1)
     ex.withColumn("_b", bflag)
       .withColumn("chunk_idx", coalesce(sum(col("_b")).over(w), lit(0L)))
       .groupBy(col(idCol), col("chunk_idx"))

@@ -114,9 +114,9 @@ object Sketches {
       df: DataFrame, groupCol: String, valCol: String,
       lgK: Int = 12): DataFrame =
     df.groupBy(groupCol)
-      .agg(expr(s"hll_sketch_agg($valCol, $lgK)").as("sk"))
+      .agg(hll_sketch_agg(col(valCol), lit(lgK)).as("sk"))
       .agg(
-        expr("hll_sketch_estimate(hll_union_agg(sk))").as("estimate"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("estimate"),
         count(lit(1)).cast("long").as("n_groups"))
 
   /** Guarantee audit of [[misraGries]] against the exact counts, for the

@@ -282,13 +282,21 @@ object Temporal {
     * interval row whose `[startCol, endCol]` (inclusive) contains the
     * point's `pointTs`. Returns point columns + interval columns.
     *
-    * `binUs` must be >= the longest interval (validated with a cheap
-    * aggregation): each interval then overlaps at most two bins, so the
-    * bin equi-join produces at most 2x-the-matches candidates, re-checked
-    * by the residual containment predicate. The plan is a plain hash join
-    * on the bin — shuffle-partitioned, AQE-skew-splittable — instead of
-    * the O(|points| * |intervals|) nested-loop a raw inequality join
-    * compiles to.
+    * `binUs` must be >= the longest interval: each interval then overlaps
+    * at most two bins, so the bin equi-join produces at most
+    * 2x-the-matches candidates, re-checked by the residual containment
+    * predicate. The plan is a plain hash join on the bin —
+    * shuffle-partitioned, AQE-skew-splittable — instead of the
+    * O(|points| * |intervals|) nested-loop a raw inequality join compiles
+    * to.
+    *
+    * `validate` (default true) checks the bin bound with a cheap
+    * aggregation over the interval side BEFORE building the join — an
+    * extra blocking pass that is fine for dimension-sized interval tables.
+    * For fact-sized interval tables pass `validate = false`: results stay
+    * exact either way (an interval explodes into ALL its bins), the bound
+    * is purely the fan-out guarantee, so skipping it trades the guard rail
+    * for one less pass over the data.
     */
   def rangeJoin(
       points: DataFrame,
@@ -296,14 +304,20 @@ object Temporal {
       intervals: DataFrame,
       startCol: String,
       endCol: String,
-      binUs: Long): DataFrame = {
+      binUs: Long,
+      validate: Boolean = true): DataFrame = {
     require(binUs > 0, s"binUs must be positive (got $binUs)")
-    val maxLen = intervals
-      .agg(max(micros(col(endCol)) - micros(col(startCol))))
-      .head.getLong(0)
-    require(
-      maxLen <= binUs,
-      s"binUs ($binUs) must cover the longest interval ($maxLen us)")
+    if (validate) {
+      // null-safe read: an empty interval side aggregates to NULL, which
+      // trivially satisfies the bound (the join is just empty)
+      val row = intervals
+        .agg(max(micros(col(endCol)) - micros(col(startCol))))
+        .head
+      val maxLen = if (row.isNullAt(0)) 0L else row.getLong(0)
+      require(
+        maxLen <= binUs,
+        s"binUs ($binUs) must cover the longest interval ($maxLen us)")
+    }
 
     val B = "__range_bin"
     val binnedPoints = points

@@ -139,12 +139,12 @@ object Streams {
       df: DataFrame, idCol: String, groupCol: String, valueCol: String,
       k: Double): DataFrame = {
     val med = df.groupBy(groupCol)
-      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+      .agg(percentile(col(valueCol), lit(0.5)).as("med"))
     val dev = df.select(col(idCol), col(groupCol), col(valueCol))
       .join(broadcast(med), Seq(groupCol))
       .withColumn("absdev", abs(col(valueCol) - col("med")))
     val mad = dev.groupBy(groupCol)
-      .agg(expr("percentile(absdev, 0.5)").as("mad"))
+      .agg(percentile(col("absdev"), lit(0.5)).as("mad"))
     dev.join(broadcast(mad), Seq(groupCol))
       .where(col("absdev") > lit(k) * col("mad"))
       .select(col(idCol), col(groupCol), col(valueCol),

@@ -10,6 +10,11 @@ import graft.sources.{Content, Tables}
 class ExtensionsSpec extends AnyFunSuite {
   lazy val spark = GraftSession.local("ext-test")
 
+  /** True when the plan contains any hash/merge equi-join operator. */
+  private def hasEquiJoin(plan: String): Boolean =
+    Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+      .exists(plan.contains)
+
   test("custom expressions are callable from SQL") {
     val r = spark.sql(
       "SELECT stable_hash64('abc') AS h, poly_hash('abc') AS p").collect().head
@@ -116,27 +121,36 @@ class ExtensionsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
 
     val rewritten = spark.sql(sql)
-    val plan = rewritten.queryExecution.executedPlan.toString
-    assert(!plan.contains("BroadcastNestedLoopJoin"),
-      s"rule did not fire:\n$plan")
-    assert(rewritten.queryExecution.optimizedPlan.toString
-      .contains("__graft_range_bin"))
+    val opt = rewritten.queryExecution.optimizedPlan.toString
+    assert(opt.contains("__graft_range_bin"), s"rule did not fire:\n$opt")
+    // bounded/overflow split: a Union whose fallback branch carries the
+    // re-entry marker
+    assert(opt.contains("Union"), s"no overflow split:\n$opt")
+    assert(opt.toLowerCase.contains("graftrangefallbackmarker"))
+    val got = rows(rewritten)
+    // the binned branch must plan as a real equi join (the overflow
+    // branch keeps a nested loop, but only over the capped subset —
+    // empty here, since every interval is 3 days)
+    val finalPlan = rewritten.queryExecution.executedPlan.toString
+    assert(hasEquiJoin(finalPlan), s"binned branch not an equi join:\n$finalPlan")
 
     spark.conf.set("spark.graft.rangeJoin.enabled", "false")
     try {
       val naive = spark.sql(sql)
       assert(naive.queryExecution.executedPlan.toString
         .contains("BroadcastNestedLoopJoin"))
-      assert(rows(rewritten) == rows(naive))
-      assert(rows(rewritten).nonEmpty)
+      assert(got == rows(naive))
+      assert(got.nonEmpty)
     } finally spark.conf.set("spark.graft.rangeJoin.enabled", "true")
 
     // mirrored orientation: point side on the right
     val mirrored = spark.sql("""SELECT o.o_orderkey, iv.l_orderkey
       FROM rj_iv iv JOIN rj_orders o
       ON o.o_orderdate >= iv.s AND o.o_orderdate <= iv.e""")
-    assert(!mirrored.queryExecution.executedPlan.toString
-      .contains("BroadcastNestedLoopJoin"))
+    assert(mirrored.queryExecution.optimizedPlan.toString
+      .contains("__graft_range_bin"))
+    mirrored.collect()
+    assert(hasEquiJoin(mirrored.queryExecution.executedPlan.toString))
 
     // a join that already has an equi key is left alone
     val equi = spark.sql("""SELECT o.o_orderkey FROM rj_orders o
@@ -167,16 +181,76 @@ class ExtensionsSpec extends AnyFunSuite {
     val opt = rewritten.queryExecution.optimizedPlan.toString
     assert(opt.contains("__graft_range_bin_l") &&
       opt.contains("__graft_range_bin_r"), s"interval form did not fire:\n$opt")
-    assert(!rewritten.queryExecution.executedPlan.toString
-      .contains("BroadcastNestedLoopJoin"))
+    val got = rows(rewritten)
+    // the both-bounded branch must plan as a real equi join on the bins
+    assert(hasEquiJoin(rewritten.queryExecution.executedPlan.toString))
 
     spark.conf.set("spark.graft.rangeJoin.enabled", "false")
     try {
       val naive = rows(spark.sql(sql))
-      val got = rows(rewritten)
       assert(got.length == naive.length, "duplicate or lost pairs")
       assert(got.toSet == naive.toSet)
       assert(got.nonEmpty)
     } finally spark.conf.set("spark.graft.rangeJoin.enabled", "true")
+  }
+
+  test("overflow intervals fall back exactly; outer/semi/anti rewrite too") {
+    import graft.sources.Tables
+    val dir = "/root/testdata/sf0.001"
+    Tables.table(spark, dir, "orders").createOrReplaceTempView("rc_orders")
+    // interval side with planted open-ended sentinels (the SCD shape the
+    // fan-out cap exists for): 3-day intervals plus rows whose end is
+    // 9999-12-31 — ~2.9M one-day bins, far past the 4096-bin cap
+    Tables.table(spark, dir, "lineitem")
+      .where(col("l_quantity") > 48)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").as("s"),
+        when(col("l_linenumber") === 1,
+          lit("9999-12-31 00:00:00").cast("timestamp_ntz"))
+          .otherwise(col("l_shipdate") + expr("INTERVAL 3 DAYS")).as("e"))
+      .createOrReplaceTempView("rc_iv")
+
+    def check(sql: String, expectBin: Boolean = true): Unit = {
+      val rewritten = spark.sql(sql)
+      val opt = rewritten.queryExecution.optimizedPlan.toString
+      if (expectBin)
+        assert(opt.contains("__graft_range_bin"), s"did not fire:\n$sql\n$opt")
+      val got = rewritten.collect().map(_.toSeq).toSeq
+        .sortBy(_.mkString("|"))
+      spark.conf.set("spark.graft.rangeJoin.enabled", "false")
+      try {
+        val naive = spark.sql(sql).collect().map(_.toSeq).toSeq
+          .sortBy(_.mkString("|"))
+        assert(got == naive, s"mismatch for:\n$sql")
+        assert(got.nonEmpty, s"vacuous check:\n$sql")
+      } finally spark.conf.set("spark.graft.rangeJoin.enabled", "true")
+    }
+
+    // inner: sentinel rows must still match every later order (via the
+    // fallback branch), bounded rows via the binned branch
+    check("""SELECT o.o_orderkey, iv.l_orderkey, iv.l_linenumber
+      FROM rc_orders o JOIN rc_iv iv
+      ON o.o_orderdate >= iv.s AND o.o_orderdate <= iv.e""")
+    // left outer, point side preserved: unmatched orders null-extend
+    check("""SELECT o.o_orderkey, iv.l_orderkey
+      FROM rc_orders o LEFT JOIN rc_iv iv
+      ON o.o_orderdate >= iv.s AND o.o_orderdate <= iv.e""")
+    // right outer, point side preserved on the right
+    check("""SELECT o.o_orderkey, iv.l_orderkey
+      FROM rc_iv iv RIGHT JOIN rc_orders o
+      ON o.o_orderdate >= iv.s AND o.o_orderdate <= iv.e""")
+    // semi / anti: explicit join syntax (EXISTS subqueries convert to
+    // LeftSemi only in the RewriteSubquery batch, after injected rules)
+    check("""SELECT o.o_orderkey FROM rc_orders o LEFT SEMI JOIN rc_iv iv
+      ON o.o_orderdate >= iv.s AND o.o_orderdate <= iv.e""")
+    check("""SELECT o.o_orderkey FROM rc_orders o LEFT ANTI JOIN rc_iv iv
+      ON o.o_orderdate >= iv.s AND o.o_orderdate <= iv.e""")
+    // outer join preserving the INTERVAL side is declined (exploded rows
+    // could not be deduplicated) and must stay untouched
+    val declined = spark.sql("""SELECT iv.l_orderkey, o.o_orderkey
+      FROM rc_iv iv LEFT JOIN rc_orders o
+      ON o.o_orderdate >= iv.s AND o.o_orderdate <= iv.e""")
+    assert(!declined.queryExecution.optimizedPlan.toString
+      .contains("__graft_range_bin"))
   }
 }

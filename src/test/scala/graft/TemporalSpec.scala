@@ -135,6 +135,30 @@ class TemporalSpec extends AnyFunSuite {
         binUs = 86400L * 1000000L)
     }
     assert(ex.getMessage.contains("longest interval"))
+    // validate=false skips the blocking pass; an undersized bin stays
+    // EXACT (an interval explodes into all its bins), it only widens the
+    // candidate fan-out past the 2x guarantee
+    val loose = Temporal.rangeJoin(orders, "o_orderdate", iv, "s", "e",
+      binUs = 86400L * 1000000L, validate = false)
+    val strict = Temporal.rangeJoin(orders, "o_orderdate", iv, "s", "e",
+      binUs = 4L * 86400L * 1000000L)
+    assert(loose.select("o_orderkey", "s").collect().toSeq.sorted(
+        Ordering.by((r: org.apache.spark.sql.Row) => r.toString)) ==
+      strict.select("o_orderkey", "s").collect().toSeq.sorted(
+        Ordering.by((r: org.apache.spark.sql.Row) => r.toString)))
+  }
+
+  test("rangeJoin with an empty interval side yields an empty result") {
+    val orders = Tables.table(spark, dir, "orders")
+      .select("o_orderkey", "o_orderdate")
+    val iv = Tables.table(spark, dir, "lineitem")
+      .where(col("l_quantity") > 1e9) // empty
+      .select(col("l_shipdate").as("s"),
+        (col("l_shipdate") + expr("INTERVAL 3 DAYS")).as("e"))
+    // the validation aggregate sees a NULL max span; must not NPE
+    val out = Temporal.rangeJoin(orders, "o_orderdate", iv, "s", "e",
+      binUs = 4L * 86400L * 1000000L)
+    assert(out.count() == 0L)
   }
 
   test("asofJoin plan has no join node; rangeJoin plan has no nested loop") {
