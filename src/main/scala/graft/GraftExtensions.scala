@@ -44,6 +44,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("inflate_text"),
       info("inflate_text", "inflate_text(bin) - zlib inflate to UTF-8 string"),
       (args: Seq[Expression]) => InflateText(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("image_meta"),
+      info("image_meta",
+        "image_meta(bin) - PNG/JPEG header parse to (format,width,height,channels)"),
+      (args: Seq[Expression]) => ImageMeta(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("dhash64"),
+      info("dhash64",
+        "dhash64(bin, w, h) - perceptual difference hash of a raw grayscale buffer"),
+      (args: Seq[Expression]) => DHash64(args(0), args(1), args(2))))
+    ext.injectFunction((
+      FunctionIdentifier("synth_image"),
+      info("synth_image",
+        "synth_image(seed, w, h, perturb) - deterministic raw image with dhash64 == seed"),
+      (args: Seq[Expression]) => SynthImage(args(0), args(1), args(2), args(3))))
     // kernels with a literal size parameter: evaluated at registration
     // (a non-foldable argument is a usage error)
     def litInt(e: Expression): Int =

@@ -1,0 +1,265 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static byte-level image helpers callable from generated code.
+  *
+  * These are the REAL decode paths of the multimodal family: container
+  * metadata comes from the actual PNG IHDR / JPEG SOF byte layouts (pure
+  * byte math over the payload's first bytes — no codec library), and the
+  * perceptual dHash runs over raw single-channel pixel buffers. Payload
+  * DECOMPRESSION (PNG IDAT inflate, JPEG entropy decode) is the one step
+  * that still needs a codec binding; [[graft.operators.Multimodal]]
+  * documents that seam.
+  */
+object ImageBytesUtil {
+
+  private def be4(d: Array[Byte], i: Int): Int =
+    ((d(i) & 0xff) << 24) | ((d(i + 1) & 0xff) << 16) |
+      ((d(i + 2) & 0xff) << 8) | (d(i + 3) & 0xff)
+
+  private def be2(d: Array[Byte], i: Int): Int =
+    ((d(i) & 0xff) << 8) | (d(i + 1) & 0xff)
+
+  /** Container metadata from the leading bytes: PNG (8-byte signature,
+    * IHDR fixed offsets: width/height as 4-byte big-endian at 16/20, bit
+    * depth and color type at 24/25) or JPEG (SOI, then marker-segment
+    * scan to the first SOF frame header: height/width big-endian at +5/+7
+    * inside the segment, component count at +9). Returns
+    * (format, width, height, channels) or null when unrecognized /
+    * truncated. */
+  def imageMeta(data: Array[Byte]): InternalRow = {
+    if (data.length >= 26 &&
+      (data(0) & 0xff) == 0x89 && data(1) == 'P' && data(2) == 'N' &&
+      data(3) == 'G' && (data(4) & 0xff) == 0x0d && (data(5) & 0xff) == 0x0a &&
+      (data(6) & 0xff) == 0x1a && (data(7) & 0xff) == 0x0a &&
+      data(12) == 'I' && data(13) == 'H' && data(14) == 'D' &&
+      data(15) == 'R') {
+      val ch = (data(25) & 0xff) match {
+        case 0 => 1 // grayscale
+        case 2 => 3 // truecolor
+        case 3 => 1 // palette
+        case 4 => 2 // gray + alpha
+        case 6 => 4 // truecolor + alpha
+        case _ => return null
+      }
+      return InternalRow(UTF8String.fromString("png"),
+        be4(data, 16), be4(data, 20), ch)
+    }
+    if (data.length >= 4 && (data(0) & 0xff) == 0xff &&
+      (data(1) & 0xff) == 0xd8) {
+      var i = 2
+      while (i + 9 < data.length) {
+        if ((data(i) & 0xff) != 0xff) return null
+        val m = data(i + 1) & 0xff
+        // SOF0..SOF15 minus the non-frame markers DHT/JPG/DAC
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          return InternalRow(UTF8String.fromString("jpeg"),
+            be2(data, i + 7), be2(data, i + 5), data(i + 9) & 0xff)
+        }
+        if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2
+        else if (m == 0xd9) return null // EOI before any frame header
+        else i += 2 + be2(data, i + 2) // length includes its own 2 bytes
+      }
+      return null
+    }
+    null
+  }
+
+  /** Perceptual difference hash of a `w x h` single-channel (grayscale)
+    * pixel buffer: sample a 9 x 8 grid (column c at x = ceil(c*w/9), row r
+    * at y = ceil(r*h/8)), set bit r*8+c when the sample is brighter than
+    * its right neighbor. Small pixel perturbations and resizes leave the
+    * hash unchanged as long as the horizontal gradients keep their sign —
+    * the standard near-duplicate-image fingerprint. Null when the buffer
+    * is smaller than the claimed dimensions or the grid cannot be sampled
+    * (w < 9 or h < 8). */
+  def dhash64(data: Array[Byte], w: Int, h: Int): java.lang.Long = {
+    if (w < 9 || h < 8 || data.length < w.toLong * h) return null
+    var sig = 0L
+    var r = 0
+    while (r < 8) {
+      val y = (r * h + 7) / 8
+      val px = new Array[Int](9)
+      var c = 0
+      while (c < 9) {
+        px(c) = data(y * w + (c * w + 8) / 9) & 0xff
+        c += 1
+      }
+      c = 0
+      while (c < 8) {
+        if (px(c) > px(c + 1)) sig |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    sig
+  }
+
+  /** Deterministic raw-grayscale image whose [[dhash64]] is exactly
+    * `seed`, at any size w >= 9, h >= 8: each of the 8 sample rows walks
+    * +/-8 brightness steps following seed's bits (so every adjacent
+    * sample pair differs by 8, far above the perturbation amplitude),
+    * and `perturb` brightens ~perturb/997 of the pixels by one step —
+    * the planted near-duplicate. The multimodal fixture generator: real
+    * byte-buffer plumbing with a closed-form oracle. Null for
+    * unsampleable dimensions. */
+  def synthImage(seed: Long, w: Int, h: Int, perturb: Int): Array[Byte] = {
+    if (w < 9 || h < 8) return null
+    val g = Array.ofDim[Int](8, 9)
+    var r = 0
+    while (r < 8) {
+      g(r)(0) = 128
+      var c = 0
+      while (c < 8) {
+        g(r)(c + 1) =
+          if (((seed >>> (r * 8 + c)) & 1L) == 1L) g(r)(c) - 8
+          else g(r)(c) + 8
+        c += 1
+      }
+      r += 1
+    }
+    val out = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      val gr = math.min(7, y * 8 / h)
+      var x = 0
+      while (x < w) {
+        val gc = math.min(8, x * 9 / w)
+        var v = g(gr)(gc)
+        if (perturb > 0 &&
+          java.lang.Math.floorMod(x * 31L + y * 17L + seed, 997L) < perturb)
+          v += 1
+        out(y * w + x) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+}
+
+/** Codegen'd container-metadata parse: `image_meta(binary)` ->
+  * struct(format, width, height, channels), null when unrecognized. */
+case class ImageMeta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ImageMeta.schema
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"image_meta expects BINARY, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    ImageBytesUtil.imageMeta(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ImageBytesUtil.imageMeta($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildInternal(newChild: Expression): ImageMeta =
+    copy(child = newChild)
+}
+
+object ImageMeta {
+  val schema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false)))
+}
+
+/** Codegen'd perceptual dHash: `dhash64(data, w, h)` -> BIGINT (null for
+  * unsampleable dimensions). */
+case class DHash64(data: Expression, w: Expression, h: Expression)
+    extends TernaryExpression {
+  override def first: Expression = data
+  override def second: Expression = w
+  override def third: Expression = h
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (data.dataType == BinaryType && w.dataType == IntegerType &&
+      h.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dhash64 expects (BINARY, INT, INT), got " +
+        s"(${data.dataType}, ${w.dataType}, ${h.dataType})")
+
+  override def nullSafeEval(d: Any, wv: Any, hv: Any): Any =
+    ImageBytesUtil.dhash64(d.asInstanceOf[Array[Byte]],
+      wv.asInstanceOf[Int], hv.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, wv, hv) => {
+      val tmp = ctx.freshName("dh")
+      s"""
+      java.lang.Long $tmp = graft.functions.ImageBytesUtil.dhash64($d, $wv, $hv);
+      ${ev.isNull} = $tmp == null;
+      ${ev.value} = ${ev.isNull} ? -1L : $tmp.longValue();"""
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): DHash64 =
+    copy(data = newFirst, w = newSecond, h = newThird)
+}
+
+/** Codegen'd deterministic fixture image: `synth_image(seed, w, h,
+  * perturb)` -> BINARY raw grayscale buffer with dhash64 == seed. */
+case class SynthImage(
+    seed: Expression, w: Expression, h: Expression, perturb: Expression)
+    extends QuaternaryExpression {
+  override def first: Expression = seed
+  override def second: Expression = w
+  override def third: Expression = h
+  override def fourth: Expression = perturb
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (seed.dataType == LongType && w.dataType == IntegerType &&
+      h.dataType == IntegerType && perturb.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"synth_image expects (BIGINT, INT, INT, INT), got " +
+        s"(${seed.dataType}, ${w.dataType}, ${h.dataType}, ${perturb.dataType})")
+
+  override def nullSafeEval(sv: Any, wv: Any, hv: Any, pv: Any): Any =
+    ImageBytesUtil.synthImage(sv.asInstanceOf[Long], wv.asInstanceOf[Int],
+      hv.asInstanceOf[Int], pv.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (sv, wv, hv, pv) => s"""
+      ${ev.value} = graft.functions.ImageBytesUtil.synthImage($sv, $wv, $hv, $pv);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression,
+      newFourth: Expression): SynthImage =
+    copy(seed = newFirst, w = newSecond, h = newThird, perturb = newFourth)
+}
+
+/** Column wrappers for the image byte kernels. */
+object images {
+  import org.apache.spark.sql.GraftBridge
+
+  def image_meta(data: Column): Column =
+    GraftBridge.column(ImageMeta(GraftBridge.expression(data)))
+
+  def dhash64(data: Column, w: Column, h: Column): Column =
+    GraftBridge.column(DHash64(GraftBridge.expression(data),
+      GraftBridge.expression(w), GraftBridge.expression(h)))
+
+  def synth_image(seed: Column, w: Column, h: Column, perturb: Column): Column =
+    GraftBridge.column(SynthImage(GraftBridge.expression(seed),
+      GraftBridge.expression(w), GraftBridge.expression(h),
+      GraftBridge.expression(perturb)))
+}

@@ -1,23 +1,132 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.images
 
 /** Multimodal column plumbing: image/audio/video payloads as opaque binary
   * columns with typed metadata, processed per-partition in batches.
   *
-  * The Spark-side contract is real and tested — schema, partitioning,
-  * batch shape, feature output — while the actual codec step is a STUB
-  * (this container has no image/audio libraries): `decodeStub` derives
-  * deterministic pseudo-features from the bytes. A production deployment
-  * swaps `decodeStub` for a real codec without touching the plumbing.
+  * Two decode layers are REAL and run in whole-stage codegen:
+  *   - container metadata: [[imageMeta]] parses PNG IHDR / JPEG SOF frame
+  *     headers from the payload's first bytes (pure byte math, no codec);
+  *   - perceptual fingerprints: [[dhash]] + [[dhashNearDups]] compute a
+  *     64-bit difference hash over raw pixel buffers and find
+  *     near-duplicate images with a banded-LSH hamming join.
+  *
+  * The remaining codec seam is payload DECOMPRESSION (PNG IDAT inflate,
+  * JPEG entropy decode, audio codecs) — this container ships no image
+  * libraries, so `decodeStub` stands in for that step with deterministic
+  * pseudo-features; a production deployment binds a real codec there
+  * without touching the plumbing.
   *
   * At scale: media rows are large and skewed — the pipeline repartitions by
   * media_id before the decode pass so one executor doesn't absorb all the
   * big payloads, and features (small) separate from payloads (large)
-  * immediately after decode so downstream joins never move the bytes.
+  * immediately after decode so downstream joins never move the bytes. The
+  * near-dup join ships 8-byte hashes, never pixels.
   */
 object Multimodal {
+
+  /** Container metadata from the payload's leading bytes:
+    * struct(format, width, height, channels), null when unrecognized.
+    * PNG: the 8-byte signature then the IHDR chunk at fixed offsets
+    * (width/height big-endian at 16/20, color type at 25 mapping to
+    * channel count). JPEG: SOI then a marker-segment scan to the first
+    * SOF frame header. Codegen'd byte math — metadata extraction over a
+    * 100 TB media corpus reads a few hundred bytes per row and never
+    * decodes a pixel. */
+  def imageMeta(data: Column): Column = images.image_meta(data)
+
+  /** Perceptual difference hash (64-bit) of a raw `w x h` grayscale
+    * buffer; see [[graft.functions.ImageBytesUtil.dhash64]]. */
+  def dhash(data: Column, w: Column, h: Column): Column =
+    images.dhash64(data, w, h)
+
+  /** Near-duplicate images by perceptual hash: pairs (id_a < id_b) whose
+    * dHash hamming distance is <= `maxHamming`, found with banded LSH —
+    * the 64-bit hash splits into four 16-bit bands; two images within
+    * hamming distance 3 agree exactly on at least one band (pigeonhole),
+    * so a band equi-join generates every candidate pair without an
+    * all-pairs comparison. For maxHamming > 3 recall is the standard LSH
+    * trade-off (a pair differing in all four bands is missed).
+    *
+    * A pair agreeing on several bands would duplicate, so it is emitted
+    * only in the FIRST band both agree on — a predicate over the two
+    * hashes (both in hand after the join), not a distinct shuffle.
+    *
+    * Scale shape: one shuffle of (id, hash) pairs — 16 bytes a row
+    * regardless of image size — per band (the explode multiplies rows by
+    * 4, not by image bytes); the hamming filter is codegen'd
+    * bit_count(xor). Returns (id_a, id_b, dhash_a, dhash_b, hamming). */
+  def dhashNearDups(
+      media: DataFrame, idCol: String, dataCol: String,
+      wCol: String, hCol: String, maxHamming: Int = 0): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0 (got $maxHamming)")
+    val sigs = media.select(
+      col(idCol).as("id"),
+      dhash(col(dataCol), col(wCol), col(hCol)).as("sig"))
+      .where(col("sig").isNotNull)
+    def band(sig: Column, b: Int): Column =
+      shiftright(sig, b * 16).bitwiseAND(lit(0xffffL))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(b => band(col("sig"), b)): _*))
+        .as(Seq("band_idx", "band_val")))
+    val a = banded.select(col("id").as("id_a"), col("sig").as("dhash_a"),
+      col("band_idx"), col("band_val"))
+    val b = banded.select(col("id").as("id_b"), col("sig").as("dhash_b"),
+      col("band_idx"), col("band_val"))
+    val firstSharedBand = (0 until 4).foldLeft(lit(4)) { (acc, k) =>
+      when(band(col("dhash_a"), 3 - k) === band(col("dhash_b"), 3 - k),
+        lit(3 - k)).otherwise(acc)
+    }
+    a.join(b, Seq("band_idx", "band_val"))
+      .where(col("id_a") < col("id_b"))
+      .where(col("band_idx") === firstSharedBand)
+      .withColumn("hamming",
+        bit_count(col("dhash_a").bitwiseXOR(col("dhash_b"))).cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "dhash_a", "dhash_b", "hamming")
+  }
+
+  /** Fixture builder: a minimal standards-layout PNG byte stream (real
+    * signature + IHDR chunk) for the given dimensions and color type,
+    * assembled with column ops (int -> big-endian bytes via
+    * unhex(lpad(hex(...)))). The pixel data chunk is an empty IDAT —
+    * header parsing never reads it. */
+  def pngBytes(w: Column, h: Column, colorType: Column): Column = {
+    def be4(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
+    def be1(c: Column): Column = unhex(lpad(hex(c), 2, "0"))
+    concat(
+      unhex(lit("89504E470D0A1A0A")), // signature
+      unhex(lit("0000000D")), lit("IHDR").cast("binary"),
+      be4(w), be4(h),
+      be1(lit(8)), be1(colorType), // bit depth 8, color type
+      unhex(lit("000000")), // compression, filter, interlace
+      unhex(lit("00000000")), // (unchecked) IHDR crc
+      unhex(lit("0000000049444154"))) // empty IDAT
+  }
+
+  /** Fixture builder: a minimal JPEG byte stream — SOI, optionally an
+    * APP0/JFIF segment (so the marker scan is exercised), then an SOF0
+    * frame header for the given dimensions and component count. */
+  def jpegBytes(
+      w: Column, h: Column, nComp: Column, withApp0: Column): Column = {
+    def be2(c: Column): Column = unhex(lpad(hex(c), 4, "0"))
+    def be1(c: Column): Column = unhex(lpad(hex(c), 2, "0"))
+    val app0 = when(withApp0,
+      concat(unhex(lit("FFE00010")), lit("JFIF").cast("binary"),
+        unhex(lit("00010100000100010000")))) // JFIF\0 + 10 bytes = 14 payload
+      .otherwise(unhex(lit("")))
+    concat(
+      unhex(lit("FFD8")), app0,
+      unhex(lit("FFC0")), be2(nComp * 3 + 8), be1(lit(8)),
+      be2(h), be2(w), be1(nComp),
+      // per-component (id, sampling, qtable) triples then EOI
+      when(nComp === 1, unhex(lit("011100")))
+        .otherwise(unhex(lit("012200021101031101"))),
+      unhex(lit("FFD9")))
+  }
 
   final case class MediaRow(
       media_id: Long, kind: String, data: Array[Byte],

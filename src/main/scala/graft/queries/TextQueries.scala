@@ -626,6 +626,74 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM documents"""),
     ),
 
+    // Real container-metadata decode: the fixture plants standards-layout
+    // PNG/JPEG byte streams with dimensions derived from doc_id, the
+    // engine parses them back from the BYTES (image_meta byte math); the
+    // oracle predicts the planted values arithmetically — any parse slip
+    // breaks the match. PNG color types cycle {0,2,6} (1/3/4 channels);
+    // JPEGs alternate 1/3 components and half carry an APP0 segment so
+    // the marker scan is exercised.
+    "q_multimodal_dims" -> QueryDef(
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"),
+          (col("doc_id") % 600 + 9).cast("int").as("w"),
+          (col("doc_id") % 400 + 8).cast("int").as("h"))
+        val png = d.where(col("doc_id") % 2 === 0).select(col("doc_id"),
+          graft.operators.Multimodal.pngBytes(col("w"), col("h"),
+            element_at(array(lit(0), lit(2), lit(6)),
+              (col("doc_id") % 3 + 1).cast("int"))).as("data"))
+        val jpg = d.where(col("doc_id") % 2 === 1).select(col("doc_id"),
+          graft.operators.Multimodal.jpegBytes(col("w"), col("h"),
+            when(col("doc_id") % 3 === 0, 1).otherwise(3),
+            col("doc_id") % 4 === 1).as("data"))
+        png.unionByName(jpg)
+          .select(col("doc_id").as("media_id"),
+            graft.operators.Multimodal.imageMeta(col("data")).as("m"))
+          .select(col("media_id"), col("m.format").as("format"),
+            col("m.width").as("width"), col("m.height").as("height"),
+            col("m.channels").as("channels"))
+      },
+      Some("""SELECT doc_id AS media_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+          CAST(doc_id % 600 + 9 AS INTEGER) AS width,
+          CAST(doc_id % 400 + 8 AS INTEGER) AS height,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN
+                 CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+               ELSE CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END
+          END AS INTEGER) AS channels
+        FROM documents"""),
+    ),
+
+    // Perceptual near-dup join over raw pixel buffers: synth_image plants
+    // groups of near-duplicate images (same dHash seed per doc_id % 7
+    // group, per-row pixel perturbations and sizes), dhashNearDups finds
+    // all intra-group pairs via the banded hamming join. dhash64(synth(
+    // seed)) == seed by construction, so the oracle predicts each group's
+    // hash and pair count in closed form.
+    "q_multimodal_phash_dups" -> QueryDef(
+      (s, dir) => {
+        val media = docs(s, dir).where(col("doc_id") < 1500)
+          .select(col("doc_id"),
+            (col("doc_id") % 7 * 1234567 + 42).cast("long").as("seed"),
+            (col("doc_id") % 5 + 16).cast("int").as("w"),
+            (col("doc_id") % 4 + 12).cast("int").as("h"),
+            (col("doc_id") % 3).cast("int").as("perturb"))
+          .select(col("doc_id"), col("w"), col("h"),
+            graft.functions.images.synth_image(
+              col("seed"), col("w"), col("h"), col("perturb")).as("data"))
+        graft.operators.Multimodal
+          .dhashNearDups(media, "doc_id", "data", "w", "h", maxHamming = 0)
+          .groupBy(col("dhash_a").as("dhash"))
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some("""WITH g AS (
+          SELECT doc_id % 7 * 1234567 + 42 AS dhash, count(*) AS n
+          FROM documents WHERE doc_id < 1500 GROUP BY 1)
+        SELECT CAST(dhash AS BIGINT) AS dhash,
+          CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs
+        FROM g WHERE n >= 2"""),
+    ),
+
     // --- similarity search ----------------------------------------------
     "q_embed_topk" -> QueryDef(
       (s, dir) => {

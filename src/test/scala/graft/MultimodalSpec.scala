@@ -39,4 +39,80 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getLong(1) == expect, s"media ${r.getLong(0)}")
     }
   }
+
+  test("image_meta parses real PNG and JPEG byte streams") {
+    import graft.functions.ImageBytesUtil
+    // the canonical 1x1 8-bit RGBA PNG (signature + IHDR + IDAT + IEND),
+    // bytes as produced by real encoders
+    val onePixelPng: Array[Byte] = Array(
+      0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, // signature
+      0x00, 0x00, 0x00, 0x0d, 0x49, 0x48, 0x44, 0x52, // len 13, IHDR
+      0x00, 0x00, 0x00, 0x01, 0x00, 0x00, 0x00, 0x01, // w=1 h=1
+      0x08, 0x06, 0x00, 0x00, 0x00, 0x1f, 0x15, 0xc4, // depth 8, color 6
+      0x89, 0x00, 0x00, 0x00, 0x0a, 0x49, 0x44, 0x41,
+      0x54, 0x78, 0x9c, 0x63, 0x00, 0x01, 0x00, 0x00,
+      0x05, 0x00, 0x01, 0x0d, 0x0a, 0x2d, 0xb4, 0x00,
+      0x00, 0x00, 0x00, 0x49, 0x45, 0x4e, 0x44, 0xae,
+      0x42, 0x60, 0x82).map(_.toByte)
+    val png = ImageBytesUtil.imageMeta(onePixelPng)
+    assert(png != null)
+    assert(png.getString(0) == "png" && png.getInt(1) == 1 &&
+      png.getInt(2) == 1 && png.getInt(3) == 4)
+
+    // a JPEG prefix in encoder layout: SOI, APP0/JFIF, DQT, then SOF0
+    // 640x480 3-component — the scan must skip the variable segments
+    val jpegPrefix: Array[Byte] = (
+      Array(0xff, 0xd8) ++ // SOI
+        Array(0xff, 0xe0, 0x00, 0x10, 0x4a, 0x46, 0x49, 0x46, 0x00, 0x01,
+          0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00) ++ // APP0
+        (Array(0xff, 0xdb, 0x00, 0x43, 0x00) ++ Array.fill(64)(0x10)) ++ // DQT
+        Array(0xff, 0xc0, 0x00, 0x11, 0x08, 0x01, 0xe0, 0x02, 0x80, 0x03,
+          0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01) // SOF0
+      ).map(_.toByte)
+    val jpg = ImageBytesUtil.imageMeta(jpegPrefix)
+    assert(jpg != null)
+    assert(jpg.getString(0) == "jpeg" && jpg.getInt(1) == 640 &&
+      jpg.getInt(2) == 480 && jpg.getInt(3) == 3)
+
+    // garbage and truncation return null, and the SQL surface agrees
+    assert(ImageBytesUtil.imageMeta("not an image".getBytes) == null)
+    assert(ImageBytesUtil.imageMeta(onePixelPng.take(20)) == null)
+    val viaSql = spark.sql(
+      "SELECT m.* FROM (SELECT image_meta(unhex('89504E470D0A1A0A0000000D" +
+        "494844520000014000000100080200000000000000')) AS m)").collect().head
+    assert(viaSql.getString(0) == "png" && viaSql.getInt(1) == 320 &&
+      viaSql.getInt(2) == 256 && viaSql.getInt(3) == 3)
+  }
+
+  test("dhash: perturbation/resize invariant, distant for different seeds") {
+    import graft.functions.ImageBytesUtil
+    val seeds = Seq(0L, -1L, 0x5a5a5a5aL, 1234567L, Long.MinValue)
+    for (seed <- seeds; (w, h) <- Seq((9, 8), (16, 12), (64, 48))) {
+      val clean = ImageBytesUtil.synthImage(seed, w, h, 0)
+      val dirty = ImageBytesUtil.synthImage(seed, w, h, 3)
+      assert(ImageBytesUtil.dhash64(clean, w, h) == seed,
+        s"seed $seed at ${w}x$h")
+      assert(ImageBytesUtil.dhash64(dirty, w, h) == seed,
+        s"perturbed seed $seed at ${w}x$h")
+    }
+    assert(ImageBytesUtil.dhash64(Array.fill(32)(0.toByte), 8, 4) == null)
+  }
+
+  test("dhashNearDups: finds hamming<=3 pairs via band join, skips far pairs") {
+    import spark.implicits._
+    // base signature, a 2-bit-flipped near dup, and a far image
+    val base = 0x0f0f0f0f12345678L
+    val near = base ^ (1L << 5) ^ (1L << 40) // hamming 2, bands 0|2 differ
+    val far = ~base // hamming 64
+    val rows = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "seed")
+      .select(col("id"), lit(18).as("w"), lit(14).as("h"),
+        graft.functions.images.synth_image(
+          col("seed"), lit(18), lit(14), lit(1)).as("data"))
+    val pairs = Multimodal
+      .dhashNearDups(rows, "id", "data", "w", "h", maxHamming = 3)
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(pairs.head.getInt(4) == 2)
+  }
 }
