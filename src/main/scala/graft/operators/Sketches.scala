@@ -99,6 +99,83 @@ object Sketches {
       .select(explode(col("mg")).as(Seq("term", "est")))
   }
 
+  /** Merge-side aggregator: folds PERSISTED Misra–Gries sketch columns
+    * (map<string,long>) into one sketch per group, with the same k-counter
+    * bound — the incremental convention: per-batch/per-shard sketches
+    * persist as map columns and re-aggregate without touching rows again
+    * (Agarwal et al. mergeable-summaries law: error bounds hold under any
+    * merge tree). */
+  final class MisraGriesMergeAgg(k: Int)
+      extends Aggregator[Map[String, Long], mutable.HashMap[String, Long], Map[String, Long]] {
+    private val inner = new MisraGriesAgg(k)
+    def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
+    def reduce(
+        b: mutable.HashMap[String, Long],
+        m: Map[String, Long]): mutable.HashMap[String, Long] =
+      inner.merge(b, mutable.HashMap.from(m))
+    def merge(
+        a: mutable.HashMap[String, Long],
+        b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] =
+      inner.merge(a, b)
+    def finish(b: mutable.HashMap[String, Long]): Map[String, Long] = b.toMap
+    def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
+      Encoders.kryo[mutable.HashMap[String, Long]]
+    def outputEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** Per-group Misra–Gries: one k-counter sketch per `keyCol` value, as
+    * (key, mg map<string,long>) — the shape a pipeline over
+    * sources/languages/shards actually wants (the global [[misraGries]]
+    * funnels every partial into ONE final merge; here the final merge is
+    * key-partitioned, so heavy-hitter state scales with group count, and
+    * only k-sized buffers ever shuffle). */
+  def misraGriesByKey(
+      df: DataFrame, keyCol: String, termCol: String, k: Int): DataFrame = {
+    val mg = udaf(new MisraGriesAgg(k), Encoders.STRING)
+    df.select(col(keyCol).as("key"), col(termCol).cast("string").as("term"))
+      .na.drop()
+      .groupBy("key")
+      .agg(mg(col("term")).as("mg"))
+  }
+
+  /** Fold persisted per-batch sketch columns into one sketch per key (see
+    * [[MisraGriesMergeAgg]]): `sketches` rows are (keyCol, sketchCol:
+    * map<string,long>) from prior [[misraGriesByKey]] runs. */
+  def misraGriesMergeByKey(
+      sketches: DataFrame, keyCol: String, sketchCol: String,
+      k: Int): DataFrame = {
+    val merge = udaf(new MisraGriesMergeAgg(k),
+      ExpressionEncoder[Map[String, Long]]())
+    sketches.select(col(keyCol).as("key"), col(sketchCol).as("sk"))
+      .groupBy("key")
+      .agg(merge(col("sk")).as("mg"))
+  }
+
+  /** Per-group guarantee audit (the [[heavyHitters]] contract, key-wise):
+    * for every key and every term provably findable WITHIN that key
+    * (frequency strictly above N_key/(k+1)), report presence and bound
+    * compliance. Deterministic TRUE/TRUE columns despite sketch-state
+    * nondeterminism — the gate's oracle predicts them in closed form. */
+  def heavyHittersByKey(
+      df: DataFrame, keyCol: String, termCol: String, k: Int): DataFrame = {
+    val terms = df
+      .select(col(keyCol).as("key"), col(termCol).cast("string").as("term"))
+      .na.drop()
+    val est = misraGriesByKey(terms, "key", "term", k)
+      .select(col("key"), explode(col("mg")).as(Seq("term", "est")))
+    val exact = terms.groupBy("key", "term").agg(count(lit(1)).as("exact"))
+    val total = terms.groupBy("key").agg(count(lit(1)).as("total"))
+    exact.join(total, Seq("key"))
+      .where(col("exact") * (k + 1) > col("total"))
+      .join(est, Seq("key", "term"), "left")
+      .select(col("key"), col("term"), col("exact"),
+        col("est").isNotNull.as("found"),
+        (col("est").isNotNull && col("est") <= col("exact") &&
+          (col("exact") - col("est")) * (k + 1) <= col("total"))
+          .as("within_bound"))
+  }
+
   /** Mergeable distinct-count sketches: per-group HLL sketches
     * (datasketches `hll_sketch_agg`) folded into a corpus-wide estimate
     * with `hll_union_agg` — the incremental/partitioned form of

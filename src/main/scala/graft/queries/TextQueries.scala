@@ -2171,6 +2171,24 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM e, n WHERE exact * 4 > total"""),
     ),
 
+    // per-group heavy hitters: one k-counter sketch per key, final merge
+    // key-partitioned (no single global reducer); the audit columns are
+    // deterministic despite sketch-state nondeterminism, so the oracle
+    // predicts them in closed form per key
+    "q_text_heavy_hitters_grouped" -> QueryDef(
+      (s, dir) => graft.operators.Sketches.heavyHittersByKey(
+        docs(s, dir).select((col("doc_id") % 4).as("bucket"), col("lang")),
+        "bucket", "lang", k = 3),
+      Some("""WITH t AS (SELECT doc_id % 4 AS key, lang AS term
+          FROM documents),
+        n AS (SELECT key, CAST(count(*) AS BIGINT) AS total
+          FROM t GROUP BY 1),
+        e AS (SELECT key, term, CAST(count(*) AS BIGINT) AS exact
+          FROM t GROUP BY 1, 2)
+        SELECT e.key, term, exact, TRUE AS found, TRUE AS within_bound
+        FROM e JOIN n ON e.key = n.key WHERE exact * 4 > total"""),
+    ),
+
     // threshold-free classifier eval: exact tie-handled ROC-AUC of the NB
     // 'en' one-vs-rest score by the rank-sum identity, folded from a score
     // HISTOGRAM (rangedCumsum, no row-level ranking); u2 = 2*U stays

@@ -128,24 +128,33 @@ object Streams {
     * themselves — the standard telemetry/metric-quality screen.
     *
     * Scale shape: two grouped exact-percentile aggregations (Spark's
-    * `percentile`, partial-aggregated per group) and two broadcast-sized
-    * joins on the group key — the value rows shuffle once per pass, and
-    * at fixed group cardinality the stats side stays dimension-sized. The
-    * comparisons are the same IEEE ops on both engines, so flagged
-    * membership is exact.
+    * `percentile`, partial-aggregated per group) and two joins on the
+    * group key. The stats sides broadcast ONLY while the group
+    * cardinality is provably dimension-sized: a cheap
+    * approx_count_distinct pre-pass checks it against
+    * `maxBroadcastGroups`, and above the threshold both joins fall back
+    * to shuffle joins — the contract is enforced, not advisory, so a
+    * high-cardinality group key degrades to one extra exchange instead
+    * of OOMing the driver. The comparisons are the same IEEE ops on both
+    * engines, so flagged membership is exact either way.
     *
     * Returns the flagged rows: (idCol, groupCol, valueCol, med, mad). */
   def robustAnomalies(
       df: DataFrame, idCol: String, groupCol: String, valueCol: String,
-      k: Double): DataFrame = {
+      k: Double, maxBroadcastGroups: Long = 262144L): DataFrame = {
+    val nGroups = df
+      .select(approx_count_distinct(col(groupCol)).as("n"))
+      .head.getLong(0)
+    val dim = (s: DataFrame) =>
+      if (nGroups <= maxBroadcastGroups) broadcast(s) else s
     val med = df.groupBy(groupCol)
       .agg(percentile(col(valueCol), lit(0.5)).as("med"))
     val dev = df.select(col(idCol), col(groupCol), col(valueCol))
-      .join(broadcast(med), Seq(groupCol))
+      .join(dim(med), Seq(groupCol))
       .withColumn("absdev", abs(col(valueCol) - col("med")))
     val mad = dev.groupBy(groupCol)
       .agg(percentile(col("absdev"), lit(0.5)).as("mad"))
-    dev.join(broadcast(mad), Seq(groupCol))
+    dev.join(dim(mad), Seq(groupCol))
       .where(col("absdev") > lit(k) * col("mad"))
       .select(col(idCol), col(groupCol), col(valueCol),
         col("med"), col("mad"))

@@ -283,6 +283,27 @@ class PlanSpec extends AnyFunSuite {
     val ap = plan(anomaly)
     assert(ap.contains("BroadcastHashJoin"), s"anomaly stats not broadcast:\n$ap")
     assert(!ap.contains("SortMergeJoin"), s"fact-side shuffle join:\n$ap")
+    // the broadcast contract is ENFORCED: above the group-cardinality
+    // threshold the explicit hint disappears, so the planner's size-based
+    // safety decides (auto-broadcast off here to observe the fallback)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val guarded = graft.streaming.Streams.robustAnomalies(
+        Tables.events(spark, dir), "event_id", "event_type", "value", 3.0,
+        maxBroadcastGroups = 1L)
+      val gp = plan(guarded)
+      assert(!gp.contains("BroadcastHashJoin"),
+        s"fallback still broadcasts:\n$gp")
+      // the hinted path still broadcasts even with auto-broadcast off ...
+      val hinted = graft.streaming.Streams.robustAnomalies(
+        Tables.events(spark, dir), "event_id", "event_type", "value", 3.0)
+      assert(plan(hinted).contains("BroadcastHashJoin"))
+      // ... and both paths agree row-for-row
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+      assert(rows(guarded) == rows(hinted))
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
     // stratifiedSample: every window is partitioned (two-phase salted
     // top-n) — no single-task global sort

@@ -81,4 +81,51 @@ class SketchesSpec extends AnyFunSuite {
       s"merged $est vs direct $direct")
     assert(math.abs(est - 1200.0) <= 1200.0 * 0.05, s"estimate $est")
   }
+
+  test("per-group sketches: guarantees hold per key; persisted merge law") {
+    val k = 16
+    // two keys with DIFFERENT distributions: key A = the Zipf stream,
+    // key B = a majority element plus noise — per-key thresholds differ
+    val rows =
+      stream.map(("a", _)) ++
+        (Seq.fill(3000)("maj") ++ (1 to 150).map(i => s"x$i")).map(("b", _))
+    val df = rows.toDF("key", "term").repartition(13)
+    def audit(skByKey: org.apache.spark.sql.DataFrame): Unit = {
+      val got = skByKey.select(col("key"), explode(col("mg")))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val byKey = rows.groupBy(_._1)
+      for ((key, xs) <- byKey) {
+        val n = xs.size.toLong
+        val bound = n / (k + 1)
+        val ex = xs.groupBy(_._2).map { case (t, ys) => t -> ys.size.toLong }
+        assert(got.keys.count(_._1 == key) <= k)
+        got.collect { case ((`key`, t), est) =>
+          assert(est <= ex(t), s"$key/$t overcounted")
+          assert(ex(t) - est <= bound, s"$key/$t est=$est")
+        }
+        ex.filter(_._2 > bound).keys.foreach { t =>
+          assert(got.contains((key, t)), s"guaranteed $key/$t missing")
+        }
+      }
+    }
+    audit(Sketches.misraGriesByKey(df, "key", "term", k))
+
+    // persistence convention: sketch three batches independently, persist
+    // the map columns, fold them later — same bounds after the merge
+    // (mergeable-summaries law), without re-reading any batch's rows
+    val batches = (0 until 3).map { b =>
+      val batch = rows.zipWithIndex.collect {
+        case (r, i) if i % 3 == b => r
+      }.toDF("key", "term")
+      Sketches.misraGriesByKey(batch, "key", "term", k)
+    }
+    val persisted = batches.reduce(_ unionByName _)
+    audit(Sketches.misraGriesMergeByKey(persisted, "key", "mg", k))
+
+    // the audit gate's columns are all-true on this data
+    val flags = Sketches.heavyHittersByKey(df, "key", "term", k).collect()
+    assert(flags.nonEmpty)
+    assert(flags.forall(r => r.getBoolean(3) && r.getBoolean(4)))
+  }
 }
