@@ -91,5 +91,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"hadamard_rotate needs a power-of-two dim (got $dim)")
         HadamardRotate(args(0), dim)
       }))
+
+    // Table-valued surface for the temporal joins: the reference's whole
+    // API is declarative (indra_db/client/readonly/query.py:350-1078), so
+    // the operators Spark lacks in SQL become FROM-clause functions over
+    // named views — `SELECT ... FROM asof_join('facts','k','ts',...)`.
+    // The builder runs at analysis time: it resolves the view names via
+    // the active session and returns the operator's logical plan.
+    def litStr(e: Expression): String =
+      e.eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    ext.injectTableFunction((
+      FunctionIdentifier("asof_join"),
+      info("asof_join",
+        "asof_join(factsView, factKey, factTs, dimsView, dimKey, dimTs, " +
+          "tieBreak, payloadCol, ...) - backward as-of join of two views"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 8,
+          "asof_join(factsView, factKey, factTs, dimsView, dimKey, dimTs, " +
+            "tieBreak, payloadCol [, payloadCol ...])")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.Temporal.asofJoin(
+          spark.table(litStr(args(0))), litStr(args(1)), litStr(args(2)),
+          spark.table(litStr(args(3))), litStr(args(4)), litStr(args(5)),
+          payload = args.drop(7).map(litStr),
+          rightTieBreak = litStr(args(6))).queryExecution.logical
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("range_join"),
+      info("range_join",
+        "range_join(pointsView, pointTs, intervalsView, startCol, endCol, " +
+          "binUs) - point-in-interval binned join of two views"),
+      (args: Seq[Expression]) => {
+        require(args.length == 6,
+          "range_join(pointsView, pointTs, intervalsView, startCol, " +
+            "endCol, binUs)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        // validate=false: the bin-bound check runs a Spark job, which has
+        // no place inside analysis; results are exact for any bin
+        graft.operators.Temporal.rangeJoin(
+          spark.table(litStr(args(0))), litStr(args(1)),
+          spark.table(litStr(args(2))), litStr(args(3)), litStr(args(4)),
+          binUs = args(5).eval().asInstanceOf[Number].longValue,
+          validate = false).queryExecution.logical
+      }))
   }
 }

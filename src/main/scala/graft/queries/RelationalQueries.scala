@@ -741,6 +741,52 @@ object RelationalQueries extends QueryPack {
         FROM w WHERE is_left = 1"""),
     ),
 
+    // the DECLARATIVE surface of the same operator: compiled from raw SQL
+    // through the asof_join table-valued function (GraftExtensions
+    // injectTableFunction), identical semantics and oracle to q_join_asof
+    // — proof the HTTP/SQL layer reaches the temporal joins without Scala
+    "q_join_asof_sql" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        ev.where(col("event_type") === "purchase")
+          .select("user_id", "event_id", "ts")
+          .createOrReplaceTempView("graft_asof_facts")
+        ev.where(col("event_type") =!= "purchase")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("touch_event_id"),
+            col("event_type").as("touch_type"))
+          .createOrReplaceTempView("graft_asof_dims")
+        s.sql("""SELECT user_id, event_id,
+            coalesce(touch_event_id, -1L) AS touch_event_id,
+            coalesce(touch_type, 'none') AS touch_type,
+            coalesce(unix_micros(ts) - unix_micros(asof_ts), -1L) AS age_us
+          FROM asof_join('graft_asof_facts', 'user_id', 'ts',
+            'graft_asof_dims', 'user_id', 'ts',
+            'touch_event_id', 'touch_event_id', 'touch_type')""")
+      },
+      Some("""WITH u AS (
+          SELECT user_id, ts, 1 AS is_left, event_id,
+                 CAST(NULL AS BIGINT) AS tb,
+                 CAST(NULL AS STRUCT(e BIGINT, t VARCHAR, rts TIMESTAMP)) AS m
+          FROM events WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT user_id, ts, 0, NULL, event_id,
+                 struct_pack(e := event_id, t := event_type, rts := ts)
+          FROM events WHERE event_type <> 'purchase'),
+        w AS (
+          SELECT user_id, ts, is_left, event_id,
+            last_value(m IGNORE NULLS) OVER (
+              PARTITION BY user_id
+              ORDER BY ts ASC, is_left ASC, tb ASC NULLS FIRST
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+          FROM u)
+        SELECT user_id, event_id,
+          coalesce(m.e, -1) AS touch_event_id,
+          coalesce(m.t, 'none') AS touch_type,
+          coalesce(epoch_us(ts) - epoch_us(m.rts), -1) AS age_us
+        FROM w WHERE is_left = 1"""),
+    ),
+
     // forward as-of join (Temporal.asofJoinForward): each purchase
     // matched to the user's EARLIEST later-or-equal non-purchase event —
     // the "next touch after conversion" mirror of q_join_asof, same

@@ -203,6 +203,40 @@ object Streams {
       }.start()
   }
 
+  /** Watermarked STREAM-STREAM join: a stream of fact rows against a
+    * stream of late-arriving dimension validity intervals — the one
+    * streaming shape [[streamingAsofEnrich]]'s stream-static snapshot
+    * cannot cover, because there the dimension must be complete before
+    * the facts arrive; here both sides trickle in out of order and the
+    * engine holds bounded state for both.
+    *
+    * Inner equi-join on the key plus an event-time containment condition
+    * (`factTs` in `[validFrom, validTo]`). Both sides carry watermarks,
+    * and the extra `factTs <= validFrom + maxValidity` conjunct gives
+    * Spark the two-sided time constraint it needs to EXPIRE join state:
+    * fact state older than the dimension watermark minus `maxValidity`
+    * and dimension state older than the fact watermark are dropped, so
+    * state is bounded by the watermark horizon, not the stream length.
+    * `maxValidity` is therefore a CONTRACT: intervals longer than it are
+    * truncated (pairs beyond the bound are not emitted) — size it to the
+    * dimension's maximum validity window.
+    *
+    * Column names must be distinct across the two sides. Returns the
+    * joined stream (append-mode capable); the caller attaches the sink.
+    */
+  def streamStreamIntervalJoin(
+      facts: DataFrame, factKey: String, factTs: String,
+      dims: DataFrame, dimKey: String, validFrom: String, validTo: String,
+      watermarkDelay: String, maxValidity: String): DataFrame = {
+    val f = facts.withWatermark(factTs, watermarkDelay)
+    val d = dims.withWatermark(validFrom, watermarkDelay)
+    f.join(d,
+      col(factKey) === col(dimKey) &&
+        col(factTs) >= col(validFrom) &&
+        col(factTs) <= col(validTo) &&
+        col(factTs) <= col(validFrom) + expr(s"INTERVAL $maxValidity"))
+  }
+
   /** Batch sessionization: a session breaks after `gapMinutes` of user
     * inactivity. Two windows over the same (user_id, ts) partitioning: lag
     * marks session starts, a running sum numbers them — the batch shape of

@@ -253,4 +253,42 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!declined.queryExecution.optimizedPlan.toString
       .contains("__graft_range_bin"))
   }
+
+  test("asof_join / range_join table functions match the Scala API") {
+    import graft.operators.Temporal
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir)
+    val facts = ev.where(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts")
+    val dims = ev.where(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("t_id"),
+        col("event_type").as("t_type"))
+    facts.createOrReplaceTempView("tvf_facts")
+    dims.createOrReplaceTempView("tvf_dims")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+
+    val viaSql = spark.sql("""SELECT user_id, event_id, t_id, t_type
+      FROM asof_join('tvf_facts', 'user_id', 'ts', 'tvf_dims', 'user_id',
+        'ts', 't_id', 't_id', 't_type')""")
+    val viaApi = Temporal.asofJoin(facts, "user_id", "ts",
+        dims, "user_id", "ts", payload = Seq("t_id", "t_type"),
+        rightTieBreak = "t_id")
+      .select("user_id", "event_id", "t_id", "t_type")
+    assert(rows(viaSql) == rows(viaApi))
+    assert(rows(viaSql).nonEmpty)
+
+    facts.createOrReplaceTempView("tvf_points")
+    dims.select(col("ts").as("s"),
+        (col("ts") + expr("INTERVAL 2 DAYS")).as("e"), col("t_id"))
+      .createOrReplaceTempView("tvf_iv")
+    val rangeSql = spark.sql("""SELECT event_id, t_id
+      FROM range_join('tvf_points', 'ts', 'tvf_iv', 's', 'e',
+        345600000000)""")
+    val rangeApi = Temporal.rangeJoin(facts, "ts",
+        spark.table("tvf_iv"), "s", "e", binUs = 4L * 86400L * 1000000L)
+      .select("event_id", "t_id")
+    assert(rows(rangeSql) == rows(rangeApi))
+    assert(rows(rangeSql).nonEmpty)
+  }
 }

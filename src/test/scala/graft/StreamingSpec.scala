@@ -635,4 +635,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
     assert(out.count() == purchases.count()) // exactly-once, no dup rows
   }
+
+  test("stream-stream interval join == batch join over out-of-order batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables.events(spark, dir)
+    val facts = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("f_user"), col("event_id").as("f_id"),
+        col("ts").as("f_ts"))
+    // late-arriving dimension deltas: per-event validity windows derived
+    // from the other event types
+    val dims = ev.where(col("event_type") =!= "purchase")
+      .select(col("user_id").as("d_user"), col("event_id").as("d_id"),
+        col("ts").as("valid_from"),
+        (col("ts") + expr("INTERVAL 6 HOURS")).as("valid_to"))
+
+    val expected = facts.join(dims,
+        col("f_user") === col("d_user") &&
+          col("f_ts") >= col("valid_from") && col("f_ts") <= col("valid_to"))
+      .select("f_id", "d_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ss-join")
+    // out-of-order arrival on BOTH sides: each side splits into two files
+    // whose time ranges interleave (odd/even ids, not a time split)
+    facts.where(col("f_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$tmp/facts/a")
+    facts.where(col("f_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$tmp/facts/b")
+    dims.where(col("d_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$tmp/dims/a")
+    dims.where(col("d_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$tmp/dims/b")
+
+    val factsStream = spark.readStream
+      .schema(facts.schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/facts/*")
+    val dimsStream = spark.readStream
+      .schema(dims.schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/dims/*")
+    // generous watermark: all arrivals are within horizon, so streamed
+    // must equal batch exactly; maxValidity matches the 6h window
+    val joined = Streams.streamStreamIntervalJoin(
+      factsStream, "f_user", "f_ts",
+      dimsStream, "d_user", "valid_from", "valid_to",
+      watermarkDelay = "3650 days", maxValidity = "6 HOURS")
+    val q = joined.select("f_id", "d_id").writeStream
+      .format("memory").queryName("ss_join_out")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("ss_join_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // append-only exactly-once: no duplicate pairs
+    assert(spark.table("ss_join_out").count() == got.size)
+  }
 }
