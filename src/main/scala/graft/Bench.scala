@@ -49,7 +49,8 @@ object Bench {
 
   private def emit(
       results: Seq[(String, Double, Long, Int, Int)], mode: String,
-      forkedTop: Seq[(String, Double)] = Seq.empty): Unit = {
+      forkedTop: Seq[(String, Double)] = Seq.empty,
+      stressCompact: String = ""): Unit = {
     val qs = results.map { case (k, sec, _, _, _) => s""""$k":${fmt(sec)}""" }
       .mkString("{", ",", "}")
     val plans = results.map { case (k, _, rows, sh, bc) =>
@@ -62,16 +63,19 @@ object Bench {
     // the round artifact records only a ~2000-char TAIL of the run's
     // output (and sbt's closing "[success]" line eats part of it), so the
     // LAST line must fit entirely: headline numbers plus the timings map
-    // trimmed to the most expensive queries. The driver contract (one
+    // trimmed to the most expensive queries (fewer when the stress
+    // section also rides on this line). The driver contract (one
     // {"metric":...} line with a "queries" map) is this line.
-    val top = results.filter(_._2 >= 0).sortBy(-_._2).take(40)
+    val top = results.filter(_._2 >= 0).sortBy(-_._2)
+      .take(if (stressCompact.isEmpty) 40 else 15)
     val qsTop = top.map { case (k, sec, _, _, _) => s""""$k":${fmt(sec)}""" }
       .mkString("{", ",", "}")
     val fk =
       if (forkedTop.isEmpty) ""
       else forkedTop.map { case (k, s) => s""""$k":${fmt(s)}""" }
         .mkString(""","forked_top5":{""", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","mode":"$mode","n":${results.size},"sf":"$sfDir","queries":$qsTop$fk}""")
+    val st = if (stressCompact.isEmpty) "" else s""","stress":$stressCompact"""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","mode":"$mode","n":${results.size},"sf":"$sfDir","queries":$qsTop$fk$st}""")
   }
 
   private def runChain(): Unit = {
@@ -129,7 +133,21 @@ object Bench {
           sys.env.contains("SPARK_GRAFT_BENCH_NOFORK")) Seq.empty
       else results.filter(_._2 >= 0).sortBy(-_._2).take(5)
         .map(r => r._1 -> forkOne(r._1)._2)
-    emit(results, "chain", forkedTop)
+    // scale dress rehearsal (see graft.Stress): skipped in single-query
+    // child forks and under SPARK_GRAFT_STRESS=0
+    val stressCompact =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY") ||
+          sys.env.get("SPARK_GRAFT_STRESS").contains("0")) ""
+      else {
+        val repx =
+          sys.env.get("SPARK_GRAFT_STRESS_X").map(_.toInt).getOrElse(8)
+        dropLitter()
+        val sres = Stress.run(spark, dir, repx)
+        println(s"""{"diag":"stress_detail","sf":"$dir","repx":$repx,""" +
+          s""""stress":${Stress.detailJson(sres)}}""")
+        Stress.compactJson(sres)
+      }
+    emit(results, "chain", forkedTop, stressCompact)
     spark.stop()
   }
 
