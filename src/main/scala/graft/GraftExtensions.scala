@@ -50,6 +50,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "image_meta(bin) - PNG/JPEG header parse to (format,width,height,channels)"),
       (args: Seq[Expression]) => ImageMeta(args.head)))
     ext.injectFunction((
+      FunctionIdentifier("audio_meta"),
+      info("audio_meta",
+        "audio_meta(bin) - WAV/RIFF header parse to (format,sample_rate,channels,bits,n_samples)"),
+      (args: Seq[Expression]) => AudioMeta(args.head)))
+    ext.injectFunction((
       FunctionIdentifier("dhash64"),
       info("dhash64",
         "dhash64(bin, w, h) - perceptual difference hash of a raw grayscale buffer"),

@@ -72,6 +72,47 @@ object ImageBytesUtil {
     null
   }
 
+  /** Audio container metadata from the leading bytes: WAV (RIFF/WAVE,
+    * scanning chunks to `fmt `: audio format code, channels, sample rate,
+    * bits per sample — all little-endian per RIFF) and, when a `data`
+    * chunk follows, the sample count (data bytes / block align). Returns
+    * (format, sample_rate, channels, bits, n_samples) with n_samples = -1
+    * when no data chunk is present in the prefix; null when unrecognized.
+    */
+  def audioMeta(data: Array[Byte]): InternalRow = {
+    def le4(i: Int): Long =
+      (data(i) & 0xffL) | ((data(i + 1) & 0xffL) << 8) |
+        ((data(i + 2) & 0xffL) << 16) | ((data(i + 3) & 0xffL) << 24)
+    def le2(i: Int): Int = (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8)
+    def tag(i: Int, s: String): Boolean =
+      data(i) == s.charAt(0) && data(i + 1) == s.charAt(1) &&
+        data(i + 2) == s.charAt(2) && data(i + 3) == s.charAt(3)
+    if (data.length < 36 || !tag(0, "RIFF") || !tag(8, "WAVE")) return null
+    var i = 12
+    var sampleRate = -1
+    var channels = -1
+    var bits = -1
+    var blockAlign = -1
+    var nSamples = -1L
+    while (i + 8 <= data.length) {
+      val size = le4(i + 4)
+      if (tag(i, "fmt ")) {
+        if (i + 24 > data.length) return null
+        channels = le2(i + 10)
+        sampleRate = le4(i + 12).toInt
+        blockAlign = le2(i + 20)
+        bits = le2(i + 22)
+      } else if (tag(i, "data") && blockAlign > 0) {
+        nSamples = size / blockAlign
+      }
+      // chunks are word-aligned: odd sizes carry a pad byte
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (sampleRate < 0) return null
+    InternalRow(UTF8String.fromString("wav"), sampleRate, channels, bits,
+      nSamples)
+  }
+
   /** Perceptual difference hash of a `w x h` single-channel (grayscale)
     * pixel buffer: sample a 9 x 8 grid (column c at x = ceil(c*w/9), row r
     * at y = ceil(r*h/8)), set bit r*8+c when the sample is brighter than
@@ -176,6 +217,39 @@ object ImageMeta {
     StructField("channels", IntegerType, nullable = false)))
 }
 
+/** Codegen'd audio-container parse: `audio_meta(binary)` ->
+  * struct(format, sample_rate, channels, bits, n_samples), null when
+  * unrecognized. */
+case class AudioMeta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = AudioMeta.schema
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"audio_meta expects BINARY, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    ImageBytesUtil.audioMeta(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ImageBytesUtil.audioMeta($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildInternal(newChild: Expression): AudioMeta =
+    copy(child = newChild)
+}
+
+object AudioMeta {
+  val schema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false)))
+}
+
 /** Codegen'd perceptual dHash: `dhash64(data, w, h)` -> BIGINT (null for
   * unsampleable dimensions). */
 case class DHash64(data: Expression, w: Expression, h: Expression)
@@ -253,6 +327,9 @@ object images {
 
   def image_meta(data: Column): Column =
     GraftBridge.column(ImageMeta(GraftBridge.expression(data)))
+
+  def audio_meta(data: Column): Column =
+    GraftBridge.column(AudioMeta(GraftBridge.expression(data)))
 
   def dhash64(data: Column, w: Column, h: Column): Column =
     GraftBridge.column(DHash64(GraftBridge.expression(data),

@@ -38,6 +38,13 @@ object Multimodal {
     * decodes a pixel. */
   def imageMeta(data: Column): Column = images.image_meta(data)
 
+  /** Audio container metadata from the payload's leading bytes:
+    * struct(format, sample_rate, channels, bits, n_samples) from the WAV
+    * RIFF chunk layout (little-endian `fmt ` + `data` chunk scan), null
+    * when unrecognized. Same codegen'd byte-math family as [[imageMeta]].
+    */
+  def audioMeta(data: Column): Column = images.audio_meta(data)
+
   /** Perceptual difference hash (64-bit) of a raw `w x h` grayscale
     * buffer; see [[graft.functions.ImageBytesUtil.dhash64]]. */
   def dhash(data: Column, w: Column, h: Column): Column =
@@ -87,6 +94,41 @@ object Multimodal {
         bit_count(col("dhash_a").bitwiseXOR(col("dhash_b"))).cast("int"))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "dhash_a", "dhash_b", "hamming")
+  }
+
+  /** Near-duplicate VIDEOS by shared frame fingerprints: `frames` rows
+    * are (media_id, frame) — e.g. from [[sampleFrames]] — each frame a
+    * raw `w x h` grayscale buffer. Every frame gets a dHash; videos pair
+    * when they share at least `minShared` distinct frame hashes (the
+    * shot-level containment test that survives re-encodes, trims, and
+    * per-frame noise).
+    *
+    * Scale shape: the join key is the 8-byte frame hash, so candidate
+    * generation never touches pixels, and `maxPerHash` drops boilerplate
+    * frames (intros/outros shared by thousands of videos) before they
+    * explode the pair space — the same hot-bucket cap discipline as the
+    * text near-dup family ([[Dedup.capBucketDf]]); dropped hashes can
+    * only LOWER n_shared, never invent pairs.
+    *
+    * Returns (id_a, id_b, n_shared) with id_a < id_b. */
+  def videoNearDups(
+      frames: DataFrame, idCol: String, frameCol: String,
+      w: Int, h: Int, minShared: Int,
+      maxPerHash: Long = 1L << 14): DataFrame = {
+    val sigs = frames.select(col(idCol).as("vid"),
+        dhash(col(frameCol), lit(w), lit(h)).as("fh"))
+      .where(col("fh").isNotNull)
+      .distinct()
+    val hot = sigs.groupBy("fh").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxPerHash)
+    val capped = sigs.join(broadcast(hot), Seq("fh"), "left_anti")
+    val a = capped.select(col("vid").as("id_a"), col("fh"))
+    val b = capped.select(col("vid").as("id_b"), col("fh"))
+    a.join(b, Seq("fh"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
   }
 
   /** Fixture builder: a minimal standards-layout PNG byte stream (real
@@ -177,6 +219,36 @@ object Multimodal {
         expr(s"substring(data, frame_idx * $frameBytes * $stride + 1, $frameBytes)"))
       .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
         col("frame"))
+  }
+
+  /** Fixture builder: a standards-layout WAV byte stream — RIFF/WAVE,
+    * optionally a LIST chunk with an ODD size (exercising the RIFF pad
+    * byte in the scan), the 16-byte PCM `fmt ` chunk, and a `data` chunk
+    * header whose declared size encodes `nSamples` (the parser reads
+    * sizes, not payload). All multi-byte fields little-endian per RIFF. */
+  def wavBytes(
+      sampleRate: Column, channels: Column, bits: Column,
+      nSamples: Column, withList: Column): Column = {
+    def leByte(c: Column, k: Int): Column =
+      unhex(lpad(hex(pmod(floor(c / math.pow(256, k).toLong).cast("long"),
+        lit(256L))), 2, "0"))
+    def le2(c: Column): Column = concat(leByte(c, 0), leByte(c, 1))
+    def le4(c: Column): Column =
+      concat(leByte(c, 0), leByte(c, 1), leByte(c, 2), leByte(c, 3))
+    val blockAlign = (channels * bits / 8).cast("long")
+    val dataSize = nSamples * blockAlign
+    val list = when(withList,
+      concat(lit("LIST").cast("binary"), unhex(lit("03000000")),
+        unhex(lit("61626300")))) // 3 payload bytes + 1 pad byte
+      .otherwise(unhex(lit("")))
+    concat(
+      lit("RIFF").cast("binary"), le4(dataSize + 36),
+      lit("WAVE").cast("binary"),
+      list,
+      lit("fmt ").cast("binary"), unhex(lit("10000000")),
+      le2(lit(1)), le2(channels), le4(sampleRate),
+      le4(sampleRate * blockAlign), le2(blockAlign), le2(bits),
+      lit("data").cast("binary"), le4(dataSize))
   }
 
   /** Deterministic synthetic media corpus from the documents table — the

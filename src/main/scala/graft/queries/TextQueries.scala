@@ -694,6 +694,68 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM g WHERE n >= 2"""),
     ),
 
+    // WAV audio metadata: standards-layout RIFF byte streams planted from
+    // doc_id arithmetic (some with an odd-size LIST chunk so the aligned
+    // chunk scan is exercised), parsed back from the BYTES by audio_meta;
+    // the oracle predicts every field in closed form
+    "q_multimodal_audio" -> QueryDef(
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"),
+          element_at(array(lit(8000), lit(16000), lit(44100)),
+            (col("doc_id") % 3 + 1).cast("int")).cast("long").as("rate"),
+          (col("doc_id") % 2 + 1).cast("long").as("ch"),
+          when(col("doc_id") % 2 === 0, 8L).otherwise(16L).as("bits"),
+          (col("doc_id") % 1000 + 1).cast("long").as("n"))
+        d.select(col("doc_id").as("media_id"),
+            graft.operators.Multimodal.audioMeta(
+              graft.operators.Multimodal.wavBytes(
+                col("rate"), col("ch"), col("bits"), col("n"),
+                col("doc_id") % 5 === 0)).as("m"))
+          .select(col("media_id"), col("m.format").as("format"),
+            col("m.sample_rate").as("sample_rate"),
+            col("m.channels").as("channels"), col("m.bits").as("bits"),
+            col("m.n_samples").as("n_samples"))
+      },
+      Some("""SELECT doc_id AS media_id, 'wav' AS format,
+          CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+               ELSE 44100 END AS INTEGER) AS sample_rate,
+          CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS INTEGER)
+            AS bits,
+          CAST(doc_id % 1000 + 1 AS BIGINT) AS n_samples
+        FROM documents"""),
+    ),
+
+    // video near-dup by shared frame fingerprints: payloads are 4
+    // concatenated synth frames (per-group frame seeds, per-video pixel
+    // perturbation), frame-sampled back apart by sampleFrames, each frame
+    // dHashed, videos paired on >= 3 shared hashes. Same-group videos
+    // share all 4 frames, cross-group none — closed-form oracle
+    "q_multimodal_video_dups" -> QueryDef(
+      (s, dir) => {
+        val W = 16; val H = 8; val F = 4
+        val seed = (f: Int) => (col("doc_id") % 6) * 1000 + f * 7 + 3
+        val frameCols = (0 until F).map(f =>
+          graft.functions.images.synth_image(
+            seed(f).cast("long"), lit(W), lit(H),
+            (col("doc_id") % 3).cast("int")))
+        val videos = docs(s, dir).where(col("doc_id") < 1500)
+          .select(col("doc_id").as("media_id"), concat(frameCols: _*).as("data"))
+        val frames = graft.operators.Multimodal.sampleFrames(
+          videos, frameBytes = W * H, stride = 1)
+        graft.operators.Multimodal.videoNearDups(
+            frames, "media_id", "frame", W, H, minShared = 3)
+          .groupBy(col("n_shared"))
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some("""WITH g AS (
+          SELECT doc_id % 6 AS grp, count(*) AS n
+          FROM documents WHERE doc_id < 1500 GROUP BY 1)
+        SELECT CAST(4 AS BIGINT) AS n_shared,
+          CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_pairs
+        FROM g WHERE n >= 2"""),
+    ),
+
     // --- similarity search ----------------------------------------------
     "q_embed_topk" -> QueryDef(
       (s, dir) => {

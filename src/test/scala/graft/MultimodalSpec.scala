@@ -84,6 +84,34 @@ class MultimodalSpec extends AnyFunSuite {
       viaSql.getInt(2) == 256 && viaSql.getInt(3) == 3)
   }
 
+  test("audio_meta parses a real WAV header byte stream") {
+    import graft.functions.ImageBytesUtil
+    // canonical 44-byte PCM WAV header: 8 kHz mono 8-bit, 4 samples
+    def s(str: String): Seq[Int] = str.getBytes.toSeq.map(_.toInt)
+    val wav: Array[Byte] = (
+      s("RIFF") ++ Seq(0x28, 0, 0, 0) ++ s("WAVE") ++
+        s("fmt ") ++ Seq(16, 0, 0, 0) ++ // chunk size 16
+        Seq(1, 0) ++ Seq(1, 0) ++ // PCM, mono
+        Seq(0x40, 0x1f, 0, 0) ++ // 8000 Hz
+        Seq(0x40, 0x1f, 0, 0) ++ // byte rate
+        Seq(1, 0) ++ Seq(8, 0) ++ // block align 1, 8 bits
+        s("data") ++ Seq(4, 0, 0, 0) ++ Seq(1, 2, 3, 4)
+      ).map(_.toByte).toArray
+    val m = ImageBytesUtil.audioMeta(wav)
+    assert(m != null)
+    assert(m.getString(0) == "wav" && m.getInt(1) == 8000 &&
+      m.getInt(2) == 1 && m.getInt(3) == 8 && m.getLong(4) == 4L)
+    assert(ImageBytesUtil.audioMeta("RIFFxxxxAVI ".getBytes) == null)
+    assert(ImageBytesUtil.audioMeta(wav.take(20)) == null)
+    // SQL surface parses the same byte stream
+    val viaSql = spark.sql(
+      "SELECT m.* FROM (SELECT audio_meta(unhex('5249464628000000" +
+        "57415645666d74201000000001000100401f0000401f000001000800" +
+        "646174610400000001020304')) AS m)").collect().head
+    assert(viaSql.getString(0) == "wav" && viaSql.getInt(1) == 8000 &&
+      viaSql.getLong(4) == 4L)
+  }
+
   test("dhash: perturbation/resize invariant, distant for different seeds") {
     import graft.functions.ImageBytesUtil
     val seeds = Seq(0L, -1L, 0x5a5a5a5aL, 1234567L, Long.MinValue)
@@ -96,6 +124,34 @@ class MultimodalSpec extends AnyFunSuite {
         s"perturbed seed $seed at ${w}x$h")
     }
     assert(ImageBytesUtil.dhash64(Array.fill(32)(0.toByte), 8, 4) == null)
+  }
+
+  test("videoNearDups: partial-overlap pairing and the boilerplate-frame cap") {
+    import spark.implicits._
+    import graft.functions.ImageBytesUtil
+    val (w, h) = (16, 8)
+    def frame(seed: Long, perturb: Int = 1) =
+      ImageBytesUtil.synthImage(seed, w, h, perturb)
+    // all three share the BOILERPLATE intro frame 99; A and B also share
+    // real content frames 1,2,3 (B swaps A's tail for its own)
+    val rows = Seq(
+      (1L, Array(99L, 1L, 2L, 3L, 4L)), // A
+      (2L, Array(99L, 1L, 2L, 3L, 5L)), // B: same shots, new tail
+      (3L, Array(99L, 7L, 8L, 9L, 10L)) // C: only the intro in common
+    ).flatMap { case (id, seeds) =>
+      seeds.map(sd => (id, frame(sd, perturb = (id % 3).toInt)))
+    }.toDF("media_id", "frame")
+    val pairs = graft.operators.Multimodal.videoNearDups(
+      rows, "media_id", "frame", w, h, minShared = 3).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 4L)))
+    // cap the intro out (df=3 > 2): the A-B pair survives on its unique
+    // shots, and C still cannot pair with anyone through boilerplate
+    val capped = graft.operators.Multimodal.videoNearDups(
+      rows, "media_id", "frame", w, h, minShared = 3, maxPerHash = 2L)
+      .collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 3L)))
   }
 
   test("dhashNearDups: finds hamming<=3 pairs via band join, skips far pairs") {
