@@ -376,12 +376,15 @@ object Streams {
     * observability layer an ingest pipeline reads to watch mixture drift
     * and vocabulary heavy-hitters without a full recount.
     *
-    * Both structures are MERGEABLE (counts add; CMS cells add —
-    * [[graft.operators.TextAnalysis.cmsMerge]]), so each micro-batch
-    * writes only its own DELTA, dynamically overwriting its batch_id
-    * partition on a replay (the [[streamingNearDups]] exactly-once
-    * shape); [[loadCorpusStats]] folds the deltas at read time. Delta
-    * partitions are tiny (|langs×sources| + d·w rows per batch), so the
+    * All three structures are MERGEABLE (counts add; CMS cells add —
+    * [[graft.operators.TextAnalysis.cmsMerge]]; per-lang Misra–Gries
+    * heavy-hitter maps fold under
+    * [[graft.operators.Sketches.misraGriesMergeByKey]] with the
+    * mergeable-summaries bound intact), so each micro-batch writes only
+    * its own DELTA, dynamically overwriting its batch_id partition on a
+    * replay (the [[streamingNearDups]] exactly-once shape);
+    * [[loadCorpusStats]] folds the deltas at read time. Delta partitions
+    * are tiny (|langs×sources| + d·w + |langs|·k rows per batch), so the
     * read-side fold stays cheap for thousands of batches; compact by
     * rewriting the folded tables under a new prefix if file pressure ever
     * matters. */
@@ -390,7 +393,7 @@ object Streams {
       docsDir: String,
       statsDir: String,
       checkpointDir: String,
-      d: Int = 3, w: Int = 1 << 16)
+      d: Int = 3, w: Int = 1 << 16, hhK: Int = 32)
       : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.schema(docMetaStreamSchema).parquet(docsDir)
       .writeStream
@@ -416,22 +419,40 @@ object Streams {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(s"$statsDir/sketch")
+        graft.operators.Sketches.misraGriesByKey(
+            b.select(col("lang"),
+              explode(TextAnalysis.tokens(col("text"))).as("tok")),
+            "lang", "tok", hhK)
+          .withColumnRenamed("key", "lang")
+          .withColumn("batch_id", lit(batchId))
+          .coalesce(1)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(s"$statsDir/hh")
         ()
       }
       .start()
 
   /** Fold the [[streamingCorpusStats]] deltas into the current corpus
-    * card and sketch: (card(lang, source, n_docs, n_tokens),
-    * sketch(j, bucket, cnt)). */
+    * card, sketch, and per-lang heavy hitters: (card(lang, source,
+    * n_docs, n_tokens), sketch(j, bucket, cnt),
+    * hh(lang, mg map<term,est>)). The heavy-hitter fold carries the
+    * k-counter Misra–Gries guarantee over the WHOLE stream per lang —
+    * every term above N_lang/(k+1) present with bounded undercount —
+    * regardless of how documents split into batches. */
   def loadCorpusStats(
       spark: org.apache.spark.sql.SparkSession,
-      statsDir: String): (DataFrame, DataFrame) = (
+      statsDir: String, hhK: Int = 32): (DataFrame, DataFrame, DataFrame) = (
     spark.read.parquet(s"$statsDir/card")
       .groupBy("lang", "source")
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens")),
     spark.read.parquet(s"$statsDir/sketch")
       .groupBy("j", "bucket").agg(sum(col("cnt")).as("cnt")),
+    graft.operators.Sketches.misraGriesMergeByKey(
+      spark.read.parquet(s"$statsDir/hh"), "lang", "mg", hhK)
+      .withColumnRenamed("key", "lang"),
   )
 
   /** Streaming line dedup over a document directory stream: each

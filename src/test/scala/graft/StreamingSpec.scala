@@ -215,7 +215,7 @@ class StreamingSpec extends AnyFunSuite {
     b2.coalesce(1).write.mode("append").parquet(docsDir)
     Streams.streamingCorpusStats(spark, docsDir, statsDir, ckDir,
       d = 3, w = 64).awaitTermination()
-    val (card, sketch) = Streams.loadCorpusStats(spark, statsDir)
+    val (card, sketch, hh) = Streams.loadCorpusStats(spark, statsDir)
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toString).sorted.toSeq
     // folded deltas == one batch build over the whole corpus
@@ -232,6 +232,28 @@ class StreamingSpec extends AnyFunSuite {
       TextAnalysis.cmsBuild(b1.select("text"), "text", d = 3, w = 64),
       TextAnalysis.cmsBuild(b2.select("text"), "text", d = 3, w = 64))
     assert(canon(merged) == canon(batchSketch))
+    // per-lang heavy hitters folded across batches keep the MG contract
+    // over the WHOLE stream: every term above N_lang/(k+1) present, no
+    // overcount, undercount bounded — regardless of the batch split
+    val k = 32
+    val got = hh.select(col("lang"), explode(col("mg")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val toks = docs
+      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    for ((lang, xs) <- toks.groupBy(_._1)) {
+      val n = xs.length.toLong
+      val bound = n / (k + 1)
+      val exact = xs.groupBy(_._2).map { case (t, ys) => t -> ys.length.toLong }
+      assert(got.keys.count(_._1 == lang) <= k)
+      got.collect { case ((`lang`, t), est) =>
+        assert(est <= exact(t), s"$lang/$t overcounted")
+        assert(exact(t) - est <= bound, s"$lang/$t est=$est")
+      }
+      exact.filter(_._2 > bound).keys.foreach(t =>
+        assert(got.contains((lang, t)), s"guaranteed $lang/$t missing"))
+    }
   }
 
   test("streaming curate-and-pack equals the batch funnel + packing") {
