@@ -63,7 +63,8 @@ object ImageBytesUtil {
           return InternalRow(UTF8String.fromString("jpeg"),
             be2(data, i + 7), be2(data, i + 5), data(i + 9) & 0xff)
         }
-        if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2
+        if (m == 0xff) i += 1 // ITU T.81 B.1.1.2: 0xFF fill bytes
+        else if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2
         else if (m == 0xd9) return null // EOI before any frame header
         else i += 2 + be2(data, i + 2) // length includes its own 2 bytes
       }
@@ -105,8 +106,12 @@ object ImageBytesUtil {
       } else if (tag(i, "data") && blockAlign > 0) {
         nSamples = size / blockAlign
       }
-      // chunks are word-aligned: odd sizes carry a pad byte
-      i += 8 + size.toInt + (size.toInt & 1)
+      // chunks are word-aligned: odd sizes carry a pad byte. Advance in
+      // LONG arithmetic — the size field is an unsigned 32-bit value, so
+      // a >= 2 GiB (or corrupt) size truncated to Int would step the
+      // cursor backward or not at all and spin this loop forever
+      val next = i.toLong + 8L + size + (size & 1L)
+      i = if (next > data.length) data.length else next.toInt
     }
     if (sampleRate < 0) return null
     InternalRow(UTF8String.fromString("wav"), sampleRate, channels, bits,
@@ -152,7 +157,9 @@ object ImageBytesUtil {
     * byte-buffer plumbing with a closed-form oracle. Null for
     * unsampleable dimensions. */
   def synthImage(seed: Long, w: Int, h: Int, perturb: Int): Array[Byte] = {
-    if (w < 9 || h < 8) return null
+    // the size guard keeps the SQL surface total: w*h in INT arithmetic
+    // would overflow to a wrong allocation and throw mid-query
+    if (w < 9 || h < 8 || w.toLong * h > (1L << 26)) return null
     val g = Array.ofDim[Int](8, 9)
     var r = 0
     while (r < 8) {

@@ -112,7 +112,7 @@ object Sketches {
     def reduce(
         b: mutable.HashMap[String, Long],
         m: Map[String, Long]): mutable.HashMap[String, Long] =
-      inner.merge(b, mutable.HashMap.from(m))
+      if (m == null) b else inner.merge(b, mutable.HashMap.from(m))
     def merge(
         a: mutable.HashMap[String, Long],
         b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] =
@@ -148,6 +148,7 @@ object Sketches {
     val merge = udaf(new MisraGriesMergeAgg(k),
       ExpressionEncoder[Map[String, Long]]())
     sketches.select(col(keyCol).as("key"), col(sketchCol).as("sk"))
+      .where(col("sk").isNotNull) // mirror misraGriesByKey's na.drop
       .groupBy("key")
       .agg(merge(col("sk")).as("mg"))
   }

@@ -233,10 +233,16 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           .orElse(statsBin(ivSide, sRaw, eRaw, maxBins))
           .getOrElse(DEFAULT_BIN)
 
-        // split the interval side on explode fan-out: span in bins
+        // split the interval side on explode fan-out: span in bins.
+        // Negative spans (reversed/corrupt bounds) also go to the
+        // fallback branch — Sequence would step BACKWARD through |span|
+        // bins (or throw on huge reversals), while the theta branch
+        // simply matches nothing for such rows, like the original join
         val span = Subtract(floorDiv(eRawM, binUs), floorDiv(sRawM, binUs))
         val overflow = Coalesce(Seq(
-          GreaterThanOrEqual(span, Literal(maxBins)), Literal(false)))
+          Or(GreaterThanOrEqual(span, Literal(maxBins)),
+            LessThan(span, Literal(0L))),
+          Literal(false)))
         val smallIv = Filter(Not(overflow), ivSide)
         val bigIv = Filter(overflow, ivSide)
 
@@ -327,12 +333,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       bS <- micros(s1); bE <- micros(h2)
     } yield (aS, aE, bS, bE)
     candidates.headOption.map { case (aS, aE, bS, bE) =>
-      def overflowOf(s: Expression, e: Expression): Expression =
+      def overflowOf(s: Expression, e: Expression): Expression = {
+        val span = Subtract(floorDiv(e, binUs), floorDiv(s, binUs))
+        // reversed bounds route to the fallback too (see the point form)
         Coalesce(Seq(
-          GreaterThanOrEqual(
-            Subtract(floorDiv(e, binUs), floorDiv(s, binUs)),
-            Literal(maxBins)),
+          Or(GreaterThanOrEqual(span, Literal(maxBins)),
+            LessThan(span, Literal(0L))),
           Literal(false)))
+      }
       val ofL = overflowOf(aS, aE)
       val ofR = overflowOf(bS, bE)
       val binL = AttributeReference(

@@ -252,6 +252,21 @@ class ExtensionsSpec extends AnyFunSuite {
       ON o.o_orderdate >= iv.s AND o.o_orderdate <= iv.e""")
     assert(!declined.queryExecution.optimizedPlan.toString
       .contains("__graft_range_bin"))
+
+    // REVERSED intervals (end < start — the sentinel landing in the
+    // start column) must route to the fallback, not explode backward:
+    // these rows match nothing, exactly like the unrewritten join
+    Tables.table(spark, dir, "lineitem")
+      .where(col("l_quantity") > 48)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        when(col("l_linenumber") === 1,
+          lit("9999-12-31 00:00:00").cast("timestamp_ntz"))
+          .otherwise(col("l_shipdate")).as("s"),
+        (col("l_shipdate") + expr("INTERVAL 3 DAYS")).as("e"))
+      .createOrReplaceTempView("rc_rev")
+    check("""SELECT o.o_orderkey, iv.l_orderkey, iv.l_linenumber
+      FROM rc_orders o JOIN rc_rev iv
+      ON o.o_orderdate >= iv.s AND o.o_orderdate <= iv.e""")
   }
 
   test("asof_join / range_join table functions match the Scala API") {

@@ -110,6 +110,27 @@ class MultimodalSpec extends AnyFunSuite {
         "646174610400000001020304')) AS m)").collect().head
     assert(viaSql.getString(0) == "wav" && viaSql.getInt(1) == 8000 &&
       viaSql.getLong(4) == 4L)
+
+    // adversarial chunk sizes must terminate, not spin: 0xFFFFFFF8 as an
+    // Int is -8 (a zero/backward cursor step before the Long-advance fix)
+    val evil = (s("RIFF") ++ Seq(0x28, 0, 0, 0) ++ s("WAVE") ++
+      s("junk") ++ Seq(0xf8, 0xff, 0xff, 0xff) ++ Seq.fill(16)(0))
+      .map(_.toByte).toArray
+    assert(ImageBytesUtil.audioMeta(evil) == null)
+  }
+
+  test("parser hardening: JPEG fill bytes, oversized synth dims") {
+    import graft.functions.ImageBytesUtil
+    // ITU T.81 B.1.1.2 permits 0xFF fill bytes before a marker
+    val filled = Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xc0, 0x00, 0x0b,
+      0x08, 0x00, 0x10, 0x00, 0x20, 0x01, 0x11, 0x00).map(_.toByte)
+    val m = ImageBytesUtil.imageMeta(filled)
+    assert(m != null && m.getString(0) == "jpeg" &&
+      m.getInt(1) == 0x20 && m.getInt(2) == 0x10 && m.getInt(3) == 1)
+    // w*h beyond the cap returns null instead of a wrong-size allocation
+    assert(ImageBytesUtil.synthImage(1L, 65536, 65536, 0) == null)
+    assert(spark.sql("SELECT synth_image(1L, 65536, 65536, 0) IS NULL")
+      .collect().head.getBoolean(0))
   }
 
   test("dhash: perturbation/resize invariant, distant for different seeds") {

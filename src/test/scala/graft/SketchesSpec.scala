@@ -127,5 +127,12 @@ class SketchesSpec extends AnyFunSuite {
     val flags = Sketches.heavyHittersByKey(df, "key", "term", k).collect()
     assert(flags.nonEmpty)
     assert(flags.forall(r => r.getBoolean(3) && r.getBoolean(4)))
+
+    // null sketch rows (outer joins, schema evolution) are skipped by the
+    // merge, not an executor NPE
+    val withNull = persisted.unionByName(
+      persisted.limit(1).select(col("key"),
+        lit(null).cast(persisted.schema("mg").dataType).as("mg")))
+    audit(Sketches.misraGriesMergeByKey(withNull, "key", "mg", k))
   }
 }
