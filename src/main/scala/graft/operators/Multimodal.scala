@@ -96,6 +96,71 @@ object Multimodal {
       .select("id_a", "id_b", "dhash_a", "dhash_b", "hamming")
   }
 
+  /** Banded dHash signature rows (id, sig, band_idx, band_val) — the
+    * PERSISTABLE near-dup index of the incremental media path: write it
+    * once per corpus and probe it with each new batch instead of
+    * re-hashing the world ([[deltaDhashNearDups]]). 32 bytes a row, no
+    * pixels. */
+  def dhashBandSignatures(
+      media: DataFrame, idCol: String, dataCol: String,
+      wCol: String, hCol: String): DataFrame = {
+    def band(sig: Column, b: Int): Column =
+      shiftright(sig, b * 16).bitwiseAND(lit(0xffffL))
+    media.select(col(idCol).as("id"),
+        dhash(col(dataCol), col(wCol), col(hCol)).as("sig"))
+      .where(col("sig").isNotNull)
+      .select(col("id"), col("sig"),
+        posexplode(array((0 until 4).map(b => band(col("sig"), b)): _*))
+          .as(Seq("band_idx", "band_val")))
+  }
+
+  /** Incremental perceptual near-dup: pair each NEW image against the
+    * accumulated banded index ([[dhashBandSignatures]] rows) and the rest
+    * of its own batch, without touching old-vs-old pairs — the media
+    * mirror of [[Dedup.deltaNearDups]]. A re-ingested id replaces its old
+    * signature (updated artwork re-pairs against the current hash, and a
+    * pair is never built against a stale one). Buckets the delta does not
+    * touch are pruned with a semi join BEFORE the hot-bucket cap and the
+    * pair join, so each batch's cost scales with the delta, not the
+    * corpus. Returns (id_a, id_b, hamming), id_a < id_b, each pair
+    * emitted in exactly one batch — the one where its later member
+    * arrives (a re-ingested id may re-emit its pairs against the
+    * UPDATED hash, the desired behavior). */
+  def deltaDhashNearDups(
+      newMedia: DataFrame, idCol: String, dataCol: String,
+      wCol: String, hCol: String,
+      oldSigs: DataFrame, maxHamming: Int = 0,
+      maxPerBucket: Long = 1L << 14): DataFrame = {
+    val newSigs = dhashBandSignatures(newMedia, idCol, dataCol, wCol, hCol)
+      .localCheckpoint(false)
+    val newIds = newSigs.select("id").distinct()
+    val oldLive = oldSigs.join(newIds, Seq("id"), "left_anti")
+    val all = newSigs.withColumn("is_new", lit(true))
+      .unionByName(oldLive.withColumn("is_new", lit(false)))
+    val touched = all.join(
+      newSigs.select("band_idx", "band_val").distinct(),
+      Seq("band_idx", "band_val"), "left_semi")
+    val capped = Dedup.capBucketDf(
+      touched, Seq("band_idx", "band_val"), maxPerBucket)
+    def band(sig: Column, b: Int): Column =
+      shiftright(sig, b * 16).bitwiseAND(lit(0xffffL))
+    val a = capped.select(col("id").as("id_a"), col("sig").as("dhash_a"),
+      col("band_idx"), col("band_val"), col("is_new").as("new_a"))
+    val b = capped.select(col("id").as("id_b"), col("sig").as("dhash_b"),
+      col("band_idx"), col("band_val"), col("is_new").as("new_b"))
+    val firstSharedBand = (0 until 4).foldLeft(lit(4)) { (acc, k) =>
+      when(band(col("dhash_a"), 3 - k) === band(col("dhash_b"), 3 - k),
+        lit(3 - k)).otherwise(acc)
+    }
+    a.join(b, Seq("band_idx", "band_val"))
+      .where(col("id_a") < col("id_b") && (col("new_a") || col("new_b")))
+      .where(col("band_idx") === firstSharedBand)
+      .withColumn("hamming",
+        bit_count(col("dhash_a").bitwiseXOR(col("dhash_b"))).cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Near-duplicate VIDEOS by shared frame fingerprints: `frames` rows
     * are (media_id, frame) — e.g. from [[sampleFrames]] — each frame a
     * raw `w x h` grayscale buffer. Every frame gets a dHash; videos pair

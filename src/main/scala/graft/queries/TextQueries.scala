@@ -694,6 +694,42 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM g WHERE n >= 2"""),
     ),
 
+    // incremental perceptual dedup: even docs' signatures form the
+    // persisted index, odd docs arrive as the delta; delta pairs are
+    // exactly the pairs with at least one new member — per seed group,
+    // C(n,2) - C(n_old,2) in closed form
+    "q_multimodal_phash_incremental" -> QueryDef(
+      (s, dir) => {
+        def mediaOf(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+          docs(s, dir).where(col("doc_id") < 1500)
+            .where(f(col("doc_id")))
+            .select(col("doc_id"),
+              (col("doc_id") % 5 + 16).cast("int").as("w"),
+              (col("doc_id") % 4 + 12).cast("int").as("h"))
+            .select(col("doc_id").as("media_id"), col("w"), col("h"),
+              graft.functions.images.synth_image(
+                (col("doc_id") % 7 * 1234567 + 42).cast("long"),
+                col("w"), col("h"),
+                (col("doc_id") % 3).cast("int")).as("data"))
+        val oldSigs = graft.operators.Multimodal.dhashBandSignatures(
+          mediaOf(_ % 2 === 0), "media_id", "data", "w", "h")
+        graft.operators.Multimodal.deltaDhashNearDups(
+            mediaOf(_ % 2 === 1), "media_id", "data", "w", "h",
+            oldSigs, maxHamming = 0)
+          .groupBy((col("id_a") % 7).as("grp"))
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some("""WITH m AS (
+          SELECT doc_id, doc_id % 7 AS grp,
+            CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS old
+          FROM documents WHERE doc_id < 1500),
+        g AS (SELECT grp, count(*) AS n, sum(old) AS n1
+          FROM m GROUP BY 1)
+        SELECT CAST(grp AS BIGINT) AS grp,
+          CAST(n * (n - 1) // 2 - n1 * (n1 - 1) // 2 AS BIGINT) AS n_pairs
+        FROM g WHERE n * (n - 1) // 2 - n1 * (n1 - 1) // 2 > 0"""),
+    ),
+
     // WAV audio metadata: standards-layout RIFF byte streams planted from
     // doc_id arithmetic (some with an odd-size LIST chunk so the aligned
     // chunk scan is exercised), parsed back from the BYTES by audio_meta;

@@ -361,6 +361,77 @@ object Streams {
       }
       .start()
 
+  private val mediaStreamSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("media_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("data",
+      org.apache.spark.sql.types.BinaryType),
+    org.apache.spark.sql.types.StructField("w",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("h",
+      org.apache.spark.sql.types.IntegerType)))
+
+  /** Streaming perceptual media dedup: each micro-batch of images probes
+    * the ACCUMULATED banded dHash index
+    * ([[graft.operators.Multimodal.deltaDhashNearDups]]) and then appends
+    * its own signatures — the media mirror of [[streamingNearDups]], with
+    * the same exactly-once shape: the pair sink dynamically overwrites
+    * its own batch_id partition on a replay, and the index append is
+    * batch_id-partitioned dynamic overwrite too, so a replayed batch
+    * rewrites its own index partition instead of double-inserting.
+    * Pixels never enter the index — 32 bytes per signature row. */
+  def streamingMediaDedup(
+      spark: org.apache.spark.sql.SparkSession,
+      mediaDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      pairsOutDir: String,
+      maxHamming: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(mediaStreamSchema).parquet(mediaDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.Multimodal
+        val empty = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("sig",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("band_idx",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("band_val",
+              org.apache.spark.sql.types.LongType))))
+        val oldSigs =
+          try {
+            // a re-ingested id leaves stale rows in older batch
+            // partitions; only its LATEST batch's signatures are live
+            val raw = spark.read.parquet(indexDir)
+            raw.join(
+                raw.groupBy("id").agg(max("batch_id").as("batch_id")),
+                Seq("id", "batch_id"))
+              .select("id", "sig", "band_idx", "band_val")
+          } catch { case _: org.apache.spark.sql.AnalysisException => empty }
+        val b = batch.localCheckpoint(false)
+        Multimodal.deltaDhashNearDups(b, "media_id", "data", "w", "h",
+            oldSigs, maxHamming)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(pairsOutDir)
+        Multimodal.dhashBandSignatures(b, "media_id", "data", "w", "h")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(indexDir)
+        ()
+      }
+      .start()
+
   private val docMetaStreamSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("doc_id",
       org.apache.spark.sql.types.LongType),

@@ -658,6 +658,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.count() == purchases.count()) // exactly-once, no dup rows
   }
 
+  test("streaming media dedup probes the persisted dhash index per drain") {
+    import spark.implicits._
+    import graft.functions.images
+    val tmp = java.nio.file.Files.createTempDirectory("graft-media")
+    val mediaDir = s"$tmp/media"
+    def mediaOf(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
+      ids.toDF("media_id")
+        .select(col("media_id"), lit(16).as("w"), lit(12).as("h"),
+          images.synth_image((col("media_id") % 3 * 77 + 5).cast("long"),
+            lit(16), lit(12), (col("media_id") % 2 + 1).cast("int"))
+            .as("data"))
+        .select("media_id", "data", "w", "h")
+    // batch 1: ids 0..5 (groups of two per seed); batch 2: ids 6..11
+    mediaOf(0L to 5L).coalesce(1).write.parquet(s"$mediaDir/a")
+    def drain(): Unit = {
+      val q = Streams.streamingMediaDedup(spark, mediaDir + "/*",
+        s"$tmp/index", s"$tmp/ckpt", s"$tmp/pairs")
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    mediaOf(6L to 11L).coalesce(1).write.parquet(s"$mediaDir/b")
+    drain()
+    val got = spark.read.parquet(s"$tmp/pairs")
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // accumulated delta pairs == one batch run over everything, no dups
+    val expected = graft.operators.Multimodal.dhashNearDups(
+        mediaOf(0L to 11L), "media_id", "data", "w", "h", maxHamming = 0)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.distinct.length, "pair emitted twice")
+    assert(got.toSet == expected.toSet)
+    assert(got.nonEmpty)
+    // second drain with no new files adds nothing (checkpointed)
+    drain()
+    assert(spark.read.parquet(s"$tmp/pairs").count() == got.length)
+  }
+
   test("stream-stream interval join == batch join over out-of-order batches") {
     import org.apache.spark.sql.streaming.Trigger
     val ev = Tables.events(spark, dir)
