@@ -867,6 +867,38 @@ object RelationalQueries extends QueryPack {
         FROM orders o LEFT JOIN m USING (o_orderkey)"""),
     ),
 
+    // same semantics through the range_join table-valued function — the
+    // declarative surface of Temporal.rangeJoin, same oracle
+    "q_join_range_sql" -> QueryDef(
+      (s, dir) => {
+        Tables.table(s, dir, "orders")
+          .select("o_orderkey", "o_orderdate")
+          .createOrReplaceTempView("graft_range_points")
+        Tables.table(s, dir, "lineitem")
+          .where(col("l_quantity") > 49)
+          .select(col("l_shipdate").as("ship_start"),
+            (col("l_shipdate") + expr("INTERVAL 3 DAYS")).as("ship_end"))
+          .createOrReplaceTempView("graft_range_iv")
+        s.sql("""WITH m AS (
+            SELECT o_orderkey, count(*) AS n
+            FROM range_join('graft_range_points', 'o_orderdate',
+              'graft_range_iv', 'ship_start', 'ship_end', 345600000000)
+            GROUP BY 1)
+          SELECT p.o_orderkey,
+            coalesce(m.n, 0L) AS n_open
+          FROM graft_range_points p LEFT JOIN m USING (o_orderkey)""")
+      },
+      Some("""WITH iv AS (
+          SELECT l_shipdate AS s, l_shipdate + INTERVAL 3 DAY AS e
+          FROM lineitem WHERE l_quantity > 49),
+        m AS (
+          SELECT o.o_orderkey, count(*) AS n
+          FROM orders o JOIN iv ON o.o_orderdate >= iv.s AND o.o_orderdate <= iv.e
+          GROUP BY 1)
+        SELECT o.o_orderkey, CAST(coalesce(m.n, 0) AS BIGINT) AS n_open
+        FROM orders o LEFT JOIN m USING (o_orderkey)"""),
+    ),
+
     // interval-overlap join (Temporal.intervalJoin, both sides
     // bin-exploded, pair emitted only in the first shared bin — exact
     // dedup without a distinct): per order, how many heavy shipments'
