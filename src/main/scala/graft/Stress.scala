@@ -117,6 +117,11 @@ object Stress {
         // the warmup is reused
         once(mk())
         val probe = mk()
+        // the listener bus delivers TaskEnd asynchronously: without this
+        // drain, straggler WARMUP events can land after reset() and
+        // inflate the measured run's shuffle/max-task numbers — the same
+        // lag the post-run sleep below absorbs
+        Thread.sleep(1500)
         listener.reset()
         val t0 = System.nanoTime()
         val rows = once(probe)

@@ -131,11 +131,14 @@ object ImageBytesUtil {
     var sig = 0L
     var r = 0
     while (r < 8) {
-      val y = (r * h + 7) / 8
+      // Long index math: for w near 2^31/8 the Int products r*h / c*w+8
+      // wrap negative and throw AIOOBE on hostile metadata; every valid
+      // sample index is < w*h <= data.length so the toInt is lossless
+      val y = (r.toLong * h + 7) / 8
       val px = new Array[Int](9)
       var c = 0
       while (c < 9) {
-        px(c) = data(y * w + (c * w + 8) / 9) & 0xff
+        px(c) = data((y * w + (c.toLong * w + 8) / 9).toInt) & 0xff
         c += 1
       }
       c = 0

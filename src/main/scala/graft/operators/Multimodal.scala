@@ -28,6 +28,24 @@ import graft.functions.images
   */
 object Multimodal {
 
+  /** Band `b` (0..3) of a 64-bit dHash: 16 contiguous bits. Two hashes
+    * within hamming distance 3 agree exactly on at least one band
+    * (pigeonhole) — the LSH bucketing key of every perceptual-dup path. */
+  private def band(sig: Column, b: Int): Column =
+    shiftright(sig, b * 16).bitwiseAND(lit(0xffffL))
+
+  /** Lowest band index on which two hashes agree (4 when none) — the
+    * shuffle-free pair-dedup predicate of the UNCAPPED band join: a pair
+    * agreeing on several bands is emitted only in the first. Only valid
+    * when every band's bucket survives to the join — a capped path must
+    * dedup with a grouped aggregation instead (a pair whose first shared
+    * band was dropped by the hot-bucket cap still surfaces through its
+    * later surviving bands). */
+  private def firstSharedBand(a: Column, b: Column): Column =
+    (0 until 4).foldLeft(lit(4)) { (acc, k) =>
+      when(band(a, 3 - k) === band(b, 3 - k), lit(3 - k)).otherwise(acc)
+    }
+
   /** Container metadata from the payload's leading bytes:
     * struct(format, width, height, channels), null when unrecognized.
     * PNG: the 8-byte signature then the IHDR chunk at fixed offsets
@@ -70,12 +88,14 @@ object Multimodal {
       media: DataFrame, idCol: String, dataCol: String,
       wCol: String, hCol: String, maxHamming: Int = 0): DataFrame = {
     require(maxHamming >= 0, s"maxHamming must be >= 0 (got $maxHamming)")
+    // materialize the 16-byte (id, sig) rows before the self-join: both
+    // sides would otherwise re-decode every pixel buffer (the dominant
+    // cost) once each — the same convention as Dedup.lshCandidates
     val sigs = media.select(
       col(idCol).as("id"),
       dhash(col(dataCol), col(wCol), col(hCol)).as("sig"))
       .where(col("sig").isNotNull)
-    def band(sig: Column, b: Int): Column =
-      shiftright(sig, b * 16).bitwiseAND(lit(0xffffL))
+      .localCheckpoint(false)
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(b => band(col("sig"), b)): _*))
         .as(Seq("band_idx", "band_val")))
@@ -83,13 +103,10 @@ object Multimodal {
       col("band_idx"), col("band_val"))
     val b = banded.select(col("id").as("id_b"), col("sig").as("dhash_b"),
       col("band_idx"), col("band_val"))
-    val firstSharedBand = (0 until 4).foldLeft(lit(4)) { (acc, k) =>
-      when(band(col("dhash_a"), 3 - k) === band(col("dhash_b"), 3 - k),
-        lit(3 - k)).otherwise(acc)
-    }
     a.join(b, Seq("band_idx", "band_val"))
       .where(col("id_a") < col("id_b"))
-      .where(col("band_idx") === firstSharedBand)
+      .where(col("band_idx") ===
+        firstSharedBand(col("dhash_a"), col("dhash_b")))
       .withColumn("hamming",
         bit_count(col("dhash_a").bitwiseXOR(col("dhash_b"))).cast("int"))
       .where(col("hamming") <= maxHamming)
@@ -103,16 +120,13 @@ object Multimodal {
     * pixels. */
   def dhashBandSignatures(
       media: DataFrame, idCol: String, dataCol: String,
-      wCol: String, hCol: String): DataFrame = {
-    def band(sig: Column, b: Int): Column =
-      shiftright(sig, b * 16).bitwiseAND(lit(0xffffL))
+      wCol: String, hCol: String): DataFrame =
     media.select(col(idCol).as("id"),
         dhash(col(dataCol), col(wCol), col(hCol)).as("sig"))
       .where(col("sig").isNotNull)
       .select(col("id"), col("sig"),
         posexplode(array((0 until 4).map(b => band(col("sig"), b)): _*))
           .as(Seq("band_idx", "band_val")))
-  }
 
   /** Incremental perceptual near-dup: pair each NEW image against the
     * accumulated banded index ([[dhashBandSignatures]] rows) and the rest
@@ -130,9 +144,20 @@ object Multimodal {
       newMedia: DataFrame, idCol: String, dataCol: String,
       wCol: String, hCol: String,
       oldSigs: DataFrame, maxHamming: Int = 0,
+      maxPerBucket: Long = 1L << 14): DataFrame =
+    deltaDhashNearDupsFromSigs(
+      dhashBandSignatures(newMedia, idCol, dataCol, wCol, hCol)
+        .localCheckpoint(false),
+      oldSigs, maxHamming, maxPerBucket)
+
+  /** [[deltaDhashNearDups]] over PRE-COMPUTED banded signatures of the new
+    * batch ([[dhashBandSignatures]] rows, materialized by the caller) — the
+    * entry the streaming sink uses so each payload is decoded exactly once
+    * per batch: the same signature frame feeds the pair join here and the
+    * index append afterwards. */
+  def deltaDhashNearDupsFromSigs(
+      newSigs: DataFrame, oldSigs: DataFrame, maxHamming: Int = 0,
       maxPerBucket: Long = 1L << 14): DataFrame = {
-    val newSigs = dhashBandSignatures(newMedia, idCol, dataCol, wCol, hCol)
-      .localCheckpoint(false)
     val newIds = newSigs.select("id").distinct()
     val oldLive = oldSigs.join(newIds, Seq("id"), "left_anti")
     val all = newSigs.withColumn("is_new", lit(true))
@@ -140,25 +165,28 @@ object Multimodal {
     val touched = all.join(
       newSigs.select("band_idx", "band_val").distinct(),
       Seq("band_idx", "band_val"), "left_semi")
+    // materialized: capBucketDf reads its input twice (hot-key agg +
+    // anti-join) and the self-join reads it twice more — without the
+    // checkpoint the index read + union + prune lineage runs 4x
     val capped = Dedup.capBucketDf(
       touched, Seq("band_idx", "band_val"), maxPerBucket)
-    def band(sig: Column, b: Int): Column =
-      shiftright(sig, b * 16).bitwiseAND(lit(0xffffL))
+      .localCheckpoint(false)
     val a = capped.select(col("id").as("id_a"), col("sig").as("dhash_a"),
       col("band_idx"), col("band_val"), col("is_new").as("new_a"))
     val b = capped.select(col("id").as("id_b"), col("sig").as("dhash_b"),
       col("band_idx"), col("band_val"), col("is_new").as("new_b"))
-    val firstSharedBand = (0 until 4).foldLeft(lit(4)) { (acc, k) =>
-      when(band(col("dhash_a"), 3 - k) === band(col("dhash_b"), 3 - k),
-        lit(3 - k)).otherwise(acc)
-    }
+    // pair dedup is a grouped aggregation, NOT the firstSharedBand
+    // predicate: under the hot-bucket cap a pair's first shared band may
+    // be exactly the dropped bucket, and the predicate would then reject
+    // the pair's surviving later-band rows too — losing a pair that WAS
+    // discoverable. The aggregate shuffles only 20-byte candidate rows.
     a.join(b, Seq("band_idx", "band_val"))
       .where(col("id_a") < col("id_b") && (col("new_a") || col("new_b")))
-      .where(col("band_idx") === firstSharedBand)
       .withColumn("hamming",
         bit_count(col("dhash_a").bitwiseXOR(col("dhash_b"))).cast("int"))
       .where(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .groupBy("id_a", "id_b")
+      .agg(min("hamming").as("hamming"))
   }
 
   /** Near-duplicate VIDEOS by shared frame fingerprints: `frames` rows
@@ -184,9 +212,10 @@ object Multimodal {
         dhash(col(frameCol), lit(w), lit(h)).as("fh"))
       .where(col("fh").isNotNull)
       .distinct()
-    val hot = sigs.groupBy("fh").agg(count(lit(1)).as("df"))
-      .where(col("df") > maxPerHash)
-    val capped = sigs.join(broadcast(hot), Seq("fh"), "left_anti")
+      // materialized: the cap + self-join below read sigs four times,
+      // and each read would otherwise re-hash every frame buffer
+      .localCheckpoint(false)
+    val capped = Dedup.capBucketDf(sigs, Seq("fh"), maxPerHash)
     val a = capped.select(col("vid").as("id_a"), col("fh"))
     val b = capped.select(col("vid").as("id_b"), col("fh"))
     a.join(b, Seq("fh"))

@@ -130,23 +130,30 @@ object Streams {
     * Scale shape: two grouped exact-percentile aggregations (Spark's
     * `percentile`, partial-aggregated per group) and two joins on the
     * group key. The stats sides broadcast ONLY while the group
-    * cardinality is provably dimension-sized: a cheap
+    * cardinality is provably dimension-sized: a cheap column-pruned
     * approx_count_distinct pre-pass checks it against
     * `maxBroadcastGroups`, and above the threshold both joins fall back
     * to shuffle joins — the contract is enforced, not advisory, so a
     * high-cardinality group key degrades to one extra exchange instead
-    * of OOMing the driver. The comparisons are the same IEEE ops on both
-    * engines, so flagged membership is exact either way.
+    * of OOMing the driver. The pre-pass runs a Spark job at
+    * plan-construction time; a caller composing the transform lazily (or
+    * feeding a STREAMING frame, where an eager job cannot run) passes
+    * `broadcastStats` explicitly and no pre-pass job fires. The
+    * comparisons are the same IEEE ops on both engines, so flagged
+    * membership is exact either way.
     *
     * Returns the flagged rows: (idCol, groupCol, valueCol, med, mad). */
   def robustAnomalies(
       df: DataFrame, idCol: String, groupCol: String, valueCol: String,
-      k: Double, maxBroadcastGroups: Long = 262144L): DataFrame = {
-    val nGroups = df
-      .select(approx_count_distinct(col(groupCol)).as("n"))
-      .head.getLong(0)
-    val dim = (s: DataFrame) =>
-      if (nGroups <= maxBroadcastGroups) broadcast(s) else s
+      k: Double, maxBroadcastGroups: Long = 262144L,
+      broadcastStats: Option[Boolean] = None): DataFrame = {
+    val bcast = broadcastStats.getOrElse {
+      !df.isStreaming && {
+        df.select(approx_count_distinct(col(groupCol)).as("n"))
+          .head.getLong(0) <= maxBroadcastGroups
+      }
+    }
+    val dim = (s: DataFrame) => if (bcast) broadcast(s) else s
     val med = df.groupBy(groupCol)
       .agg(percentile(col(valueCol), lit(0.5)).as("med"))
     val dev = df.select(col(idCol), col(groupCol), col(valueCol))
@@ -379,7 +386,16 @@ object Streams {
     * its own batch_id partition on a replay, and the index append is
     * batch_id-partitioned dynamic overwrite too, so a replayed batch
     * rewrites its own index partition instead of double-inserting.
-    * Pixels never enter the index — 32 bytes per signature row. */
+    * Pixels never enter the index — 32 bytes per signature row.
+    *
+    * Per-batch cost scales with the DELTA: each payload is hashed once
+    * (the signature frame is materialized and reused for the pair join
+    * and the index append), the index is pruned to the delta's buckets
+    * with a broadcast semi-join before any shuffle, and the stale-row
+    * dedup for re-ingested ids aggregates only the touched ids'
+    * (id, batch_id) projection. If read-side file pressure ever matters
+    * after many batches, compact by rewriting the live rows under a new
+    * prefix — the same convention as [[streamingCorpusStats]]. */
   def streamingMediaDedup(
       spark: org.apache.spark.sql.SparkSession,
       mediaDir: String,
@@ -404,25 +420,42 @@ object Streams {
               org.apache.spark.sql.types.IntegerType),
             org.apache.spark.sql.types.StructField("band_val",
               org.apache.spark.sql.types.LongType))))
+        // hash each payload exactly ONCE per batch: the materialized
+        // signature frame feeds both the pair join and the index append
+        val newSigs = Multimodal.dhashBandSignatures(
+            batch, "media_id", "data", "w", "h")
+          .localCheckpoint(false)
         val oldSigs =
           try {
-            // a re-ingested id leaves stale rows in older batch
-            // partitions; only its LATEST batch's signatures are live
             val raw = spark.read.parquet(indexDir)
-            raw.join(
-                raw.groupBy("id").agg(max("batch_id").as("batch_id")),
-                Seq("id", "batch_id"))
+            // prune to the buckets THIS delta touches before any
+            // cross-row work — a scan + broadcast semi-join, so the
+            // per-batch shuffles below scale with the delta's bucket
+            // footprint, not the accumulated corpus
+            val touched = raw.join(
+              newSigs.select("band_idx", "band_val").distinct(),
+              Seq("band_idx", "band_val"), "left_semi")
+            // a re-ingested id leaves stale rows in older batch
+            // partitions; only its LATEST batch's signatures are live.
+            // The max must range over ALL of an id's rows (its newest
+            // signature may live entirely in untouched buckets), so the
+            // id/batch_id projection is re-scanned — but restricted to
+            // the touched ids, and partial aggregation means only
+            // per-id maxima shuffle
+            val touchedIds = touched.select("id").distinct()
+            val latest = raw.select("id", "batch_id")
+              .join(touchedIds, Seq("id"), "left_semi")
+              .groupBy("id").agg(max("batch_id").as("batch_id"))
+            touched.join(latest, Seq("id", "batch_id"))
               .select("id", "sig", "band_idx", "band_val")
           } catch { case _: org.apache.spark.sql.AnalysisException => empty }
-        val b = batch.localCheckpoint(false)
-        Multimodal.deltaDhashNearDups(b, "media_id", "data", "w", "h",
-            oldSigs, maxHamming)
+        Multimodal.deltaDhashNearDupsFromSigs(newSigs, oldSigs, maxHamming)
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(pairsOutDir)
-        Multimodal.dhashBandSignatures(b, "media_id", "data", "w", "h")
+        newSigs
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
