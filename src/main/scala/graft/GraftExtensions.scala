@@ -60,6 +60,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "dhash64(bin, w, h) - perceptual difference hash of a raw grayscale buffer"),
       (args: Seq[Expression]) => DHash64(args(0), args(1), args(2))))
     ext.injectFunction((
+      FunctionIdentifier("jpeg_encode_gray"),
+      info("jpeg_encode_gray",
+        "jpeg_encode_gray(pixels, w, h, quant) - grayscale baseline JFIF " +
+          "bytes with a flat quant table"),
+      (args: Seq[Expression]) => JpegEncodeGray(args(0), args(1), args(2), args(3))))
+    ext.injectFunction((
+      FunctionIdentifier("jpeg_decode"),
+      info("jpeg_decode",
+        "jpeg_decode(bin) - baseline JPEG decode (huffman + dequant + " +
+          "idct) to (width,height,channels,pixels) with luma pixels"),
+      (args: Seq[Expression]) => JpegDecodeGray(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("audio_fingerprint"),
+      info("audio_fingerprint",
+        "audio_fingerprint(bin) - 64-bit loudness-envelope hash of a PCM WAV"),
+      (args: Seq[Expression]) => AudioFingerprint(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("synth_audio"),
+      info("synth_audio",
+        "synth_audio(seed, nPerSeg, perturb) - deterministic PCM WAV with " +
+          "audio_fingerprint == seed"),
+      (args: Seq[Expression]) => SynthAudio(args(0), args(1), args(2))))
+    ext.injectFunction((
+      FunctionIdentifier("png_encode_gray"),
+      info("png_encode_gray",
+        "png_encode_gray(pixels, w, h, filterMode) - grayscale PNG bytes " +
+          "(filterMode 0-4 fixed, 5 cycles all five row filters)"),
+      (args: Seq[Expression]) => PngEncodeGray(args(0), args(1), args(2), args(3))))
+    ext.injectFunction((
+      FunctionIdentifier("png_decode"),
+      info("png_decode",
+        "png_decode(bin) - full PNG decode (inflate + unfilter) to " +
+          "(width,height,channels,pixels) with single-channel luma pixels"),
+      (args: Seq[Expression]) => PngDecodeGray(args.head)))
+    ext.injectFunction((
       FunctionIdentifier("synth_image"),
       info("synth_image",
         "synth_image(seed, w, h, perturb) - deterministic raw image with dhash64 == seed"),
@@ -68,6 +103,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (a non-foldable argument is a usage error)
     def litInt(e: Expression): Int =
       e.eval().asInstanceOf[Number].intValue
+    ext.injectFunction((
+      FunctionIdentifier("synth_image_step"),
+      info("synth_image_step",
+        "synth_image_step(seed, w, h, perturb, step) - synth_image with a " +
+          "chosen gradient step (lossy-codec fixtures)"),
+      (args: Seq[Expression]) =>
+        SynthImageStep(args(0), args(1), args(2), args(3), litInt(args(4)))))
     ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       info("word_shingles",

@@ -52,6 +52,38 @@ object ImageBytesUtil {
       return InternalRow(UTF8String.fromString("png"),
         be4(data, 16), be4(data, 20), ch)
     }
+    // GIF87a / GIF89a: 6-byte version signature, then the logical screen
+    // descriptor's width/height as little-endian u16 at offsets 6/8.
+    // Pixels are palette indices into an RGB color table -> 3 channels.
+    if (data.length >= 10 && data(0) == 'G' && data(1) == 'I' &&
+      data(2) == 'F' && data(3) == '8' &&
+      (data(4) == '7' || data(4) == '9') && data(5) == 'a') {
+      val w = (data(6) & 0xff) | ((data(7) & 0xff) << 8)
+      val h = (data(8) & 0xff) | ((data(9) & 0xff) << 8)
+      if (w <= 0 || h <= 0) return null
+      return InternalRow(UTF8String.fromString("gif"), w, h, 3)
+    }
+    // BMP: "BM" file header, then a BITMAPINFOHEADER-or-later DIB header
+    // (size >= 40 at offset 14): width/height little-endian i32 at 18/22
+    // (height may be negative for top-down rows), bit count u16 at 28.
+    if (data.length >= 30 && data(0) == 'B' && data(1) == 'M') {
+      def le4(i: Int): Int =
+        (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
+          ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24)
+      val dibSize = le4(14)
+      if (dibSize < 40) return null
+      val w = le4(18)
+      val h = math.abs(le4(22))
+      val bits = (data(28) & 0xff) | ((data(29) & 0xff) << 8)
+      val ch = bits match {
+        case 1 | 4 | 8 => 1 // palette indices
+        case 16 | 24 => 3
+        case 32 => 4
+        case _ => return null
+      }
+      if (w <= 0 || h <= 0) return null
+      return InternalRow(UTF8String.fromString("bmp"), w, h, ch)
+    }
     if (data.length >= 4 && (data(0) & 0xff) == 0xff &&
       (data(1) & 0xff) == 0xd8) {
       var i = 2
@@ -159,10 +191,20 @@ object ImageBytesUtil {
     * the planted near-duplicate. The multimodal fixture generator: real
     * byte-buffer plumbing with a closed-form oracle. Null for
     * unsampleable dimensions. */
-  def synthImage(seed: Long, w: Int, h: Int, perturb: Int): Array[Byte] = {
+  def synthImage(seed: Long, w: Int, h: Int, perturb: Int): Array[Byte] =
+    synthImageStep(seed, w, h, perturb, 8)
+
+  /** [[synthImage]] with a chosen walk step (1..15; 8 rows x 8 steps stay
+    * within byte range for step <= 15): larger steps buy gradient margin
+    * for LOSSY round trips — a baseline-JPEG encode/decode perturbs
+    * pixels by a few units, so a step-12 fixture keeps every sampled
+    * gradient's sign and dhash64 == seed survives the codec. */
+  def synthImageStep(
+      seed: Long, w: Int, h: Int, perturb: Int, step: Int): Array[Byte] = {
     // the size guard keeps the SQL surface total: w*h in INT arithmetic
     // would overflow to a wrong allocation and throw mid-query
-    if (w < 9 || h < 8 || w.toLong * h > (1L << 26)) return null
+    if (w < 9 || h < 8 || w.toLong * h > (1L << 26) ||
+      step < 1 || step > 15) return null
     val g = Array.ofDim[Int](8, 9)
     var r = 0
     while (r < 8) {
@@ -170,8 +212,8 @@ object ImageBytesUtil {
       var c = 0
       while (c < 8) {
         g(r)(c + 1) =
-          if (((seed >>> (r * 8 + c)) & 1L) == 1L) g(r)(c) - 8
-          else g(r)(c) + 8
+          if (((seed >>> (r * 8 + c)) & 1L) == 1L) g(r)(c) - step
+          else g(r)(c) + step
         c += 1
       }
       r += 1
@@ -331,6 +373,43 @@ case class SynthImage(
     copy(seed = newFirst, w = newSecond, h = newThird, perturb = newFourth)
 }
 
+/** [[SynthImage]] with a literal walk step — the lossy-codec fixture:
+  * `synth_image_step(seed, w, h, perturb, step)` -> BINARY raw grayscale
+  * buffer with dhash64 == seed and step-sized sampled gradients. */
+case class SynthImageStep(
+    seed: Expression, w: Expression, h: Expression, perturb: Expression,
+    step: Int)
+    extends QuaternaryExpression {
+  override def first: Expression = seed
+  override def second: Expression = w
+  override def third: Expression = h
+  override def fourth: Expression = perturb
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (seed.dataType == LongType && w.dataType == IntegerType &&
+      h.dataType == IntegerType && perturb.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"synth_image_step expects (BIGINT, INT, INT, INT), got " +
+        s"(${seed.dataType}, ${w.dataType}, ${h.dataType}, ${perturb.dataType})")
+
+  override def nullSafeEval(sv: Any, wv: Any, hv: Any, pv: Any): Any =
+    ImageBytesUtil.synthImageStep(sv.asInstanceOf[Long], wv.asInstanceOf[Int],
+      hv.asInstanceOf[Int], pv.asInstanceOf[Int], step)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (sv, wv, hv, pv) => s"""
+      ${ev.value} = graft.functions.ImageBytesUtil.synthImageStep($sv, $wv, $hv, $pv, $step);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression,
+      newFourth: Expression): SynthImageStep =
+    copy(seed = newFirst, w = newSecond, h = newThird, perturb = newFourth)
+}
+
 /** Column wrappers for the image byte kernels. */
 object images {
   import org.apache.spark.sql.GraftBridge
@@ -349,4 +428,35 @@ object images {
     GraftBridge.column(SynthImage(GraftBridge.expression(seed),
       GraftBridge.expression(w), GraftBridge.expression(h),
       GraftBridge.expression(perturb)))
+
+  def png_encode_gray(
+      data: Column, w: Column, h: Column, filterMode: Column): Column =
+    GraftBridge.column(PngEncodeGray(GraftBridge.expression(data),
+      GraftBridge.expression(w), GraftBridge.expression(h),
+      GraftBridge.expression(filterMode)))
+
+  def png_decode(data: Column): Column =
+    GraftBridge.column(PngDecodeGray(GraftBridge.expression(data)))
+
+  def synth_image_step(seed: Column, w: Column, h: Column, perturb: Column,
+      step: Int): Column =
+    GraftBridge.column(SynthImageStep(GraftBridge.expression(seed),
+      GraftBridge.expression(w), GraftBridge.expression(h),
+      GraftBridge.expression(perturb), step))
+
+  def jpeg_encode_gray(
+      data: Column, w: Column, h: Column, quant: Column): Column =
+    GraftBridge.column(JpegEncodeGray(GraftBridge.expression(data),
+      GraftBridge.expression(w), GraftBridge.expression(h),
+      GraftBridge.expression(quant)))
+
+  def jpeg_decode(data: Column): Column =
+    GraftBridge.column(JpegDecodeGray(GraftBridge.expression(data)))
+
+  def audio_fingerprint(data: Column): Column =
+    GraftBridge.column(AudioFingerprint(GraftBridge.expression(data)))
+
+  def synth_audio(seed: Column, nPerSeg: Column, perturb: Column): Column =
+    GraftBridge.column(SynthAudio(GraftBridge.expression(seed),
+      GraftBridge.expression(nPerSeg), GraftBridge.expression(perturb)))
 }

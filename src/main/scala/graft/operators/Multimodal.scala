@@ -7,18 +7,27 @@ import graft.functions.images
 /** Multimodal column plumbing: image/audio/video payloads as opaque binary
   * columns with typed metadata, processed per-partition in batches.
   *
-  * Two decode layers are REAL and run in whole-stage codegen:
-  *   - container metadata: [[imageMeta]] parses PNG IHDR / JPEG SOF frame
-  *     headers from the payload's first bytes (pure byte math, no codec);
-  *   - perceptual fingerprints: [[dhash]] + [[dhashNearDups]] compute a
-  *     64-bit difference hash over raw pixel buffers and find
-  *     near-duplicate images with a banded-LSH hamming join.
+  * Three decode layers are REAL and run in whole-stage codegen:
+  *   - container metadata: [[imageMeta]] parses PNG/JPEG/GIF/BMP headers
+  *     and [[audioMeta]] WAV/RIFF layouts from the payload's first bytes
+  *     (pure byte math, no codec);
+  *   - pixel/sample decompression: [[decodePng]] is a complete PNG
+  *     decode (chunk CRCs, zlib inflate, all five scanline filters,
+  *     every bit-depth-8 color type — [[graft.functions.PngCodecUtil]]),
+  *     [[decodeJpeg]] a baseline JPEG decode (canonical Huffman,
+  *     dequantization, IDCT, interleaved sampling-factor MCUs —
+  *     [[graft.functions.JpegCodecUtil]]), and the audio path reads PCM
+  *     WAV samples directly ([[graft.functions.AudioBytesUtil]]) — so
+  *     [[pngNearDups]] and [[audioNearDups]] run perceptual dedup
+  *     end-to-end from real compressed payloads;
+  *   - perceptual fingerprints: [[dhash]] + [[dhashNearDups]] (images)
+  *     and the loudness-envelope audio fingerprint, paired with a
+  *     banded-LSH hamming join.
   *
-  * The remaining codec seam is payload DECOMPRESSION (PNG IDAT inflate,
-  * JPEG entropy decode, audio codecs) — this container ships no image
-  * libraries, so `decodeStub` stands in for that step with deterministic
-  * pseudo-features; a production deployment binds a real codec there
-  * without touching the plumbing.
+  * `decodeStub` remains only as the generic opaque-payload seam for
+  * formats that genuinely need an external codec (lossy audio, video
+  * codecs); a production deployment binds one there without touching the
+  * plumbing.
   *
   * At scale: media rows are large and skewed — the pipeline repartitions by
   * media_id before the decode pass so one executor doesn't absorb all the
@@ -68,6 +77,40 @@ object Multimodal {
   def dhash(data: Column, w: Column, h: Column): Column =
     images.dhash64(data, w, h)
 
+  /** Full PNG decode of a compressed payload to
+    * struct(width, height, channels, pixels): chunk CRC verification,
+    * IDAT inflate, scanline unfiltering, luma projection — pure
+    * `java.util.zip` byte math in whole-stage codegen, null for anything
+    * undecodable. See [[graft.functions.PngCodecUtil.pngDecodeGray]]. */
+  def decodePng(data: Column): Column = images.png_decode(data)
+
+  /** Baseline JPEG decode of a compressed payload to
+    * struct(width, height, channels, pixels): canonical Huffman,
+    * dequantization, IDCT, interleaved multi-component MCUs — pure byte
+    * math in whole-stage codegen, null for anything undecodable. The
+    * pixels are component 0 (luma). See
+    * [[graft.functions.JpegCodecUtil.jpegDecodeGray]]. */
+  def decodeJpeg(data: Column): Column = images.jpeg_decode(data)
+
+  /** Perceptual near-dup join directly over COMPRESSED PNG payloads:
+    * decode ([[decodePng]]) -> dHash -> the same banded hamming self-join
+    * as [[dhashNearDups]]. The decode runs once per image in the
+    * signature projection; only (id, 8-byte hash) rows reach the join —
+    * at corpus scale the pixel buffers never leave their input partition,
+    * let alone an exchange. Undecodable payloads are skipped (their
+    * signature is null), matching the curation posture of every other
+    * dedup path: garbage can't pair. */
+  def pngNearDups(
+      media: DataFrame, idCol: String, dataCol: String,
+      maxHamming: Int = 0): DataFrame = {
+    val decoded = media.select(col(idCol).as("id"),
+        images.png_decode(col(dataCol)).as("m"))
+      .where(col("m").isNotNull)
+      .select(col("id"), col("m.pixels").as("pixels"),
+        col("m.width").as("width"), col("m.height").as("height"))
+    dhashNearDups(decoded, "id", "pixels", "width", "height", maxHamming)
+  }
+
   /** Near-duplicate images by perceptual hash: pairs (id_a < id_b) whose
     * dHash hamming distance is <= `maxHamming`, found with banded LSH —
     * the 64-bit hash splits into four 16-bit bands; two images within
@@ -96,21 +139,49 @@ object Multimodal {
       dhash(col(dataCol), col(wCol), col(hCol)).as("sig"))
       .where(col("sig").isNotNull)
       .localCheckpoint(false)
+    hammingBandPairs(sigs, maxHamming, "dhash")
+  }
+
+  /** The shared banded hamming self-join over any 64-bit perceptual
+    * signature frame (id, sig): every *NearDups entry point funnels here
+    * after its own decode+hash projection. Returns (id_a, id_b,
+    * <prefix>_a, <prefix>_b, hamming), id_a < id_b. */
+  private[operators] def hammingBandPairs(
+      sigs: DataFrame, maxHamming: Int, prefix: String): DataFrame = {
+    val sa = s"${prefix}_a"
+    val sb = s"${prefix}_b"
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(b => band(col("sig"), b)): _*))
         .as(Seq("band_idx", "band_val")))
-    val a = banded.select(col("id").as("id_a"), col("sig").as("dhash_a"),
+    val a = banded.select(col("id").as("id_a"), col("sig").as(sa),
       col("band_idx"), col("band_val"))
-    val b = banded.select(col("id").as("id_b"), col("sig").as("dhash_b"),
+    val b = banded.select(col("id").as("id_b"), col("sig").as(sb),
       col("band_idx"), col("band_val"))
     a.join(b, Seq("band_idx", "band_val"))
       .where(col("id_a") < col("id_b"))
-      .where(col("band_idx") ===
-        firstSharedBand(col("dhash_a"), col("dhash_b")))
+      .where(col("band_idx") === firstSharedBand(col(sa), col(sb)))
       .withColumn("hamming",
-        bit_count(col("dhash_a").bitwiseXOR(col("dhash_b"))).cast("int"))
+        bit_count(col(sa).bitwiseXOR(col(sb))).cast("int"))
       .where(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "dhash_a", "dhash_b", "hamming")
+      .select("id_a", "id_b", sa, sb, "hamming")
+  }
+
+  /** Near-duplicate AUDIO clips by loudness-envelope fingerprint: the
+    * same banded hamming join as [[dhashNearDups]], over
+    * [[graft.functions.AudioBytesUtil.audioFingerprint]] of real PCM WAV
+    * payloads — RIFF walk + sample reads in codegen, 16-byte signature
+    * rows into the join, sample buffers never leave their partition.
+    * Undecodable (non-PCM, truncated-below-minimum) clips are skipped.
+    * Returns (id_a, id_b, fp_a, fp_b, hamming). */
+  def audioNearDups(
+      media: DataFrame, idCol: String, dataCol: String,
+      maxHamming: Int = 0): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0 (got $maxHamming)")
+    val sigs = media.select(col(idCol).as("id"),
+        images.audio_fingerprint(col(dataCol)).as("sig"))
+      .where(col("sig").isNotNull)
+      .localCheckpoint(false)
+    hammingBandPairs(sigs, maxHamming, "fp")
   }
 
   /** Banded dHash signature rows (id, sig, band_idx, band_val) — the
@@ -241,6 +312,38 @@ object Multimodal {
       unhex(lit("000000")), // compression, filter, interlace
       unhex(lit("00000000")), // (unchecked) IHDR crc
       unhex(lit("0000000049444154"))) // empty IDAT
+  }
+
+  /** Fixture builder: a GIF89a logical screen descriptor — version
+    * signature then width/height as little-endian u16, a global-color-
+    * table flag byte, and a trailer. Header parsing reads only the first
+    * 10 bytes. */
+  def gifBytes(w: Column, h: Column): Column = {
+    def le2(c: Column): Column =
+      concat(unhex(lpad(hex(pmod(c, lit(256))), 2, "0")),
+        unhex(lpad(hex(floor(c / 256).cast("long")), 2, "0")))
+    concat(lit("GIF89a").cast("binary"), le2(w), le2(h),
+      unhex(lit("F7000000003B"))) // GCT flags, bg, aspect, trailer
+  }
+
+  /** Fixture builder: a BMP file header + BITMAPINFOHEADER — "BM",
+    * file-size/reserved/offset placeholders, the 40-byte DIB header with
+    * little-endian width (i32), height (i32, negated when `topDown` to
+    * exercise the abs), planes, and bit count. */
+  def bmpBytes(w: Column, h: Column, bits: Column, topDown: Column): Column = {
+    def leByte(c: Column, k: Int): Column =
+      unhex(lpad(hex(pmod(floor(c / math.pow(256, k).toLong).cast("long"),
+        lit(256L))), 2, "0"))
+    def le2(c: Column): Column = concat(leByte(c, 0), leByte(c, 1))
+    def le4(c: Column): Column =
+      concat(leByte(c, 0), leByte(c, 1), leByte(c, 2), leByte(c, 3))
+    val hField = when(topDown, lit(4294967296L) - h).otherwise(h) // two's complement i32
+    concat(lit("BM").cast("binary"),
+      unhex(lit("0000000000000000" + "36000000")), // size/reserved/offset
+      unhex(lit("28000000")), // DIB header size 40
+      le4(w), le4(hField),
+      le2(lit(1)), le2(bits),
+      unhex(lit("00" * 24))) // compression..colors-important
   }
 
   /** Fixture builder: a minimal JPEG byte stream — SOI, optionally an

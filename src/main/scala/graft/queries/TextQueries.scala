@@ -664,6 +664,103 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM documents"""),
     ),
 
+    // GIF/BMP container metadata from planted standards-layout bytes:
+    // GIF89a little-endian screen descriptors; BMPs with cycling bit
+    // depths (8/24/32 -> 1/3/4 channels) and a top-down (negative-height
+    // i32) variant exercising the two's-complement parse
+    "q_multimodal_dims_ext" -> QueryDef(
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"),
+          (col("doc_id") % 600 + 1).cast("long").as("w"),
+          (col("doc_id") % 400 + 1).cast("long").as("h"))
+        val gif = d.where(col("doc_id") % 2 === 0).select(col("doc_id"),
+          graft.operators.Multimodal.gifBytes(col("w"), col("h")).as("data"))
+        val bmp = d.where(col("doc_id") % 2 === 1).select(col("doc_id"),
+          graft.operators.Multimodal.bmpBytes(col("w"), col("h"),
+            element_at(array(lit(8L), lit(24L), lit(32L)),
+              (col("doc_id") % 3 + 1).cast("int")),
+            col("doc_id") % 5 === 0).as("data"))
+        gif.unionByName(bmp)
+          .select(col("doc_id").as("media_id"),
+            graft.operators.Multimodal.imageMeta(col("data")).as("m"))
+          .select(col("media_id"), col("m.format").as("format"),
+            col("m.width").as("width"), col("m.height").as("height"),
+            col("m.channels").as("channels"))
+      },
+      Some("""SELECT doc_id AS media_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'gif' ELSE 'bmp' END AS format,
+          CAST(doc_id % 600 + 1 AS INTEGER) AS width,
+          CAST(doc_id % 400 + 1 AS INTEGER) AS height,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE
+                 CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+          END AS INTEGER) AS channels
+        FROM documents"""),
+    ),
+
+    // REAL pixel decompression end-to-end: synth images (dhash64 == seed
+    // by construction) are encoded as standards-conformant grayscale PNGs
+    // — zlib-deflated IDAT split across chunks, per-chunk CRC-32, row
+    // filters cycling through all five types via filterMode = doc_id % 6
+    // — then decoded back from the BYTES (inflate + unfilter) and
+    // re-hashed. The round trip is bit-exact, so the decoded dims and
+    // dHash match the planted arithmetic; any slip in the codec (CRC,
+    // filter predictor, multi-IDAT reassembly) breaks the oracle.
+    "q_multimodal_png_decode" -> QueryDef(
+      (s, dir) => {
+        val d = docs(s, dir).where(col("doc_id") < 1500).select(col("doc_id"),
+          (col("doc_id") % 5 + 16).cast("int").as("w"),
+          (col("doc_id") % 4 + 12).cast("int").as("h"))
+        d.select(col("doc_id").as("media_id"),
+            graft.operators.Multimodal.decodePng(
+              graft.functions.images.png_encode_gray(
+                graft.functions.images.synth_image(
+                  (col("doc_id") % 7 * 1234567 + 42).cast("long"),
+                  col("w"), col("h"), (col("doc_id") % 3).cast("int")),
+                col("w"), col("h"),
+                (col("doc_id") % 6).cast("int"))).as("m"))
+          .select(col("media_id"), col("m.width").as("width"),
+            col("m.height").as("height"), col("m.channels").as("channels"),
+            graft.operators.Multimodal.dhash(
+              col("m.pixels"), col("m.width"), col("m.height")).as("dhash"))
+      },
+      Some("""SELECT doc_id AS media_id,
+          CAST(doc_id % 5 + 16 AS INTEGER) AS width,
+          CAST(doc_id % 4 + 12 AS INTEGER) AS height,
+          CAST(1 AS INTEGER) AS channels,
+          CAST(doc_id % 7 * 1234567 + 42 AS BIGINT) AS dhash
+        FROM documents WHERE doc_id < 1500"""),
+    ),
+
+    // perceptual near-dup join over COMPRESSED payloads: the same planted
+    // near-duplicate groups as q_multimodal_phash_dups, but each image
+    // travels as a real PNG and pngNearDups decodes inside the signature
+    // projection — proving the full chain payload -> inflate -> unfilter
+    // -> dHash -> banded hamming join against the same closed-form oracle
+    "q_multimodal_png_dups" -> QueryDef(
+      (s, dir) => {
+        val media = docs(s, dir).where(col("doc_id") < 1500)
+          .select(col("doc_id"),
+            (col("doc_id") % 5 + 16).cast("int").as("w"),
+            (col("doc_id") % 4 + 12).cast("int").as("h"))
+          .select(col("doc_id"),
+            graft.functions.images.png_encode_gray(
+              graft.functions.images.synth_image(
+                (col("doc_id") % 7 * 1234567 + 42).cast("long"),
+                col("w"), col("h"), (col("doc_id") % 3).cast("int")),
+              col("w"), col("h"), (col("doc_id") % 6).cast("int")).as("data"))
+        graft.operators.Multimodal
+          .pngNearDups(media, "doc_id", "data", maxHamming = 0)
+          .groupBy(col("dhash_a").as("dhash"))
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some("""WITH g AS (
+          SELECT doc_id % 7 * 1234567 + 42 AS dhash, count(*) AS n
+          FROM documents WHERE doc_id < 1500 GROUP BY 1)
+        SELECT CAST(dhash AS BIGINT) AS dhash,
+          CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs
+        FROM g WHERE n >= 2"""),
+    ),
+
     // Perceptual near-dup join over raw pixel buffers: synth_image plants
     // groups of near-duplicate images (same dHash seed per doc_id % 7
     // group, per-row pixel perturbations and sizes), dhashNearDups finds
@@ -760,6 +857,66 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
             AS bits,
           CAST(doc_id % 1000 + 1 AS BIGINT) AS n_samples
         FROM documents"""),
+    ),
+
+    // REAL lossy decompression end-to-end: step-12 synth images (sampled
+    // gradients 12 units wide, dhash64 == seed) are encoded as baseline
+    // JFIF JPEGs with a flat quant-2 table — forward DCT, Annex K
+    // Huffman, byte stuffing — then decoded back from the BYTES
+    // (canonical Huffman + dequant + IDCT). The codec perturbs pixels by
+    // at most a few units, far under the planted gradient, so the
+    // decoded dims and dHash still match the seed arithmetic exactly;
+    // any slip in either half of the codec breaks the oracle.
+    "q_multimodal_jpeg_decode" -> QueryDef(
+      (s, dir) => {
+        val d = docs(s, dir).where(col("doc_id") < 1500).select(col("doc_id"),
+          (col("doc_id") % 5 + 16).cast("int").as("w"),
+          (col("doc_id") % 4 + 12).cast("int").as("h"))
+        d.select(col("doc_id").as("media_id"),
+            graft.operators.Multimodal.decodeJpeg(
+              graft.functions.images.jpeg_encode_gray(
+                graft.functions.images.synth_image_step(
+                  (col("doc_id") % 7 * 1234567 + 42).cast("long"),
+                  col("w"), col("h"), lit(0).cast("int"), step = 12),
+                col("w"), col("h"), lit(2).cast("int"))).as("m"))
+          .select(col("media_id"), col("m.width").as("width"),
+            col("m.height").as("height"), col("m.channels").as("channels"),
+            graft.operators.Multimodal.dhash(
+              col("m.pixels"), col("m.width"), col("m.height")).as("dhash"))
+      },
+      Some("""SELECT doc_id AS media_id,
+          CAST(doc_id % 5 + 16 AS INTEGER) AS width,
+          CAST(doc_id % 4 + 12 AS INTEGER) AS height,
+          CAST(1 AS INTEGER) AS channels,
+          CAST(doc_id % 7 * 1234567 + 42 AS BIGINT) AS dhash
+        FROM documents WHERE doc_id < 1500"""),
+    ),
+
+    // perceptual near-dup join over real PCM WAV payloads: synth_audio
+    // plants groups of clips sharing a loudness envelope (fingerprint ==
+    // seed by construction; per-row sample perturbations and lengths),
+    // audioNearDups parses the RIFF bytes, fingerprints channel-0
+    // samples, and pairs via the banded hamming join — same closed-form
+    // group-pair oracle as the image paths
+    "q_multimodal_audio_dups" -> QueryDef(
+      (s, dir) => {
+        val media = docs(s, dir).where(col("doc_id") < 1500)
+          .select(col("doc_id"),
+            graft.functions.images.synth_audio(
+              (col("doc_id") % 7 * 7654321 + 99).cast("long"),
+              (col("doc_id") % 3 + 2).cast("int"),
+              (col("doc_id") % 3).cast("int")).as("data"))
+        graft.operators.Multimodal
+          .audioNearDups(media, "doc_id", "data", maxHamming = 0)
+          .groupBy(col("fp_a").as("fp"))
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some("""WITH g AS (
+          SELECT doc_id % 7 * 7654321 + 99 AS fp, count(*) AS n
+          FROM documents WHERE doc_id < 1500 GROUP BY 1)
+        SELECT CAST(fp AS BIGINT) AS fp,
+          CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs
+        FROM g WHERE n >= 2"""),
     ),
 
     // video near-dup by shared frame fingerprints: payloads are 4

@@ -84,6 +84,36 @@ class MultimodalSpec extends AnyFunSuite {
       viaSql.getInt(2) == 256 && viaSql.getInt(3) == 3)
   }
 
+  test("image_meta agrees with ImageIO-written PNG/JPEG/GIF/BMP files") {
+    import graft.functions.ImageBytesUtil
+    val (w, h) = (37, 21)
+    def write(fmt: String, imgType: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, imgType)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (x * 31 + y * 7) * 1103515245)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), fmt)
+      bos.toByteArray
+    }
+    import java.awt.image.BufferedImage._
+    val cases = Seq(
+      // (bytes, format, channels) — channels per the parser's color-model
+      // mapping for what each JDK writer actually emits
+      (write("png", TYPE_INT_RGB), "png", 3),
+      (write("png", TYPE_INT_ARGB), "png", 4),
+      (write("jpg", TYPE_3BYTE_BGR), "jpeg", 3),
+      (write("gif", TYPE_BYTE_INDEXED), "gif", 3),
+      (write("bmp", TYPE_3BYTE_BGR), "bmp", 3),
+      (write("bmp", TYPE_BYTE_GRAY), "bmp", 1))
+    for ((bytes, fmt, ch) <- cases) {
+      val m = ImageBytesUtil.imageMeta(bytes)
+      assert(m != null, s"$fmt: parse returned null")
+      assert(m.getString(0) == fmt && m.getInt(1) == w && m.getInt(2) == h,
+        s"$fmt: got (${m.getString(0)}, ${m.getInt(1)}, ${m.getInt(2)})")
+      assert(m.getInt(3) == ch, s"$fmt channels: got ${m.getInt(3)}")
+    }
+  }
+
   test("audio_meta parses a real WAV header byte stream") {
     import graft.functions.ImageBytesUtil
     // canonical 44-byte PCM WAV header: 8 kHz mono 8-bit, 4 samples
@@ -131,6 +161,64 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ImageBytesUtil.synthImage(1L, 65536, 65536, 0) == null)
     assert(spark.sql("SELECT synth_image(1L, 65536, 65536, 0) IS NULL")
       .collect().head.getBoolean(0))
+  }
+
+  test("audio fingerprint: synth round trip, JDK cross-check, invariances") {
+    import graft.functions.AudioBytesUtil
+    // fingerprint(synth(seed)) == seed across lengths and perturbations
+    for (seed <- Seq(0L, 42L, -1L, 0x123456789abcdefL); nps <- Seq(2, 5, 9);
+         p <- Seq(0, 2)) {
+      val wav = AudioBytesUtil.synthAudio(seed, nps, p)
+      assert(wav != null)
+      assert(AudioBytesUtil.audioFingerprint(wav) == seed,
+        s"seed=$seed nps=$nps p=$p")
+      // it is a REAL wav: the container parser agrees on every field
+      val m = graft.functions.ImageBytesUtil.audioMeta(wav)
+      assert(m.getString(0) == "wav" && m.getInt(1) == 8000 &&
+        m.getInt(2) == 1 && m.getInt(3) == 16 && m.getLong(4) == 65L * nps)
+    }
+    // the JDK's own RIFF reader decodes the same format and samples
+    val wav = AudioBytesUtil.synthAudio(7L, 4, 0)
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = in.getFormat
+    assert(fmt.getSampleRate == 8000f && fmt.getChannels == 1 &&
+      fmt.getSampleSizeInBits == 16)
+    val payload = in.readAllBytes()
+    assert(java.util.Arrays.equals(payload,
+      java.util.Arrays.copyOfRange(wav, 44, wav.length)))
+    // amplitude scaling preserves the envelope ordering -> same hash
+    val scaled = wav.clone()
+    var j = 44
+    while (j + 1 < scaled.length) {
+      val v = ((scaled(j) & 0xff) | (scaled(j + 1) << 8)) / 2
+      scaled(j) = v.toByte; scaled(j + 1) = (v >> 8).toByte
+      j += 2
+    }
+    assert(AudioBytesUtil.audioFingerprint(scaled) == 7L)
+    // hostile inputs: never throw; unsupported shapes are null
+    for (cut <- Seq(0, 11, 43, 44, 60, wav.length - 1))
+      AudioBytesUtil.audioFingerprint(java.util.Arrays.copyOf(wav, cut))
+    assert(AudioBytesUtil.audioFingerprint(
+      java.util.Arrays.copyOf(wav, 100)) == null) // < 2 samples/segment
+    val nonPcm = wav.clone()
+    nonPcm(20) = 3 // fmt code: IEEE float
+    assert(AudioBytesUtil.audioFingerprint(nonPcm) == null)
+    assert(AudioBytesUtil.audioFingerprint("RIFFjunk".getBytes) == null)
+  }
+
+  test("audioNearDups: planted envelope groups pair from WAV bytes only") {
+    import spark.implicits._
+    val media = (0 until 12).map { i =>
+      val seed = (i % 4) * 424243L + 17
+      (i.toLong, graft.functions.AudioBytesUtil.synthAudio(seed, 2 + i % 3, i % 3))
+    }.toDF("id", "data")
+    val pairs = graft.operators.Multimodal
+      .audioNearDups(media, "id", "data", maxHamming = 0)
+      .select("id_a", "id_b", "hamming").collect()
+    assert(pairs.length == 4 * 3)
+    assert(pairs.forall(r => r.getLong(0) % 4 == r.getLong(1) % 4))
+    assert(pairs.forall(_.getInt(2) == 0))
   }
 
   test("dhash: perturbation/resize invariant, distant for different seeds") {
