@@ -247,6 +247,48 @@ object TextAnalysis {
         (col("score_micro").cast("double") / 1e6).as("score"))
   }
 
+  /** Hybrid retrieval by Reciprocal Rank Fusion: the BM25 lexical top
+    * `kLex` ([[bm25TopK]]) and the cosine vector top `kVec`
+    * ([[Similarity.topK]]) per query are fused with
+    * score = Σ_lists 1/(rrfK + rank) — the standard RRF rule — and the
+    * fused top `k` returned as (qid, id, n_lists, rrf). Contributions
+    * are micro-quantized (round(1e9/(rrfK+rank)) summed as BIGINT) so
+    * the sum is associative and engine-exact; ties break on id.
+    *
+    * Scale shape: each leg is already k-bounded per query, so the fusion
+    * union shuffles at most (kLex + kVec) 24-byte rows per query and the
+    * final window ranks within that bound — the legs dominate, and each
+    * keeps its own documented shape (query-vocab broadcast for BM25;
+    * block the corpus via the IVF/LSH variants for the vector leg when
+    * brute force is too large). */
+  def hybridRrfTopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      corpusEmb: DataFrame, queryEmb: DataFrame,
+      k: Int, kLex: Int = 50, kVec: Int = 50, rrfK: Int = 60): DataFrame = {
+    val wLex = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score").desc, col("id").asc)
+    val lex = bm25TopK(docs, idCol, textCol, queries, qidCol, qtextCol, kLex)
+      .select(col(qidCol).cast("long").as("qid"),
+        col(idCol).cast("long").as("id"), col("score"))
+      .withColumn("rank", row_number().over(wLex))
+      .select("qid", "id", "rank")
+    val vec = Similarity.topK(queryEmb, corpusEmb, kVec)
+      .select(col("q_id").cast("long").as("qid"),
+        col("c_id").cast("long").as("id"), col("rn").cast("int").as("rank"))
+    val contrib = round(lit(1e9) / (lit(rrfK) + col("rank"))).cast("long")
+    val fused = lex.unionByName(vec)
+      .select(col("qid"), col("id"), contrib.as("c"))
+      .groupBy("qid", "id")
+      .agg(count(lit(1)).as("n_lists"), sum(col("c")).as("rrf_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("rrf_micro").desc, col("id").asc)
+    fused.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("id"), col("n_lists"),
+        (col("rrf_micro").cast("double") / 1e9).as("rrf"))
+  }
+
   // --- count-min sketch (bounded-memory term statistics) -----------------
 
   /** Count-min sketch of corpus term frequencies: `d` hash rows × `w`

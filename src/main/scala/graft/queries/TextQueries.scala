@@ -2531,6 +2531,88 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM rk WHERE rn <= 10"""),
     ),
 
+    // hybrid retrieval: BM25 lexical ranks fused with cosine vector
+    // ranks by Reciprocal Rank Fusion (micro-quantized 1/(60+rank)
+    // contributions, so the sum is associative and engine-exact); the
+    // oracle replays both legs and the fusion relationally
+    "q_retrieve_hybrid" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val qs = Seq(
+          (1L, "spark join merge"),
+          (2L, "window sort batch table"),
+          (3L, "customer data quality filter"),
+        ).toDF("query_id", "qtext")
+        val emb = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding"))
+        TextAnalysis.hybridRrfTopK(
+          docs(s, dir).select("doc_id", "text"), "doc_id", "text",
+          qs, "query_id", "qtext",
+          corpusEmb = emb, queryEmb = emb.filter(col("id").isin(1L, 2L, 3L)),
+          k = 10, kLex = 10, kVec = 10)
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+          string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        term AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM term GROUP BY 1, 2),
+        dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tok),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+        q AS (SELECT CAST(query_id AS BIGINT) AS query_id, qtext
+          FROM (VALUES (1, 'spark join merge'),
+                       (2, 'window sort batch table'),
+                       (3, 'customer data quality filter'))
+            v(query_id, qtext)),
+        qt AS (SELECT query_id,
+            unnest(list_distinct(string_split_regex(trim(qtext), '\s+')))
+              AS term FROM q),
+        qdf AS (SELECT qt.query_id, qt.term,
+            CAST(CAST(round(ln(1 + (st.n_docs - dfq.df + 0.5) /
+                (dfq.df + 0.5)) * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS idf
+          FROM dfq JOIN qt USING (term) CROSS JOIN st),
+        sc AS (SELECT qdf.query_id, tf.doc_id,
+            CAST(round(qdf.idf * (tf.tf * (1.2 + 1)) /
+              (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl /
+                (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))
+              * 1e6) AS BIGINT) AS contrib
+          FROM tf JOIN dl USING (doc_id) JOIN qdf ON tf.term = qdf.term
+          CROSS JOIN st),
+        ag AS (SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT)
+            AS score_micro FROM sc GROUP BY 1, 2),
+        lexr AS (SELECT query_id AS qid, CAST(doc_id AS BIGINT) AS id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY score_micro DESC, doc_id ASC) AS rank FROM ag
+            QUALIFY rank <= 10),
+        v AS (SELECT vec_id AS id, embedding FROM embeddings),
+        nv AS (SELECT id, embedding,
+          sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(range(1, len(embedding)+1),
+              p -> CAST(embedding[p] AS DOUBLE) * CAST(embedding[p] AS DOUBLE))),
+            (a, b) -> a + b)) AS nrm
+          FROM v),
+        vs AS (SELECT q.id AS qid, c.id AS cid,
+          round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(range(1, len(q.embedding)+1),
+              p -> CAST(q.embedding[p] AS DOUBLE) * CAST(c.embedding[p] AS DOUBLE))),
+            (a, b) -> a + b) / (q.nrm * c.nrm), 4) AS cos
+          FROM nv q JOIN nv c ON q.id <> c.id
+          WHERE q.id IN (1, 2, 3)),
+        vecr AS (SELECT CAST(qid AS BIGINT) AS qid, CAST(cid AS BIGINT) AS id,
+            row_number() OVER (PARTITION BY qid
+              ORDER BY cos DESC, cid ASC) AS rank FROM vs
+            QUALIFY rank <= 10),
+        u AS (SELECT * FROM lexr UNION ALL SELECT * FROM vecr),
+        f AS (SELECT qid, id, CAST(count(*) AS BIGINT) AS n_lists,
+            CAST(sum(CAST(round(1e9 / (60 + rank)) AS BIGINT)) AS BIGINT)
+              AS m FROM u GROUP BY 1, 2),
+        r2 AS (SELECT qid, id, n_lists, m,
+            row_number() OVER (PARTITION BY qid ORDER BY m DESC, id ASC)
+              AS rn FROM f)
+        SELECT qid, id, n_lists, CAST(m AS DOUBLE) / 1e9 AS rrf
+        FROM r2 WHERE rn <= 10"""),
+    ),
+
     "q_text_tfidf" -> QueryDef(
       (s, dir) => TextAnalysis.tfIdfTopTerms(
         docs(s, dir).select("doc_id", "text"), "doc_id", "text", k = 3),

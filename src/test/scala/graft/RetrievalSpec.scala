@@ -46,6 +46,33 @@ class RetrievalSpec extends AnyFunSuite {
     assert(byId(1L) > byId(3L), "longer doc must be penalized")
   }
 
+  test("hybridRrfTopK: both-list docs fuse, micro contributions are exact") {
+    // doc 1: lexical hit only; doc 2: both lists; doc 3: vector hit only.
+    // e1 ⊥ e2: query embedding e2+tiny·e1 ranks 2 then 3 then (excluded 9)
+    val docs = Seq(
+      (1L, "needle haystack needle"),
+      (2L, "needle thread"),
+      (3L, "unrelated words entirely"),
+    ).toDF("doc_id", "text")
+    val e = (i: Int) => Array.tabulate(4)(j => if (j == i) 1f else 0f)
+    val corpus = Seq(
+      (1L, e(0)), (2L, e(1)), (3L, Array(0.1f, 0.9f, 0f, 0f)),
+    ).toDF("id", "embedding")
+    val qEmb = Seq((9L, Array(0f, 1f, 0f, 0f))).toDF("id", "embedding")
+    val qs = Seq((9L, "needle")).toDF("query_id", "qtext")
+    val out = TextAnalysis.hybridRrfTopK(
+        docs, "doc_id", "text", qs, "query_id", "qtext",
+        corpusEmb = corpus, queryEmb = qEmb, k = 10, kLex = 2, kVec = 2)
+      .orderBy(col("rrf").desc, col("id").asc).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // lexical: doc 1 (tf 2) then doc 2; vector: doc 2 (cos 1) then doc 3
+    def c(rank: Int) = math.round(1e9 / (60 + rank)) / 1e9
+    assert(out.toSeq == Seq(
+      (2L, 2L, c(2) + c(1)), // in BOTH lists: lexical #2 + vector #1
+      (1L, 1L, c(1)),
+      (3L, 1L, c(2))))
+  }
+
   test("naive bayes recovers planted class vocabularies") {
     val train = Seq(
       ("spark shuffle partition executor", "eng"),
