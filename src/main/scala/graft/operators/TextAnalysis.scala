@@ -289,6 +289,93 @@ object TextAnalysis {
         (col("rrf_micro").cast("double") / 1e9).as("rrf"))
   }
 
+  // --- BPE vocabulary training -------------------------------------------
+
+  /** Unit separator framing for the BPE corpus encoding: every symbol is
+    * enclosed in U+001F and adjacent symbols abut, so a merge of the
+    * symbol pair (a, b) is ONE literal string replace
+    * `␟a␟␟b␟ -> ␟a␞b␟` — leftmost non-overlapping in every engine, which
+    * IS byte-pair encoding's greedy-left merge application. U+001E marks
+    * the join inside a merged symbol. */
+  private val US = "\u001f"
+  private val RS = "\u001e"
+
+  private def bpeEncode(textCol: Column): Column =
+    concat(lit(US), array_join(tokens(textCol), US + US), lit(US))
+
+  /** Strip the enclosing markers and split back to symbols. */
+  private def bpeSymbols(enc: Column): Column =
+    split(enc.substr(lit(2), length(enc) - 2), US + US)
+
+  /** Learn a BPE merge table from the corpus: `iterations` rounds of
+    * (count adjacent symbol pairs) -> (merge the globally most frequent
+    * pair, ties broken lexicographically) — Sennrich et al.'s algorithm
+    * run as Spark aggregations. Initial symbols are whitespace words (the
+    * word-level variant; a char-level start is the same loop over
+    * exploded characters). Returns the merge table
+    * (it, pair_l, pair_r, cnt) — `it` is 1-based merge order.
+    *
+    * Scale shape per round: one partial-aggregated shuffle of (pair,
+    * count) rows and a driver-side argmax of ONE row (the global top
+    * pair IS a scalar — the same pattern as an iteration's convergence
+    * check), then a map-side string rewrite with lineage truncated per
+    * round. Production tokenizers run thousands of merges; at that depth
+    * train on a sample (Curate.seededShuffle + limit) — each round is a
+    * full corpus pass by construction. */
+  def bpeTrain(
+      df: DataFrame, textCol: String, iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 1000,
+      s"iterations must be in [1, 1000] (got $iterations)")
+    val spark = df.sparkSession
+    var enc = df.select(bpeEncode(col(textCol)).as("enc"))
+      .localCheckpoint(false)
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var it = 1
+    var exhausted = false
+    while (it <= iterations && !exhausted) {
+      val syms = enc.select(bpeSymbols(col("enc")).as("t"))
+      val pairs = syms
+        .where(size(col("t")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("pair_l"),
+            element_at(col("t"), i + 1).as("pair_r")))).as("p"))
+        .select(col("p.pair_l"), col("p.pair_r"))
+      val top = pairs.groupBy("pair_l", "pair_r")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair_l").asc, col("pair_r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val l = top.head.getString(0)
+        val r = top.head.getString(1)
+        merges += ((it, l, r, top.head.getLong(2)))
+        enc = enc.select(replace(col("enc"),
+            lit(US + l + US + US + r + US),
+            lit(US + l + RS + r + US)).as("enc"))
+          .localCheckpoint(false) // truncate the per-round lineage
+        it += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("it", "pair_l", "pair_r", "cnt")
+  }
+
+  /** Apply a learned merge table ([[bpeTrain]] rows, applied in `it`
+    * order) to a corpus: each round is the same single literal replace,
+    * map-side over every row — no shuffle at all. Returns
+    * (idCol, symbols ARRAY<STRING>, n_symbols); merged symbols carry the
+    * U+001E join marker. */
+  def bpeSegment(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val enc = merges.foldLeft(bpeEncode(col(textCol))) { case (e, (l, r)) =>
+      replace(e, lit(US + l + US + US + r + US), lit(US + l + RS + r + US))
+    }
+    df.select(col(idCol), bpeSymbols(enc).as("symbols"))
+      .withColumn("n_symbols", size(col("symbols")).cast("long"))
+  }
+
   // --- count-min sketch (bounded-memory term statistics) -----------------
 
   /** Count-min sketch of corpus term frequencies: `d` hash rows × `w`

@@ -266,6 +266,108 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
               FROM documents"""),
     ),
 
+    // BPE vocabulary training (Sennrich et al.): 3 rounds of global
+    // pair-count argmax + greedy-left merge, the oracle unrolling each
+    // round relationally — the unit-separator framing makes a merge one
+    // literal replace with identical left-to-right semantics in both
+    // engines, so the learned merge table matches exactly
+    "q_text_bpe_train" -> QueryDef(
+      (s, dir) => TextAnalysis.bpeTrain(docs(s, dir), "text", iterations = 3)
+        .select(col("it").cast("int").as("it"), col("pair_l"),
+          col("pair_r"), col("cnt")),
+      Some("""WITH e0 AS (SELECT doc_id, chr(31) ||
+            array_to_string(string_split_regex(trim(text), '\s+'),
+              chr(31) || chr(31)) || chr(31) AS enc FROM documents),
+        t1 AS (SELECT doc_id, string_split(substr(enc, 2, len(enc) - 2),
+            chr(31) || chr(31)) AS t FROM e0),
+        i1 AS (SELECT doc_id, t, unnest(range(1, greatest(len(t), 1))) AS i
+          FROM t1),
+        p1 AS (SELECT t[i] AS l, t[i + 1] AS r, count(*) AS cnt
+          FROM i1 GROUP BY 1, 2),
+        m1 AS (SELECT l, r, cnt FROM p1
+          ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        e1 AS (SELECT doc_id, replace(enc,
+            chr(31) || m1.l || chr(31) || chr(31) || m1.r || chr(31),
+            chr(31) || m1.l || chr(30) || m1.r || chr(31)) AS enc
+          FROM e0 CROSS JOIN m1),
+        t2 AS (SELECT doc_id, string_split(substr(enc, 2, len(enc) - 2),
+            chr(31) || chr(31)) AS t FROM e1),
+        i2 AS (SELECT doc_id, t, unnest(range(1, greatest(len(t), 1))) AS i
+          FROM t2),
+        p2 AS (SELECT t[i] AS l, t[i + 1] AS r, count(*) AS cnt
+          FROM i2 GROUP BY 1, 2),
+        m2 AS (SELECT l, r, cnt FROM p2
+          ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        e2 AS (SELECT doc_id, replace(enc,
+            chr(31) || m2.l || chr(31) || chr(31) || m2.r || chr(31),
+            chr(31) || m2.l || chr(30) || m2.r || chr(31)) AS enc
+          FROM e1 CROSS JOIN m2),
+        t3 AS (SELECT doc_id, string_split(substr(enc, 2, len(enc) - 2),
+            chr(31) || chr(31)) AS t FROM e2),
+        i3 AS (SELECT doc_id, t, unnest(range(1, greatest(len(t), 1))) AS i
+          FROM t3),
+        p3 AS (SELECT t[i] AS l, t[i + 1] AS r, count(*) AS cnt
+          FROM i3 GROUP BY 1, 2),
+        m3 AS (SELECT l, r, cnt FROM p3
+          ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)
+        SELECT CAST(1 AS INTEGER) AS it, l AS pair_l, r AS pair_r,
+          CAST(cnt AS BIGINT) AS cnt FROM m1
+        UNION ALL SELECT CAST(2 AS INTEGER), l, r, CAST(cnt AS BIGINT) FROM m2
+        UNION ALL SELECT CAST(3 AS INTEGER), l, r, CAST(cnt AS BIGINT) FROM m3"""),
+    ),
+
+    // apply the learned merge table to the corpus (train-then-segment in
+    // one gate): per-doc symbol counts after the 3 merges — the oracle
+    // carries the rewrite chain one step further and measures e3
+    "q_text_bpe_segment" -> QueryDef(
+      (s, dir) => {
+        val merges = TextAnalysis.bpeTrain(docs(s, dir), "text", 3)
+          .orderBy("it").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        TextAnalysis.bpeSegment(docs(s, dir), "doc_id", "text", merges)
+          .select("doc_id", "n_symbols")
+      },
+      Some("""WITH e0 AS (SELECT doc_id, chr(31) ||
+            array_to_string(string_split_regex(trim(text), '\s+'),
+              chr(31) || chr(31)) || chr(31) AS enc FROM documents),
+        t1 AS (SELECT doc_id, string_split(substr(enc, 2, len(enc) - 2),
+            chr(31) || chr(31)) AS t FROM e0),
+        i1 AS (SELECT doc_id, t, unnest(range(1, greatest(len(t), 1))) AS i
+          FROM t1),
+        p1 AS (SELECT t[i] AS l, t[i + 1] AS r, count(*) AS cnt
+          FROM i1 GROUP BY 1, 2),
+        m1 AS (SELECT l, r FROM p1 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        e1 AS (SELECT doc_id, replace(enc,
+            chr(31) || m1.l || chr(31) || chr(31) || m1.r || chr(31),
+            chr(31) || m1.l || chr(30) || m1.r || chr(31)) AS enc
+          FROM e0 CROSS JOIN m1),
+        t2 AS (SELECT doc_id, string_split(substr(enc, 2, len(enc) - 2),
+            chr(31) || chr(31)) AS t FROM e1),
+        i2 AS (SELECT doc_id, t, unnest(range(1, greatest(len(t), 1))) AS i
+          FROM t2),
+        p2 AS (SELECT t[i] AS l, t[i + 1] AS r, count(*) AS cnt
+          FROM i2 GROUP BY 1, 2),
+        m2 AS (SELECT l, r FROM p2 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        e2 AS (SELECT doc_id, replace(enc,
+            chr(31) || m2.l || chr(31) || chr(31) || m2.r || chr(31),
+            chr(31) || m2.l || chr(30) || m2.r || chr(31)) AS enc
+          FROM e1 CROSS JOIN m2),
+        t3 AS (SELECT doc_id, string_split(substr(enc, 2, len(enc) - 2),
+            chr(31) || chr(31)) AS t FROM e2),
+        i3 AS (SELECT doc_id, t, unnest(range(1, greatest(len(t), 1))) AS i
+          FROM t3),
+        p3 AS (SELECT t[i] AS l, t[i + 1] AS r, count(*) AS cnt
+          FROM i3 GROUP BY 1, 2),
+        m3 AS (SELECT l, r FROM p3 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        e3 AS (SELECT doc_id, replace(enc,
+            chr(31) || m3.l || chr(31) || chr(31) || m3.r || chr(31),
+            chr(31) || m3.l || chr(30) || m3.r || chr(31)) AS enc
+          FROM e2 CROSS JOIN m3)
+        SELECT doc_id, CAST(len(string_split(substr(enc, 2, len(enc) - 2),
+            chr(31) || chr(31))) AS BIGINT) AS n_symbols
+        FROM e3"""),
+    ),
+
     "q_text_fingerprint" -> QueryDef(
       (s, dir) => docs(s, dir)
         .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("fp")),

@@ -73,6 +73,57 @@ class RetrievalSpec extends AnyFunSuite {
       (3L, 1L, c(2))))
   }
 
+  test("bpeTrain matches an independent single-node reference for 6 merges") {
+    // reference implementation: plain Seq-of-symbols merge loop, written
+    // against Sennrich et al.'s description, sharing no code with the
+    // engine (greedy-left merge application, lexicographic tie-break)
+    def refBpe(corpus: Seq[Seq[String]], iters: Int)
+        : (Seq[(String, String, Long)], Seq[Seq[String]]) = {
+      var docs = corpus
+      val out = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+      for (_ <- 1 to iters) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        docs.foreach(d => d.zip(d.drop(1)).foreach(p =>
+          counts(p) = counts.getOrElse(p, 0L) + 1))
+        if (counts.nonEmpty) {
+          val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+          out += ((l, r, c))
+          docs = docs.map { d =>
+            val b = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < d.length) {
+              if (i + 1 < d.length && d(i) == l && d(i + 1) == r) {
+                b += l + "" + r; i += 2
+              } else { b += d(i); i += 1 }
+            }
+            b.toSeq
+          }
+        }
+      }
+      (out.toSeq, docs)
+    }
+    val texts = Seq(
+      "the cat sat on the mat",
+      "the cat ate the cat food",
+      "a cat and the cat sat",
+      "the the the cat cat",
+      "on the mat sat a cat")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val (refMerges, refDocs) =
+      refBpe(texts.map(_.split("\\s+").toSeq), iters = 6)
+    val got = TextAnalysis.bpeTrain(df, "text", iterations = 6)
+      .orderBy("it").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == refMerges)
+    // segmentation with the learned table reproduces the reference docs
+    val seg = TextAnalysis.bpeSegment(df, "doc_id", "text",
+        refMerges.map(m => (m._1, m._2)))
+      .orderBy("doc_id").collect()
+      .map(_.getSeq[String](1).toList).toSeq
+    assert(seg == refDocs.map(_.toList))
+  }
+
   test("naive bayes recovers planted class vocabularies") {
     val train = Seq(
       ("spark shuffle partition executor", "eng"),
