@@ -192,9 +192,20 @@ object Multimodal {
   def dhashBandSignatures(
       media: DataFrame, idCol: String, dataCol: String,
       wCol: String, hCol: String): DataFrame =
-    media.select(col(idCol).as("id"),
-        dhash(col(dataCol), col(wCol), col(hCol)).as("sig"))
-      .where(col("sig").isNotNull)
+    bandSignatures(media.select(col(idCol).as("id"),
+      dhash(col(dataCol), col(wCol), col(hCol)).as("sig")))
+
+  /** Banded AUDIO signature rows (id, sig, band_idx, band_val) over the
+    * loudness-envelope fingerprint of PCM WAV payloads — the audio twin
+    * of [[dhashBandSignatures]], feeding the same persisted-index
+    * incremental/streaming dedup machinery. */
+  def audioBandSignatures(
+      media: DataFrame, idCol: String, dataCol: String): DataFrame =
+    bandSignatures(media.select(col(idCol).as("id"),
+      images.audio_fingerprint(col(dataCol)).as("sig")))
+
+  private def bandSignatures(sigs: DataFrame): DataFrame =
+    sigs.where(col("sig").isNotNull)
       .select(col("id"), col("sig"),
         posexplode(array((0 until 4).map(b => band(col("sig"), b)): _*))
           .as(Seq("band_idx", "band_val")))

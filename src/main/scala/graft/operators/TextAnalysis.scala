@@ -323,26 +323,53 @@ object TextAnalysis {
     * train on a sample (Curate.seededShuffle + limit) — each round is a
     * full corpus pass by construction. */
   def bpeTrain(
-      df: DataFrame, textCol: String, iterations: Int): DataFrame = {
+      df: DataFrame, textCol: String, iterations: Int): DataFrame =
+    bpeMergeLoop(
+      df.select(bpeEncode(col(textCol)).as("enc"), lit(1L).as("wc")),
+      iterations)
+
+  /** Canonical (Sennrich) char-level BPE: the corpus collapses to a WORD
+    * FREQUENCY DICTIONARY — one encoded row per distinct word, weighted
+    * by its count — and initial symbols are the word's characters, so
+    * merges build subword units and never cross word boundaries. The
+    * dictionary collapse is what makes production-depth training
+    * tractable: each round's pair count runs over |vocab| rows, not
+    * |corpus| rows, regardless of corpus size. */
+  def bpeTrainChars(
+      df: DataFrame, textCol: String, iterations: Int): DataFrame =
+    bpeMergeLoop(
+      df.select(explode(tokens(col(textCol))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("wc"))
+        .select(bpeEncodeChars(col("word")).as("enc"), col("wc")),
+      iterations)
+
+  /** Word -> enclosed char symbols: each character framed like a symbol. */
+  private def bpeEncodeChars(word: Column): Column =
+    concat(lit(US),
+      array_join(transform(sequence(lit(1), length(word)),
+        i => word.substr(i, lit(1))), US + US),
+      lit(US))
+
+  private def bpeMergeLoop(
+      encWeighted: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1 && iterations <= 1000,
       s"iterations must be in [1, 1000] (got $iterations)")
-    val spark = df.sparkSession
-    var enc = df.select(bpeEncode(col(textCol)).as("enc"))
-      .localCheckpoint(false)
+    val spark = encWeighted.sparkSession
+    var enc = encWeighted.localCheckpoint(false)
     val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
     var it = 1
     var exhausted = false
     while (it <= iterations && !exhausted) {
-      val syms = enc.select(bpeSymbols(col("enc")).as("t"))
+      val syms = enc.select(bpeSymbols(col("enc")).as("t"), col("wc"))
       val pairs = syms
         .where(size(col("t")) >= 2)
         .select(explode(transform(
           sequence(lit(1), size(col("t")) - 1),
           i => struct(element_at(col("t"), i).as("pair_l"),
-            element_at(col("t"), i + 1).as("pair_r")))).as("p"))
-        .select(col("p.pair_l"), col("p.pair_r"))
+            element_at(col("t"), i + 1).as("pair_r")))).as("p"), col("wc"))
+        .select(col("p.pair_l"), col("p.pair_r"), col("wc"))
       val top = pairs.groupBy("pair_l", "pair_r")
-        .agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("wc")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair_l").asc, col("pair_r").asc)
         .limit(1).collect()
       if (top.isEmpty) exhausted = true
@@ -352,7 +379,7 @@ object TextAnalysis {
         merges += ((it, l, r, top.head.getLong(2)))
         enc = enc.select(replace(col("enc"),
             lit(US + l + US + US + r + US),
-            lit(US + l + RS + r + US)).as("enc"))
+            lit(US + l + RS + r + US)).as("enc"), col("wc"))
           .localCheckpoint(false) // truncate the per-round lineage
         it += 1
       }

@@ -72,10 +72,11 @@ case class GraftRangeFallbackMarker() extends LeafExpression {
   * the whole family escapes the nested loop. An outer join whose
   * PRESERVED side is the interval side is left untouched (the exploded
   * copies could not be deduplicated without a shuffle that defeats the
-  * point). Note semi/anti joins are seen only in explicit
-  * `LEFT SEMI/ANTI JOIN` form: EXISTS / NOT EXISTS subqueries convert
-  * to joins in the RewriteSubquery batch, AFTER injected operator-
-  * optimization rules run.
+  * point). EXISTS / NOT EXISTS subqueries — which the built-in
+  * RewriteSubquery batch would convert to joins only AFTER injected
+  * rules run — are converted here when (and only when) the pulled-up
+  * join condition qualifies for the binned rewrite; everything else is
+  * left for the built-in batch.
   *
   * Guards (all must hold, otherwise the join is left untouched):
   *   - no cross-side equality conjunct (if one exists the planner
@@ -116,6 +117,47 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             _, _, Inner | LeftOuter | RightOuter | LeftSemi | LeftAnti,
             Some(_), _) =>
         tryRewrite(j, binConf, maxBins).getOrElse(j)
+      case f @ Filter(_, _) =>
+        rewriteExistential(f, binConf, maxBins).getOrElse(f)
+    }
+  }
+
+  /** EXISTS / NOT EXISTS range predicates. The built-in RewriteSubquery
+    * batch converts existential subqueries to semi/anti joins only AFTER
+    * injected operator rules run — so a range-only EXISTS would plan as
+    * BroadcastNestedLoopJoin with this rule never seeing a Join node. We
+    * therefore perform that conversion OURSELVES, but only when the
+    * resulting semi/anti join immediately qualifies for the binned
+    * rewrite (tryRewrite returns Some): a decorrelated existential
+    * conjunct whose pulled-up join conditions are pure range bounds
+    * becomes the rewritten LeftSemi/LeftAnti plan, the remaining
+    * conjuncts stay in the Filter above it, and anything else is left
+    * for the built-in batch — general subquery semantics (null-aware IN,
+    * nested correlation) are never re-implemented here. */
+  private def rewriteExistential(
+      f: Filter, binConf: Option[Long], maxBins: Long): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(f.condition)
+    def attempt(ex: Exists, jt: JoinType): Option[LogicalPlan] = {
+      // joinCond must be fully pulled up (decorrelated) and the
+      // subquery's output must not collide with the outer plan's
+      if (ex.joinCond.isEmpty ||
+        ex.plan.exists(_.expressions.exists(
+          _.exists(_.isInstanceOf[OuterReference]))) ||
+        ex.plan.outputSet.intersect(f.child.outputSet).nonEmpty) None
+      else tryRewrite(
+        Join(f.child, ex.plan, jt,
+          ex.joinCond.reduceOption(And), JoinHint.NONE),
+        binConf, maxBins)
+    }
+    val rewrites = conjuncts.iterator.zipWithIndex.map {
+      case (ex: Exists, i) => attempt(ex, LeftSemi).map((i, _))
+      case (Not(ex: Exists), i) => attempt(ex, LeftAnti).map((i, _))
+      case _ => None
+    }
+    rewrites.collectFirst { case Some((i, rewritten)) =>
+      val rest = conjuncts.patch(i, Nil, 1)
+      rest.reduceOption(And)
+        .map(Filter(_, rewritten)).getOrElse(rewritten)
     }
   }
 

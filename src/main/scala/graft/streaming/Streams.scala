@@ -403,7 +403,50 @@ object Streams {
       checkpointDir: String,
       pairsOutDir: String,
       maxHamming: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
-    spark.readStream.schema(mediaStreamSchema).parquet(mediaDir)
+    streamingBandSigDedup(spark, mediaDir, mediaStreamSchema,
+      b => graft.operators.Multimodal
+        .dhashBandSignatures(b, "media_id", "data", "w", "h"),
+      indexDir, checkpointDir, pairsOutDir, maxHamming)
+
+  private val audioStreamSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("media_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("data",
+      org.apache.spark.sql.types.BinaryType)))
+
+  /** [[streamingMediaDedup]] for AUDIO: the same persisted banded index /
+    * delta-probe / exactly-once machinery over the loudness-envelope
+    * fingerprint of PCM WAV payloads
+    * ([[graft.operators.Multimodal.audioBandSignatures]]). Clips stream
+    * as (media_id, data). */
+  def streamingAudioDedup(
+      spark: org.apache.spark.sql.SparkSession,
+      audioDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      pairsOutDir: String,
+      maxHamming: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    streamingBandSigDedup(spark, audioDir, audioStreamSchema,
+      b => graft.operators.Multimodal
+        .audioBandSignatures(b, "media_id", "data"),
+      indexDir, checkpointDir, pairsOutDir, maxHamming)
+
+  /** Shared core of the streaming perceptual-dedup sinks: `sigsOf` turns
+    * a raw batch into banded 64-bit signature rows (decode+hash, run
+    * exactly once per batch), and everything downstream — index pruning
+    * to the delta's buckets, stale-signature replacement, the capped
+    * pair join, batch_id-partitioned exactly-once writes — is
+    * signature-agnostic. */
+  private def streamingBandSigDedup(
+      spark: org.apache.spark.sql.SparkSession,
+      mediaDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      sigsOf: DataFrame => DataFrame,
+      indexDir: String,
+      checkpointDir: String,
+      pairsOutDir: String,
+      maxHamming: Int): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(schema).parquet(mediaDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -422,9 +465,7 @@ object Streams {
               org.apache.spark.sql.types.LongType))))
         // hash each payload exactly ONCE per batch: the materialized
         // signature frame feeds both the pair join and the index append
-        val newSigs = Multimodal.dhashBandSignatures(
-            batch, "media_id", "data", "w", "h")
-          .localCheckpoint(false)
+        val newSigs = sigsOf(batch).localCheckpoint(false)
         val oldSigs =
           try {
             val raw = spark.read.parquet(indexDir)

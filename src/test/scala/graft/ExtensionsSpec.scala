@@ -159,6 +159,55 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!equi.queryExecution.optimizedPlan.toString
       .contains("__graft_range_bin"))
   }
+  test("EXISTS / NOT EXISTS range subqueries rewrite to binned semi/anti joins") {
+    import graft.sources.Tables
+    val dir = "/root/testdata/sf0.001"
+    Tables.table(spark, dir, "orders").createOrReplaceTempView("ex_orders")
+    Tables.table(spark, dir, "lineitem")
+      .where(col("l_quantity") > 45)
+      .select(col("l_shipdate").as("s"),
+        (col("l_shipdate") + expr("INTERVAL 3 DAYS")).as("e"))
+      .createOrReplaceTempView("ex_iv")
+    val existsSql = """SELECT o.o_orderkey FROM ex_orders o
+      WHERE o.o_totalprice > 1000 AND EXISTS (
+        SELECT 1 FROM ex_iv iv
+        WHERE o.o_orderdate >= iv.s AND o.o_orderdate <= iv.e)"""
+    val notExistsSql = existsSql.replace("AND EXISTS", "AND NOT EXISTS")
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+
+    val ex = spark.sql(existsSql)
+    val exOpt = ex.queryExecution.optimizedPlan.toString
+    assert(exOpt.contains("__graft_range_bin"),
+      s"EXISTS rewrite did not fire:\n$exOpt")
+    val nex = spark.sql(notExistsSql)
+    assert(nex.queryExecution.optimizedPlan.toString
+      .contains("__graft_range_bin"), "NOT EXISTS rewrite did not fire")
+    val gotEx = keys(ex)
+    val gotNex = keys(nex)
+    // the two partitions of the o_totalprice-filtered orders
+    assert(gotEx.nonEmpty && gotNex.nonEmpty)
+    assert(gotEx.intersect(gotNex).isEmpty)
+
+    spark.conf.set("spark.graft.rangeJoin.enabled", "false")
+    try {
+      val naiveEx = spark.sql(existsSql)
+      assert(naiveEx.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+      assert(keys(naiveEx) == gotEx)
+      assert(keys(spark.sql(notExistsSql)) == gotNex)
+    } finally spark.conf.set("spark.graft.rangeJoin.enabled", "true")
+
+    // an EXISTS whose join condition carries an equality stays with the
+    // built-in subquery rewrite (hash join, no binning)
+    val equi = spark.sql("""SELECT o.o_orderkey FROM ex_orders o
+      WHERE EXISTS (SELECT 1 FROM ex_iv iv
+        WHERE o.o_orderdate = iv.s AND o.o_orderdate <= iv.e)""")
+    assert(!equi.queryExecution.optimizedPlan.toString
+      .contains("__graft_range_bin"))
+    equi.collect()
+  }
+
   test("interval-overlap theta joins rewrite with a first-shared-bin dedup") {
     import graft.sources.Tables
     val dir = "/root/testdata/sf0.001"

@@ -93,7 +93,7 @@ class RetrievalSpec extends AnyFunSuite {
             var i = 0
             while (i < d.length) {
               if (i + 1 < d.length && d(i) == l && d(i + 1) == r) {
-                b += l + "" + r; i += 2
+                b += l + "\u001e" + r; i += 2
               } else { b += d(i); i += 1 }
             }
             b.toSeq
@@ -122,6 +122,54 @@ class RetrievalSpec extends AnyFunSuite {
       .orderBy("doc_id").collect()
       .map(_.getSeq[String](1).toList).toSeq
     assert(seg == refDocs.map(_.toList))
+  }
+
+  test("bpeTrainChars matches a single-node word-dictionary reference") {
+    // canonical Sennrich reference: word-frequency dict, char symbols,
+    // weighted pair counts, greedy-left merge — independent of the engine
+    def refBpeChars(words: Seq[(String, Long)], iters: Int)
+        : Seq[(String, String, Long)] = {
+      var dict: Seq[(List[String], Long)] =
+        words.map { case (w, c) => (w.map(_.toString).toList, c) }
+      val out = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+      for (_ <- 1 to iters) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        dict.foreach { case (syms, c) =>
+          syms.zip(syms.drop(1)).foreach(p =>
+            counts(p) = counts.getOrElse(p, 0L) + c)
+        }
+        if (counts.nonEmpty) {
+          val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+          out += ((l, r, c))
+          dict = dict.map { case (syms, cc) =>
+            val b = scala.collection.mutable.ListBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                b += l + "\u001e" + r; i += 2
+              } else { b += syms(i); i += 1 }
+            }
+            (b.toList, cc)
+          }
+        }
+      }
+      out.toSeq
+    }
+    val texts = Seq(
+      "lower lowest newer newest low new",
+      "wider widest lower newer",
+      "low low lower newest")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val wordCounts = texts.flatMap(_.split("\\s+")).groupBy(identity)
+      .map { case (w, ws) => (w, ws.length.toLong) }.toSeq
+    val ref = refBpeChars(wordCounts, iters = 8)
+    val got = TextAnalysis.bpeTrainChars(df, "text", iterations = 8)
+      .orderBy("it").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == ref)
+    // subword sanity: the frequent suffix pairs merge early
+    assert(ref.take(3).map(m => m._1 + m._2).exists(s => s.contains("e")))
   }
 
   test("naive bayes recovers planted class vocabularies") {

@@ -696,6 +696,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/pairs").count() == got.length)
   }
 
+  test("streaming audio dedup probes the persisted fingerprint index per drain") {
+    import spark.implicits._
+    import graft.functions.images
+    val tmp = java.nio.file.Files.createTempDirectory("graft-audio")
+    val audioDir = s"$tmp/audio"
+    def clipsOf(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
+      ids.toDF("media_id")
+        .select(col("media_id"),
+          images.synth_audio((col("media_id") % 3 * 77 + 5).cast("long"),
+            (col("media_id") % 2 + 2).cast("int"),
+            (col("media_id") % 2 + 1).cast("int")).as("data"))
+    clipsOf(0L to 5L).coalesce(1).write.parquet(s"$audioDir/a")
+    def drain(): Unit = {
+      val q = Streams.streamingAudioDedup(spark, audioDir + "/*",
+        s"$tmp/index", s"$tmp/ckpt", s"$tmp/pairs")
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    clipsOf(6L to 11L).coalesce(1).write.parquet(s"$audioDir/b")
+    drain()
+    val got = spark.read.parquet(s"$tmp/pairs")
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = graft.operators.Multimodal.audioNearDups(
+        clipsOf(0L to 11L), "media_id", "data", maxHamming = 0)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.distinct.length, "pair emitted twice")
+    assert(got.toSet == expected.toSet)
+    assert(got.nonEmpty)
+  }
+
   test("stream-stream interval join == batch join over out-of-order batches") {
     import org.apache.spark.sql.streaming.Trigger
     val ev = Tables.events(spark, dir)
