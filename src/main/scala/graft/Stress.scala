@@ -223,6 +223,29 @@ object Stress {
           graft.operators.Dedup.dedupCorpus(docs, "doc_id", pairs)
         }
 
+        // perceptual near-dup over REAL compressed payloads: synthesize,
+        // PNG-encode (deflate + filters + CRCs), then pngNearDups decodes
+        // and dHashes inside codegen — the payload bytes never reach an
+        // exchange, only 16-byte signature rows do. Replicas share a
+        // 64-bit-spread group seed, so every replica group is a planted
+        // duplicate cluster of size rep and the band buckets stay
+        // group-sized (max-task share must hold flat as rep grows)
+        measure(s"png_neardup@$rep") {
+          val media = replicate(
+            graft.sources.Tables.table(spark, dir, "documents")
+              .select("doc_id"),
+            rep, Seq("doc_id"))
+            .withColumn("seed",
+              xxhash64((col("doc_id") / lit(math.max(rep, 1))).cast("long")))
+            .select(col("doc_id"),
+              graft.functions.images.png_encode_gray(
+                graft.functions.images.synth_image(col("seed"),
+                  lit(32), lit(16), pmod(col("doc_id"), lit(3)).cast("int")),
+                lit(32), lit(16),
+                pmod(col("doc_id"), lit(6)).cast("int")).as("data"))
+          graft.operators.Multimodal.pngNearDups(media, "doc_id", "data")
+        }
+
         // the composed flagship funnel
         measure(s"curation_pipeline@$rep") {
           graft.operators.Curate.curationPipeline(

@@ -166,6 +166,21 @@ object Multimodal {
       .select("id_a", "id_b", sa, sb, "hamming")
   }
 
+  /** [[pngNearDups]] for baseline JPEG payloads: decode ([[decodeJpeg]])
+    * -> dHash -> banded hamming self-join. Lossy decode noise is a few
+    * units per pixel, far under a step-12 fixture's gradients, so
+    * perceptual equality survives the codec. */
+  def jpegNearDups(
+      media: DataFrame, idCol: String, dataCol: String,
+      maxHamming: Int = 0): DataFrame = {
+    val decoded = media.select(col(idCol).as("id"),
+        images.jpeg_decode(col(dataCol)).as("m"))
+      .where(col("m").isNotNull)
+      .select(col("id"), col("m.pixels").as("pixels"),
+        col("m.width").as("width"), col("m.height").as("height"))
+    dhashNearDups(decoded, "id", "pixels", "width", "height", maxHamming)
+  }
+
   /** Near-duplicate AUDIO clips by loudness-envelope fingerprint: the
     * same banded hamming join as [[dhashNearDups]], over
     * [[graft.functions.AudioBytesUtil.audioFingerprint]] of real PCM WAV

@@ -1047,6 +1047,51 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM documents WHERE doc_id < 1500"""),
     ),
 
+    // hamming-budget near-dup through the LOSSY codec: groups plant
+    // seeds differing in 1-2 known bits (bit 5 / bit 37), every image
+    // travels as a real JPEG, and the banded join at maxHamming=3 must
+    // recover the exact pair counts per hamming distance (pigeonhole:
+    // <= 3 flipped bits leave >= 1 band intact, so recall is total);
+    // cross-group seeds sit >= 10 bits apart and never pair
+    "q_multimodal_jpeg_dups" -> QueryDef(
+      (s, dir) => {
+        val flip = when(col("doc_id") % 3 === 1, lit(1L << 5))
+          .when(col("doc_id") % 3 === 2, lit(1L << 37))
+          .otherwise(lit(0L))
+        val media = docs(s, dir).where(col("doc_id") < 1500)
+          .select(col("doc_id"),
+            (col("doc_id") % 5 + 16).cast("int").as("w"),
+            (col("doc_id") % 4 + 12).cast("int").as("h"),
+            (col("doc_id") % 7 * 1234567 + 42).cast("long")
+              .bitwiseXOR(flip).as("seed"))
+          .select(col("doc_id"),
+            graft.functions.images.jpeg_encode_gray(
+              graft.functions.images.synth_image_step(
+                col("seed"), col("w"), col("h"), lit(0).cast("int"),
+                step = 12),
+              col("w"), col("h"), lit(2).cast("int")).as("data"))
+        graft.operators.Multimodal
+          .jpegNearDups(media, "doc_id", "data", maxHamming = 3)
+          .groupBy(col("hamming"))
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some("""WITH m AS (SELECT doc_id % 7 AS g, doc_id % 3 AS c
+          FROM documents WHERE doc_id < 1500),
+        cnt AS (SELECT g,
+            sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS n0,
+            sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n1,
+            sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS n2
+          FROM m GROUP BY g),
+        h AS (SELECT CAST(0 AS INTEGER) AS hamming,
+            CAST(sum(n0 * (n0 - 1) // 2 + n1 * (n1 - 1) // 2 +
+              n2 * (n2 - 1) // 2) AS BIGINT) AS n_pairs FROM cnt
+          UNION ALL SELECT CAST(1 AS INTEGER),
+            CAST(sum(n0 * n1 + n0 * n2) AS BIGINT) FROM cnt
+          UNION ALL SELECT CAST(2 AS INTEGER),
+            CAST(sum(n1 * n2) AS BIGINT) FROM cnt)
+        SELECT hamming, n_pairs FROM h WHERE n_pairs > 0"""),
+    ),
+
     // perceptual near-dup join over real PCM WAV payloads: synth_audio
     // plants groups of clips sharing a loudness envelope (fingerprint ==
     // seed by construction; per-row sample perturbations and lengths),

@@ -18,8 +18,11 @@ class JpegCodecSpec extends AnyFunSuite {
     }
 
   test("gate fixture space: every seed x size keeps dims and dHash exact") {
-    for (k <- 0 until 7; w <- 16 to 20; h <- 12 to 15) {
-      val seed = k.toLong * 1234567 + 42
+    // the q_multimodal_jpeg_decode and _dups gates' exact seed space:
+    // 7 group bases x 3 bit-flip classes x every (w, h) the gates plant
+    for (k <- 0 until 7; flip <- Seq(0L, 1L << 5, 1L << 37);
+         w <- 16 to 20; h <- 12 to 15) {
+      val seed = (k.toLong * 1234567 + 42) ^ flip
       val px = ImageBytesUtil.synthImageStep(seed, w, h, 0, 12)
       val jpg = JpegCodecUtil.jpegEncodeGray(px, w, h, 2)
       assert(jpg != null, s"encode $seed ${w}x$h")
