@@ -393,6 +393,44 @@ object Multimodal {
       unhex(lit("FFD9")))
   }
 
+  /** Typed features for a HETEROGENEOUS media corpus in ONE codegen'd
+    * projection: detect the container from the leading bytes, decode
+    * with the matching real codec, and emit
+    * (id, format, width, height, channels, sample_rate, n_samples, sig,
+    * n_bytes) — `sig` is the perceptual signature (image dHash or audio
+    * loudness-envelope hash), null alongside the other fields when the
+    * payload is unrecognized/undecodable. The when-chain keeps every
+    * decode conditional, so each row pays only its own format's decode;
+    * payload bytes never leave the projection. This is the REAL form of
+    * the batched decode seam ([[extractFeatures]] keeps the stub shape
+    * for formats that need an external codec). */
+  def mediaFeatures(
+      media: DataFrame, idCol: String, dataCol: String): DataFrame = {
+    val d = col(dataCol)
+    val im = images.image_meta(d)
+    val am = images.audio_meta(d)
+    val png = images.png_decode(d)
+    val jpg = images.jpeg_decode(d)
+    media.select(
+      col(idCol).as("id"),
+      when(im.isNotNull, im.getField("format"))
+        .when(am.isNotNull, am.getField("format")).as("format"),
+      im.getField("width").as("width"),
+      im.getField("height").as("height"),
+      when(im.isNotNull, im.getField("channels"))
+        .when(am.isNotNull, am.getField("channels")).as("channels"),
+      am.getField("sample_rate").as("sample_rate"),
+      am.getField("n_samples").as("n_samples"),
+      when(png.isNotNull,
+          dhash(png.getField("pixels"), png.getField("width"),
+            png.getField("height")))
+        .when(jpg.isNotNull,
+          dhash(jpg.getField("pixels"), jpg.getField("width"),
+            jpg.getField("height")))
+        .when(am.isNotNull, images.audio_fingerprint(d)).as("sig"),
+      length(d).cast("long").as("n_bytes"))
+  }
+
   final case class MediaRow(
       media_id: Long, kind: String, data: Array[Byte],
       width: Int, height: Int, sample_rate: Int)

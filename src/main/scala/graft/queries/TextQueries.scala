@@ -1047,6 +1047,53 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM documents WHERE doc_id < 1500"""),
     ),
 
+    // heterogeneous-corpus typed features in ONE projection: a corpus
+    // mixing real PNG, JPEG, and WAV payloads goes through format
+    // detection + the matching codec + perceptual signature, and every
+    // field matches the planted arithmetic — format routing, both image
+    // codecs, and the audio path all proven in a single gate
+    "q_multimodal_features_real" -> QueryDef(
+      (s, dir) => {
+        val d = docs(s, dir).where(col("doc_id") < 1500).select(col("doc_id"),
+          (col("doc_id") % 5 + 16).cast("int").as("w"),
+          (col("doc_id") % 4 + 12).cast("int").as("h"),
+          (col("doc_id") % 7 * 1234567 + 42).cast("long").as("seed"))
+        val media = d.select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            graft.functions.images.png_encode_gray(
+              graft.functions.images.synth_image(col("seed"), col("w"),
+                col("h"), (col("doc_id") % 2).cast("int")),
+              col("w"), col("h"), (col("doc_id") % 6).cast("int")))
+          .when(col("doc_id") % 3 === 1,
+            graft.functions.images.jpeg_encode_gray(
+              graft.functions.images.synth_image_step(col("seed"), col("w"),
+                col("h"), lit(0).cast("int"), step = 12),
+              col("w"), col("h"), lit(2).cast("int")))
+          .otherwise(
+            graft.functions.images.synth_audio(col("seed"),
+              (col("doc_id") % 2 + 2).cast("int"),
+              (col("doc_id") % 3).cast("int"))).as("data"))
+        graft.operators.Multimodal.mediaFeatures(media, "doc_id", "data")
+          .select(col("id").as("media_id"), col("format"), col("width"),
+            col("height"), col("channels"), col("sample_rate"),
+            col("n_samples"), col("sig"))
+      },
+      Some("""SELECT doc_id AS media_id,
+          CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+            ELSE 'wav' END AS format,
+          CASE WHEN doc_id % 3 < 2 THEN CAST(doc_id % 5 + 16 AS INTEGER)
+            END AS width,
+          CASE WHEN doc_id % 3 < 2 THEN CAST(doc_id % 4 + 12 AS INTEGER)
+            END AS height,
+          CAST(1 AS INTEGER) AS channels,
+          CASE WHEN doc_id % 3 = 2 THEN CAST(8000 AS INTEGER)
+            END AS sample_rate,
+          CASE WHEN doc_id % 3 = 2 THEN CAST(65 * (doc_id % 2 + 2) AS BIGINT)
+            END AS n_samples,
+          CAST(doc_id % 7 * 1234567 + 42 AS BIGINT) AS sig
+        FROM documents WHERE doc_id < 1500"""),
+    ),
+
     // hamming-budget near-dup through the LOSSY codec: groups plant
     // seeds differing in 1-2 known bits (bit 5 / bit 37), every image
     // travels as a real JPEG, and the banded join at maxHamming=3 must

@@ -221,6 +221,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.forall(_.getInt(2) == 0))
   }
 
+  test("mediaFeatures: format routing over a mixed corpus, nulls for junk") {
+    import spark.implicits._
+    import graft.functions.{AudioBytesUtil, ImageBytesUtil, JpegCodecUtil, PngCodecUtil}
+    val px = ImageBytesUtil.synthImageStep(77L, 16, 12, 0, 12)
+    val rows = Seq(
+      (1L, PngCodecUtil.pngEncodeGray(px, 16, 12, 5)),
+      (2L, JpegCodecUtil.jpegEncodeGray(px, 16, 12, 2)),
+      (3L, AudioBytesUtil.synthAudio(77L, 3, 1)),
+      (4L, "not media at all".getBytes),
+    ).toDF("id", "data")
+    val got = graft.operators.Multimodal.mediaFeatures(rows, "id", "data")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getString(1) == "png" && got(1L).getInt(2) == 16 &&
+      got(1L).getLong(7) == 77L)
+    assert(got(2L).getString(1) == "jpeg" && got(2L).getInt(3) == 12 &&
+      got(2L).getLong(7) == 77L)
+    assert(got(3L).getString(1) == "wav" && got(3L).getInt(5) == 8000 &&
+      got(3L).getLong(6) == 65L * 3 && got(3L).getLong(7) == 77L)
+    assert(got(4L).isNullAt(1) && got(4L).isNullAt(2) && got(4L).isNullAt(7))
+    assert(got(4L).getLong(8) == 16L) // n_bytes still reported
+  }
+
   test("dhash: perturbation/resize invariant, distant for different seeds") {
     import graft.functions.ImageBytesUtil
     val seeds = Seq(0L, -1L, 0x5a5a5a5aL, 1234567L, Long.MinValue)
