@@ -350,6 +350,77 @@ object TextAnalysis {
         i => word.substr(i, lit(1))), US + US),
       lit(US))
 
+  /** Batched BPE: up to `mergesPerRound` merges per pair-count pass —
+    * the production-depth lever (a 30k-merge vocabulary at one merge per
+    * corpus pass is 30k passes; at m per pass it is 30k/m). Within a
+    * round the accepted pairs are SYMBOL-DISJOINT (greedy scan of the
+    * count-ordered pair list, skipping any pair sharing a symbol with an
+    * earlier acceptance), which makes the m merge applications
+    * independent — no instance of one pattern overlaps another — so one
+    * round of m merges equals m sequential merges whenever those m pairs
+    * would have been chosen anyway; the standard batching approximation
+    * otherwise. The greedy scan streams the GLOBALLY ordered pair list
+    * (toLocalIterator pulls partitions in order and stops at m
+    * acceptances), so the selection is exact, not truncated-candidate.
+    * Returns (round, rank, pair_l, pair_r, cnt); `bpeTrain*`'s framing
+    * and tie-break rules apply. */
+  def bpeTrainBatched(
+      df: DataFrame, textCol: String, rounds: Int, mergesPerRound: Int,
+      charLevel: Boolean = false): DataFrame = {
+    require(rounds >= 1 && rounds <= 1000 && mergesPerRound >= 1,
+      s"need rounds in [1,1000], mergesPerRound >= 1")
+    val spark = df.sparkSession
+    val enc0 =
+      if (charLevel)
+        df.select(explode(tokens(col(textCol))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("wc"))
+          .select(bpeEncodeChars(col("word")).as("enc"), col("wc"))
+      else df.select(bpeEncode(col(textCol)).as("enc"), lit(1L).as("wc"))
+    var enc = enc0.localCheckpoint(false)
+    val out = scala.collection.mutable.ListBuffer.empty[(Int, Int, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      val syms = enc.select(bpeSymbols(col("enc")).as("t"), col("wc"))
+      val pairs = syms
+        .where(size(col("t")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("pair_l"),
+            element_at(col("t"), i + 1).as("pair_r")))).as("p"), col("wc"))
+        .groupBy("p.pair_l", "p.pair_r")
+        .agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair_l").asc, col("pair_r").asc)
+      val used = scala.collection.mutable.Set.empty[String]
+      val accepted =
+        scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+      val it = pairs.toLocalIterator()
+      while (it.hasNext && accepted.size < mergesPerRound) {
+        val row = it.next()
+        val (l, r) = (row.getString(0), row.getString(1))
+        if (!used(l) && !used(r)) {
+          accepted += ((l, r, row.getLong(2)))
+          used += l; used += r
+        }
+      }
+      if (accepted.isEmpty) exhausted = true
+      else {
+        accepted.zipWithIndex.foreach { case ((l, r, c), k) =>
+          out += ((round, k + 1, l, r, c))
+        }
+        val rewritten = accepted.foldLeft(col("enc")) { case (e, (l, r, _)) =>
+          replace(e, lit(US + l + US + US + r + US),
+            lit(US + l + RS + r + US))
+        }
+        enc = enc.select(rewritten.as("enc"), col("wc"))
+          .localCheckpoint(false)
+        round += 1
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF("round", "rank", "pair_l", "pair_r", "cnt")
+  }
+
   private def bpeMergeLoop(
       encWeighted: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1 && iterations <= 1000,

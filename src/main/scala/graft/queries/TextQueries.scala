@@ -316,6 +316,58 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         UNION ALL SELECT CAST(3 AS INTEGER), l, r, CAST(cnt AS BIGINT) FROM m3"""),
     ),
 
+    // batched BPE: two symbol-disjoint merges per pair-count pass (the
+    // production-depth lever — vocab depth / m passes); the oracle
+    // replays both rounds, picking each round's second merge as the best
+    // pair sharing no symbol with the first, and applying both (their
+    // disjointness makes the two replaces independent)
+    "q_text_bpe_batched" -> QueryDef(
+      (s, dir) => TextAnalysis.bpeTrainBatched(docs(s, dir), "text",
+          rounds = 2, mergesPerRound = 2)
+        .select(col("round").cast("int").as("round"),
+          col("rank").cast("int").as("rank"), col("pair_l"),
+          col("pair_r"), col("cnt")),
+      Some("""WITH e0 AS (SELECT doc_id, chr(31) ||
+            array_to_string(string_split_regex(trim(text), '\s+'),
+              chr(31) || chr(31)) || chr(31) AS enc FROM documents),
+        t1 AS (SELECT doc_id, string_split(substr(enc, 2, len(enc) - 2),
+            chr(31) || chr(31)) AS t FROM e0),
+        i1 AS (SELECT doc_id, t, unnest(range(1, greatest(len(t), 1))) AS i
+          FROM t1),
+        p1 AS (SELECT t[i] AS l, t[i + 1] AS r, count(*) AS cnt
+          FROM i1 GROUP BY 1, 2),
+        a1 AS (SELECT l, r, cnt FROM p1
+          ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        b1 AS (SELECT p1.l, p1.r, p1.cnt FROM p1, a1
+          WHERE p1.l NOT IN (a1.l, a1.r) AND p1.r NOT IN (a1.l, a1.r)
+          ORDER BY p1.cnt DESC, p1.l ASC, p1.r ASC LIMIT 1),
+        e1 AS (SELECT doc_id, replace(replace(enc,
+            chr(31) || a1.l || chr(31) || chr(31) || a1.r || chr(31),
+            chr(31) || a1.l || chr(30) || a1.r || chr(31)),
+            chr(31) || b1.l || chr(31) || chr(31) || b1.r || chr(31),
+            chr(31) || b1.l || chr(30) || b1.r || chr(31)) AS enc
+          FROM e0 CROSS JOIN a1 CROSS JOIN b1),
+        t2 AS (SELECT doc_id, string_split(substr(enc, 2, len(enc) - 2),
+            chr(31) || chr(31)) AS t FROM e1),
+        i2 AS (SELECT doc_id, t, unnest(range(1, greatest(len(t), 1))) AS i
+          FROM t2),
+        p2 AS (SELECT t[i] AS l, t[i + 1] AS r, count(*) AS cnt
+          FROM i2 GROUP BY 1, 2),
+        a2 AS (SELECT l, r, cnt FROM p2
+          ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        b2 AS (SELECT p2.l, p2.r, p2.cnt FROM p2, a2
+          WHERE p2.l NOT IN (a2.l, a2.r) AND p2.r NOT IN (a2.l, a2.r)
+          ORDER BY p2.cnt DESC, p2.l ASC, p2.r ASC LIMIT 1)
+        SELECT CAST(1 AS INTEGER) AS round, CAST(1 AS INTEGER) AS rank,
+          l AS pair_l, r AS pair_r, CAST(cnt AS BIGINT) AS cnt FROM a1
+        UNION ALL SELECT CAST(1 AS INTEGER), CAST(2 AS INTEGER), l, r,
+          CAST(cnt AS BIGINT) FROM b1
+        UNION ALL SELECT CAST(2 AS INTEGER), CAST(1 AS INTEGER), l, r,
+          CAST(cnt AS BIGINT) FROM a2
+        UNION ALL SELECT CAST(2 AS INTEGER), CAST(2 AS INTEGER), l, r,
+          CAST(cnt AS BIGINT) FROM b2"""),
+    ),
+
     // canonical char-level BPE over the word-frequency dictionary
     // (Sennrich): one encoded row per distinct word weighted by count,
     // initial symbols = characters, merges build subword units; the

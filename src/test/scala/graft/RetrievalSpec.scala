@@ -124,6 +124,68 @@ class RetrievalSpec extends AnyFunSuite {
     assert(seg == refDocs.map(_.toList))
   }
 
+  test("bpeTrainBatched: m=1 equals sequential; m=3 matches a reference") {
+    val texts = Seq(
+      "the cat sat on the mat",
+      "the cat ate the cat food",
+      "a cat and the cat sat",
+      "the the the cat cat",
+      "on the mat sat a cat")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // m=1: batching degenerates to the sequential algorithm exactly
+    val seq6 = TextAnalysis.bpeTrain(df, "text", iterations = 6)
+      .orderBy("it").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val batched1 = TextAnalysis.bpeTrainBatched(df, "text",
+        rounds = 6, mergesPerRound = 1)
+      .orderBy("round").collect()
+      .map(r => (r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    assert(batched1 == seq6)
+
+    // m=3: greedy symbol-disjoint selection per round, vs an independent
+    // reference over symbol sequences
+    def refBatched(corpus: Seq[Seq[String]], rounds: Int, m: Int)
+        : Seq[(Int, Int, String, String, Long)] = {
+      var docs = corpus
+      val out = scala.collection.mutable.ListBuffer.empty[(Int, Int, String, String, Long)]
+      for (round <- 1 to rounds) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        docs.foreach(d => d.zip(d.drop(1)).foreach(p =>
+          counts(p) = counts.getOrElse(p, 0L) + 1))
+        val ordered = counts.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }
+        val used = scala.collection.mutable.Set.empty[String]
+        val acc = ordered.filter { case ((l, r), _) =>
+          if (used(l) || used(r)) false
+          else { used += l; used += r; true }
+        }.take(m)
+        acc.zipWithIndex.foreach { case (((l, r), c), k) =>
+          out += ((round, k + 1, l, r, c))
+        }
+        acc.foreach { case ((l, r), _) =>
+          docs = docs.map { d =>
+            val b = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < d.length) {
+              if (i + 1 < d.length && d(i) == l && d(i + 1) == r) {
+                b += l + "\u001e" + r; i += 2
+              } else { b += d(i); i += 1 }
+            }
+            b.toSeq
+          }
+        }
+      }
+      out.toSeq
+    }
+    val ref = refBatched(texts.map(_.split("\\s+").toSeq), rounds = 2, m = 3)
+    val got = TextAnalysis.bpeTrainBatched(df, "text",
+        rounds = 2, mergesPerRound = 3)
+      .orderBy("round", "rank").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq
+    assert(got == ref)
+  }
+
   test("bpeTrainChars matches a single-node word-dictionary reference") {
     // canonical Sennrich reference: word-frequency dict, char symbols,
     // weighted pair counts, greedy-left merge — independent of the engine
