@@ -286,6 +286,32 @@ object Multimodal {
       .agg(min("hamming").as("hamming"))
   }
 
+  /** Keyframe selection by perceptual change: dHash each frame, compare
+    * consecutive frames' hashes per video (lag window), and keep frames
+    * whose hamming delta from the previous frame is >= `minDelta` (shot
+    * boundaries / content changes) plus every video's first frame. The
+    * decode+hash is map-side; the window shuffles 16-byte
+    * (vid, idx, hash) rows partitioned by video — frame bytes never
+    * leave their input partition. Returns
+    * (media_id, frame_idx, dhash, delta) with delta null on first
+    * frames. */
+  def keyframes(
+      frames: DataFrame, idCol: String, idxCol: String, frameCol: String,
+      w: Int, h: Int, minDelta: Int): DataFrame = {
+    require(minDelta >= 1, s"minDelta must be >= 1 (got $minDelta)")
+    val sigs = frames.select(col(idCol).as("media_id"),
+        col(idxCol).cast("long").as("frame_idx"),
+        dhash(col(frameCol), lit(w), lit(h)).as("dhash"))
+      .where(col("dhash").isNotNull)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    sigs
+      .withColumn("delta",
+        bit_count(col("dhash").bitwiseXOR(
+          lag(col("dhash"), 1).over(win))).cast("int"))
+      .where(col("delta").isNull || col("delta") >= minDelta)
+  }
+
   /** Near-duplicate VIDEOS by shared frame fingerprints: `frames` rows
     * are (media_id, frame) — e.g. from [[sampleFrames]] — each frame a
     * raw `w x h` grayscale buffer. Every frame gets a dHash; videos pair

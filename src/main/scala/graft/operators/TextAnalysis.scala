@@ -421,6 +421,52 @@ object TextAnalysis {
     out.toSeq.toDF("round", "rank", "pair_l", "pair_r", "cnt")
   }
 
+  /** Render an internal symbol for the tokenizer-standard wire format:
+    * the U+001E join markers drop, leaving the plain concatenation (the
+    * convention GPT-2-style `merges.txt` files use). */
+  def bpeRender(symbol: String): String = symbol.replace(RS, "")
+
+  /** Write a merge table ([[bpeTrain]]/[[bpeTrainChars]] rows, already
+    * collected and ordered) as a standard `merges.txt`: a version header
+    * then one space-separated rendered pair per line — consumable by the
+    * wider tokenizer ecosystem. Symbols cannot contain spaces (the
+    * tokenizers are whitespace/char based), so the format is unambiguous.
+    */
+  def bpeExportMerges(merges: Seq[(String, String)], path: String): Unit = {
+    val lines = "#version: 0.2" +:
+      merges.map { case (l, r) => s"${bpeRender(l)} ${bpeRender(r)}" }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Read a `merges.txt` back to an ordered rendered-pair list. */
+  def bpeLoadMerges(path: String): Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+      .asScala.toSeq
+      .filterNot(l => l.startsWith("#") || l.isEmpty)
+      .map { l =>
+        val sp = l.indexOf(' ')
+        require(sp > 0 && sp < l.length - 1, s"malformed merges line: $l")
+        (l.substring(0, sp), l.substring(sp + 1))
+      }
+  }
+
+  /** Apply RENDERED merges (a loaded `merges.txt`) to a corpus: standard
+    * BPE application semantics, where merging (a, b) yields the plain
+    * concatenation `ab` — each merge is still one map-side literal
+    * replace. The word-level twin of [[bpeSegment]] for interop with
+    * externally-trained vocabularies. */
+  def bpeSegmentRendered(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val enc = merges.foldLeft(bpeEncode(col(textCol))) { case (e, (l, r)) =>
+      replace(e, lit(US + l + US + US + r + US), lit(US + l + r + US))
+    }
+    df.select(col(idCol), bpeSymbols(enc).as("symbols"))
+      .withColumn("n_symbols", size(col("symbols")).cast("long"))
+  }
+
   private def bpeMergeLoop(
       encWeighted: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1 && iterations <= 1000,

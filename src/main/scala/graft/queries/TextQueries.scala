@@ -1218,6 +1218,36 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM g WHERE n >= 2"""),
     ),
 
+    // keyframe selection by perceptual change: 8-frame videos plant two
+    // shot boundaries with exact dHash deltas (4 bits at frame 3, 8 at
+    // frame 6); keyframes must keep exactly the first frame and both
+    // boundaries with the planted hashes and deltas
+    "q_multimodal_keyframes" -> QueryDef(
+      (s, dir) => {
+        val W = 16; val H = 12
+        val base = (col("doc_id") % 6 * 1000 + 3).cast("long")
+        val seed = (f: Int) =>
+          if (f < 3) base else if (f < 6) base.bitwiseXOR(lit(15L))
+          else base.bitwiseXOR(lit(240L))
+        val frameCols = (0 until 8).map(f =>
+          graft.functions.images.synth_image(
+            seed(f), lit(W), lit(H), (col("doc_id") % 3).cast("int")))
+        val videos = docs(s, dir).where(col("doc_id") < 1500)
+          .select(col("doc_id").as("media_id"),
+            concat(frameCols: _*).as("data"))
+        val frames = graft.operators.Multimodal.sampleFrames(
+          videos, frameBytes = W * H, stride = 1)
+        graft.operators.Multimodal.keyframes(
+          frames, "media_id", "frame_idx", "frame", W, H, minDelta = 3)
+      },
+      Some("""SELECT doc_id AS media_id, CAST(v.f AS BIGINT) AS frame_idx,
+          CAST(xor(doc_id % 6 * 1000 + 3, v.m) AS BIGINT) AS dhash,
+          CAST(v.d AS INTEGER) AS delta
+        FROM documents,
+          (VALUES (0, 0, NULL), (3, 15, 4), (6, 240, 8)) v(f, m, d)
+        WHERE doc_id < 1500"""),
+    ),
+
     // video near-dup by shared frame fingerprints: payloads are 4
     // concatenated synth frames (per-group frame seeds, per-video pixel
     // perturbation), frame-sampled back apart by sampleFrames, each frame

@@ -186,6 +186,39 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got == ref)
   }
 
+  test("bpe merges export/load round-trips in the standard wire format") {
+    val texts = Seq(
+      "the cat sat on the mat",
+      "the cat ate the cat food",
+      "the the the cat cat")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val trained = TextAnalysis.bpeTrain(df, "text", iterations = 4)
+      .orderBy("it").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val path = java.nio.file.Files.createTempDirectory("graft-bpe")
+      .resolve("merges.txt").toString
+    TextAnalysis.bpeExportMerges(trained, path)
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path))
+    assert(lines.get(0).startsWith("#version"))
+    assert(lines.size == 5 && !lines.get(1).contains("\u001e"))
+    val loaded = TextAnalysis.bpeLoadMerges(path)
+    assert(loaded ==
+      trained.map { case (l, r) =>
+        (TextAnalysis.bpeRender(l), TextAnalysis.bpeRender(r)) })
+    // rendered-mode application of the loaded file segments identically
+    // (modulo rendering) to internal-mode application of the live table
+    val internal = TextAnalysis.bpeSegment(df, "doc_id", "text", trained)
+      .orderBy("doc_id").collect()
+      .map(_.getSeq[String](1).map(TextAnalysis.bpeRender).toList).toSeq
+    val rendered = TextAnalysis
+      .bpeSegmentRendered(df, "doc_id", "text", loaded)
+      .orderBy("doc_id").collect()
+      .map(_.getSeq[String](1).toList).toSeq
+    assert(rendered == internal)
+  }
+
   test("bpeTrainChars matches a single-node word-dictionary reference") {
     // canonical Sennrich reference: word-frequency dict, char symbols,
     // weighted pair counts, greedy-left merge — independent of the engine
