@@ -72,6 +72,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "idct) to (width,height,channels,pixels) with luma pixels"),
       (args: Seq[Expression]) => JpegDecodeGray(args.head)))
     ext.injectFunction((
+      FunctionIdentifier("bmp_encode_gray"),
+      info("bmp_encode_gray",
+        "bmp_encode_gray(pixels, w, h, topDown) - 8-bit palette grayscale " +
+          "BMP bytes"),
+      (args: Seq[Expression]) => BmpEncodeGray(args(0), args(1), args(2), args(3))))
+    ext.injectFunction((
+      FunctionIdentifier("bmp_decode"),
+      info("bmp_decode",
+        "bmp_decode(bin) - uncompressed 8/24/32-bit BMP decode to " +
+          "(width,height,channels,pixels) with luma pixels"),
+      (args: Seq[Expression]) => BmpDecodeGray(args.head)))
+    ext.injectFunction((
       FunctionIdentifier("audio_fingerprint"),
       info("audio_fingerprint",
         "audio_fingerprint(bin) - 64-bit loudness-envelope hash of a PCM WAV"),

@@ -453,6 +453,15 @@ object images {
   def jpeg_decode(data: Column): Column =
     GraftBridge.column(JpegDecodeGray(GraftBridge.expression(data)))
 
+  def bmp_encode_gray(
+      data: Column, w: Column, h: Column, topDown: Column): Column =
+    GraftBridge.column(BmpEncodeGray(GraftBridge.expression(data),
+      GraftBridge.expression(w), GraftBridge.expression(h),
+      GraftBridge.expression(topDown)))
+
+  def bmp_decode(data: Column): Column =
+    GraftBridge.column(BmpDecodeGray(GraftBridge.expression(data)))
+
   def audio_fingerprint(data: Column): Column =
     GraftBridge.column(AudioFingerprint(GraftBridge.expression(data)))
 

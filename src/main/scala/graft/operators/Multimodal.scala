@@ -437,6 +437,7 @@ object Multimodal {
     val am = images.audio_meta(d)
     val png = images.png_decode(d)
     val jpg = images.jpeg_decode(d)
+    val bmp = images.bmp_decode(d)
     media.select(
       col(idCol).as("id"),
       when(im.isNotNull, im.getField("format"))
@@ -453,6 +454,9 @@ object Multimodal {
         .when(jpg.isNotNull,
           dhash(jpg.getField("pixels"), jpg.getField("width"),
             jpg.getField("height")))
+        .when(bmp.isNotNull,
+          dhash(bmp.getField("pixels"), bmp.getField("width"),
+            bmp.getField("height")))
         .when(am.isNotNull, images.audio_fingerprint(d)).as("sig"),
       length(d).cast("long").as("n_bytes"))
   }

@@ -244,6 +244,61 @@ class PngCodecSpec extends AnyFunSuite {
       assert(decode(randGray(math.max(1, n), 1, n)).isEmpty, s"garbage $n")
   }
 
+  test("BMP codec: round trip both row orders, ImageIO cross-check, hostile") {
+    import graft.functions.BmpCodecUtil
+    def decodeBmp(b: Array[Byte]) =
+      Option(BmpCodecUtil.bmpDecodeGray(b)).map { r =>
+        (r.getInt(0), r.getInt(1), r.getInt(2), r.getBinary(3))
+      }
+    // identity-palette round trip is bit-exact, both row orders, with
+    // widths that exercise the 4-byte row padding
+    for ((w, h) <- Seq((9, 8), (10, 5), (33, 17)); td <- Seq(false, true)) {
+      val gray = randGray(w, h, w * 100 + h)
+      val bmp = BmpCodecUtil.bmpEncodeGray(gray, w, h, td)
+      val Some((dw, dh, ch, px)) = decodeBmp(bmp)
+      assert((dw, dh, ch) == (w, h, 1), s"${w}x$h td=$td")
+      assert(java.util.Arrays.equals(px, gray), s"pixels ${w}x$h td=$td")
+      // the JDK's independent BMP reader agrees on every pixel (raster
+      // samples: it loads the identity-gray palette as TYPE_BYTE_GRAY,
+      // where getRGB would add a gray->sRGB colorspace conversion)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+      assert(img != null && img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.getRaster.getSample(x, y, 0) == (gray(y * w + x) & 0xff),
+          s"imageio ($x,$y) ${w}x$h td=$td")
+    }
+    // decode an ImageIO-WRITTEN 24-bit BMP: luma of the planted colors
+    val (w, h) = (21, 13)
+    val img24 = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val r = rng(5)
+    val rgb = Array.fill(w * h)((r.nextInt(256), r.nextInt(256), r.nextInt(256)))
+    for (y <- 0 until h; x <- 0 until w) {
+      val (rr, g, b) = rgb(y * w + x)
+      img24.setRGB(x, y, (rr << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img24, "bmp", bos))
+    val Some((_, _, c24, p24)) = decodeBmp(bos.toByteArray)
+    assert(c24 == 3)
+    for (i <- 0 until w * h) {
+      val (rr, g, b) = rgb(i)
+      assert((p24(i) & 0xff) == ((77 * rr + 150 * g + 29 * b) >> 8), s"@$i")
+    }
+    // hostile: truncation sweep, dimension bomb, compressed rejected
+    val good = BmpCodecUtil.bmpEncodeGray(randGray(16, 12, 1), 16, 12, false)
+    for (cut <- Seq(0, 2, 13, 53, 100, good.length - 1))
+      assert(decodeBmp(java.util.Arrays.copyOf(good, cut)).isEmpty, s"cut=$cut")
+    val bomb = good.clone()
+    bomb(18) = 0xff.toByte; bomb(19) = 0xff.toByte
+    bomb(20) = 0x7f.toByte // w huge
+    assert(decodeBmp(bomb).isEmpty, "dimension bomb")
+    val rle = good.clone()
+    rle(30) = 1 // BI_RLE8
+    assert(decodeBmp(rle).isEmpty, "compressed")
+    assert(decodeBmp("BMnope".getBytes).isEmpty)
+  }
+
   test("SQL surface: png_encode_gray / png_decode round trip with dhash") {
     val df = spark.sql(
       """SELECT id,
