@@ -72,6 +72,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "idct) to (width,height,channels,pixels) with luma pixels"),
       (args: Seq[Expression]) => JpegDecodeGray(args.head)))
     ext.injectFunction((
+      FunctionIdentifier("gif_encode_gray"),
+      info("gif_encode_gray",
+        "gif_encode_gray(pixels, w, h) - GIF89a bytes with an identity " +
+          "gray table and a literal-code LZW stream"),
+      (args: Seq[Expression]) => GifEncodeGray(args(0), args(1), args(2))))
+    ext.injectFunction((
+      FunctionIdentifier("gif_decode"),
+      info("gif_decode",
+        "gif_decode(bin) - GIF LZW decode (first frame) to " +
+          "(width,height,channels,pixels) with luma pixels"),
+      (args: Seq[Expression]) => GifDecodeGray(args.head)))
+    ext.injectFunction((
       FunctionIdentifier("bmp_encode_gray"),
       info("bmp_encode_gray",
         "bmp_encode_gray(pixels, w, h, topDown) - 8-bit palette grayscale " +

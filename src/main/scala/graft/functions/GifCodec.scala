@@ -1,0 +1,328 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** GIF codec in pure byte math — the LZW member of the real decode
+  * family: GIF87a/89a frames with global or local color tables,
+  * LSB-first variable-width LZW code streams (dictionary rebuild, KwKwK
+  * case, code-width growth to 12 bits, deferred-clear full-table
+  * behavior), length-prefixed data sub-blocks, extension skipping, and
+  * Adam-style 4-pass interlace, projected to the shared single-channel
+  * luma buffer. The encoder writes literal-code streams (clear, then
+  * one code per pixel — legal LZW an arbitrary decoder accepts) over an
+  * identity gray table for bit-exact fixtures; dictionary-heavy streams
+  * are exercised by decoding ImageIO-written GIFs in the specs.
+  *
+  * Hostile input yields null: sub-block and table offsets are
+  * bounds-checked, declared dimensions capped before allocation, and
+  * out-of-range codes rejected.
+  */
+object GifCodecUtil {
+
+  val MaxSamples: Long = 1L << 26
+
+  /** Encode a `w x h` single-channel buffer as a non-interlaced GIF89a
+    * with a 256-entry identity gray global table and a literal-code LZW
+    * stream (min code size 8). Null for unusable input. */
+  def gifEncodeGray(gray: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    if (w < 1 || h < 1 || w > 0xffff || h > 0xffff ||
+      w.toLong * h > MaxSamples || gray.length < w.toLong * h) return null
+    val bos = new java.io.ByteArrayOutputStream(w * h * 2 + 1024)
+    def b(v: Int): Unit = bos.write(v & 0xff)
+    def le2(v: Int): Unit = { b(v); b(v >> 8) }
+    bos.write("GIF89a".getBytes("US-ASCII"), 0, 6)
+    le2(w); le2(h)
+    b(0xf7) // global color table, 8 bits, 256 entries
+    b(0); b(0) // background, aspect
+    var i = 0
+    while (i < 256) { b(i); b(i); b(i); i += 1 }
+    b(0x2c) // image descriptor
+    le2(0); le2(0); le2(w); le2(h)
+    b(0) // no local table, not interlaced
+    b(8) // LZW min code size
+    // literal-code stream mirroring the decoder's width bookkeeping
+    val data = new java.io.ByteArrayOutputStream(w * h * 2)
+    var acc = 0L
+    var nBits = 0
+    def emit(code: Int, size: Int): Unit = {
+      acc |= code.toLong << nBits
+      nBits += size
+      while (nBits >= 8) { data.write((acc & 0xff).toInt); acc >>= 8; nBits -= 8 }
+    }
+    var codeSize = 9
+    var next = 258
+    var prev = -1
+    emit(256, codeSize) // clear
+    var j = 0
+    val n = w * h
+    while (j < n) {
+      emit(gray(j) & 0xff, codeSize)
+      if (prev >= 0 && next < 4096) {
+        next += 1
+        if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+      }
+      prev = gray(j) & 0xff
+      j += 1
+    }
+    emit(257, codeSize) // end of information
+    if (nBits > 0) data.write((acc & 0xff).toInt)
+    val bytes = data.toByteArray
+    var off = 0
+    while (off < bytes.length) {
+      val len = math.min(255, bytes.length - off)
+      b(len); bos.write(bytes, off, len)
+      off += len
+    }
+    b(0) // block terminator
+    b(0x3b) // trailer
+    bos.toByteArray
+  }
+
+  /** Decode the FIRST image of a GIF to struct(width, height, channels,
+    * pixels) — width/height are the image descriptor's (the frame), and
+    * `pixels` its palette-resolved luma. channels is 3 (palette RGB),
+    * matching [[ImageBytesUtil.imageMeta]]. Null for malformed streams,
+    * missing color tables, or out-of-range codes. */
+  def gifDecodeGray(data: Array[Byte]): InternalRow = {
+    try decodeOrNull(data)
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private def decodeOrNull(d: Array[Byte]): InternalRow = {
+    if (d.length < 14 || d(0) != 'G' || d(1) != 'I' || d(2) != 'F' ||
+      d(3) != '8' || (d(4) != '7' && d(4) != '9') || d(5) != 'a') return null
+    def le2(i: Int): Int = (d(i) & 0xff) | ((d(i + 1) & 0xff) << 8)
+    var pos = 6
+    pos += 4 // logical screen w/h (frames carry their own)
+    val flags = d(pos) & 0xff
+    pos += 3 // flags, background, aspect
+    var globalTable: Array[Byte] = null
+    if ((flags & 0x80) != 0) {
+      val sz = 3 * (1 << ((flags & 7) + 1))
+      if (pos + sz > d.length) return null
+      globalTable = java.util.Arrays.copyOfRange(d, pos, pos + sz)
+      pos += sz
+    }
+    // walk blocks to the first image descriptor
+    while (pos < d.length) {
+      (d(pos) & 0xff) match {
+        case 0x3b => return null // trailer before any image
+        case 0x21 => // extension: label + sub-blocks
+          pos += 2
+          var len = if (pos < d.length) d(pos) & 0xff else return null
+          while (len != 0) {
+            pos += 1 + len
+            if (pos >= d.length) return null
+            len = d(pos) & 0xff
+          }
+          pos += 1
+        case 0x2c =>
+          if (pos + 10 > d.length) return null
+          val w = le2(pos + 5)
+          val h = le2(pos + 7)
+          val iFlags = d(pos + 9) & 0xff
+          pos += 10
+          if (w <= 0 || h <= 0 || w.toLong * h > MaxSamples) return null
+          var table = globalTable
+          if ((iFlags & 0x80) != 0) {
+            val sz = 3 * (1 << ((iFlags & 7) + 1))
+            if (pos + sz > d.length) return null
+            table = java.util.Arrays.copyOfRange(d, pos, pos + sz)
+            pos += sz
+          }
+          if (table == null) return null
+          val interlaced = (iFlags & 0x40) != 0
+          if (pos >= d.length) return null
+          val minCode = d(pos) & 0xff
+          pos += 1
+          if (minCode < 2 || minCode > 8) return null
+          // concatenate the data sub-blocks
+          val lzw = new java.io.ByteArrayOutputStream(d.length - pos)
+          var len = d(pos) & 0xff
+          while (len != 0) {
+            if (pos + 1 + len > d.length) return null
+            lzw.write(d, pos + 1, len)
+            pos += 1 + len
+            if (pos >= d.length) return null
+            len = d(pos) & 0xff
+          }
+          return decodeLzw(lzw.toByteArray, w, h, minCode, table, interlaced)
+        case _ => return null
+      }
+    }
+    null
+  }
+
+  /** Interlace pass row order: 0,8,16.. then 4,12.. then 2,6.. then 1,3.. */
+  private def rowOrder(h: Int, interlaced: Boolean): Array[Int] = {
+    val rows = new Array[Int](h)
+    if (!interlaced) {
+      var i = 0
+      while (i < h) { rows(i) = i; i += 1 }
+    } else {
+      var k = 0
+      for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+        var y = start
+        while (y < h) { rows(k) = y; k += 1; y += step }
+      }
+    }
+    rows
+  }
+
+  private def decodeLzw(
+      lzw: Array[Byte], w: Int, h: Int, minCode: Int,
+      table: Array[Byte], interlaced: Boolean): InternalRow = {
+    val clear = 1 << minCode
+    val end = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    var codeSize = minCode + 1
+    var next = end + 1
+    var prev = -1
+    val rows = rowOrder(h, interlaced)
+    val idx = new Array[Byte](w * h)
+    var out = 0 // position in scan order; mapped through rows at the end
+    var acc = 0L
+    var nBits = 0
+    var pos = 0
+    def read(): Int = {
+      while (nBits < codeSize) {
+        if (pos >= lzw.length) return -1
+        acc |= (lzw(pos) & 0xffL) << nBits
+        pos += 1
+        nBits += 8
+      }
+      val c = (acc & ((1 << codeSize) - 1)).toInt
+      acc >>= codeSize
+      nBits -= codeSize
+      c
+    }
+    val n = w * h
+    var done = false
+    while (!done && out < n) {
+      val code = read()
+      if (code < 0) return null // truncated stream
+      if (code == clear) {
+        codeSize = minCode + 1
+        next = end + 1
+        prev = -1
+      } else if (code == end) {
+        done = true
+      } else if (prev < 0) {
+        if (code >= clear) return null
+        idx(out) = code.toByte
+        out += 1
+        prev = code
+      } else {
+        if (code > next || code == end || code == clear) return null
+        // expand the code (KwKwK when code == next) onto the stack
+        var sp = 0
+        var cur = code
+        if (code == next) {
+          // first char of prev's expansion
+          var p = prev
+          while (p >= clear + 2) p = prefix(p)
+          stack(sp) = p.toByte; sp += 1
+          cur = prev
+        }
+        while (cur >= clear + 2) {
+          stack(sp) = suffix(cur); sp += 1
+          cur = prefix(cur)
+        }
+        stack(sp) = cur.toByte; sp += 1
+        val firstChar = cur
+        if (next < 4096) {
+          prefix(next) = prev
+          suffix(next) = firstChar.toByte
+          next += 1
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        while (sp > 0 && out < n) {
+          sp -= 1
+          idx(out) = stack(sp)
+          out += 1
+        }
+        prev = code
+      }
+    }
+    if (out < n) return null // ran out of codes before the frame filled
+    val nColors = table.length / 3
+    val gray = new Array[Byte](n)
+    var k = 0
+    while (k < h) {
+      val destRow = rows(k)
+      var x = 0
+      while (x < w) {
+        val ci = idx(k * w + x) & 0xff
+        if (ci >= nColors) return null
+        val o = ci * 3
+        gray(destRow * w + x) =
+          ((77 * (table(o) & 0xff) + 150 * (table(o + 1) & 0xff) +
+            29 * (table(o + 2) & 0xff)) >> 8).toByte
+        x += 1
+      }
+      k += 1
+    }
+    InternalRow(w, h, 3, gray)
+  }
+}
+
+/** Codegen'd GIF encode: `gif_encode_gray(pixels, w, h)` -> BINARY
+  * GIF89a with an identity gray table (null for unusable input). */
+case class GifEncodeGray(data: Expression, w: Expression, h: Expression)
+    extends TernaryExpression {
+  override def first: Expression = data
+  override def second: Expression = w
+  override def third: Expression = h
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (data.dataType == BinaryType && w.dataType == IntegerType &&
+      h.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gif_encode_gray expects (BINARY, INT, INT), got " +
+        s"(${data.dataType}, ${w.dataType}, ${h.dataType})")
+
+  override def nullSafeEval(d: Any, wv: Any, hv: Any): Any =
+    GifCodecUtil.gifEncodeGray(d.asInstanceOf[Array[Byte]],
+      wv.asInstanceOf[Int], hv.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, wv, hv) => s"""
+      ${ev.value} = graft.functions.GifCodecUtil.gifEncodeGray($d, $wv, $hv);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): GifEncodeGray =
+    copy(data = newFirst, w = newSecond, h = newThird)
+}
+
+/** Codegen'd GIF decode: `gif_decode(binary)` -> struct(width, height,
+  * channels, pixels) with palette-resolved luma pixels. */
+case class GifDecodeGray(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = PngDecodeGray.schema // same shape
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gif_decode expects BINARY, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    GifCodecUtil.gifDecodeGray(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.GifCodecUtil.gifDecodeGray($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildInternal(newChild: Expression): GifDecodeGray =
+    copy(child = newChild)
+}

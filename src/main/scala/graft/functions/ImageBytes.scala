@@ -453,6 +453,13 @@ object images {
   def jpeg_decode(data: Column): Column =
     GraftBridge.column(JpegDecodeGray(GraftBridge.expression(data)))
 
+  def gif_encode_gray(data: Column, w: Column, h: Column): Column =
+    GraftBridge.column(GifEncodeGray(GraftBridge.expression(data),
+      GraftBridge.expression(w), GraftBridge.expression(h)))
+
+  def gif_decode(data: Column): Column =
+    GraftBridge.column(GifDecodeGray(GraftBridge.expression(data)))
+
   def bmp_encode_gray(
       data: Column, w: Column, h: Column, topDown: Column): Column =
     GraftBridge.column(BmpEncodeGray(GraftBridge.expression(data),

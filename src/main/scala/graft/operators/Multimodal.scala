@@ -438,6 +438,7 @@ object Multimodal {
     val png = images.png_decode(d)
     val jpg = images.jpeg_decode(d)
     val bmp = images.bmp_decode(d)
+    val gif = images.gif_decode(d)
     media.select(
       col(idCol).as("id"),
       when(im.isNotNull, im.getField("format"))
@@ -457,6 +458,9 @@ object Multimodal {
         .when(bmp.isNotNull,
           dhash(bmp.getField("pixels"), bmp.getField("width"),
             bmp.getField("height")))
+        .when(gif.isNotNull,
+          dhash(gif.getField("pixels"), gif.getField("width"),
+            gif.getField("height")))
         .when(am.isNotNull, images.audio_fingerprint(d)).as("sig"),
       length(d).cast("long").as("n_bytes"))
   }

@@ -1099,6 +1099,36 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM documents WHERE doc_id < 1500"""),
     ),
 
+    // REAL LZW decode end-to-end: synth images encoded as GIF89a
+    // (identity gray table, literal-code LZW stream with code-width
+    // growth), decoded back from the BYTES (variable-width code reader,
+    // dictionary bookkeeping, palette luma) and re-hashed — bit-exact,
+    // so dims and dHash match the planted arithmetic
+    "q_multimodal_gif_decode" -> QueryDef(
+      (s, dir) => {
+        val d = docs(s, dir).where(col("doc_id") < 1500).select(col("doc_id"),
+          (col("doc_id") % 5 + 16).cast("int").as("w"),
+          (col("doc_id") % 4 + 12).cast("int").as("h"))
+        d.select(col("doc_id").as("media_id"),
+            graft.functions.images.gif_decode(
+              graft.functions.images.gif_encode_gray(
+                graft.functions.images.synth_image(
+                  (col("doc_id") % 7 * 1234567 + 42).cast("long"),
+                  col("w"), col("h"), (col("doc_id") % 3).cast("int")),
+                col("w"), col("h"))).as("m"))
+          .select(col("media_id"), col("m.width").as("width"),
+            col("m.height").as("height"), col("m.channels").as("channels"),
+            graft.operators.Multimodal.dhash(
+              col("m.pixels"), col("m.width"), col("m.height")).as("dhash"))
+      },
+      Some("""SELECT doc_id AS media_id,
+          CAST(doc_id % 5 + 16 AS INTEGER) AS width,
+          CAST(doc_id % 4 + 12 AS INTEGER) AS height,
+          CAST(3 AS INTEGER) AS channels,
+          CAST(doc_id % 7 * 1234567 + 42 AS BIGINT) AS dhash
+        FROM documents WHERE doc_id < 1500"""),
+    ),
+
     // REAL uncompressed decode end-to-end: synth images encoded as 8-bit
     // palette BMPs (identity gray palette, 4-byte-aligned rows, half the
     // corpus top-down / half bottom-up exercising both row orders),

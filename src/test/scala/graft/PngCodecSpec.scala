@@ -299,6 +299,65 @@ class PngCodecSpec extends AnyFunSuite {
     assert(decodeBmp("BMnope".getBytes).isEmpty)
   }
 
+  test("GIF codec: literal round trip, dictionary streams via ImageIO, hostile") {
+    import graft.functions.GifCodecUtil
+    def decodeGif(b: Array[Byte]) =
+      Option(GifCodecUtil.gifDecodeGray(b)).map { r =>
+        (r.getInt(0), r.getInt(1), r.getInt(2), r.getBinary(3))
+      }
+    // literal-code round trip is bit-exact, incl. sizes that push the
+    // code width to 10-12 bits (w*h > 254 grows the decoder dictionary)
+    for ((w, h) <- Seq((9, 8), (30, 20), (80, 60))) {
+      val gray = randGray(w, h, w + h)
+      val gif = GifCodecUtil.gifEncodeGray(gray, w, h)
+      val Some((dw, dh, ch, px)) = decodeGif(gif)
+      assert((dw, dh, ch) == (w, h, 3), s"${w}x$h")
+      assert(java.util.Arrays.equals(px, gray), s"pixels ${w}x$h")
+      // the JDK's independent GIF reader agrees (identity gray palette:
+      // every RGB channel equals the planted index)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+      assert(img != null && img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((img.getRGB(x, y) & 0xff) == (gray(y * w + x) & 0xff),
+          s"imageio ($x,$y) ${w}x$h")
+    }
+    // an ImageIO-WRITTEN gif uses real dictionary compression: decoding
+    // it exercises the string-table path (prefix chains, KwKwK) that
+    // literal streams never build. Repetitive pixels compress well.
+    val (w, h) = (40, 25)
+    val palR = new Array[Byte](8); val palG = new Array[Byte](8)
+    val palB = new Array[Byte](8)
+    for (i <- 0 until 8) {
+      palR(i) = (i * 30).toByte; palG(i) = (i * 30).toByte
+      palB(i) = (i * 30).toByte
+    }
+    val icm = new java.awt.image.IndexColorModel(8, 8, palR, palG, palB)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    val idx = Array.tabulate(w * h)(i => (i / 7) % 8) // runs -> dict hits
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, idx(y * w + x))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", bos))
+    val Some((gw, gh, _, px)) = decodeGif(bos.toByteArray)
+    assert((gw, gh) == (w, h))
+    for (i <- 0 until w * h) {
+      val v = (idx(i) * 30) & 0xff
+      // identity grayscale palette: luma == the channel value
+      assert((px(i) & 0xff) == v, s"dict-stream @$i")
+    }
+    // hostile: truncation sweep, dimension bomb, junk
+    val good = GifCodecUtil.gifEncodeGray(randGray(16, 12, 3), 16, 12)
+    for (cut <- Seq(0, 5, 12, 13 + 500, 13 + 768 + 5, good.length / 2))
+      assert(decodeGif(java.util.Arrays.copyOf(good, cut)).isEmpty, s"cut=$cut")
+    val bomb = good.clone()
+    // image descriptor width at header+table+1(sep)+4: blow it up
+    val descAt = 13 + 768
+    bomb(descAt + 5) = 0xff.toByte; bomb(descAt + 6) = 0x7f.toByte
+    assert(decodeGif(bomb).isEmpty, "dimension bomb")
+    assert(decodeGif("GIF89a junk but not an image".getBytes).isEmpty)
+  }
+
   test("SQL surface: png_encode_gray / png_decode round trip with dhash") {
     val df = spark.sql(
       """SELECT id,
