@@ -337,18 +337,54 @@ object TextAnalysis {
     * |corpus| rows, regardless of corpus size. */
   def bpeTrainChars(
       df: DataFrame, textCol: String, iterations: Int): DataFrame =
+    bpeTrainChars(df, textCol, iterations, markEnd = false)
+
+  /** [[bpeTrainChars]] with Sennrich's end-of-word marker option: when
+    * `markEnd` is set every word carries a terminal `</w>` symbol, so
+    * the algorithm learns word-final units (`st</w>`) separately from
+    * word-internal ones (`st`) — the canonical construction for subword
+    * vocabularies that must know where words end. */
+  def bpeTrainChars(
+      df: DataFrame, textCol: String, iterations: Int,
+      markEnd: Boolean): DataFrame =
     bpeMergeLoop(
       df.select(explode(tokens(col(textCol))).as("word"))
         .groupBy("word").agg(count(lit(1)).as("wc"))
-        .select(bpeEncodeChars(col("word")).as("enc"), col("wc")),
+        .select(bpeEncodeChars(col("word"), markEnd).as("enc"), col("wc")),
       iterations)
 
-  /** Word -> enclosed char symbols: each character framed like a symbol. */
-  private def bpeEncodeChars(word: Column): Column =
-    concat(lit(US),
-      array_join(transform(sequence(lit(1), length(word)),
-        i => word.substr(i, lit(1))), US + US),
-      lit(US))
+  /** Apply a char-level merge table per word: each word re-encodes to
+    * char symbols (plus the `</w>` marker when trained with one), the
+    * merges fold over it, and the per-word symbol arrays flatten back to
+    * one array per row — all inside ONE map-side projection (the merge
+    * replaces run inside the `transform` lambda; no explode/regroup
+    * shuffle). Returns (idCol, symbols, n_symbols). */
+  def bpeSegmentChars(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], markEnd: Boolean = false): DataFrame = {
+    val perWord = (w: Column) => {
+      val applied = merges.foldLeft(bpeEncodeChars(w, markEnd)) {
+        case (e, (l, r)) =>
+          replace(e, lit(US + l + US + US + r + US), lit(US + l + RS + r + US))
+      }
+      bpeSymbols(applied)
+    }
+    df.select(col(idCol),
+        flatten(transform(tokens(col(textCol)), perWord)).as("symbols"))
+      .withColumn("n_symbols", size(col("symbols")).cast("long"))
+  }
+
+  /** End-of-word marker symbol for the char-level variant. */
+  val BpeEndOfWord = "</w>"
+
+  /** Word -> enclosed char symbols: each character framed like a symbol;
+    * `markEnd` appends the [[BpeEndOfWord]] marker as a final symbol. */
+  private def bpeEncodeChars(word: Column, markEnd: Boolean = false): Column = {
+    val chars = transform(sequence(lit(1), length(word)),
+      i => word.substr(i, lit(1)))
+    val syms = if (markEnd) concat(chars, array(lit(BpeEndOfWord))) else chars
+    concat(lit(US), array_join(syms, US + US), lit(US))
+  }
 
   /** Batched BPE: up to `mergesPerRound` merges per pair-count pass —
     * the production-depth lever (a 30k-merge vocabulary at one merge per

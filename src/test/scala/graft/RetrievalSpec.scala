@@ -222,10 +222,11 @@ class RetrievalSpec extends AnyFunSuite {
   test("bpeTrainChars matches a single-node word-dictionary reference") {
     // canonical Sennrich reference: word-frequency dict, char symbols,
     // weighted pair counts, greedy-left merge — independent of the engine
-    def refBpeChars(words: Seq[(String, Long)], iters: Int)
+    def refBpeChars(words: Seq[(String, Long)], iters: Int,
+        extra: Seq[String] = Nil)
         : Seq[(String, String, Long)] = {
       var dict: Seq[(List[String], Long)] =
-        words.map { case (w, c) => (w.map(_.toString).toList, c) }
+        words.map { case (w, c) => (w.map(_.toString).toList ++ extra, c) }
       val out = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
       for (_ <- 1 to iters) {
         val counts = scala.collection.mutable.Map.empty[(String, String), Long]
@@ -265,6 +266,42 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got == ref)
     // subword sanity: the frequent suffix pairs merge early
     assert(ref.take(3).map(m => m._1 + m._2).exists(s => s.contains("e")))
+
+    // end-of-word marker: the same reference with a terminal </w> symbol
+    // per word; the learned word-final units differ from word-internal
+    val refEnd = refBpeChars(
+      wordCounts.map { case (w, c) => (w, c) }, iters = 8,
+      extra = Seq(TextAnalysis.BpeEndOfWord))
+    val gotEnd = TextAnalysis.bpeTrainChars(df, "text", iterations = 8,
+        markEnd = true)
+      .orderBy("it").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(gotEnd == refEnd)
+    assert(gotEnd != got) // the marker genuinely changes the vocabulary
+    assert(gotEnd.exists { case (l, r, _) =>
+      (l + r).contains(TextAnalysis.BpeEndOfWord) })
+
+    // char-level segmentation applies the learned table per word with no
+    // shuffle; verify against a direct per-word reference application
+    def applyRef(word: Seq[String], ms: Seq[(String, String)]): List[String] =
+      ms.foldLeft(word.toList) { case (syms, (l, r)) =>
+        val b = scala.collection.mutable.ListBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            b += l + "\u001e" + r; i += 2
+          } else { b += syms(i); i += 1 }
+        }
+        b.toList
+      }
+    val seg = TextAnalysis.bpeSegmentChars(df, "doc_id", "text",
+        gotEnd.map(m => (m._1, m._2)), markEnd = true)
+      .orderBy("doc_id").collect()
+      .map(_.getSeq[String](1).toList).toSeq
+    val refSeg = texts.map(_.split("\\s+").toList.flatMap(w =>
+      applyRef(w.map(_.toString) :+ TextAnalysis.BpeEndOfWord,
+        gotEnd.map(m => (m._1, m._2)))))
+    assert(seg == refSeg)
   }
 
   test("naive bayes recovers planted class vocabularies") {
