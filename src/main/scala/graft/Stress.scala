@@ -38,7 +38,7 @@ object Stress {
   final case class M(
       sec: Double, rows: Long, shufWriteBytes: Long,
       maxTaskReadBytes: Long, sumTaskReadBytes: Long,
-      shuffleStages: Int, broadcastStages: Int) {
+      shuffleStages: Int, broadcastStages: Int, err: String = null) {
     def maxTaskShare: Double =
       if (sumTaskReadBytes <= 0) 0.0
       else maxTaskReadBytes.toDouble / sumTaskReadBytes
@@ -109,9 +109,19 @@ object Stress {
             .agg(count(lit(1)).as("n"),
               org.apache.spark.sql.functions.sum(col("h"))) // ANSI-safe
         }
+        // NonFatal only: an OOM or other fatal JVM error must crash the
+        // harness loudly, not be recorded as a normal-looking entry. A
+        // recoverable failure is surfaced as an explicit err marker in
+        // the emitted JSON so a dead workload can't read as a fast one.
+        var lastErr: String = null
         def once(probe: DataFrame): Long =
           try probe.collect().head.getLong(0)
-          catch { case _: Throwable => -1L }
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              lastErr = s"${e.getClass.getSimpleName}: " +
+                String.valueOf(e.getMessage).take(200)
+              -1L
+          }
         // warmup on a THROWAWAY plan instance: codegen + JIT paid, but the
         // timed run rebuilds the Dataset so no materialized AQE stage from
         // the warmup is reused
@@ -130,7 +140,8 @@ object Stress {
         val (sum, max, write) = listener.snapshot
         val plan = probe.queryExecution.executedPlan.toString
         out += name -> M(sec, rows, write, max, sum,
-          occ(plan, "ShuffleQueryStage"), occ(plan, "BroadcastQueryStage"))
+          occ(plan, "ShuffleQueryStage"), occ(plan, "BroadcastQueryStage"),
+          err = lastErr)
         System.err.println(s"[stress] $name done in ${fmt(sec)}s")
       }
 
@@ -275,15 +286,26 @@ object Stress {
         s""""shuffle_write_mb":${fmt(m.shufWriteBytes / 1e6)},""" +
         s""""max_task_read_mb":${fmt(m.maxTaskReadBytes / 1e6)},""" +
         s""""max_task_share":${fmt(m.maxTaskShare)},""" +
-        s""""shuffles":${m.shuffleStages},"broadcasts":${m.broadcastStages}}"""
+        s""""shuffles":${m.shuffleStages},"broadcasts":${m.broadcastStages}""" +
+        (if (m.err == null) "}"
+         else s""","err":${jsonStr(m.err)}}""")
     }.mkString("{", ",", "}")
 
   /** Compact form for the tail-trimmed final bench line: seconds + the
     * skew signal only. */
   def compactJson(results: Seq[(String, M)]): String =
     results.map { case (k, m) =>
-      s""""$k":{"sec":${fmt(m.sec)},"mts":${fmt(m.maxTaskShare)}}"""
+      s""""$k":{"sec":${fmt(m.sec)},"mts":${fmt(m.maxTaskShare)}""" +
+        (if (m.err == null) "}" else s""","err":${jsonStr(m.err)}}""")
     }.mkString("{", ",", "}")
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    } + "\""
 
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -47,7 +47,10 @@ object AudioBytesUtil {
     while (i + 8 <= data.length) {
       val size = le4(i + 4)
       if (tag(i, "fmt ")) {
-        if (i + 24 > data.length) return null
+        // PCM fmt chunks declare >= 16 payload bytes; a smaller declared
+        // size means the fields below would read the NEXT chunk's bytes as
+        // format data and yield a garbage-but-accepted fingerprint
+        if (size < 16 || i + 24 > data.length) return null
         fmtCode = le2(i + 8)
         blockAlign = le2(i + 20)
         bits = le2(i + 22)

@@ -18,7 +18,10 @@ import org.apache.spark.sql.types._
   */
 object BmpCodecUtil {
 
-  val MaxSamples: Long = 1L << 26
+  /** Decode allocation cap — see [[GifCodecUtil.MaxSamples]]: 16M pixels
+    * bounds the pre-validation allocation a hostile header can force
+    * while staying far beyond what the dHash grid samples. */
+  val MaxSamples: Long = 1L << 24
 
   private def le2(d: Array[Byte], i: Int): Int =
     (d(i) & 0xff) | ((d(i + 1) & 0xff) << 8)

@@ -23,7 +23,12 @@ import org.apache.spark.sql.types._
   */
 object GifCodecUtil {
 
-  val MaxSamples: Long = 1L << 26
+  /** Decode allocation cap. The palette codecs allocate ~2-3 bytes per
+    * declared pixel BEFORE decode can fail, so a small hostile payload
+    * declaring huge dimensions is an allocation amplifier; 16M pixels
+    * (4096 x 4096) is far beyond anything the dHash grid needs while
+    * bounding the worst per-task allocation to ~48 MB. */
+  val MaxSamples: Long = 1L << 24
 
   /** Encode a `w x h` single-channel buffer as a non-interlaced GIF89a
     * with a 256-entry identity gray global table and a literal-code LZW

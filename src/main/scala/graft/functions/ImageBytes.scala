@@ -98,7 +98,14 @@ object ImageBytesUtil {
         if (m == 0xff) i += 1 // ITU T.81 B.1.1.2: 0xFF fill bytes
         else if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2
         else if (m == 0xd9) return null // EOI before any frame header
-        else i += 2 + be2(data, i + 2) // length includes its own 2 bytes
+        else {
+          // segment length includes its own 2 bytes; < 2 is corrupt and
+          // would advance the scan misaligned onto payload bytes that can
+          // masquerade as an SOF marker — reject instead
+          val len = be2(data, i + 2)
+          if (len < 2) return null
+          i += 2 + len
+        }
       }
       return null
     }
@@ -130,7 +137,10 @@ object ImageBytesUtil {
     while (i + 8 <= data.length) {
       val size = le4(i + 4)
       if (tag(i, "fmt ")) {
-        if (i + 24 > data.length) return null
+        // PCM fmt chunks declare >= 16 payload bytes; a smaller declared
+        // size means the format fields below would read into the NEXT
+        // chunk's bytes — reject rather than decode garbage
+        if (size < 16 || i + 24 > data.length) return null
         channels = le2(i + 10)
         sampleRate = le4(i + 12).toInt
         blockAlign = le2(i + 20)

@@ -43,18 +43,6 @@ object Multimodal {
   private def band(sig: Column, b: Int): Column =
     shiftright(sig, b * 16).bitwiseAND(lit(0xffffL))
 
-  /** Lowest band index on which two hashes agree (4 when none) — the
-    * shuffle-free pair-dedup predicate of the UNCAPPED band join: a pair
-    * agreeing on several bands is emitted only in the first. Only valid
-    * when every band's bucket survives to the join — a capped path must
-    * dedup with a grouped aggregation instead (a pair whose first shared
-    * band was dropped by the hot-bucket cap still surfaces through its
-    * later surviving bands). */
-  private def firstSharedBand(a: Column, b: Column): Column =
-    (0 until 4).foldLeft(lit(4)) { (acc, k) =>
-      when(band(a, 3 - k) === band(b, 3 - k), lit(3 - k)).otherwise(acc)
-    }
-
   /** Container metadata from the payload's leading bytes:
     * struct(format, width, height, channels), null when unrecognized.
     * PNG: the 8-byte signature then the IHDR chunk at fixed offsets
@@ -102,13 +90,14 @@ object Multimodal {
     * dedup path: garbage can't pair. */
   def pngNearDups(
       media: DataFrame, idCol: String, dataCol: String,
-      maxHamming: Int = 0): DataFrame = {
+      maxHamming: Int = 0, maxPerBucket: Long = 1L << 14): DataFrame = {
     val decoded = media.select(col(idCol).as("id"),
         images.png_decode(col(dataCol)).as("m"))
       .where(col("m").isNotNull)
       .select(col("id"), col("m.pixels").as("pixels"),
         col("m.width").as("width"), col("m.height").as("height"))
-    dhashNearDups(decoded, "id", "pixels", "width", "height", maxHamming)
+    dhashNearDups(decoded, "id", "pixels", "width", "height", maxHamming,
+      maxPerBucket)
   }
 
   /** Near-duplicate images by perceptual hash: pairs (id_a < id_b) whose
@@ -119,9 +108,10 @@ object Multimodal {
     * all-pairs comparison. For maxHamming > 3 recall is the standard LSH
     * trade-off (a pair differing in all four bands is missed).
     *
-    * A pair agreeing on several bands would duplicate, so it is emitted
-    * only in the FIRST band both agree on — a predicate over the two
-    * hashes (both in hand after the join), not a distinct shuffle.
+    * Degenerate hash buckets (solid-color thumbnails, black frames) are
+    * capped at `maxPerBucket` members before the join and a pair agreeing
+    * on several surviving bands is deduped by a grouped aggregation over
+    * 20-byte candidate rows — see [[hammingBandPairs]].
     *
     * Scale shape: one shuffle of (id, hash) pairs — 16 bytes a row
     * regardless of image size — per band (the explode multiplies rows by
@@ -129,7 +119,8 @@ object Multimodal {
     * bit_count(xor). Returns (id_a, id_b, dhash_a, dhash_b, hamming). */
   def dhashNearDups(
       media: DataFrame, idCol: String, dataCol: String,
-      wCol: String, hCol: String, maxHamming: Int = 0): DataFrame = {
+      wCol: String, hCol: String, maxHamming: Int = 0,
+      maxPerBucket: Long = 1L << 14): DataFrame = {
     require(maxHamming >= 0, s"maxHamming must be >= 0 (got $maxHamming)")
     // materialize the 16-byte (id, sig) rows before the self-join: both
     // sides would otherwise re-decode every pixel buffer (the dominant
@@ -139,30 +130,50 @@ object Multimodal {
       dhash(col(dataCol), col(wCol), col(hCol)).as("sig"))
       .where(col("sig").isNotNull)
       .localCheckpoint(false)
-    hammingBandPairs(sigs, maxHamming, "dhash")
+    hammingBandPairs(sigs, maxHamming, "dhash", maxPerBucket)
   }
 
   /** The shared banded hamming self-join over any 64-bit perceptual
     * signature frame (id, sig): every *NearDups entry point funnels here
     * after its own decode+hash projection. Returns (id_a, id_b,
-    * <prefix>_a, <prefix>_b, hamming), id_a < id_b. */
+    * <prefix>_a, <prefix>_b, hamming), id_a < id_b.
+    *
+    * Degenerate buckets are capped BEFORE the join ([[Dedup.capBucketDf]],
+    * same contract as the delta/video paths): real crawls concentrate —
+    * millions of solid-color thumbnails, black frames, or silent clips
+    * share one hash, and one band bucket then goes quadratic in candidate
+    * generation since the hamming filter only runs after the join. Rows
+    * in a bucket over `maxPerBucket` lose that bucket but keep their
+    * other three bands, so dHash-identical members of a degenerate
+    * cluster still pair through the surviving bands; because a pair's
+    * lowest shared band may be exactly the dropped one, pair dedup is a
+    * grouped aggregation over candidate rows (20-byte shuffle each), not
+    * a shared-band predicate — the predicate would reject the pair's
+    * surviving later-band rows too. */
   private[operators] def hammingBandPairs(
-      sigs: DataFrame, maxHamming: Int, prefix: String): DataFrame = {
+      sigs: DataFrame, maxHamming: Int, prefix: String,
+      maxPerBucket: Long = 1L << 14): DataFrame = {
     val sa = s"${prefix}_a"
     val sb = s"${prefix}_b"
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(b => band(col("sig"), b)): _*))
         .as(Seq("band_idx", "band_val")))
-    val a = banded.select(col("id").as("id_a"), col("sig").as(sa),
+    // materialized: capBucketDf reads its input twice and the self-join
+    // twice more — without the checkpoint the decode lineage would rerun
+    val capped = Dedup.capBucketDf(
+        banded, Seq("band_idx", "band_val"), maxPerBucket)
+      .localCheckpoint(false)
+    val a = capped.select(col("id").as("id_a"), col("sig").as(sa),
       col("band_idx"), col("band_val"))
-    val b = banded.select(col("id").as("id_b"), col("sig").as(sb),
+    val b = capped.select(col("id").as("id_b"), col("sig").as(sb),
       col("band_idx"), col("band_val"))
     a.join(b, Seq("band_idx", "band_val"))
       .where(col("id_a") < col("id_b"))
-      .where(col("band_idx") === firstSharedBand(col(sa), col(sb)))
       .withColumn("hamming",
         bit_count(col(sa).bitwiseXOR(col(sb))).cast("int"))
       .where(col("hamming") <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"), col(sa), col(sb))
+      .agg(min("hamming").as("hamming"))
       .select("id_a", "id_b", sa, sb, "hamming")
   }
 
@@ -172,13 +183,14 @@ object Multimodal {
     * perceptual equality survives the codec. */
   def jpegNearDups(
       media: DataFrame, idCol: String, dataCol: String,
-      maxHamming: Int = 0): DataFrame = {
+      maxHamming: Int = 0, maxPerBucket: Long = 1L << 14): DataFrame = {
     val decoded = media.select(col(idCol).as("id"),
         images.jpeg_decode(col(dataCol)).as("m"))
       .where(col("m").isNotNull)
       .select(col("id"), col("m.pixels").as("pixels"),
         col("m.width").as("width"), col("m.height").as("height"))
-    dhashNearDups(decoded, "id", "pixels", "width", "height", maxHamming)
+    dhashNearDups(decoded, "id", "pixels", "width", "height", maxHamming,
+      maxPerBucket)
   }
 
   /** Near-duplicate AUDIO clips by loudness-envelope fingerprint: the
@@ -190,13 +202,13 @@ object Multimodal {
     * Returns (id_a, id_b, fp_a, fp_b, hamming). */
   def audioNearDups(
       media: DataFrame, idCol: String, dataCol: String,
-      maxHamming: Int = 0): DataFrame = {
+      maxHamming: Int = 0, maxPerBucket: Long = 1L << 14): DataFrame = {
     require(maxHamming >= 0, s"maxHamming must be >= 0 (got $maxHamming)")
     val sigs = media.select(col(idCol).as("id"),
         images.audio_fingerprint(col(dataCol)).as("sig"))
       .where(col("sig").isNotNull)
       .localCheckpoint(false)
-    hammingBandPairs(sigs, maxHamming, "fp")
+    hammingBandPairs(sigs, maxHamming, "fp", maxPerBucket)
   }
 
   /** Banded dHash signature rows (id, sig, band_idx, band_val) — the

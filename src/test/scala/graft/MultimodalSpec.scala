@@ -302,4 +302,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
     assert(pairs.head.getInt(4) == 2)
   }
+
+  test("dhashNearDups: degenerate-bucket cluster is capped, pairs survive via later bands") {
+    import spark.implicits._
+    // a real crawl's failure mode: a large cluster of dHash-IDENTICAL
+    // images (solid-color thumbnails / black frames). Uncapped, its band
+    // buckets go quadratic in candidate generation.
+    val clusterSig = 0xaaaabbbbccccddddL
+    val cluster = (100L until 160L).map(_ -> clusterSig)
+    // a near-dup pair whose LOWEST shared band collides with the hot
+    // cluster's band-0 bucket: the cap drops that bucket, so the pair
+    // must surface through its other surviving bands — which the grouped
+    // pair dedup allows and the old first-shared-band predicate would
+    // have rejected
+    val x = 0x333322221111ddddL
+    val y = x ^ (1L << 20) // band 1 differs by one bit -> hamming 1
+    val rows = (cluster ++ Seq(4L -> x, 5L -> y)).toDF("id", "seed")
+      .select(col("id"), lit(18).as("w"), lit(14).as("h"),
+        graft.functions.images.synth_image(
+          col("seed"), lit(18), lit(14), lit(1)).as("data"))
+    val capped = Multimodal
+      .dhashNearDups(rows, "id", "data", "w", "h", maxHamming = 1,
+        maxPerBucket = 20L)
+      .collect()
+    // candidate generation stays bounded: the 60-member cluster's four
+    // hot buckets are all dropped (its 1770 internal pairs are exactly
+    // the stop-content collisions the cap exists to shed), while the
+    // (4,5) pair survives through bands 2/3 and is emitted exactly once
+    assert(capped.map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSeq
+      == Seq((4L, 5L, 1)))
+    // uncapped, the same frame yields the full quadratic cluster
+    val uncapped = Multimodal.dhashNearDups(
+      rows, "id", "data", "w", "h", maxHamming = 1)
+    assert(uncapped.count() == 60L * 59 / 2 + 1)
+  }
 }
