@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.functions.{count, lit}
+import org.apache.spark.sql.functions.{col, count, lit, pmod, struct, sum, xxhash64}
 
 /** Benchmark main: one JSON line with per-query steady-state seconds.
   *
@@ -28,6 +28,21 @@ object Bench {
   // which would over-count shared shuffles as independent ones
   private def occ(s: String, pat: String): Int =
     (pat + " (\\d+)").r.findAllMatchIn(s).map(_.group(1)).toSet.size
+
+  // every emitted JSON line is also teed to target/bench.json (parent
+  // runs only — a forked single-query child would clobber it): the round
+  // artifact's stdout tail is truncation-prone and sbt prefixes each
+  // line with "[info] ", so the file is the reliable machine-readable
+  // copy of the same lines
+  private val teed = scala.collection.mutable.ArrayBuffer.empty[String]
+  private def outLine(s: String): Unit = { println(s); teed += s }
+  private def flushTee(): Unit =
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) try {
+      val p = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p,
+        (teed.mkString("", "\n", "\n")).getBytes("UTF-8"))
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   private def sfDir: String =
     sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -59,7 +74,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     // full detail first — a reader of the complete stdout gets every
     // timing and every plan signature
-    println(s"""{"diag":"bench_detail","mode":"$mode","queries":$qs,"plans":$plans,"sf":"$sfDir"}""")
+    outLine(s"""{"diag":"bench_detail","mode":"$mode","queries":$qs,"plans":$plans,"sf":"$sfDir"}""")
     // the round artifact records only a ~2000-char TAIL of the run's
     // output (and sbt's closing "[success]" line eats part of it), so the
     // LAST line must fit entirely: headline numbers plus the timings map
@@ -75,7 +90,8 @@ object Bench {
       else forkedTop.map { case (k, s) => s""""$k":${fmt(s)}""" }
         .mkString(""","forked_top5":{""", ",", "}")
     val st = if (stressCompact.isEmpty) "" else s""","stress":$stressCompact"""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","mode":"$mode","n":${results.size},"sf":"$sfDir","queries":$qsTop$fk$st}""")
+    outLine(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","mode":"$mode","n":${results.size},"sf":"$sfDir","queries":$qsTop$fk$st}""")
+    flushTee()
   }
 
   private def runChain(): Unit = {
@@ -99,11 +115,19 @@ object Bench {
     val fns = SparkEntry.queries
     val results = selectedNames.map { name =>
       val fn = fns(name)
-      // the same aggregate Dataset.count() builds, but held so the executed
-      // adaptive plan is readable after collect
+      // hash EVERY output column (same probe as Stress.measure): a bare
+      // count(1) lets Catalyst prune unreferenced payload columns out of
+      // the measured plan, under-measuring queries whose cost is in
+      // computing payloads (decode, to_json, window columns). The Dataset
+      // is rebuilt per call so a timed run never reuses a warmup's
+      // materialized AQE stages; pmod keeps the ANSI sum from overflowing
       def run(): (Double, Long, String) =
         try {
-          val agg = fn(spark, dir).agg(count(lit(1)).as("n"))
+          val df = fn(spark, dir)
+          val agg = df
+            .select(pmod(xxhash64(struct(df.columns.map(col): _*)),
+              lit(1000000007L)).as("h"))
+            .agg(count(lit(1)).as("n"), sum(col("h")))
           val t0 = System.nanoTime()
           val rows = agg.collect().head.getLong(0)
           val sec = (System.nanoTime() - t0) / 1e9
@@ -143,7 +167,7 @@ object Bench {
           sys.env.get("SPARK_GRAFT_STRESS_X").map(_.toInt).getOrElse(8)
         dropLitter()
         val sres = Stress.run(spark, dir, repx)
-        println(s"""{"diag":"stress_detail","sf":"$dir","repx":$repx,""" +
+        outLine(s"""{"diag":"stress_detail","sf":"$dir","repx":$repx,""" +
           s""""stress":${Stress.detailJson(sres)}}""")
         Stress.compactJson(sres)
       }

@@ -55,6 +55,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "audio_meta(bin) - WAV/RIFF header parse to (format,sample_rate,channels,bits,n_samples)"),
       (args: Seq[Expression]) => AudioMeta(args.head)))
     ext.injectFunction((
+      FunctionIdentifier("container_meta"),
+      info("container_meta",
+        "container_meta(bin) - MP4 (ISO-BMFF box walk) / AVI (RIFF hdrl) " +
+          "header parse to (format,brand,duration_ms,width,height," +
+          "n_tracks,video_codec,audio_codec)"),
+      (args: Seq[Expression]) => ContainerMeta(args.head)))
+    ext.injectFunction((
       FunctionIdentifier("dhash64"),
       info("dhash64",
         "dhash64(bin, w, h) - perceptual difference hash of a raw grayscale buffer"),
@@ -83,6 +90,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "gif_decode(bin) - GIF LZW decode (first frame) to " +
           "(width,height,channels,pixels) with luma pixels"),
       (args: Seq[Expression]) => GifDecodeGray(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("gif_encode_frames"),
+      info("gif_encode_frames",
+        "gif_encode_frames(pixels, w, h, n) - animated GIF89a bytes: n " +
+          "frames sliced from the concatenated buffer, GCE per frame"),
+      (args: Seq[Expression]) => GifEncodeFrames(args(0), args(1), args(2),
+        args(3))))
+    ext.injectFunction((
+      FunctionIdentifier("gif_frames"),
+      info("gif_frames",
+        "gif_frames(bin) - animated GIF decode to " +
+          "ARRAY<(width,height,channels,pixels)>, one entry per frame"),
+      (args: Seq[Expression]) => GifFrames(args.head)))
     ext.injectFunction((
       FunctionIdentifier("bmp_encode_gray"),
       info("bmp_encode_gray",

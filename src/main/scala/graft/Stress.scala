@@ -42,6 +42,11 @@ object Stress {
     def maxTaskShare: Double =
       if (sumTaskReadBytes <= 0) 0.0
       else maxTaskReadBytes.toDouble / sumTaskReadBytes
+    /** Sub-8MB total exchange: AQE coalesces it to one (or very few)
+      * tasks, so max_task_share reads ~1.0 BY CONSTRUCTION — it is not a
+      * skew signal there. Flagged in the emitted JSON so a reader does
+      * not misread a tiny workload as a hot key. */
+    def tinyExchange: Boolean = sumTaskReadBytes < (8L << 20)
   }
 
   private final class TaskListener extends SparkListener {
@@ -216,10 +221,18 @@ object Stress {
             AND p.o_orderdate <= iv.s + INTERVAL 30 DAYS""")
         }
 
+        // replicate() is a map-side explode: it inherits the SMALL input
+        // table's split count, so without a spread the replicated corpus
+        // would run the shingle/decode work on a handful of tasks and the
+        // per-core scaling claim would never be exercised. A cluster scan
+        // of the same volume has many splits; mirror it (range_auto does
+        // the same)
+        val cores = spark.sparkContext.defaultParallelism
         val docs = replicate(
           graft.sources.Tables.table(spark, dir, "documents")
             .select("doc_id", "text"),
           rep, Seq("doc_id"))
+          .repartition(cores)
 
         // exact dedup: hash agg on digests; replicas are planted dups
         measure(s"dedup_exact@$rep") {
@@ -246,6 +259,11 @@ object Stress {
             graft.sources.Tables.table(spark, dir, "documents")
               .select("doc_id"),
             rep, Seq("doc_id"))
+            // spread BEFORE the synth+encode so the whole codec path
+            // (encode here, decode+dHash inside pngNearDups) runs at the
+            // session's parallelism — the shuffle moves 8-byte ids, not
+            // payloads
+            .repartition(cores)
             .withColumn("seed",
               xxhash64((col("doc_id") / lit(math.max(rep, 1))).cast("long")))
             .select(col("doc_id"),
@@ -255,6 +273,32 @@ object Stress {
                 lit(32), lit(16),
                 pmod(col("doc_id"), lit(6)).cast("int")).as("data"))
           graft.operators.Multimodal.pngNearDups(media, "doc_id", "data")
+        }
+
+        // ADVERSARIAL variant: a quarter of the corpus is dHash-identical
+        // (one shared seed — the solid-thumbnail / black-frame shape of a
+        // real crawl). Uncapped, that cluster's band buckets square the
+        // candidate row count as rep grows; the hot-bucket cap drops them
+        // before the join, so wall and max-task share must hold flat
+        // while the remaining replica groups keep pairing normally
+        measure(s"png_neardup_degen@$rep") {
+          val media = replicate(
+            graft.sources.Tables.table(spark, dir, "documents")
+              .select("doc_id"),
+            rep, Seq("doc_id"))
+            .repartition(cores)
+            .withColumn("seed",
+              when(pmod(col("doc_id"), lit(4)) === 0, lit(0L)).otherwise(
+                xxhash64((col("doc_id") / lit(math.max(rep, 1)))
+                  .cast("long"))))
+            .select(col("doc_id"),
+              graft.functions.images.png_encode_gray(
+                graft.functions.images.synth_image(col("seed"),
+                  lit(32), lit(16), pmod(col("doc_id"), lit(3)).cast("int")),
+                lit(32), lit(16),
+                pmod(col("doc_id"), lit(6)).cast("int")).as("data"))
+          graft.operators.Multimodal.pngNearDups(media, "doc_id", "data",
+            maxPerBucket = 1L << 10)
         }
 
         // the composed flagship funnel
@@ -287,6 +331,7 @@ object Stress {
         s""""max_task_read_mb":${fmt(m.maxTaskReadBytes / 1e6)},""" +
         s""""max_task_share":${fmt(m.maxTaskShare)},""" +
         s""""shuffles":${m.shuffleStages},"broadcasts":${m.broadcastStages}""" +
+        (if (m.tinyExchange) s""","tiny_exchange":true""" else "") +
         (if (m.err == null) "}"
          else s""","err":${jsonStr(m.err)}}""")
     }.mkString("{", ",", "}")
@@ -296,6 +341,7 @@ object Stress {
   def compactJson(results: Seq[(String, M)]): String =
     results.map { case (k, m) =>
       s""""$k":{"sec":${fmt(m.sec)},"mts":${fmt(m.maxTaskShare)}""" +
+        (if (m.tinyExchange) s""","tiny":true""" else "") +
         (if (m.err == null) "}" else s""","err":${jsonStr(m.err)}}""")
     }.mkString("{", ",", "}")
 

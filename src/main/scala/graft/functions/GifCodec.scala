@@ -33,10 +33,22 @@ object GifCodecUtil {
   /** Encode a `w x h` single-channel buffer as a non-interlaced GIF89a
     * with a 256-entry identity gray global table and a literal-code LZW
     * stream (min code size 8). Null for unusable input. */
-  def gifEncodeGray(gray: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    if (w < 1 || h < 1 || w > 0xffff || h > 0xffff ||
-      w.toLong * h > MaxSamples || gray.length < w.toLong * h) return null
-    val bos = new java.io.ByteArrayOutputStream(w * h * 2 + 1024)
+  def gifEncodeGray(gray: Array[Byte], w: Int, h: Int): Array[Byte] =
+    gifEncodeGrayFrames(gray, w, h, 1)
+
+  /** Encode `nFrames` concatenated `w x h` single-channel buffers as an
+    * ANIMATED non-interlaced GIF89a: one identity gray global table, a
+    * NETSCAPE looping extension, and per frame a Graphic Control
+    * Extension (so decoders exercise the between-frame extension walk)
+    * followed by an image descriptor + literal-code LZW stream. The
+    * identity palette makes the luma projection lossless, so decoded
+    * frames are bit-exact. Null for unusable input. */
+  def gifEncodeGrayFrames(
+      gray: Array[Byte], w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    if (w < 1 || h < 1 || w > 0xffff || h > 0xffff || nFrames < 1 ||
+      nFrames > MaxFrames || w.toLong * h * nFrames > MaxSamples ||
+      gray.length < w.toLong * h * nFrames) return null
+    val bos = new java.io.ByteArrayOutputStream(w * h * nFrames * 2 + 1024)
     def b(v: Int): Unit = bos.write(v & 0xff)
     def le2(v: Int): Unit = { b(v); b(v >> 8) }
     bos.write("GIF89a".getBytes("US-ASCII"), 0, 6)
@@ -45,6 +57,31 @@ object GifCodecUtil {
     b(0); b(0) // background, aspect
     var i = 0
     while (i < 256) { b(i); b(i); b(i); i += 1 }
+    if (nFrames > 1) {
+      // NETSCAPE2.0 application extension: loop forever
+      b(0x21); b(0xff); b(11)
+      bos.write("NETSCAPE2.0".getBytes("US-ASCII"), 0, 11)
+      b(3); b(1); le2(0); b(0)
+    }
+    var f = 0
+    while (f < nFrames) {
+      writeFrame(bos, gray, f * w * h, w, h, animated = nFrames > 1)
+      f += 1
+    }
+    b(0x3b) // trailer
+    bos.toByteArray
+  }
+
+  private def writeFrame(bos: java.io.ByteArrayOutputStream,
+      gray: Array[Byte], off: Int, w: Int, h: Int,
+      animated: Boolean): Unit = {
+    def b(v: Int): Unit = bos.write(v & 0xff)
+    def le2(v: Int): Unit = { b(v); b(v >> 8) }
+    if (animated) {
+      // Graphic Control Extension: 4-byte block, 10ms delay, no
+      // transparency, disposal "do not dispose"
+      b(0x21); b(0xf9); b(4); b(0x04); le2(1); b(0); b(0)
+    }
     b(0x2c) // image descriptor
     le2(0); le2(0); le2(w); le2(h)
     b(0) // no local table, not interlaced
@@ -65,27 +102,30 @@ object GifCodecUtil {
     var j = 0
     val n = w * h
     while (j < n) {
-      emit(gray(j) & 0xff, codeSize)
+      emit(gray(off + j) & 0xff, codeSize)
       if (prev >= 0 && next < 4096) {
         next += 1
         if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
       }
-      prev = gray(j) & 0xff
+      prev = gray(off + j) & 0xff
       j += 1
     }
     emit(257, codeSize) // end of information
     if (nBits > 0) data.write((acc & 0xff).toInt)
     val bytes = data.toByteArray
-    var off = 0
-    while (off < bytes.length) {
-      val len = math.min(255, bytes.length - off)
-      b(len); bos.write(bytes, off, len)
-      off += len
+    var p = 0
+    while (p < bytes.length) {
+      val len = math.min(255, bytes.length - p)
+      b(len); bos.write(bytes, p, len)
+      p += len
     }
     b(0) // block terminator
-    b(0x3b) // trailer
-    bos.toByteArray
   }
+
+  /** Frame-count cap for the animation walk: bounds the per-row output
+    * a hostile payload can force alongside the cumulative [[MaxSamples]]
+    * pixel budget. */
+  val MaxFrames: Int = 1024
 
   /** Decode the FIRST image of a GIF to struct(width, height, channels,
     * pixels) — width/height are the image descriptor's (the frame), and
@@ -93,11 +133,31 @@ object GifCodecUtil {
     * matching [[ImageBytesUtil.imageMeta]]. Null for malformed streams,
     * missing color tables, or out-of-range codes. */
   def gifDecodeGray(data: Array[Byte]): InternalRow = {
-    try decodeOrNull(data)
-    catch { case scala.util.control.NonFatal(_) => null }
+    try {
+      val fs = decodeFramesOrNull(data, 1)
+      if (fs == null || fs.isEmpty) null else fs.head
+    } catch { case scala.util.control.NonFatal(_) => null }
   }
 
-  private def decodeOrNull(d: Array[Byte]): InternalRow = {
+  /** Decode EVERY frame of a (possibly animated) GIF to an array of
+    * struct(width, height, channels, pixels) — each frame standalone at
+    * its own descriptor dimensions (no inter-frame disposal compositing:
+    * the perceptual pipeline compares frames, it does not replay the
+    * animation). Null for streams whose FIRST frame is undecodable; a
+    * stream that corrupts after N good frames yields those N (tolerant,
+    * matching the curation posture). Bounded by [[MaxFrames]] frames and
+    * a cumulative [[MaxSamples]] pixel budget. */
+  def gifDecodeFrames(data: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    try {
+      val fs = decodeFramesOrNull(data, MaxFrames)
+      if (fs == null || fs.isEmpty) null
+      else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        fs.toArray[Any])
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private def decodeFramesOrNull(
+      d: Array[Byte], maxFrames: Int): Seq[InternalRow] = {
     if (d.length < 14 || d(0) != 'G' || d(1) != 'I' || d(2) != 'F' ||
       d(3) != '8' || (d(4) != '7' && d(4) != '9') || d(5) != 'a') return null
     def le2(i: Int): Int = (d(i) & 0xff) | ((d(i + 1) & 0xff) << 8)
@@ -112,54 +172,63 @@ object GifCodecUtil {
       globalTable = java.util.Arrays.copyOfRange(d, pos, pos + sz)
       pos += sz
     }
-    // walk blocks to the first image descriptor
-    while (pos < d.length) {
+    val frames = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var budget = MaxSamples
+    // a malformed block ends the walk: frames decoded so far survive,
+    // an immediately-malformed stream is null
+    def result: Seq[InternalRow] = if (frames.isEmpty) null else frames.toSeq
+    while (pos < d.length && frames.size < maxFrames) {
       (d(pos) & 0xff) match {
-        case 0x3b => return null // trailer before any image
-        case 0x21 => // extension: label + sub-blocks
+        case 0x3b => return result // trailer
+        case 0x21 => // extension (incl. per-frame GCE): label + sub-blocks
           pos += 2
-          var len = if (pos < d.length) d(pos) & 0xff else return null
+          var len = if (pos < d.length) d(pos) & 0xff else return result
           while (len != 0) {
             pos += 1 + len
-            if (pos >= d.length) return null
+            if (pos >= d.length) return result
             len = d(pos) & 0xff
           }
           pos += 1
         case 0x2c =>
-          if (pos + 10 > d.length) return null
+          if (pos + 10 > d.length) return result
           val w = le2(pos + 5)
           val h = le2(pos + 7)
           val iFlags = d(pos + 9) & 0xff
           pos += 10
-          if (w <= 0 || h <= 0 || w.toLong * h > MaxSamples) return null
+          if (w <= 0 || h <= 0 || w.toLong * h > budget) return result
           var table = globalTable
           if ((iFlags & 0x80) != 0) {
             val sz = 3 * (1 << ((iFlags & 7) + 1))
-            if (pos + sz > d.length) return null
+            if (pos + sz > d.length) return result
             table = java.util.Arrays.copyOfRange(d, pos, pos + sz)
             pos += sz
           }
-          if (table == null) return null
+          if (table == null) return result
           val interlaced = (iFlags & 0x40) != 0
-          if (pos >= d.length) return null
+          if (pos >= d.length) return result
           val minCode = d(pos) & 0xff
           pos += 1
-          if (minCode < 2 || minCode > 8) return null
+          if (minCode < 2 || minCode > 8) return result
           // concatenate the data sub-blocks
           val lzw = new java.io.ByteArrayOutputStream(d.length - pos)
           var len = d(pos) & 0xff
           while (len != 0) {
-            if (pos + 1 + len > d.length) return null
+            if (pos + 1 + len > d.length) return result
             lzw.write(d, pos + 1, len)
             pos += 1 + len
-            if (pos >= d.length) return null
+            if (pos >= d.length) return result
             len = d(pos) & 0xff
           }
-          return decodeLzw(lzw.toByteArray, w, h, minCode, table, interlaced)
-        case _ => return null
+          pos += 1 // the sub-block terminator
+          val frame = decodeLzw(lzw.toByteArray, w, h, minCode, table,
+            interlaced)
+          if (frame == null) return result
+          budget -= w.toLong * h
+          frames += frame
+        case _ => return result
       }
     }
-    null
+    result
   }
 
   /** Interlace pass row order: 0,8,16.. then 4,12.. then 2,6.. then 1,3.. */
@@ -329,5 +398,68 @@ case class GifDecodeGray(child: Expression) extends UnaryExpression {
       ${ev.isNull} = ${ev.value} == null;""")
 
   override protected def withNewChildInternal(newChild: Expression): GifDecodeGray =
+    copy(child = newChild)
+}
+
+/** Codegen'd animated-GIF encode: `gif_encode_frames(pixels, w, h, n)`
+  * -> BINARY GIF89a with `n` frames sliced from the concatenated pixel
+  * buffer, per-frame Graphic Control Extensions and a NETSCAPE loop
+  * block (null for unusable input). */
+case class GifEncodeFrames(data: Expression, w: Expression, h: Expression,
+    n: Expression) extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override def first: Expression = data
+  override def second: Expression = w
+  override def third: Expression = h
+  override def fourth: Expression = n
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (data.dataType == BinaryType && w.dataType == IntegerType &&
+      h.dataType == IntegerType && n.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gif_encode_frames expects (BINARY, INT, INT, INT), got " +
+        s"(${data.dataType}, ${w.dataType}, ${h.dataType}, ${n.dataType})")
+
+  override def nullSafeEval(d: Any, wv: Any, hv: Any, nv: Any): Any =
+    GifCodecUtil.gifEncodeGrayFrames(d.asInstanceOf[Array[Byte]],
+      wv.asInstanceOf[Int], hv.asInstanceOf[Int], nv.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, wv, hv, nv) => s"""
+      ${ev.value} = graft.functions.GifCodecUtil.gifEncodeGrayFrames($d, $wv, $hv, $nv);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression,
+      newFourth: Expression): GifEncodeFrames =
+    copy(data = newFirst, w = newSecond, h = newThird, n = newFourth)
+}
+
+/** Codegen'd animated-GIF decode: `gif_frames(binary)` ->
+  * ARRAY<struct(width, height, channels, pixels)> — every frame,
+  * standalone, palette-resolved luma; null when the first frame is
+  * undecodable. Feeds keyframe selection and video near-dup directly
+  * from real GIF payloads. */
+case class GifFrames(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(PngDecodeGray.schema, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gif_frames expects BINARY, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    GifCodecUtil.gifDecodeFrames(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.GifCodecUtil.gifDecodeFrames($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildInternal(newChild: Expression): GifFrames =
     copy(child = newChild)
 }

@@ -430,6 +430,9 @@ object images {
   def audio_meta(data: Column): Column =
     GraftBridge.column(AudioMeta(GraftBridge.expression(data)))
 
+  def container_meta(data: Column): Column =
+    GraftBridge.column(ContainerMeta(GraftBridge.expression(data)))
+
   def dhash64(data: Column, w: Column, h: Column): Column =
     GraftBridge.column(DHash64(GraftBridge.expression(data),
       GraftBridge.expression(w), GraftBridge.expression(h)))
@@ -469,6 +472,15 @@ object images {
 
   def gif_decode(data: Column): Column =
     GraftBridge.column(GifDecodeGray(GraftBridge.expression(data)))
+
+  def gif_encode_frames(data: Column, w: Column, h: Column,
+      n: Column): Column =
+    GraftBridge.column(GifEncodeFrames(GraftBridge.expression(data),
+      GraftBridge.expression(w), GraftBridge.expression(h),
+      GraftBridge.expression(n)))
+
+  def gif_frames(data: Column): Column =
+    GraftBridge.column(GifFrames(GraftBridge.expression(data)))
 
   def bmp_encode_gray(
       data: Column, w: Column, h: Column, topDown: Column): Column =

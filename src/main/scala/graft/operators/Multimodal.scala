@@ -309,20 +309,47 @@ object Multimodal {
     * frames. */
   def keyframes(
       frames: DataFrame, idCol: String, idxCol: String, frameCol: String,
-      w: Int, h: Int, minDelta: Int): DataFrame = {
+      w: Int, h: Int, minDelta: Int): DataFrame =
+    keyframesFromSigs(frames.select(col(idCol).as("media_id"),
+      col(idxCol).cast("long").as("frame_idx"),
+      dhash(col(frameCol), lit(w), lit(h)).as("dhash")), minDelta)
+
+  private def keyframesFromSigs(sigs: DataFrame, minDelta: Int): DataFrame = {
     require(minDelta >= 1, s"minDelta must be >= 1 (got $minDelta)")
-    val sigs = frames.select(col(idCol).as("media_id"),
-        col(idxCol).cast("long").as("frame_idx"),
-        dhash(col(frameCol), lit(w), lit(h)).as("dhash"))
-      .where(col("dhash").isNotNull)
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("media_id").orderBy("frame_idx")
-    sigs
+    sigs.where(col("dhash").isNotNull)
       .withColumn("delta",
         bit_count(col("dhash").bitwiseXOR(
           lag(col("dhash"), 1).over(win))).cast("int"))
       .where(col("delta").isNull || col("delta") >= minDelta)
   }
+
+  /** Explode a (possibly animated) GIF payload into one row per frame:
+    * (media_id, frame_idx, width, height, frame) with palette-resolved
+    * luma pixels — the real-payload feeder for [[keyframes]] /
+    * [[videoNearDups]]. The LZW decode runs once per payload inside
+    * whole-stage codegen; undecodable payloads yield no rows. */
+  def gifFrames(media: DataFrame, idCol: String, dataCol: String): DataFrame =
+    media.select(col(idCol).as("media_id"),
+        posexplode(images.gif_frames(col(dataCol)))
+          .as(Seq("frame_idx", "f")))
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("f.width").as("width"), col("f.height").as("height"),
+        col("f.pixels").as("frame"))
+
+  /** [[keyframes]] directly over ANIMATED GIF payloads: decode every
+    * frame ([[gifFrames]]), dHash each at its own descriptor dimensions,
+    * keep shot boundaries (hamming delta >= `minDelta`) plus each
+    * animation's first frame. Payload bytes never leave their input
+    * partition; the window shuffles 16-byte signature rows. */
+  def gifKeyframes(media: DataFrame, idCol: String, dataCol: String,
+      minDelta: Int): DataFrame =
+    keyframesFromSigs(
+      gifFrames(media, idCol, dataCol).select(col("media_id"),
+        col("frame_idx"),
+        dhash(col("frame"), col("width"), col("height")).as("dhash")),
+      minDelta)
 
   /** Near-duplicate VIDEOS by shared frame fingerprints: `frames` rows
     * are (media_id, frame) — e.g. from [[sampleFrames]] — each frame a
@@ -342,9 +369,23 @@ object Multimodal {
   def videoNearDups(
       frames: DataFrame, idCol: String, frameCol: String,
       w: Int, h: Int, minShared: Int,
-      maxPerHash: Long = 1L << 14): DataFrame = {
-    val sigs = frames.select(col(idCol).as("vid"),
-        dhash(col(frameCol), lit(w), lit(h)).as("fh"))
+      maxPerHash: Long = 1L << 14): DataFrame =
+    videoNearDupsFromSigs(frames.select(col(idCol).as("vid"),
+      dhash(col(frameCol), lit(w), lit(h)).as("fh")), minShared, maxPerHash)
+
+  /** [[videoNearDups]] directly over ANIMATED GIF payloads: every frame
+    * decoded ([[gifFrames]]) and dHashed at its own dimensions, videos
+    * paired on >= `minShared` shared frame hashes. */
+  def gifVideoNearDups(media: DataFrame, idCol: String, dataCol: String,
+      minShared: Int, maxPerHash: Long = 1L << 14): DataFrame =
+    videoNearDupsFromSigs(
+      gifFrames(media, idCol, dataCol).select(col("media_id").as("vid"),
+        dhash(col("frame"), col("width"), col("height")).as("fh")),
+      minShared, maxPerHash)
+
+  private def videoNearDupsFromSigs(raw: DataFrame, minShared: Int,
+      maxPerHash: Long): DataFrame = {
+    val sigs = raw
       .where(col("fh").isNotNull)
       .distinct()
       // materialized: the cap + self-join below read sigs four times,
@@ -409,6 +450,94 @@ object Multimodal {
       le2(lit(1)), le2(bits),
       unhex(lit("00" * 24))) // compression..colors-important
   }
+
+  /** Fixture builder: a standards-layout ISO-BMFF (MP4) header — `ftyp`
+    * (brand), then a `moov` box carrying a v0 `mvhd` (timescale,
+    * duration), a video `trak` (v0 `tkhd` with 16.16 dimensions,
+    * `mdia/hdlr` = 'vide', `mdia/minf/stbl/stsd` first-entry codec
+    * fourcc) and, when `withAudio`, a second `trak` with handler 'soun'.
+    * All box sizes are layout constants; only the field values vary, so
+    * an oracle stays closed-form. No media data — header parsing never
+    * reads it. */
+  def mp4Bytes(brand: Column, timescale: Column, duration: Column,
+      w: Column, h: Column, videoCodec: Column, withAudio: Column,
+      audioCodec: Column): Column = {
+    def be4(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
+    def be2(c: Column): Column = unhex(lpad(hex(c), 4, "0"))
+    val matrix = "00010000000000000000000000000000" +
+      "00010000000000000000000000000000" + "40000000"
+    def tkhd(trackId: Int, volume: String, ww: Column, hh: Column) =
+      concat(unhex(lit("0000005C746B6864" + "00000001" +
+        "0000000000000000" + "%08x".format(trackId) + "00000000")),
+        be4(duration),
+        unhex(lit("0000000000000000" + "0000" + "0000" + volume + "0000" +
+          matrix)),
+        be2(ww), unhex(lit("0000")), be2(hh), unhex(lit("0000")))
+    def mdia(handler: String, codec: Column) = concat(
+      unhex(lit("000000516D646961" +
+        // hdlr: fullbox + pre_defined then handler fourcc + reserved+name
+        "0000002168646C72" + "00000000" + "00000000")),
+      lit(handler).cast("binary"),
+      unhex(lit("00000000000000000000000000" + // 12 reserved + name NUL
+        "000000286D696E66" + "000000207374626C" +
+        "0000001873747364" + "00000000" + "00000001" + "00000008")),
+      codec.cast("binary"))
+    val vTrak = concat(unhex(lit("000000B57472616B")),
+      tkhd(1, "0000", w, h), mdia("vide", videoCodec))
+    val aTrak = concat(unhex(lit("000000B57472616B")),
+      tkhd(2, "0100", lit(0), lit(0)), mdia("soun", audioCodec))
+    val mvhd = concat(
+      unhex(lit("0000006C6D766864" + "00000000" +
+        "00000000" + "00000000")),
+      be4(timescale), be4(duration),
+      unhex(lit("00010000" + "01000000" + "0000000000000000" + matrix +
+        "0" * 48 + "00000002")))
+    val ftyp = concat(unhex(lit("0000001066747970")),
+      brand.cast("binary"), unhex(lit("00000000")))
+    concat(ftyp,
+      when(withAudio,
+        concat(unhex(lit("000001DE6D6F6F76")), mvhd, vTrak, aTrak))
+        .otherwise(concat(unhex(lit("000001296D6F6F76")), mvhd, vTrak)))
+  }
+
+  /** Fixture builder: a standards-layout AVI header — RIFF/`AVI ` with a
+    * `hdrl` LIST carrying the `avih` main header (frame period, total
+    * frames, stream count, dimensions) and one `strl`/`strh` per stream:
+    * a 'vids' stream with a printable handler fourcc and, when
+    * `withAudio`, an 'auds' stream whose handler is the NUMERIC code
+    * real encoders write (non-printable, so audio_codec parses to null).
+    */
+  def aviBytes(usPerFrame: Column, totalFrames: Column, w: Column,
+      h: Column, videoHandler: Column, withAudio: Column): Column = {
+    def leByte(c: Column, k: Int): Column =
+      unhex(lpad(hex(pmod(floor(c / math.pow(256, k).toLong).cast("long"),
+        lit(256L))), 2, "0"))
+    def le4(c: Column): Column =
+      concat(leByte(c, 0), leByte(c, 1), leByte(c, 2), leByte(c, 3))
+    val streams = when(withAudio, lit(2)).otherwise(lit(1))
+    val avih = concat(unhex(lit("6176696838000000")), le4(usPerFrame),
+      unhex(lit("00" * 12)), le4(totalFrames), unhex(lit("00000000")),
+      le4(streams), unhex(lit("00000000")), le4(w), le4(h),
+      unhex(lit("00" * 16)))
+    val vStrl = concat(unhex(lit("4C49535444000000" + "7374726C" +
+      "7374726838000000" + "76696473")), // LIST(68) strl, strh(56), vids
+      videoHandler.cast("binary"), unhex(lit("00" * 48)))
+    val aStrl = unhex(lit("4C49535444000000" + "7374726C" +
+      "7374726838000000" + "61756473" + "01000000" + "00" * 48))
+    concat(lit("RIFF").cast("binary"),
+      when(withAudio, unhex(lit("E8000000"))).otherwise(unhex(lit("9C000000"))),
+      lit("AVI ").cast("binary"), lit("LIST").cast("binary"),
+      when(withAudio, unhex(lit("DC000000"))).otherwise(unhex(lit("90000000"))),
+      lit("hdrl").cast("binary"), avih, vStrl,
+      when(withAudio, aStrl).otherwise(unhex(lit(""))))
+  }
+
+  /** Video/audio container metadata from the payload's leading bytes:
+    * struct(format, brand, duration_ms, width, height, n_tracks,
+    * video_codec, audio_codec) for ISO-BMFF (MP4/MOV) and RIFF AVI —
+    * same codegen'd byte-math family as [[imageMeta]]; see
+    * [[graft.functions.ContainerBytesUtil]]. */
+  def containerMeta(data: Column): Column = images.container_meta(data)
 
   /** Fixture builder: a minimal JPEG byte stream — SOI, optionally an
     * APP0/JFIF segment (so the marker scan is exercised), then an SOF0

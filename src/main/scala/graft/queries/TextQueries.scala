@@ -904,6 +904,67 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM documents"""),
     ),
 
+    // VIDEO/AUDIO container metadata from planted standards-layout
+    // headers: ISO-BMFF MP4s (box-tree walk: ftyp brand, mvhd timescale
+    // division, per-trak tkhd 16.16 dims + hdlr routing + stsd codec
+    // fourcc; single- and dual-track variants) and RIFF AVIs (hdrl/avih
+    // main header, strh stream handlers, with the audio stream planted
+    // under the NUMERIC non-printable handler real encoders write, which
+    // must parse to null). Duration math is exact by construction
+    // (timescales divide 1000; 25 fps AVI), so the oracle is closed-form
+    "q_multimodal_container" -> QueryDef(
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"),
+          (col("doc_id") % 1904 + 16).cast("int").as("w"),
+          (col("doc_id") % 1064 + 16).cast("int").as("h"),
+          (col("doc_id") % 5 =!= 0).as("with_audio"))
+        val mp4 = d.where(col("doc_id") % 2 === 0).select(col("doc_id"),
+          graft.operators.Multimodal.mp4Bytes(
+            lit("isom"),
+            element_at(array(lit(250), lit(500), lit(1000)),
+              (col("doc_id") % 3 + 1).cast("int")),
+            (col("doc_id") % 86400).cast("int"),
+            col("w"), col("h"),
+            element_at(array(lit("avc1"), lit("hev1"), lit("av01")),
+              (col("doc_id") % 3 + 1).cast("int")),
+            col("with_audio"), lit("mp4a")).as("data"))
+        val avi = d.where(col("doc_id") % 2 === 1).select(col("doc_id"),
+          graft.operators.Multimodal.aviBytes(
+            lit(40000), (col("doc_id") % 5000).cast("int"),
+            col("w"), col("h"),
+            element_at(array(lit("MJPG"), lit("XVID"), lit("DIV3")),
+              (col("doc_id") % 3 + 1).cast("int")),
+            col("with_audio")).as("data"))
+        mp4.unionByName(avi)
+          .select(col("doc_id").as("media_id"),
+            graft.operators.Multimodal.containerMeta(col("data")).as("m"))
+          .select(col("media_id"), col("m.format").as("format"),
+            col("m.brand").as("brand"),
+            col("m.duration_ms").as("duration_ms"),
+            col("m.width").as("width"), col("m.height").as("height"),
+            col("m.n_tracks").as("n_tracks"),
+            col("m.video_codec").as("video_codec"),
+            col("m.audio_codec").as("audio_codec"))
+      },
+      Some("""SELECT doc_id AS media_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS format,
+          CASE WHEN doc_id % 2 = 0 THEN 'isom' END AS brand,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN
+                 (doc_id % 86400) * (CASE doc_id % 3
+                    WHEN 0 THEN 4 WHEN 1 THEN 2 ELSE 1 END)
+               ELSE (doc_id % 5000) * 40 END AS BIGINT) AS duration_ms,
+          CAST(doc_id % 1904 + 16 AS INTEGER) AS width,
+          CAST(doc_id % 1064 + 16 AS INTEGER) AS height,
+          CAST(CASE WHEN doc_id % 5 <> 0 THEN 2 ELSE 1 END AS INTEGER)
+            AS n_tracks,
+          CASE doc_id % 6 WHEN 0 THEN 'avc1' WHEN 2 THEN 'av01'
+            WHEN 4 THEN 'hev1' WHEN 1 THEN 'XVID' WHEN 3 THEN 'MJPG'
+            ELSE 'DIV3' END AS video_codec,
+          CASE WHEN doc_id % 2 = 0 AND doc_id % 5 <> 0 THEN 'mp4a' END
+            AS audio_codec
+        FROM documents"""),
+    ),
+
     // REAL pixel decompression end-to-end: synth images (dhash64 == seed
     // by construction) are encoded as standards-conformant grayscale PNGs
     // — zlib-deflated IDAT split across chunks, per-chunk CRC-32, row
@@ -1300,6 +1361,38 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
           videos, frameBytes = W * H, stride = 1)
         graft.operators.Multimodal.keyframes(
           frames, "media_id", "frame_idx", "frame", W, H, minDelta = 3)
+      },
+      Some("""SELECT doc_id AS media_id, CAST(v.f AS BIGINT) AS frame_idx,
+          CAST(xor(doc_id % 6 * 1000 + 3, v.m) AS BIGINT) AS dhash,
+          CAST(v.d AS INTEGER) AS delta
+        FROM documents,
+          (VALUES (0, 0, NULL), (3, 15, 4), (6, 240, 8)) v(f, m, d)
+        WHERE doc_id < 1500"""),
+    ),
+
+    // keyframes from REAL ANIMATED GIF payloads: the same planted
+    // shot-change layout as q_multimodal_keyframes, but the frames
+    // travel through a full animated-GIF encode (per-frame GCEs,
+    // NETSCAPE loop block, literal LZW streams) and the frame-iterating
+    // LZW decode. The identity gray palette makes the luma projection
+    // lossless, so the decoded dHashes — and the keyframe indices — are
+    // exact
+    "q_multimodal_gif_keyframes" -> QueryDef(
+      (s, dir) => {
+        val W = 16; val H = 12
+        val base = (col("doc_id") % 6 * 1000 + 3).cast("long")
+        val seed = (f: Int) =>
+          if (f < 3) base else if (f < 6) base.bitwiseXOR(lit(15L))
+          else base.bitwiseXOR(lit(240L))
+        val frameCols = (0 until 8).map(f =>
+          graft.functions.images.synth_image(
+            seed(f), lit(W), lit(H), (col("doc_id") % 3).cast("int")))
+        val gifs = docs(s, dir).where(col("doc_id") < 1500)
+          .select(col("doc_id").as("media_id"),
+            graft.functions.images.gif_encode_frames(
+              concat(frameCols: _*), lit(W), lit(H), lit(8)).as("data"))
+        graft.operators.Multimodal.gifKeyframes(
+          gifs, "media_id", "data", minDelta = 3)
       },
       Some("""SELECT doc_id AS media_id, CAST(v.f AS BIGINT) AS frame_idx,
           CAST(xor(doc_id % 6 * 1000 + 3, v.m) AS BIGINT) AS dhash,

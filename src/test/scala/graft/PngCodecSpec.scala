@@ -358,6 +358,55 @@ class PngCodecSpec extends AnyFunSuite {
     assert(decodeGif("GIF89a junk but not an image".getBytes).isEmpty)
   }
 
+  test("animated GIF: frame iteration round trip, ImageIO cross-check, budgets") {
+    import graft.functions.GifCodecUtil
+    def frames(b: Array[Byte]): Seq[(Int, Int, Array[Byte])] =
+      Option(GifCodecUtil.gifDecodeFrames(b)).toSeq.flatMap { arr =>
+        (0 until arr.numElements()).map { i =>
+          val r = arr.getStruct(i, 4)
+          (r.getInt(0), r.getInt(1), r.getBinary(3))
+        }
+      }
+    val (w, h, n) = (18, 11, 5)
+    val all = randGray(w, h * n, 77) // n concatenated frames
+    val gif = GifCodecUtil.gifEncodeGrayFrames(all, w, h, n)
+    assert(gif != null)
+    // every frame comes back bit-exact, in order
+    val fs = frames(gif)
+    assert(fs.length == n)
+    for ((f, i) <- fs.zipWithIndex) {
+      assert((f._1, f._2) == (w, h), s"frame $i dims")
+      assert(java.util.Arrays.equals(f._3,
+        java.util.Arrays.copyOfRange(all, i * w * h, (i + 1) * w * h)),
+        s"frame $i pixels")
+    }
+    // first-frame decode of the SAME animated payload stays consistent
+    val first = Option(GifCodecUtil.gifDecodeGray(gif)).get
+    assert(java.util.Arrays.equals(first.getBinary(3), fs.head._3))
+    // the JDK's frame-indexed GIF reader agrees on every frame
+    val rdr = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    rdr.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(gif)))
+    assert(rdr.getNumImages(true) == n)
+    for (i <- 0 until n) {
+      val img = rdr.read(i)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((img.getRGB(x, y) & 0xff) == (all(i * w * h + y * w + x) & 0xff),
+          s"imageio frame $i ($x,$y)")
+    }
+    // tolerance: truncation INSIDE frame k keeps frames 0..k-1
+    val cut = java.util.Arrays.copyOf(gif, gif.length - w * h / 2)
+    val partial = frames(cut)
+    assert(partial.length >= 1 && partial.length < n)
+    assert(java.util.Arrays.equals(partial.head._3, fs.head._3))
+    // budgets: frame-count cap and encoder bounds
+    assert(GifCodecUtil.gifEncodeGrayFrames(all, w, h, 0) == null)
+    assert(GifCodecUtil.gifEncodeGrayFrames(all, w, h,
+      GifCodecUtil.MaxFrames + 1) == null)
+    assert(GifCodecUtil.gifEncodeGrayFrames(all, w, h, n + 1) == null,
+      "buffer shorter than n frames")
+  }
+
   test("SQL surface: png_encode_gray / png_decode round trip with dhash") {
     val df = spark.sql(
       """SELECT id,
