@@ -353,6 +353,63 @@ object TextAnalysis {
         .select(bpeEncodeChars(col("word"), markEnd).as("enc"), col("wc")),
       iterations)
 
+  /** Initial char-level symbol vocabulary size: distinct characters
+    * across the corpus's whitespace words, plus the [[BpeEndOfWord]]
+    * marker when `markEnd`. One distinct-aggregate over single
+    * characters — the denominator of the production vocab contract. */
+  def bpeInitialVocabChars(
+      df: DataFrame, textCol: String, markEnd: Boolean = false): Long =
+    df.select(explode(tokens(col(textCol))).as("word"))
+      .select(explode(transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1)))).as("c"))
+      .agg(count_distinct(col("c"))).collect().head.getLong(0) +
+      (if (markEnd) 1L else 0L)
+
+  /** Char-level BPE trained TO A TARGET VOCABULARY SIZE — the production
+    * contract (a tokenizer is specified as "32k vocab", not "31.8k
+    * merges"): vocab = initial distinct characters (+ `</w>` when
+    * `markEnd`) + one new symbol per merge, so the loop runs exactly
+    * `targetVocab - initialVocab` merges (none when the target is at or
+    * under the initial vocabulary; fewer when pairs exhaust first).
+    * Returns the merge rows with a running `vocab_size` column —
+    * initial vocab + merge ordinal — so the accounting is part of the
+    * oracle-checkable output. */
+  def bpeTrainCharsToVocab(
+      df: DataFrame, textCol: String, targetVocab: Long,
+      markEnd: Boolean = false): DataFrame = {
+    val init = bpeInitialVocabChars(df, textCol, markEnd)
+    val iters = targetVocab - init
+    require(iters <= 1000,
+      s"targetVocab $targetVocab implies $iters merges; cap is 1000/call " +
+        "(chain calls or raise bpeMergeLoop's bound for production depth)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val merges =
+      if (iters <= 0)
+        Seq.empty[(Int, String, String, Long)]
+          .toDF("it", "pair_l", "pair_r", "cnt")
+      else bpeTrainChars(df, textCol, iters.toInt, markEnd)
+    merges.withColumn("vocab_size", (lit(init) + col("it")).cast("long"))
+  }
+
+  /** [[bpeTrainChars]] over a DETERMINISTIC HASH SAMPLE of the corpus
+    * (documents whose text hashes to 0 mod `sampleMod`) — the
+    * production-depth training path: pair statistics concentrate (the
+    * head of the word distribution dominates merge choice), so a 1/k
+    * sample recovers almost the same merge table at 1/k the per-round
+    * scan cost, and segmenting the FULL corpus with sample-trained
+    * merges lands within a small token-count delta of full-corpus
+    * training (RetrievalSpec pins the law). Hash sampling keeps the
+    * subset stable across runs and engines — no RNG state. */
+  def bpeTrainCharsSampled(
+      df: DataFrame, textCol: String, iterations: Int, sampleMod: Int,
+      markEnd: Boolean = false): DataFrame = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1 (got $sampleMod)")
+    bpeTrainChars(
+      df.where(pmod(xxhash64(col(textCol)), lit(sampleMod)) === 0),
+      textCol, iterations, markEnd)
+  }
+
   /** Apply a char-level merge table per word: each word re-encodes to
     * char symbols (plus the `</w>` marker when trained with one), the
     * merges fold over it, and the per-word symbol arrays flatten back to

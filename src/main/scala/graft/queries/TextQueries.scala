@@ -421,6 +421,70 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         UNION ALL SELECT CAST(3 AS INTEGER), l, r, CAST(cnt AS BIGINT) FROM m3"""),
     ),
 
+    // the PRODUCTION vocab contract: train char-level BPE to a target
+    // vocabulary size (initial distinct characters + 3 here), with the
+    // running vocab_size accounted in the output. The oracle re-derives
+    // the initial vocabulary with an independent distinct-char count and
+    // replays the same 3-round unroll — corpus-adaptive, so the gate
+    // holds at any scale factor
+    "q_text_bpe_vocab" -> QueryDef(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val init = TextAnalysis.bpeInitialVocabChars(d, "text")
+        TextAnalysis.bpeTrainCharsToVocab(d, "text", targetVocab = init + 3)
+          .select(col("it").cast("int").as("it"), col("pair_l"),
+            col("pair_r"), col("cnt"), col("vocab_size"))
+      },
+      Some("""WITH w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS wc
+          FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+                FROM documents) GROUP BY 1),
+        v0 AS (SELECT CAST(count(DISTINCT c) AS BIGINT) AS iv FROM
+          (SELECT unnest(list_transform(range(1, len(word) + 1),
+             i -> word[i:i])) AS c FROM w0)),
+        e0 AS (SELECT wc, chr(31) || array_to_string(
+            list_transform(range(1, len(word) + 1), i -> word[i:i]),
+            chr(31) || chr(31)) || chr(31) AS enc FROM w0),
+        t1 AS (SELECT wc, string_split(substr(enc, 2, len(enc) - 2),
+            chr(31) || chr(31)) AS t FROM e0),
+        i1 AS (SELECT wc, t, unnest(range(1, greatest(len(t), 1))) AS i
+          FROM t1),
+        p1 AS (SELECT t[i] AS l, t[i + 1] AS r, sum(wc) AS cnt
+          FROM i1 GROUP BY 1, 2),
+        m1 AS (SELECT l, r, cnt FROM p1
+          ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        e1 AS (SELECT wc, replace(enc,
+            chr(31) || m1.l || chr(31) || chr(31) || m1.r || chr(31),
+            chr(31) || m1.l || chr(30) || m1.r || chr(31)) AS enc
+          FROM e0 CROSS JOIN m1),
+        t2 AS (SELECT wc, string_split(substr(enc, 2, len(enc) - 2),
+            chr(31) || chr(31)) AS t FROM e1),
+        i2 AS (SELECT wc, t, unnest(range(1, greatest(len(t), 1))) AS i
+          FROM t2),
+        p2 AS (SELECT t[i] AS l, t[i + 1] AS r, sum(wc) AS cnt
+          FROM i2 GROUP BY 1, 2),
+        m2 AS (SELECT l, r, cnt FROM p2
+          ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        e2 AS (SELECT wc, replace(enc,
+            chr(31) || m2.l || chr(31) || chr(31) || m2.r || chr(31),
+            chr(31) || m2.l || chr(30) || m2.r || chr(31)) AS enc
+          FROM e1 CROSS JOIN m2),
+        t3 AS (SELECT wc, string_split(substr(enc, 2, len(enc) - 2),
+            chr(31) || chr(31)) AS t FROM e2),
+        i3 AS (SELECT wc, t, unnest(range(1, greatest(len(t), 1))) AS i
+          FROM t3),
+        p3 AS (SELECT t[i] AS l, t[i + 1] AS r, sum(wc) AS cnt
+          FROM i3 GROUP BY 1, 2),
+        m3 AS (SELECT l, r, cnt FROM p3
+          ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)
+        SELECT CAST(1 AS INTEGER) AS it, l AS pair_l, r AS pair_r,
+          CAST(cnt AS BIGINT) AS cnt, iv + 1 AS vocab_size
+          FROM m1 CROSS JOIN v0
+        UNION ALL SELECT CAST(2 AS INTEGER), l, r, CAST(cnt AS BIGINT),
+          iv + 2 FROM m2 CROSS JOIN v0
+        UNION ALL SELECT CAST(3 AS INTEGER), l, r, CAST(cnt AS BIGINT),
+          iv + 3 FROM m3 CROSS JOIN v0"""),
+    ),
+
     // apply the learned merge table to the corpus (train-then-segment in
     // one gate): per-doc symbol counts after the 3 merges — the oracle
     // carries the rewrite chain one step further and measures e3

@@ -304,6 +304,68 @@ class RetrievalSpec extends AnyFunSuite {
     assert(seg == refSeg)
   }
 
+  test("bpeTrainCharsToVocab: merge count derived from the vocab contract") {
+    val texts = Seq(
+      "lower lowest newer newest low new",
+      "wider widest lower newer",
+      "low low lower newest")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val init = TextAnalysis.bpeInitialVocabChars(df, "text")
+    // the distinct characters of the corpus, counted independently
+    assert(init ==
+      texts.flatMap(_.split("\\s+")).flatten.distinct.length.toLong)
+    val toVocab = TextAnalysis
+      .bpeTrainCharsToVocab(df, "text", targetVocab = init + 5)
+      .orderBy("it").collect()
+    // exactly target - init merges, identical to the iteration form, and
+    // the running vocab_size accounts init + ordinal
+    val plain = TextAnalysis.bpeTrainChars(df, "text", iterations = 5)
+      .orderBy("it").collect()
+    assert(toVocab.length == 5)
+    assert(toVocab.map(r => (r.getInt(0), r.getString(1), r.getString(2),
+      r.getLong(3))).toSeq ==
+      plain.map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq)
+    assert(toVocab.map(_.getLong(4)).toSeq ==
+      (1 to 5).map(init + _.toLong))
+    // a target at/under the initial vocabulary trains nothing
+    assert(TextAnalysis.bpeTrainCharsToVocab(df, "text", init).count() == 0)
+    // the marker variant counts </w> in the initial vocabulary
+    assert(TextAnalysis.bpeInitialVocabChars(df, "text", markEnd = true)
+      == init + 1)
+  }
+
+  test("bpe sampled training segments the full corpus within a bounded delta") {
+    // the law the sampled path must satisfy: merges learned from a
+    // deterministic hash-sample, applied to the FULL corpus, land within
+    // a small token-count delta of full-corpus training (pair statistics
+    // concentrate in the head of the word distribution)
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val iters = 12
+    val full = TextAnalysis.bpeTrainChars(docs, "text", iters)
+      .orderBy("it").collect().map(r => (r.getString(1), r.getString(2)))
+    val sampled = TextAnalysis
+      .bpeTrainCharsSampled(docs, "text", iters, sampleMod = 4)
+      .orderBy("it").collect().map(r => (r.getString(1), r.getString(2)))
+    assert(sampled.length == iters)
+    def totalTokens(ms: Seq[(String, String)]): Long =
+      TextAnalysis.bpeSegmentChars(docs, "doc_id", "text", ms)
+        .agg(sum(col("n_symbols"))).collect().head.getLong(0)
+    val nFull = totalTokens(full.toSeq)
+    val nSampled = totalTokens(sampled.toSeq)
+    // sampled-trained merges compress the full corpus nearly as well
+    assert(nSampled >= nFull * 95 / 100 && nSampled <= nFull * 105 / 100,
+      s"full=$nFull sampled=$nSampled")
+    // determinism: the hash sample is stable run to run
+    val again = TextAnalysis
+      .bpeTrainCharsSampled(docs, "text", iters, sampleMod = 4)
+      .orderBy("it").collect().map(r => (r.getString(1), r.getString(2)))
+    assert(again.toSeq == sampled.toSeq)
+  }
+
   test("naive bayes recovers planted class vocabularies") {
     val train = Seq(
       ("spark shuffle partition executor", "eng"),
