@@ -576,6 +576,7 @@ object Multimodal {
     val d = col(dataCol)
     val im = images.image_meta(d)
     val am = images.audio_meta(d)
+    val cm = images.container_meta(d)
     val png = images.png_decode(d)
     val jpg = images.jpeg_decode(d)
     val bmp = images.bmp_decode(d)
@@ -583,9 +584,14 @@ object Multimodal {
     media.select(
       col(idCol).as("id"),
       when(im.isNotNull, im.getField("format"))
-        .when(am.isNotNull, am.getField("format")).as("format"),
-      im.getField("width").as("width"),
-      im.getField("height").as("height"),
+        .when(am.isNotNull, am.getField("format"))
+        .when(cm.isNotNull, cm.getField("format")).as("format"),
+      when(im.isNotNull, im.getField("width"))
+        .when(cm.isNotNull && cm.getField("width") >= 0,
+          cm.getField("width")).as("width"),
+      when(im.isNotNull, im.getField("height"))
+        .when(cm.isNotNull && cm.getField("height") >= 0,
+          cm.getField("height")).as("height"),
       when(im.isNotNull, im.getField("channels"))
         .when(am.isNotNull, am.getField("channels")).as("channels"),
       am.getField("sample_rate").as("sample_rate"),

@@ -225,11 +225,19 @@ class MultimodalSpec extends AnyFunSuite {
     import spark.implicits._
     import graft.functions.{AudioBytesUtil, ImageBytesUtil, JpegCodecUtil, PngCodecUtil}
     val px = ImageBytesUtil.synthImageStep(77L, 16, 12, 0, 12)
+    val mp4 = {
+      import spark.implicits._
+      Seq(1).toDF("x").select(graft.operators.Multimodal.mp4Bytes(
+        lit("isom"), lit(1000), lit(9000), lit(640), lit(480),
+        lit("avc1"), lit(true), lit("mp4a")).as("d"))
+        .collect().head.getAs[Array[Byte]](0)
+    }
     val rows = Seq(
       (1L, PngCodecUtil.pngEncodeGray(px, 16, 12, 5)),
       (2L, JpegCodecUtil.jpegEncodeGray(px, 16, 12, 2)),
       (3L, AudioBytesUtil.synthAudio(77L, 3, 1)),
       (4L, "not media at all".getBytes),
+      (5L, mp4),
     ).toDF("id", "data")
     val got = graft.operators.Multimodal.mediaFeatures(rows, "id", "data")
       .collect().map(r => r.getLong(0) -> r).toMap
@@ -241,6 +249,9 @@ class MultimodalSpec extends AnyFunSuite {
       got(3L).getLong(6) == 65L * 3 && got(3L).getLong(7) == 77L)
     assert(got(4L).isNullAt(1) && got(4L).isNullAt(2) && got(4L).isNullAt(7))
     assert(got(4L).getLong(8) == 16L) // n_bytes still reported
+    // containers route too: format + video-track dims, no pixel sig
+    assert(got(5L).getString(1) == "mp4" && got(5L).getInt(2) == 640 &&
+      got(5L).getInt(3) == 480 && got(5L).isNullAt(7))
   }
 
   test("dhash: perturbation/resize invariant, distant for different seeds") {
@@ -283,6 +294,39 @@ class MultimodalSpec extends AnyFunSuite {
       .collect()
     assert(capped.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
       Seq((1L, 2L, 3L)))
+  }
+
+  test("gifVideoNearDups / gifKeyframes: real animated-GIF payloads end to end") {
+    import spark.implicits._
+    import graft.functions.{GifCodecUtil, ImageBytesUtil}
+    val (w, h) = (16, 8)
+    def gif(seeds: Seq[Long], perturb: Int): Array[Byte] = {
+      val all = seeds.flatMap(sd =>
+        ImageBytesUtil.synthImage(sd, w, h, perturb).toSeq).toArray
+      GifCodecUtil.gifEncodeGrayFrames(all, w, h, seeds.length)
+    }
+    // same planted overlap structure as the raw-frame test, but the
+    // frames travel through real animated-GIF payloads
+    val rows = Seq(
+      (1L, gif(Seq(99L, 1L, 2L, 3L, 4L), 1)),
+      (2L, gif(Seq(99L, 1L, 2L, 3L, 5L), 2)),
+      (3L, gif(Seq(99L, 7L, 8L, 9L, 10L), 0))
+    ).toDF("media_id", "data")
+    val pairs = Multimodal.gifVideoNearDups(
+      rows, "media_id", "data", minShared = 3).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      == Seq((1L, 2L, 4L)))
+    // keyframes: video 1's shot changes land where the seeds change
+    // (synth_image's dHash IS the seed, and the GIF round trip is
+    // lossless), so frames 0..4 are all boundaries except none —
+    // seeds 99,1,2,3,4 all differ; with a high minDelta only big jumps
+    // stay. Plant an explicit two-shot animation instead:
+    val two = Seq((7L, gif(Seq(5L, 5L, 5L, ~5L, ~5L), 1)))
+      .toDF("media_id", "data")
+    val kf = Multimodal.gifKeyframes(two, "media_id", "data", minDelta = 3)
+      .orderBy("frame_idx").collect()
+    assert(kf.map(_.getLong(1)).toSeq == Seq(0L, 3L))
+    assert(kf.head.isNullAt(3) && kf.last.getInt(3) == 64)
   }
 
   test("dhashNearDups: finds hamming<=3 pairs via band join, skips far pairs") {
