@@ -45,6 +45,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("inflate_text", "inflate_text(bin) - zlib inflate to UTF-8 string"),
       (args: Seq[Expression]) => InflateText(args.head)))
     ext.injectFunction((
+      FunctionIdentifier("decompress_text"),
+      info("decompress_text",
+        "decompress_text(bin, codec) - multi-codec decompression to UTF-8 " +
+          "text; codec in {zlib,gzip,zstd,lz4,snappy,snappy_raw,auto}; " +
+          "null on corrupt streams or the decompression-bomb cap"),
+      (args: Seq[Expression]) => DecompressText(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("compress_bytes"),
+      info("compress_bytes",
+        "compress_bytes(bin, codec) - compress with the named codec"),
+      (args: Seq[Expression]) => CompressBytes(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("codec_sniff"),
+      info("codec_sniff",
+        "codec_sniff(bin) - codec from magic bytes: zlib/gzip/zstd/lz4/snappy or null"),
+      (args: Seq[Expression]) => CodecSniff(args.head)))
+    ext.injectFunction((
       FunctionIdentifier("image_meta"),
       info("image_meta",
         "image_meta(bin) - PNG/JPEG header parse to (format,width,height,channels)"),
@@ -61,6 +78,59 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "header parse to (format,brand,duration_ms,width,height," +
           "n_tracks,video_codec,audio_codec)"),
       (args: Seq[Expression]) => ContainerMeta(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("container_tracks"),
+      info("container_tracks",
+        "container_tracks(bin) - per-track MP4 (tkhd/mdhd/hdlr/stsd/stts) " +
+          "or AVI (strh) metadata: array of (track_id,handler,codec," +
+          "duration_ms,timescale,n_samples,width,height)"),
+      (args: Seq[Expression]) => ContainerTracks(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("html_text"),
+      info("html_text",
+        "html_text(str) - visible text: tags dropped (word-separating), " +
+          "script/style/comments removed, entities decoded, whitespace collapsed"),
+      (args: Seq[Expression]) => HtmlText(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("html_title"),
+      info("html_title",
+        "html_title(str) - first <title> content, entity-decoded; null when absent"),
+      (args: Seq[Expression]) => HtmlTitle(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("url_parse"),
+      info("url_parse",
+        "url_parse(str) - lenient parse to (scheme,host,registered_domain," +
+          "port,path,query); null without scheme://host"),
+      (args: Seq[Expression]) => UrlParse(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("url_canonical"),
+      info("url_canonical",
+        "url_canonical(str) - dedup key: lowercase scheme/host, default " +
+          "ports + fragments + tracking params dropped"),
+      (args: Seq[Expression]) => UrlCanonical(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("byte_sum"),
+      info("byte_sum", "byte_sum(bin) - sum of the buffer's unsigned bytes"),
+      (args: Seq[Expression]) => ByteSum(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("gif_frames_composited"),
+      info("gif_frames_composited",
+        "gif_frames_composited(bin) - animated-GIF replay: array of full " +
+          "logical-screen canvases honoring offsets, transparency, and " +
+          "disposal methods 1/2/3"),
+      (args: Seq[Expression]) => GifCompositedFrames(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("synth_anim"),
+      info("synth_anim",
+        "synth_anim(seed, mode) - animated-GIF fixture exercising " +
+          "offsets/transparency/disposal with closed-form pixel sums"),
+      (args: Seq[Expression]) => SynthAnim(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("synth_mp4"),
+      info("synth_mp4",
+        "synth_mp4(seed, with_audio) - standards-layout MP4 fixture whose " +
+          "box fields derive from seed in closed form"),
+      (args: Seq[Expression]) => SynthMp4(args(0), args(1))))
     ext.injectFunction((
       FunctionIdentifier("dhash64"),
       info("dhash64",

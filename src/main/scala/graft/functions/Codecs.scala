@@ -1,0 +1,275 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.util.control.NonFatal
+
+/** Multi-codec content (de)compression for crawl-scale text ingestion.
+  *
+  * The reference stores article text zlib-compressed and inflates at read
+  * time (`text_content.content`, principal_schema.py:417-437;
+  * util/__init__.py `unpack`) — [[InflateText]] is that exact seam. A real
+  * 100 TB crawl, though, arrives in whatever each upstream chose: WARC
+  * bodies gzip'd, data lakes zstd'd, queue payloads lz4- or snappy-framed.
+  * This kernel makes the ingest row-format-agnostic: sniff the codec from
+  * the payload's magic bytes and decompress inside whole-stage codegen, so
+  * compressed bytes never leave the scan projection and a mixed-codec
+  * corpus needs neither a pre-pass nor per-source plumbing.
+  *
+  * All five codecs come from jars Spark itself ships (java.util.zip,
+  * zstd-jni, lz4-java, snappy-java) — no new dependencies. Hostile input
+  * yields null, never a crash: every stream is read through a hard output
+  * cap (decompression-bomb guard, [[CodecsUtil.MaxOutput]] default), and
+  * any codec error is swallowed to null (the curation posture: a corrupt
+  * row is dropped by a downstream filter, not a job failure).
+  *
+  * Codec names: "zlib", "gzip", "zstd", "lz4" (frame format), "snappy"
+  * (framed format, self-identifying), "snappy_raw" (block format — no
+  * magic, so never sniffed; explicit only), and "auto" (sniff).
+  */
+object CodecsUtil {
+
+  /** Decompressed-output cap: a compression bomb (a few KB declaring GBs)
+    * is bounded to this many bytes before the decode aborts to null. 64 MB
+    * is far beyond any document this engine curates while keeping the
+    * worst per-task allocation executor-safe. */
+  val MaxOutput: Int = 1 << 26
+
+  /** Codec sniffed from the payload's leading bytes, or null. Raw snappy
+    * and raw deflate have no signature and are never sniffed. */
+  def sniff(b: Array[Byte]): String = {
+    if (b == null || b.length < 2) return null
+    val b0 = b(0) & 0xff
+    val b1 = b(1) & 0xff
+    if (b0 == 0x1f && b1 == 0x8b) return "gzip"
+    if (b.length >= 4) {
+      if (b0 == 0x28 && b1 == 0xb5 && (b(2) & 0xff) == 0x2f &&
+        (b(3) & 0xff) == 0xfd) return "zstd"
+      if (b0 == 0x04 && b1 == 0x22 && (b(2) & 0xff) == 0x4d &&
+        (b(3) & 0xff) == 0x18) return "lz4"
+    }
+    // snappy framed: stream identifier chunk ff 06 00 00 "sNaPpY"
+    if (b.length >= 10 && b0 == 0xff && b1 == 0x06 && b(2) == 0 && b(3) == 0 &&
+      b(4) == 's' && b(5) == 'N' && b(6) == 'a' && b(7) == 'P' &&
+      b(8) == 'p' && b(9) == 'Y') return "snappy"
+    // zlib: CMF/FLG — deflate method (low nibble 8), window <= 32k
+    // (high nibble <= 7), and the spec's mod-31 check word
+    if ((b0 & 0x0f) == 8 && (b0 >> 4) <= 7 && ((b0 << 8) | b1) % 31 == 0)
+      return "zlib"
+    null
+  }
+
+  def sniffOrNull(b: Array[Byte]): UTF8String = {
+    val c = sniff(b)
+    if (c == null) null else UTF8String.fromString(c)
+  }
+
+  /** Copy `in` to a byte array, aborting to null past `maxOut` bytes. */
+  private def drain(in: java.io.InputStream, maxOut: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(8192)
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) {
+      if (out.size().toLong + n > maxOut) return null
+      out.write(buf, 0, n)
+      n = in.read(buf)
+    }
+    out.toByteArray
+  }
+
+  /** Decompress with the named codec ("auto" sniffs); null for unknown
+    * codecs, corrupt streams, or output past `maxOut`. */
+  def decompress(b: Array[Byte], codec: String, maxOut: Int): Array[Byte] = {
+    if (b == null || codec == null) return null
+    val c = if (codec == "auto") sniff(b) else codec
+    if (c == null) return null
+    try {
+      c match {
+        case "zlib" =>
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(b)
+          val out = new java.io.ByteArrayOutputStream(math.min(
+            maxOut.toLong, b.length.toLong * 4).toInt.max(64))
+          val buf = new Array[Byte](8192)
+          while (!inf.finished()) {
+            val n = inf.inflate(buf)
+            // 0 bytes with an empty input buffer and not finished =
+            // truncated stream (finished+needsInput is the empty payload)
+            if (n == 0 && inf.needsInput() && !inf.finished()) {
+              inf.end(); return null
+            }
+            if (out.size().toLong + n > maxOut) { inf.end(); return null }
+            out.write(buf, 0, n)
+          }
+          inf.end()
+          out.toByteArray
+        case "gzip" =>
+          drain(new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(b)), maxOut)
+        case "zstd" =>
+          val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+            new java.io.ByteArrayInputStream(b))
+          try drain(in, maxOut) finally in.close()
+        case "lz4" =>
+          drain(new net.jpountz.lz4.LZ4FrameInputStream(
+            new java.io.ByteArrayInputStream(b)), maxOut)
+        case "snappy" =>
+          drain(new org.xerial.snappy.SnappyFramedInputStream(
+            new java.io.ByteArrayInputStream(b)), maxOut)
+        case "snappy_raw" =>
+          if (!org.xerial.snappy.Snappy.isValidCompressedBuffer(b)) null
+          else {
+            val len = org.xerial.snappy.Snappy.uncompressedLength(b)
+            if (len > maxOut) null
+            else org.xerial.snappy.Snappy.uncompress(b)
+          }
+        case _ => null
+      }
+    } catch { case NonFatal(_) => null }
+  }
+
+  def decompressText(b: Array[Byte], codec: UTF8String): UTF8String = {
+    if (codec == null) return null
+    val out = decompress(b, codec.toString, MaxOutput)
+    if (out == null) null else UTF8String.fromBytes(out)
+  }
+
+  /** Compress with the named codec — the inverse fixture/sink-side op.
+    * Null for unknown codecs or unusable input. */
+  def compress(b: Array[Byte], codec: String): Array[Byte] = {
+    if (b == null || codec == null) return null
+    try {
+      codec match {
+        case "zlib" => graft.sources.Content.deflate(b)
+        case "gzip" =>
+          val bos = new java.io.ByteArrayOutputStream(b.length / 2 + 64)
+          val out = new java.util.zip.GZIPOutputStream(bos)
+          out.write(b); out.close()
+          bos.toByteArray
+        case "zstd" => com.github.luben.zstd.Zstd.compress(b, 3)
+        case "lz4" =>
+          val bos = new java.io.ByteArrayOutputStream(b.length / 2 + 64)
+          val out = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+          out.write(b); out.close()
+          bos.toByteArray
+        case "snappy" =>
+          val bos = new java.io.ByteArrayOutputStream(b.length / 2 + 64)
+          val out = new org.xerial.snappy.SnappyFramedOutputStream(bos)
+          out.write(b); out.close()
+          bos.toByteArray
+        case "snappy_raw" => org.xerial.snappy.Snappy.compress(b)
+        case _ => null
+      }
+    } catch { case NonFatal(_) => null }
+  }
+
+  def compressBytes(b: Array[Byte], codec: UTF8String): Array[Byte] =
+    if (codec == null) null else compress(b, codec.toString)
+}
+
+/** Codegen'd multi-codec decompression to UTF-8 text:
+  * `decompress_text(bin, codec)` — codec in {zlib, gzip, zstd, lz4,
+  * snappy, snappy_raw, auto}; null on unknown codec, corrupt stream, or
+  * decompression-bomb cap. */
+case class DecompressText(data: Expression, codec: Expression)
+    extends BinaryExpression {
+  override def left: Expression = data
+  override def right: Expression = codec
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (data.dataType == BinaryType && codec.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"decompress_text expects (BINARY, STRING), got " +
+        s"(${data.dataType}, ${codec.dataType})")
+
+  override def nullSafeEval(d: Any, c: Any): Any =
+    CodecsUtil.decompressText(d.asInstanceOf[Array[Byte]],
+      c.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, c) => s"""
+      ${ev.value} = graft.functions.CodecsUtil.decompressText($d, $c);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DecompressText =
+    copy(data = newLeft, codec = newRight)
+}
+
+/** Codegen'd compression: `compress_bytes(bin, codec)` -> BINARY (the
+  * sink-side inverse of [[DecompressText]] and the fixture builder for
+  * its gates). */
+case class CompressBytes(data: Expression, codec: Expression)
+    extends BinaryExpression {
+  override def left: Expression = data
+  override def right: Expression = codec
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (data.dataType == BinaryType && codec.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"compress_bytes expects (BINARY, STRING), got " +
+        s"(${data.dataType}, ${codec.dataType})")
+
+  override def nullSafeEval(d: Any, c: Any): Any =
+    CodecsUtil.compressBytes(d.asInstanceOf[Array[Byte]],
+      c.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, c) => s"""
+      ${ev.value} = graft.functions.CodecsUtil.compressBytes($d, $c);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CompressBytes =
+    copy(data = newLeft, codec = newRight)
+}
+
+/** Codegen'd codec sniff: `codec_sniff(bin)` -> STRING in {zlib, gzip,
+  * zstd, lz4, snappy} or null (raw snappy/deflate carry no signature). */
+case class CodecSniff(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"codec_sniff expects BINARY, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    CodecsUtil.sniffOrNull(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.CodecsUtil.sniffOrNull($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildInternal(newChild: Expression): CodecSniff =
+    copy(child = newChild)
+}
+
+/** Column wrappers for the content codecs. */
+object codecs {
+  import org.apache.spark.sql.GraftBridge
+
+  def decompress_text(data: Column, codec: Column): Column =
+    GraftBridge.column(DecompressText(GraftBridge.expression(data),
+      GraftBridge.expression(codec)))
+
+  def compress_bytes(data: Column, codec: Column): Column =
+    GraftBridge.column(CompressBytes(GraftBridge.expression(data),
+      GraftBridge.expression(codec)))
+
+  def codec_sniff(data: Column): Column =
+    GraftBridge.column(CodecSniff(GraftBridge.expression(data)))
+}

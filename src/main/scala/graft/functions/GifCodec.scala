@@ -65,25 +65,29 @@ object GifCodecUtil {
     }
     var f = 0
     while (f < nFrames) {
-      writeFrame(bos, gray, f * w * h, w, h, animated = nFrames > 1)
+      writeFrame(bos, gray, f * w * h, w, h, gce = nFrames > 1,
+        left = 0, top = 0, disposal = 1, transIdx = -1)
       f += 1
     }
     b(0x3b) // trailer
     bos.toByteArray
   }
 
+  /** Write one frame: optional Graphic Control Extension (disposal in
+    * bits 2-4; `transIdx` >= 0 sets the transparency flag + index), an
+    * image descriptor at (left, top), and a literal-code LZW stream. */
   private def writeFrame(bos: java.io.ByteArrayOutputStream,
-      gray: Array[Byte], off: Int, w: Int, h: Int,
-      animated: Boolean): Unit = {
+      gray: Array[Byte], off: Int, w: Int, h: Int, gce: Boolean,
+      left: Int, top: Int, disposal: Int, transIdx: Int): Unit = {
     def b(v: Int): Unit = bos.write(v & 0xff)
     def le2(v: Int): Unit = { b(v); b(v >> 8) }
-    if (animated) {
-      // Graphic Control Extension: 4-byte block, 10ms delay, no
-      // transparency, disposal "do not dispose"
-      b(0x21); b(0xf9); b(4); b(0x04); le2(1); b(0); b(0)
+    if (gce) {
+      val packed = ((disposal & 7) << 2) | (if (transIdx >= 0) 1 else 0)
+      b(0x21); b(0xf9); b(4); b(packed); le2(1)
+      b(if (transIdx >= 0) transIdx else 0); b(0)
     }
     b(0x2c) // image descriptor
-    le2(0); le2(0); le2(w); le2(h)
+    le2(left); le2(top); le2(w); le2(h)
     b(0) // no local table, not interlaced
     b(8) // LZW min code size
     // literal-code stream mirroring the decoder's width bookkeeping
@@ -126,6 +130,65 @@ object GifCodecUtil {
     * a hostile payload can force alongside the cumulative [[MaxSamples]]
     * pixel budget. */
   val MaxFrames: Int = 1024
+
+  /** Fixture builder: a seed-derived animated GIF that exercises every
+    * compositing dimension [[gifCompositedFrames]] must honor, with
+    * pixel sums that stay closed-form for an oracle:
+    *
+    *  - screen W = 24 + seed%5 * 8, H = 10 + seed%3 * 4, background
+    *    index bg = seed%100 + 5, identity gray palette (luma == index);
+    *  - nFrames = 4 + seed%3; frame 0 fills the screen with
+    *    c0 = seed%200 + 10 (disposal "leave");
+    *  - frames f >= 1 are 4x3 rects at (5*(f-1), 2) — pairwise disjoint —
+    *    with color c_f = (seed*7 + f*31) % 200 + 20;
+    *  - `mode` 0: all disposal 1 (accumulate); 1: disposal 2 (restore
+    *    rect to BACKGROUND before the next frame); 2: disposal 3
+    *    (restore rect to the PREVIOUS canvas); 3: disposal 1 but
+    *    even-numbered rect frames are fully TRANSPARENT (index 255,
+    *    flag set) — a draw that must be a no-op.
+    */
+  def synthAnim(seed: Long, mode: Int): Array[Byte] = {
+    if (mode < 0 || mode > 3) return null
+    val s = if (seed < 0) -seed else seed
+    val w = 24 + (s % 5).toInt * 8
+    val h = 10 + (s % 3).toInt * 4
+    val bg = (s % 100 + 5).toInt
+    val c0 = (s % 200 + 10).toInt
+    val nFrames = 4 + (s % 3).toInt
+    val bos = new java.io.ByteArrayOutputStream(w * h * 2 + 1024)
+    def b(v: Int): Unit = bos.write(v & 0xff)
+    def le2(v: Int): Unit = { b(v); b(v >> 8) }
+    bos.write("GIF89a".getBytes("US-ASCII"), 0, 6)
+    le2(w); le2(h)
+    b(0xf7); b(bg); b(0) // GCT 256, background index, aspect
+    var i = 0
+    while (i < 256) { b(i); b(i); b(i); i += 1 }
+    b(0x21); b(0xff); b(11) // NETSCAPE loop
+    bos.write("NETSCAPE2.0".getBytes("US-ASCII"), 0, 11)
+    b(3); b(1); le2(0); b(0)
+    val full = new Array[Byte](w * h)
+    java.util.Arrays.fill(full, c0.toByte)
+    writeFrame(bos, full, 0, w, h, gce = true, left = 0, top = 0,
+      disposal = 1, transIdx = -1)
+    val rect = new Array[Byte](12)
+    var f = 1
+    while (f < nFrames) {
+      val transparent = mode == 3 && f % 2 == 0
+      val cf = ((s * 7 + f * 31) % 200 + 20).toInt
+      java.util.Arrays.fill(rect, (if (transparent) 255 else cf).toByte)
+      val disposal = mode match {
+        case 1 => 2
+        case 2 => 3
+        case _ => 1
+      }
+      writeFrame(bos, rect, 0, 4, 3, gce = true, left = 5 * (f - 1),
+        top = 2, disposal = disposal,
+        transIdx = if (transparent) 255 else -1)
+      f += 1
+    }
+    b(0x3b)
+    bos.toByteArray
+  }
 
   /** Decode the FIRST image of a GIF to struct(width, height, channels,
     * pixels) — width/height are the image descriptor's (the frame), and
@@ -231,6 +294,160 @@ object GifCodecUtil {
     result
   }
 
+  /** Decode a (possibly animated) GIF as the viewer SEES it: each element
+    * is the full logical-screen canvas after that frame is rendered,
+    * honoring frame offsets, Graphic Control Extension transparency, and
+    * the three disposal methods (1 leave, 2 restore-to-background,
+    * 3 restore-to-previous). Null when the stream yields no composited
+    * frame; corruption after N good frames yields those N. Canvas starts
+    * as the background color's luma; rects are clipped to the screen. */
+  def gifCompositedFrames(data: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    try {
+      val fs = compositedOrNull(data, MaxFrames)
+      if (fs == null || fs.isEmpty) null
+      else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        fs.toArray[Any])
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private def compositedOrNull(
+      d: Array[Byte], maxFrames: Int): Seq[InternalRow] = {
+    if (d.length < 14 || d(0) != 'G' || d(1) != 'I' || d(2) != 'F' ||
+      d(3) != '8' || (d(4) != '7' && d(4) != '9') || d(5) != 'a') return null
+    def le2(i: Int): Int = (d(i) & 0xff) | ((d(i + 1) & 0xff) << 8)
+    val sw = le2(6)
+    val sh = le2(8)
+    if (sw <= 0 || sh <= 0 || sw.toLong * sh > MaxSamples) return null
+    val flags = d(10) & 0xff
+    val bgIdx = d(11) & 0xff
+    var pos = 13
+    var globalTable: Array[Byte] = null
+    if ((flags & 0x80) != 0) {
+      val sz = 3 * (1 << ((flags & 7) + 1))
+      if (pos + sz > d.length) return null
+      globalTable = java.util.Arrays.copyOfRange(d, pos, pos + sz)
+      pos += sz
+    }
+    val canvas = new Array[Byte](sw * sh)
+    val bgLuma: Byte =
+      if (globalTable != null && bgIdx < globalTable.length / 3)
+        lumaOf(globalTable, bgIdx)
+      else 0
+    java.util.Arrays.fill(canvas, bgLuma)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var budget = MaxSamples
+    // pending Graphic Control state — applies to the next image only
+    var disposal = 0
+    var transIdx = -1
+    def result: Seq[InternalRow] = if (frames.isEmpty) null else frames.toSeq
+    while (pos < d.length && frames.size < maxFrames) {
+      (d(pos) & 0xff) match {
+        case 0x3b => return result
+        case 0x21 =>
+          val label = if (pos + 1 < d.length) d(pos + 1) & 0xff else -1
+          if (label == 0xf9 && pos + 7 < d.length && (d(pos + 2) & 0xff) >= 4) {
+            val packed = d(pos + 3) & 0xff
+            disposal = (packed >> 2) & 7
+            transIdx = if ((packed & 1) != 0) d(pos + 6) & 0xff else -1
+          }
+          pos += 2
+          var len = if (pos < d.length) d(pos) & 0xff else return result
+          while (len != 0) {
+            pos += 1 + len
+            if (pos >= d.length) return result
+            len = d(pos) & 0xff
+          }
+          pos += 1
+        case 0x2c =>
+          if (pos + 10 > d.length) return result
+          val left = le2(pos + 1)
+          val top = le2(pos + 3)
+          val w = le2(pos + 5)
+          val h = le2(pos + 7)
+          val iFlags = d(pos + 9) & 0xff
+          pos += 10
+          if (w <= 0 || h <= 0 || w.toLong * h > MaxSamples) return result
+          var table = globalTable
+          if ((iFlags & 0x80) != 0) {
+            val sz = 3 * (1 << ((iFlags & 7) + 1))
+            if (pos + sz > d.length) return result
+            table = java.util.Arrays.copyOfRange(d, pos, pos + sz)
+            pos += sz
+          }
+          if (table == null) return result
+          val interlaced = (iFlags & 0x40) != 0
+          if (pos >= d.length) return result
+          val minCode = d(pos) & 0xff
+          pos += 1
+          if (minCode < 2 || minCode > 8) return result
+          val lzw = new java.io.ByteArrayOutputStream(d.length - pos)
+          var len = d(pos) & 0xff
+          while (len != 0) {
+            if (pos + 1 + len > d.length) return result
+            lzw.write(d, pos + 1, len)
+            pos += 1 + len
+            if (pos >= d.length) return result
+            len = d(pos) & 0xff
+          }
+          pos += 1
+          val idx = decodeLzwIdx(lzw.toByteArray, w, h, minCode, interlaced)
+          if (idx == null) return result
+          if (budget < sw.toLong * sh) return result
+          val nColors = table.length / 3
+          // pre-draw snapshot of the (clipped) rect for disposal 3
+          val drawW = math.min(w, math.max(0, sw - left))
+          val drawH = math.min(h, math.max(0, sh - top))
+          val prev: Array[Byte] =
+            if (disposal == 3 && drawW > 0 && drawH > 0) {
+              val p = new Array[Byte](drawW * drawH)
+              var y = 0
+              while (y < drawH) {
+                System.arraycopy(canvas, (top + y) * sw + left, p,
+                  y * drawW, drawW)
+                y += 1
+              }
+              p
+            } else null
+          var y = 0
+          while (y < drawH) {
+            var x = 0
+            while (x < drawW) {
+              val ci = idx(y * w + x) & 0xff
+              if (ci != transIdx) {
+                if (ci >= nColors) return result
+                canvas((top + y) * sw + left + x) = lumaOf(table, ci)
+              }
+              x += 1
+            }
+            y += 1
+          }
+          budget -= sw.toLong * sh
+          frames += InternalRow(sw, sh, 3,
+            java.util.Arrays.copyOf(canvas, canvas.length))
+          // dispose for the NEXT frame
+          if (disposal == 2 && drawW > 0 && drawH > 0) {
+            var yy = 0
+            while (yy < drawH) {
+              java.util.Arrays.fill(canvas, (top + yy) * sw + left,
+                (top + yy) * sw + left + drawW, bgLuma)
+              yy += 1
+            }
+          } else if (disposal == 3 && prev != null) {
+            var yy = 0
+            while (yy < drawH) {
+              System.arraycopy(prev, yy * drawW, canvas,
+                (top + yy) * sw + left, drawW)
+              yy += 1
+            }
+          }
+          disposal = 0
+          transIdx = -1
+        case _ => return result
+      }
+    }
+    result
+  }
+
   /** Interlace pass row order: 0,8,16.. then 4,12.. then 2,6.. then 1,3.. */
   private def rowOrder(h: Int, interlaced: Boolean): Array[Int] = {
     val rows = new Array[Int](h)
@@ -247,9 +464,35 @@ object GifCodecUtil {
     rows
   }
 
+  private def lumaOf(table: Array[Byte], ci: Int): Byte = {
+    val o = ci * 3
+    ((77 * (table(o) & 0xff) + 150 * (table(o + 1) & 0xff) +
+      29 * (table(o + 2) & 0xff)) >> 8).toByte
+  }
+
   private def decodeLzw(
       lzw: Array[Byte], w: Int, h: Int, minCode: Int,
       table: Array[Byte], interlaced: Boolean): InternalRow = {
+    val idx = decodeLzwIdx(lzw, w, h, minCode, interlaced)
+    if (idx == null) return null
+    val nColors = table.length / 3
+    val n = w * h
+    val gray = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val ci = idx(i) & 0xff
+      if (ci >= nColors) return null
+      gray(i) = lumaOf(table, ci)
+      i += 1
+    }
+    InternalRow(w, h, 3, gray)
+  }
+
+  /** The frame's palette INDICES in row order (interlace resolved), or
+    * null for corrupt/truncated streams. */
+  private def decodeLzwIdx(
+      lzw: Array[Byte], w: Int, h: Int, minCode: Int,
+      interlaced: Boolean): Array[Byte] = {
     val clear = 1 << minCode
     val end = clear + 1
     val prefix = new Array[Int](4096)
@@ -325,24 +568,16 @@ object GifCodecUtil {
       }
     }
     if (out < n) return null // ran out of codes before the frame filled
-    val nColors = table.length / 3
-    val gray = new Array[Byte](n)
-    var k = 0
-    while (k < h) {
-      val destRow = rows(k)
-      var x = 0
-      while (x < w) {
-        val ci = idx(k * w + x) & 0xff
-        if (ci >= nColors) return null
-        val o = ci * 3
-        gray(destRow * w + x) =
-          ((77 * (table(o) & 0xff) + 150 * (table(o + 1) & 0xff) +
-            29 * (table(o + 2) & 0xff)) >> 8).toByte
-        x += 1
+    if (!interlaced) idx
+    else {
+      val mapped = new Array[Byte](n)
+      var k = 0
+      while (k < h) {
+        System.arraycopy(idx, k * w, mapped, rows(k) * w, w)
+        k += 1
       }
-      k += 1
+      mapped
     }
-    InternalRow(w, h, 3, gray)
   }
 }
 
@@ -462,4 +697,63 @@ case class GifFrames(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): GifFrames =
     copy(child = newChild)
+}
+
+/** Codegen'd composited animated-GIF decode:
+  * `gif_frames_composited(binary)` -> ARRAY<struct(width, height,
+  * channels, pixels)> — each element the full logical-screen canvas as a
+  * viewer sees it after that frame renders (offsets, GCE transparency,
+  * disposal 1/2/3); null when no frame composites. */
+case class GifCompositedFrames(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(PngDecodeGray.schema, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gif_frames_composited expects BINARY, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    GifCodecUtil.gifCompositedFrames(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.GifCodecUtil.gifCompositedFrames($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GifCompositedFrames =
+    copy(child = newChild)
+}
+
+/** Fixture builder: `synth_anim(seed, mode)` -> an animated GIF whose
+  * compositing behavior (offsets, transparency, all three disposal
+  * methods by `mode`) and per-frame pixel sums derive from `seed` in
+  * closed form — see [[GifCodecUtil.synthAnim]]. */
+case class SynthAnim(seed: Expression, mode: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = seed
+  override def right: Expression = mode
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (seed.dataType == LongType && mode.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"synth_anim expects (BIGINT, INT), got " +
+        s"(${seed.dataType}, ${mode.dataType})")
+
+  override def nullSafeEval(sv: Any, mv: Any): Any =
+    GifCodecUtil.synthAnim(sv.asInstanceOf[Long], mv.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (sv, mv) => s"""
+      ${ev.value} = graft.functions.GifCodecUtil.synthAnim($sv, $mv);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SynthAnim =
+    copy(seed = newLeft, mode = newRight)
 }

@@ -20,6 +20,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ImageBytesUtil {
 
+  /** Sum of the buffer's UNSIGNED bytes. */
+  def byteSum(d: Array[Byte]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < d.length) { s += d(i) & 0xff; i += 1 }
+    s
+  }
+
   private def be4(d: Array[Byte], i: Int): Int =
     ((d(i) & 0xff) << 24) | ((d(i + 1) & 0xff) << 16) |
       ((d(i + 2) & 0xff) << 8) | (d(i + 3) & 0xff)
@@ -248,6 +256,28 @@ object ImageBytesUtil {
   }
 }
 
+/** Codegen'd unsigned-byte sum: `byte_sum(binary)` -> BIGINT. The
+  * closed-form probe for pixel/sample buffers: a planted image's sum is
+  * arithmetic an oracle can predict, and any decode slip moves it. */
+case class ByteSum(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"byte_sum expects BINARY, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    ImageBytesUtil.byteSum(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ImageBytesUtil.byteSum($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ByteSum =
+    copy(child = newChild)
+}
+
 /** Codegen'd container-metadata parse: `image_meta(binary)` ->
   * struct(format, width, height, channels), null when unrecognized. */
 case class ImageMeta(child: Expression) extends UnaryExpression {
@@ -427,11 +457,21 @@ object images {
   def image_meta(data: Column): Column =
     GraftBridge.column(ImageMeta(GraftBridge.expression(data)))
 
+  def byte_sum(data: Column): Column =
+    GraftBridge.column(ByteSum(GraftBridge.expression(data)))
+
   def audio_meta(data: Column): Column =
     GraftBridge.column(AudioMeta(GraftBridge.expression(data)))
 
   def container_meta(data: Column): Column =
     GraftBridge.column(ContainerMeta(GraftBridge.expression(data)))
+
+  def container_tracks(data: Column): Column =
+    GraftBridge.column(ContainerTracks(GraftBridge.expression(data)))
+
+  def synth_mp4(seed: Column, withAudio: Column): Column =
+    GraftBridge.column(SynthMp4(GraftBridge.expression(seed),
+      GraftBridge.expression(withAudio)))
 
   def dhash64(data: Column, w: Column, h: Column): Column =
     GraftBridge.column(DHash64(GraftBridge.expression(data),
@@ -481,6 +521,13 @@ object images {
 
   def gif_frames(data: Column): Column =
     GraftBridge.column(GifFrames(GraftBridge.expression(data)))
+
+  def gif_frames_composited(data: Column): Column =
+    GraftBridge.column(GifCompositedFrames(GraftBridge.expression(data)))
+
+  def synth_anim(seed: Column, mode: Column): Column =
+    GraftBridge.column(SynthAnim(GraftBridge.expression(seed),
+      GraftBridge.expression(mode)))
 
   def bmp_encode_gray(
       data: Column, w: Column, h: Column, topDown: Column): Column =

@@ -1,0 +1,417 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Web-corpus text kernels: HTML text extraction and URL
+  * canonicalization — the two operators between "crawl bytes" and every
+  * text-quality / dedup stage this engine already has. Both are single-
+  * pass char machines inside whole-stage codegen: at 100 TB the raw HTML
+  * never leaves the scan projection, and URL-level dedup groups on a
+  * canonical string computed without a parse library.
+  *
+  * Hostile input never throws: the HTML machine is a forward-only state
+  * walk (unclosed tags, stray '<', nested scripts all degrade to
+  * dropping or emitting text), and the URL parser returns null for
+  * strings without a scheme://host shape.
+  */
+object WebTextUtil {
+
+  /** Block-ish closers that separate words even with no whitespace in
+    * the source ("</p><p>" must not glue words). Inline tags (b, i, a,
+    * span, em, ...) do NOT separate — matching browser text layout would
+    * need CSS; a training-pipeline extractor wants word-safe splitting,
+    * so every tag boundary inserts a space and the collapse pass cleans
+    * up. That choice is documented behavior, not an accident. */
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+
+  /** Decode the entity starting at `i` (which points at '&'); returns
+    * (decoded char or -1 if not an entity, index AFTER the entity). Only
+    * the named entities a crawl actually contains plus full numeric
+    * forms; unknown names stay literal. */
+  private def entity(s: String, i: Int): (Int, Int) = {
+    val semi = {
+      var j = i + 1
+      val lim = math.min(s.length, i + 12)
+      while (j < lim && s.charAt(j) != ';') j += 1
+      if (j < lim && j > i + 1) j else -1
+    }
+    if (semi < 0) return (-1, i + 1)
+    val name = s.substring(i + 1, semi)
+    val code: Int = name match {
+      case "amp" => '&'
+      case "lt" => '<'
+      case "gt" => '>'
+      case "quot" => '"'
+      case "apos" => '\''
+      case "nbsp" => ' '
+      case _ =>
+        if (name.length > 1 && name.charAt(0) == '#') {
+          try {
+            val v =
+              if (name.charAt(1) == 'x' || name.charAt(1) == 'X')
+                Integer.parseInt(name.substring(2), 16)
+              else Integer.parseInt(name.substring(1))
+            if (v > 0 && v <= 0x10ffff) v else -1
+          } catch { case _: NumberFormatException => -1 }
+        } else -1
+    }
+    if (code < 0) (-1, i + 1) else (code, semi + 1)
+  }
+
+  /** True when s[i..] starts (case-insensitively) with `t`. */
+  private def startsAt(s: String, i: Int, t: String): Boolean = {
+    if (i + t.length > s.length) return false
+    var k = 0
+    while (k < t.length) {
+      if (Character.toLowerCase(s.charAt(i + k)) != t.charAt(k)) return false
+      k += 1
+    }
+    true
+  }
+
+  /** Skip a raw-text element (script/style): content is NOT parsed as
+    * markup; scan for the case-insensitive close tag. Returns the index
+    * after the close tag, or length if unclosed. */
+  private def skipRawElement(s: String, from: Int, close: String): Int = {
+    var i = from
+    while (i < s.length) {
+      if (s.charAt(i) == '<' && startsAt(s, i, close)) {
+        var j = i + close.length
+        while (j < s.length && s.charAt(j) != '>') j += 1
+        return if (j < s.length) j + 1 else s.length
+      }
+      i += 1
+    }
+    s.length
+  }
+
+  /** Visible text: tags dropped (each boundary word-separating),
+    * script/style/comment content removed, entities decoded, whitespace
+    * collapsed, trimmed. `titleOnly` extracts the FIRST <title> content
+    * instead. */
+  def htmlText(html: String, titleOnly: Boolean): String = {
+    val out = new java.lang.StringBuilder(
+      if (titleOnly) 64 else html.length / 2 + 16)
+    var i = 0
+    var pendingSpace = false
+    var inTitle = false
+    var sawTitle = false
+    def emit(c: Int): Unit = {
+      if (isWs(c.toChar) && c <= 0xffff) pendingSpace = out.length() > 0
+      else {
+        if (pendingSpace) { out.append(' '); pendingSpace = false }
+        out.appendCodePoint(c)
+      }
+    }
+    while (i < html.length) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        // removed blocks word-separate just like plain tag boundaries
+        if (startsAt(html, i, "<!--")) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) html.length else e + 3
+          pendingSpace = out.length() > 0
+        } else if (startsAt(html, i, "<script")) {
+          var j = i + 7
+          while (j < html.length && html.charAt(j) != '>') j += 1
+          i = if (j < html.length) skipRawElement(html, j + 1, "</script")
+              else html.length
+          pendingSpace = out.length() > 0
+        } else if (startsAt(html, i, "<style")) {
+          var j = i + 6
+          while (j < html.length && html.charAt(j) != '>') j += 1
+          i = if (j < html.length) skipRawElement(html, j + 1, "</style")
+              else html.length
+          pendingSpace = out.length() > 0
+        } else {
+          if (titleOnly) {
+            if (startsAt(html, i, "<title")) { inTitle = true; sawTitle = true }
+            else if (startsAt(html, i, "</title")) {
+              if (inTitle) i = html.length // first title only
+              inTitle = false
+            }
+          }
+          if (i < html.length) {
+            var j = i + 1
+            while (j < html.length && html.charAt(j) != '>') j += 1
+            i = if (j < html.length) j + 1 else html.length
+            pendingSpace = out.length() > 0 // tag boundary separates words
+          }
+        }
+      } else if (!titleOnly || inTitle) {
+        if (c == '&') {
+          val (code, next) = entity(html, i)
+          if (code >= 0) { emit(code); i = next }
+          else { emit('&'); i += 1 }
+        } else { emit(c); i = i + 1 }
+      } else i += 1
+    }
+    if (titleOnly && !sawTitle) null else out.toString
+  }
+
+  def htmlTextU(html: UTF8String): UTF8String =
+    UTF8String.fromString(htmlText(html.toString, titleOnly = false))
+
+  def htmlTitleU(html: UTF8String): UTF8String = {
+    val t = htmlText(html.toString, titleOnly = true)
+    if (t == null) null else UTF8String.fromString(t)
+  }
+
+  // ----------------------------------------------------------------- URL
+
+  val urlSchema: StructType = StructType(Seq(
+    StructField("scheme", StringType, nullable = false),
+    StructField("host", StringType, nullable = false),
+    StructField("registered_domain", StringType, nullable = false),
+    StructField("port", IntegerType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("query", StringType, nullable = true)))
+
+  /** Second-level labels under which a two-letter ccTLD delegates
+    * registrations (the high-frequency slice of the public-suffix list;
+    * a full PSL is data, not code — this heuristic covers the crawl-
+    * dominant cases and is deterministic/documented). */
+  private val SecondLevel =
+    Set("co", "com", "net", "org", "gov", "ac", "edu")
+
+  /** (scheme, host, port, path, query) or null when there is no
+    * scheme://host shape. Fragment dropped. Host lowercased, trailing
+    * dot stripped; userinfo dropped. */
+  def parseUrl(url: String): (String, String, Int, String, String) = {
+    val sep = url.indexOf("://")
+    if (sep <= 0) return null
+    val scheme = url.substring(0, sep).toLowerCase
+    var k = 0
+    while (k < scheme.length) {
+      val c = scheme.charAt(k)
+      if (!(c >= 'a' && c <= 'z') && !(c >= '0' && c <= '9') &&
+        c != '+' && c != '-' && c != '.') return null
+      k += 1
+    }
+    var i = sep + 3
+    val authEnd = {
+      var j = i
+      while (j < url.length && url.charAt(j) != '/' && url.charAt(j) != '?' &&
+        url.charAt(j) != '#') j += 1
+      j
+    }
+    var auth = url.substring(i, authEnd)
+    val at = auth.lastIndexOf('@')
+    if (at >= 0) auth = auth.substring(at + 1)
+    var host = auth
+    var port = -1
+    val colon = auth.lastIndexOf(':')
+    if (colon >= 0 && auth.indexOf(']') < colon) { // not inside IPv6 [...]
+      val p = auth.substring(colon + 1)
+      if (p.nonEmpty && p.forall(c => c >= '0' && c <= '9') &&
+        p.length <= 5) {
+        port = p.toInt
+        host = auth.substring(0, colon)
+      }
+    }
+    host = host.toLowerCase
+    if (host.endsWith(".")) host = host.substring(0, host.length - 1)
+    if (host.isEmpty) return null
+    i = authEnd
+    val frag = url.indexOf('#', i)
+    val end = if (frag < 0) url.length else frag
+    val qmark = {
+      val q = url.indexOf('?', i)
+      if (q < 0 || q > end) -1 else q
+    }
+    val path = {
+      val p = url.substring(i, if (qmark < 0) end else qmark)
+      if (p.isEmpty) "/" else p
+    }
+    val query = if (qmark < 0) null else url.substring(qmark + 1, end)
+    (scheme, host, port, path, query)
+  }
+
+  /** eTLD+1 under the [[SecondLevel]] heuristic; IPs and single-label
+    * hosts pass through. */
+  def registeredDomain(host: String): String = {
+    if (host.forall(c => (c >= '0' && c <= '9') || c == '.')) return host
+    if (host.startsWith("[")) return host // IPv6 literal
+    val labels = host.split('.')
+    if (labels.length <= 2) return host
+    val tld = labels(labels.length - 1)
+    val second = labels(labels.length - 2)
+    val keep =
+      if (tld.length == 2 && SecondLevel.contains(second)) 3 else 2
+    labels.takeRight(keep).mkString(".")
+  }
+
+  def parseUrlRow(url: UTF8String): InternalRow = {
+    val p = parseUrl(url.toString)
+    if (p == null) return null
+    val (scheme, host, port, path, query) = p
+    InternalRow(UTF8String.fromString(scheme), UTF8String.fromString(host),
+      UTF8String.fromString(registeredDomain(host)), port,
+      UTF8String.fromString(path),
+      if (query == null) null else UTF8String.fromString(query))
+  }
+
+  /** Tracking parameters stripped by canonicalization: the utm_ prefix
+    * plus the click/mail identifiers ad and analytics stacks append.
+    * Everything else is preserved IN ORDER (sorting would conflate
+    * semantically ordered APIs). */
+  private def isTracking(name: String): Boolean = {
+    val n = name.toLowerCase
+    n.startsWith("utm_") || n == "gclid" || n == "fbclid" ||
+      n == "msclkid" || n == "yclid" || n == "igshid" || n == "mc_eid" ||
+      n == "mc_cid" || n == "ref_src" || n == "spm"
+  }
+
+  /** Canonical form for URL-level dedup: lowercase scheme+host, default
+    * ports (http 80 / https 443) and fragments dropped, tracking params
+    * removed, empty path -> "/", empty residual query dropped. Null when
+    * unparseable. */
+  def canonicalizeUrl(url: String): String = {
+    val p = parseUrl(url)
+    if (p == null) return null
+    val (scheme, host, port, path, query) = p
+    val sb = new java.lang.StringBuilder(url.length)
+    sb.append(scheme).append("://").append(host)
+    val defaultPort =
+      (scheme == "http" && port == 80) || (scheme == "https" && port == 443)
+    if (port >= 0 && !defaultPort) sb.append(':').append(port)
+    sb.append(path)
+    if (query != null) {
+      val kept = query.split('&').filter { kv =>
+        val eq = kv.indexOf('=')
+        val name = if (eq < 0) kv else kv.substring(0, eq)
+        name.nonEmpty && !isTracking(name)
+      }
+      if (kept.nonEmpty) {
+        sb.append('?')
+        var k = 0
+        while (k < kept.length) {
+          if (k > 0) sb.append('&')
+          sb.append(kept(k))
+          k += 1
+        }
+      }
+    }
+    sb.toString
+  }
+
+  def canonicalizeUrlU(url: UTF8String): UTF8String = {
+    val c = canonicalizeUrl(url.toString)
+    if (c == null) null else UTF8String.fromString(c)
+  }
+}
+
+/** Codegen'd HTML text extraction: `html_text(str)` — tags dropped
+  * (word-separating), script/style/comments removed, entities decoded,
+  * whitespace collapsed. */
+case class HtmlText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"html_text expects STRING, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    WebTextUtil.htmlTextU(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WebTextUtil.htmlTextU($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlText =
+    copy(child = newChild)
+}
+
+/** Codegen'd title extraction: `html_title(str)` — the first <title>
+  * content (entity-decoded, collapsed), null when absent. */
+case class HtmlTitle(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"html_title expects STRING, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    WebTextUtil.htmlTitleU(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.WebTextUtil.htmlTitleU($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlTitle =
+    copy(child = newChild)
+}
+
+/** Codegen'd lenient URL parse: `url_parse(str)` -> struct(scheme, host,
+  * registered_domain, port, path, query); null without a scheme://host
+  * shape. */
+case class UrlParse(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = WebTextUtil.urlSchema
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"url_parse expects STRING, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    WebTextUtil.parseUrlRow(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.WebTextUtil.parseUrlRow($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildInternal(newChild: Expression): UrlParse =
+    copy(child = newChild)
+}
+
+/** Codegen'd URL canonicalization for dedup keys: `url_canonical(str)`. */
+case class UrlCanonical(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"url_canonical expects STRING, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    WebTextUtil.canonicalizeUrlU(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.WebTextUtil.canonicalizeUrlU($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildInternal(newChild: Expression): UrlCanonical =
+    copy(child = newChild)
+}
+
+/** Column wrappers for the web-text kernels. */
+object web {
+  import org.apache.spark.sql.GraftBridge
+
+  def html_text(c: Column): Column =
+    GraftBridge.column(HtmlText(GraftBridge.expression(c)))
+
+  def html_title(c: Column): Column =
+    GraftBridge.column(HtmlTitle(GraftBridge.expression(c)))
+
+  def url_parse(c: Column): Column =
+    GraftBridge.column(UrlParse(GraftBridge.expression(c)))
+
+  def url_canonical(c: Column): Column =
+    GraftBridge.column(UrlCanonical(GraftBridge.expression(c)))
+}

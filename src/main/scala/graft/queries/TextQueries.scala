@@ -1029,6 +1029,245 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM documents"""),
     ),
 
+    // PER-TRACK container metadata: synth_mp4 plants full trak subtrees
+    // (tkhd id+16.16 dims, mdhd with the TRACK's own timescale+duration —
+    // distinct from the movie-header ticks the flat container_meta gate
+    // reads — hdlr routing, stsd codec, and a TWO-entry stts whose sample
+    // counts must be summed), every field seed-derived; container_tracks
+    // explodes to one row per track against a closed-form two-branch
+    // oracle. Track timescales are divisors of 1000 so the ms math is
+    // exact by construction.
+    "q_multimodal_tracks" -> QueryDef(
+      (s, dir) => {
+        docs(s, dir).select(col("doc_id"),
+            graft.functions.images.synth_mp4(col("doc_id").cast("long"),
+              col("doc_id") % 5 =!= 0).as("data"))
+          .select(col("doc_id").as("media_id"),
+            explode(graft.functions.images.container_tracks(
+              col("data"))).as("t"))
+          .select(col("media_id"), col("t.track_id").as("track_id"),
+            col("t.handler").as("handler"), col("t.codec").as("codec"),
+            col("t.duration_ms").as("duration_ms"),
+            col("t.timescale").as("timescale"),
+            col("t.n_samples").as("n_samples"),
+            col("t.width").as("width"), col("t.height").as("height"))
+      },
+      Some("""SELECT doc_id AS media_id, CAST(1 AS INTEGER) AS track_id,
+          'vide' AS handler,
+          CASE doc_id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hev1'
+            ELSE 'av01' END AS codec,
+          CAST((doc_id % 7200) * 1000 // CASE doc_id % 3 WHEN 0 THEN 200
+            WHEN 1 THEN 500 ELSE 1000 END AS BIGINT) AS duration_ms,
+          CAST(CASE doc_id % 3 WHEN 0 THEN 200 WHEN 1 THEN 500
+            ELSE 1000 END AS BIGINT) AS timescale,
+          CAST(doc_id % 1000 + 1 AS BIGINT) AS n_samples,
+          CAST(doc_id % 1904 + 16 AS INTEGER) AS width,
+          CAST(doc_id % 1064 + 16 AS INTEGER) AS height
+        FROM documents
+        UNION ALL
+        SELECT doc_id, CAST(2 AS INTEGER), 'soun', 'mp4a',
+          CAST(doc_id % 3600 AS BIGINT), CAST(8000 AS BIGINT),
+          CAST(doc_id % 500 + 1 AS BIGINT),
+          CAST(0 AS INTEGER), CAST(0 AS INTEGER)
+        FROM documents WHERE doc_id % 5 <> 0"""),
+    ),
+
+    // HTML text extraction: planted pages wrap each document's text in a
+    // full head/body skeleton — title, style and script blocks (the
+    // script contains '<' and a quoted "</" to prove raw-text skipping),
+    // named + decimal + hex entities, a comment — and html_text/html_title
+    // recover the closed-form visible text. Tag boundaries word-separate
+    // and whitespace collapses, by documented contract.
+    "q_text_html_extract" -> QueryDef(
+      (s, dir) => {
+        val id = col("doc_id").cast("string")
+        val html = concat(
+          lit("<html><head><title> Doc "), id,
+          lit(" </title><style>p{color:#000}</style>" +
+            "<script>if(1<2){var x='</';}</script></head><body><h1>Doc "),
+          id, lit("</h1><p>"), col("text"),
+          lit("</p><p>A &amp; B &lt;tag&gt; &#65;&#x42;&nbsp;end</p>" +
+            "<!-- skip --></body></html>"))
+        docs(s, dir).select(col("doc_id"), html.as("html"))
+          .select(col("doc_id"),
+            graft.functions.web.html_title(col("html")).as("title"),
+            graft.functions.web.html_text(col("html")).as("text"))
+      },
+      Some("""SELECT doc_id, 'Doc ' || doc_id AS title,
+          'Doc ' || doc_id || ' Doc ' || doc_id || ' ' || text ||
+            ' A & B <tag> AB end' AS text
+        FROM documents"""),
+    ),
+
+    // URL canonicalization + lenient parse: four planted URL shapes per
+    // corpus (uppercase scheme/host + default port + tracking params +
+    // fragment; a co.uk host exercising the public-suffix heuristic; a
+    // kept non-default port; userinfo + trailing-dot host), every output
+    // field closed-form.
+    "q_text_url_canonical" -> QueryDef(
+      (s, dir) => {
+        val n = (col("doc_id") % 37).cast("string")
+        val url = when(col("doc_id") % 4 === 0, concat(
+            lit("HTTP://WWW.Example"), n, lit(".COM:80/Path/"),
+            (col("doc_id") % 100).cast("string"), lit("?utm_source=x&id="),
+            (col("doc_id") % 10).cast("string"), lit("&fbclid=zz#frag")))
+          .when(col("doc_id") % 4 === 1, concat(
+            lit("https://sub.example"), n,
+            lit(".co.uk:443/a/b?q=1&utm_campaign=c")))
+          .when(col("doc_id") % 4 === 2, concat(
+            lit("http://example"), n, lit(".org:8080/")))
+          .otherwise(concat(
+            lit("ftp://user:pw@files.example"), n, lit(".net./x")))
+        docs(s, dir).select(col("doc_id"), url.as("url"))
+          .select(col("doc_id"),
+            graft.functions.web.url_canonical(col("url")).as("canonical"),
+            graft.functions.web.url_parse(col("url")).as("u"))
+          .select(col("doc_id"), col("canonical"),
+            col("u.host").as("host"),
+            col("u.registered_domain").as("registered_domain"),
+            col("u.port").as("port"), col("u.path").as("path"),
+            col("u.query").as("query"))
+      },
+      Some("""SELECT doc_id,
+          CASE doc_id % 4
+            WHEN 0 THEN 'http://www.example' || (doc_id % 37) ||
+              '.com/Path/' || (doc_id % 100) || '?id=' || (doc_id % 10)
+            WHEN 1 THEN 'https://sub.example' || (doc_id % 37) ||
+              '.co.uk/a/b?q=1'
+            WHEN 2 THEN 'http://example' || (doc_id % 37) || '.org:8080/'
+            ELSE 'ftp://files.example' || (doc_id % 37) || '.net/x'
+          END AS canonical,
+          CASE doc_id % 4
+            WHEN 0 THEN 'www.example' || (doc_id % 37) || '.com'
+            WHEN 1 THEN 'sub.example' || (doc_id % 37) || '.co.uk'
+            WHEN 2 THEN 'example' || (doc_id % 37) || '.org'
+            ELSE 'files.example' || (doc_id % 37) || '.net'
+          END AS host,
+          CASE doc_id % 4
+            WHEN 0 THEN 'example' || (doc_id % 37) || '.com'
+            WHEN 1 THEN 'example' || (doc_id % 37) || '.co.uk'
+            WHEN 2 THEN 'example' || (doc_id % 37) || '.org'
+            ELSE 'example' || (doc_id % 37) || '.net'
+          END AS registered_domain,
+          CAST(CASE doc_id % 4 WHEN 0 THEN 80 WHEN 1 THEN 443
+            WHEN 2 THEN 8080 ELSE -1 END AS INTEGER) AS port,
+          CASE doc_id % 4
+            WHEN 0 THEN '/Path/' || (doc_id % 100)
+            WHEN 1 THEN '/a/b' WHEN 2 THEN '/' ELSE '/x' END AS path,
+          CASE doc_id % 4
+            WHEN 0 THEN 'utm_source=x&id=' || (doc_id % 10) || '&fbclid=zz'
+            WHEN 1 THEN 'q=1&utm_campaign=c' END AS query
+        FROM documents"""),
+    ),
+
+    // URL-level dedup: three crawl-variant spellings of each target URL
+    // (case-shifted scheme/host + default port, tracking query) all
+    // canonicalize to one key; the group counts match grouping the
+    // planted arithmetic directly.
+    "q_dedup_urls" -> QueryDef(
+      (s, dir) => {
+        val k = (col("doc_id") % 60).cast("string")
+        val url = when(col("doc_id") % 3 === 1, concat(
+            lit("HTTP://site"), k, lit(".EXAMPLE.COM:80/page")))
+          .when(col("doc_id") % 3 === 2, concat(
+            lit("http://site"), k,
+            lit(".example.com/page?utm_source=feed&gclid=1")))
+          .otherwise(concat(
+            lit("http://site"), k, lit(".example.com/page#top")))
+        docs(s, dir).select(
+            graft.functions.web.url_canonical(url).as("canonical_url"))
+          .groupBy("canonical_url")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT 'http://site' || (doc_id % 60) ||
+            '.example.com/page' AS canonical_url,
+          count(*) AS n
+        FROM documents GROUP BY 1"""),
+    ),
+
+    // Animated-GIF REPLAY (disposal compositing): synth_anim plants real
+    // GIF89a animations — a full-screen base frame then offset 4x3 rects,
+    // with mode cycling the three disposal methods and a fully-TRANSPARENT
+    // frame whose draw must be a no-op — and gif_frames_composited replays
+    // them on the logical-screen canvas. Per-frame pixel sums are
+    // closed-form (disjoint rects over an identity-gray palette), so the
+    // oracle reconstructs every canvas state with a windowed cumulative
+    // sum over the per-frame deltas: any slip in offsets, transparency,
+    // restore-to-background, or restore-to-previous moves a sum.
+    "q_multimodal_gif_composited" -> QueryDef(
+      (s, dir) => {
+        docs(s, dir).select(col("doc_id"),
+            graft.functions.images.synth_anim(col("doc_id").cast("long"),
+              (col("doc_id") % 4).cast("int")).as("data"))
+          .select(col("doc_id").as("media_id"),
+            posexplode(graft.functions.images.gif_frames_composited(
+              col("data"))))
+          .select(col("media_id"), col("pos").as("frame_idx"),
+            col("col.width").as("width"), col("col.height").as("height"),
+            graft.functions.images.byte_sum(
+              col("col.pixels")).as("pixel_sum"))
+      },
+      Some("""WITH f AS (
+          SELECT doc_id,
+            unnest(generate_series(0, CAST(3 + doc_id % 3 AS INT))) AS fi
+          FROM documents),
+        d AS (
+          SELECT doc_id, fi,
+            24 + (doc_id % 5) * 8 AS W, 10 + (doc_id % 3) * 4 AS H,
+            doc_id % 200 + 10 AS c0, doc_id % 100 + 5 AS bg,
+            doc_id % 4 AS m,
+            (doc_id * 7 + fi * 31) % 200 + 20 AS cf,
+            (doc_id * 7 + (fi - 1) * 31) % 200 + 20 AS cp
+          FROM f)
+        SELECT doc_id AS media_id, CAST(fi AS INTEGER) AS frame_idx,
+          CAST(W AS INTEGER) AS width, CAST(H AS INTEGER) AS height,
+          CAST(W * H * c0 + SUM(CASE
+              WHEN fi = 0 THEN 0
+              WHEN m = 0 THEN 12 * (cf - c0)
+              WHEN m = 1 THEN 12 * (cf - c0) +
+                CASE WHEN fi >= 2 THEN 12 * (bg - cp) ELSE 0 END
+              WHEN m = 2 THEN 12 * (cf - c0) +
+                CASE WHEN fi >= 2 THEN 12 * (c0 - cp) ELSE 0 END
+              ELSE CASE WHEN fi % 2 = 1 THEN 12 * (cf - c0) ELSE 0 END
+            END) OVER (PARTITION BY doc_id ORDER BY fi)
+            AS BIGINT) AS pixel_sum
+        FROM d"""),
+    ),
+
+    // Multi-codec content ingestion round trip: planted closed-form text
+    // is compressed with a codec cycling over all five self-identifying
+    // formats (zlib, gzip, zstd, lz4, snappy-framed — all from jars Spark
+    // itself ships), then decompressed back via magic-byte sniffing alone
+    // ("auto"). The row proves both the codec routing (the sniffed name)
+    // and a bit-exact round trip against the closed-form planted text —
+    // the ingest seam a mixed-codec 100 TB crawl needs, inside one
+    // codegen'd projection with no per-source plumbing.
+    "q_content_codecs" -> QueryDef(
+      (s, dir) => {
+        val codec = element_at(
+          array(lit("zlib"), lit("gzip"), lit("zstd"), lit("lz4"),
+            lit("snappy")),
+          (col("doc_id") % 5 + 1).cast("int"))
+        val text = concat(lit("doc-"), col("doc_id").cast("string"),
+          lit(" "),
+          repeat(lit("lorem ipsum dolor "), (col("doc_id") % 9).cast("int")))
+        docs(s, dir)
+          .select(col("doc_id"),
+            graft.functions.codecs.compress_bytes(
+              text.cast("binary"), codec).as("data"))
+          .select(col("doc_id").as("media_id"),
+            graft.functions.codecs.codec_sniff(col("data")).as("codec"),
+            graft.functions.codecs.decompress_text(
+              col("data"), lit("auto")).as("text"))
+      },
+      Some("""SELECT doc_id AS media_id,
+          CASE doc_id % 5 WHEN 0 THEN 'zlib' WHEN 1 THEN 'gzip'
+            WHEN 2 THEN 'zstd' WHEN 3 THEN 'lz4' ELSE 'snappy' END AS codec,
+          'doc-' || doc_id || ' ' ||
+            repeat('lorem ipsum dolor ', CAST(doc_id % 9 AS INTEGER)) AS text
+        FROM documents"""),
+    ),
+
     // REAL pixel decompression end-to-end: synth images (dhash64 == seed
     // by construction) are encoded as standards-conformant grayscale PNGs
     // — zlib-deflated IDAT split across chunks, per-chunk CRC-32, row

@@ -101,6 +101,100 @@ class ContainerSpec extends AnyFunSuite {
       Meta("mp4", "iso6", 5000L, 1280, 720, 1, "av01", null)))
   }
 
+  private case class Track(id: Int, handler: String, codec: String,
+      durationMs: Long, timescale: Long, nSamples: Long, w: Int, h: Int)
+
+  private def tracksOf(d: Array[Byte]): Option[Seq[Track]] =
+    Option(ContainerBytesUtil.containerTracks(d)).map { arr =>
+      (0 until arr.numElements()).map { i =>
+        val r = arr.getStruct(i, 8)
+        Track(r.getInt(0),
+          if (r.isNullAt(1)) null else r.getUTF8String(1).toString,
+          if (r.isNullAt(2)) null else r.getUTF8String(2).toString,
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getInt(6), r.getInt(7))
+      }
+    }
+
+  test("container_tracks: synth_mp4 per-track rows are exact for all seed classes") {
+    // seeds covering each codec/timescale class and the no-audio branch
+    for (seed <- Seq(0L, 1L, 2L, 5L, 123456L, 86399L, 999999L)) {
+      val d = ContainerBytesUtil.synthMp4(seed, seed % 5 != 0)
+      val vts = Array(200L, 500L, 1000L)((seed % 3).toInt)
+      val vCodec = Seq("avc1", "hev1", "av01")((seed % 3).toInt)
+      val video = Track(1, "vide", vCodec, (seed % 7200) * 1000 / vts, vts,
+        seed % 1000 + 1, (seed % 1904 + 16).toInt, (seed % 1064 + 16).toInt)
+      val audio = Track(2, "soun", "mp4a", seed % 3600, 8000L,
+        seed % 500 + 1, 0, 0)
+      val expect = if (seed % 5 != 0) Seq(video, audio) else Seq(video)
+      assert(tracksOf(d).contains(expect), s"seed=$seed")
+      // the flat parser agrees on the movie-level view of the same bytes
+      val mts = Array(250L, 500L, 1000L)((seed % 3).toInt)
+      assert(metaOf(d).contains(Meta("mp4", "isom",
+        (seed % 86400) * 1000 / mts, (seed % 1904 + 16).toInt,
+        (seed % 1064 + 16).toInt, if (seed % 5 != 0) 2 else 1, vCodec,
+        if (seed % 5 != 0) "mp4a" else null)))
+    }
+  }
+
+  test("container_tracks: AVI strh streams; zero scale/rate degrades to -1") {
+    // the column fixture writes zeroed scale/rate/length words
+    assert(tracksOf(avi(withAudio = true)).contains(Seq(
+      Track(1, "vide", "MJPG", -1L, -1L, 0L, -1, -1),
+      Track(2, "soun", null, -1L, -1L, 0L, -1, -1))))
+    // hand-assembled strh with real scale/rate/length: 1001/30000, 900
+    // frames -> 30030 ms; rate not a multiple of scale -> timescale -1
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    val strh = "strh".getBytes("US-ASCII") ++ le(56, 4) ++
+      "vids".getBytes("US-ASCII") ++ "MJPG".getBytes("US-ASCII") ++
+      new Array[Byte](12) ++ le(1001, 4) ++ le(30000, 4) ++ le(0, 4) ++
+      le(900, 4) ++ new Array[Byte](20)
+    val strl = "LIST".getBytes("US-ASCII") ++ le(strh.length + 4L, 4) ++
+      "strl".getBytes("US-ASCII") ++ strh
+    val avih = "avih".getBytes("US-ASCII") ++ le(56, 4) ++ new Array[Byte](56)
+    val hdrlContent = "hdrl".getBytes("US-ASCII") ++ avih ++ strl
+    val hdrl = "LIST".getBytes("US-ASCII") ++
+      le(hdrlContent.length.toLong, 4) ++ hdrlContent
+    val payload = "RIFF".getBytes("US-ASCII") ++
+      le(hdrl.length + 4L, 4) ++ "AVI ".getBytes("US-ASCII") ++ hdrl
+    assert(tracksOf(payload).contains(Seq(
+      Track(1, "vide", "MJPG", 900L * 1001 * 1000 / 30000, -1L, 900L,
+        -1, -1))))
+  }
+
+  test("container_tracks: expression explodes through codegen; SQL registered") {
+    import spark.implicits._
+    val rows = Seq(7L, 10L).toDF("seed")
+      .select(col("seed"), explode(graft.functions.images.container_tracks(
+        graft.functions.images.synth_mp4(col("seed"),
+          col("seed") % 5 =!= 0))).as("t"))
+      .select(col("seed"), col("t.track_id"), col("t.handler"),
+        col("t.n_samples"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((7L, 1, "vide", 8L), (7L, 2, "soun", 8L),
+      (10L, 1, "vide", 11L)))
+    val n = spark.sql(
+      "SELECT size(container_tracks(synth_mp4(CAST(3 AS BIGINT), true))) v")
+      .collect().head.getInt(0)
+    assert(n == 2)
+  }
+
+  test("container_tracks: hostile prefixes and flips never throw") {
+    val payloads = Seq(ContainerBytesUtil.synthMp4(12345L, true),
+      avi(withAudio = true))
+    for (p <- payloads) {
+      for (n <- 0 to p.length) tracksOf(p.take(n))
+      for (i <- p.indices) {
+        val c = p.clone()
+        c(i) = (c(i) ^ 0xff).toByte
+        tracksOf(c)
+      }
+    }
+    assert(tracksOf(Array.empty[Byte]).isEmpty)
+    assert(tracksOf("no container".getBytes("US-ASCII")).isEmpty)
+  }
+
   test("hostile inputs: every prefix and single-byte flip parses without throwing") {
     val payloads = Seq(mp4(withAudio = true), avi(withAudio = true))
     for (p <- payloads) {

@@ -329,6 +329,84 @@ class MultimodalSpec extends AnyFunSuite {
     assert(kf.head.isNullAt(3) && kf.last.getInt(3) == 64)
   }
 
+  test("gif_frames_composited: disposal/transparency replay matches a reference compositor") {
+    import graft.functions.GifCodecUtil
+    // independent reference: replay synthAnim's PLANTED geometry directly
+    // from its documented arithmetic (not from the GIF bytes)
+    def reference(seed: Long, mode: Int): Seq[(Int, Int, Long)] = {
+      val w = 24 + (seed % 5).toInt * 8
+      val h = 10 + (seed % 3).toInt * 4
+      val bg = (seed % 100 + 5).toInt
+      val c0 = (seed % 200 + 10).toInt
+      val n = 4 + (seed % 3).toInt
+      val canvas = Array.fill(w * h)(c0)
+      val out = scala.collection.mutable.ArrayBuffer[(Int, Int, Long)]()
+      out += ((w, h, canvas.map(_.toLong).sum))
+      var f = 1
+      while (f < n) {
+        val cf = ((seed * 7 + f * 31) % 200 + 20).toInt
+        val x0 = 5 * (f - 1)
+        val transparent = mode == 3 && f % 2 == 0
+        val before = canvas.clone()
+        if (!transparent)
+          for (y <- 2 until 5; x <- x0 until x0 + 4) canvas(y * w + x) = cf
+        out += ((w, h, canvas.map(_.toLong).sum))
+        if (mode == 1)
+          for (y <- 2 until 5; x <- x0 until x0 + 4) canvas(y * w + x) = bg
+        else if (mode == 2)
+          for (y <- 2 until 5; x <- x0 until x0 + 4)
+            canvas(y * w + x) = before(y * w + x)
+        f += 1
+      }
+      out.toSeq
+    }
+    def decoded(seed: Long, mode: Int): Seq[(Int, Int, Long)] = {
+      val arr = GifCodecUtil.gifCompositedFrames(
+        GifCodecUtil.synthAnim(seed, mode))
+      assert(arr != null, s"seed=$seed mode=$mode")
+      (0 until arr.numElements()).map { i =>
+        val r = arr.getStruct(i, 4)
+        (r.getInt(0), r.getInt(1),
+          graft.functions.ImageBytesUtil.byteSum(r.getBinary(3)))
+      }
+    }
+    for (seed <- Seq(0L, 1L, 2L, 3L, 4L, 7L, 123L, 4567L); mode <- 0 to 3)
+      assert(decoded(seed, mode) == reference(seed, mode),
+        s"seed=$seed mode=$mode")
+  }
+
+  test("gif_frames_composited: full-screen disposal-1 animations equal standalone frames") {
+    import graft.functions.{GifCodecUtil, ImageBytesUtil}
+    val (w, h) = (16, 8)
+    val all = Seq(3L, 8L, 21L).flatMap(sd =>
+      ImageBytesUtil.synthImage(sd, w, h, 0).toSeq).toArray
+    val payload = GifCodecUtil.gifEncodeGrayFrames(all, w, h, 3)
+    val standalone = GifCodecUtil.gifDecodeFrames(payload)
+    val composited = GifCodecUtil.gifCompositedFrames(payload)
+    assert(standalone.numElements() == 3 && composited.numElements() == 3)
+    for (i <- 0 until 3) {
+      val a = standalone.getStruct(i, 4)
+      val b = composited.getStruct(i, 4)
+      assert(a.getInt(0) == b.getInt(0) && a.getInt(1) == b.getInt(1))
+      assert(java.util.Arrays.equals(a.getBinary(3), b.getBinary(3)), i)
+    }
+  }
+
+  test("gif_frames_composited: hostile prefixes/flips never throw; junk is null") {
+    import graft.functions.GifCodecUtil
+    val p = GifCodecUtil.synthAnim(42L, 1)
+    for (n <- 0 to p.length)
+      GifCodecUtil.gifCompositedFrames(java.util.Arrays.copyOf(p, n))
+    for (i <- p.indices) {
+      val c = p.clone()
+      c(i) = (c(i) ^ 0xff).toByte
+      GifCodecUtil.gifCompositedFrames(c)
+    }
+    assert(GifCodecUtil.gifCompositedFrames(Array.empty[Byte]) == null)
+    assert(GifCodecUtil.gifCompositedFrames(
+      "GIF89a but not really".getBytes("US-ASCII")) == null)
+  }
+
   test("dhashNearDups: finds hamming<=3 pairs via band join, skips far pairs") {
     import spark.implicits._
     // base signature, a 2-bit-flipped near dup, and a far image
