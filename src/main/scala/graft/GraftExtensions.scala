@@ -86,6 +86,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "duration_ms,timescale,n_samples,width,height)"),
       (args: Seq[Expression]) => ContainerTracks(args.head)))
     ext.injectFunction((
+      FunctionIdentifier("gzip_members"),
+      info("gzip_members",
+        "gzip_members(bin) - split concatenated gzip (one WARC record " +
+          "per member) into decompressed members"),
+      (args: Seq[Expression]) => GzipMembers(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("warc_record"),
+      info("warc_record",
+        "warc_record(bin) - parse a WARC record to (version, headers map, body)"),
+      (args: Seq[Expression]) => WarcRecord(args.head)))
+    ext.injectFunction((
       FunctionIdentifier("html_text"),
       info("html_text",
         "html_text(str) - visible text: tags dropped (word-separating), " +

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -170,6 +171,128 @@ object CodecsUtil {
 
   def compressBytes(b: Array[Byte], codec: UTF8String): Array[Byte] =
     if (codec == null) null else compress(b, codec.toString)
+
+  /** Member-count cap for the gzip-member walk (a WARC chunk holds
+    * hundreds of records, not millions; a hostile payload of empty
+    * members is bounded). */
+  val MaxMembers: Int = 1 << 14
+
+  /** Split a CONCATENATED-gzip payload (the WARC convention: every
+    * record its own gzip member) into its DECOMPRESSED members. Parses
+    * each member's header (FEXTRA/FNAME/FCOMMENT/FHCRC optional fields),
+    * inflates raw-deflate to the member boundary via the inflater's
+    * consumed-byte count, and steps over the CRC32+ISIZE trailer.
+    * Tolerant: a corrupt member ends the walk and the good prefix
+    * survives (null when the FIRST member fails). Total decompressed
+    * output capped by [[MaxOutput]]. */
+  def gzipMembers(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (b == null) return null
+    val members = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var off = 0
+    var totalOut = 0L
+    def result: org.apache.spark.sql.catalyst.util.ArrayData =
+      if (members.isEmpty) null
+      else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        members.toArray)
+    try {
+      while (off + 18 <= b.length && members.size < MaxMembers) {
+        if ((b(off) & 0xff) != 0x1f || (b(off + 1) & 0xff) != 0x8b ||
+          (b(off + 2) & 0xff) != 8) return result
+        val flg = b(off + 3) & 0xff
+        var p = off + 10
+        if ((flg & 4) != 0) { // FEXTRA: 2-byte LE length + payload
+          if (p + 2 > b.length) return result
+          p += 2 + ((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8))
+        }
+        if ((flg & 8) != 0) { // FNAME: NUL-terminated
+          while (p < b.length && b(p) != 0) p += 1
+          p += 1
+        }
+        if ((flg & 16) != 0) { // FCOMMENT: NUL-terminated
+          while (p < b.length && b(p) != 0) p += 1
+          p += 1
+        }
+        if ((flg & 2) != 0) p += 2 // FHCRC
+        if (p >= b.length) return result
+        val inf = new java.util.zip.Inflater(true)
+        inf.setInput(b, p, b.length - p)
+        val out = new java.io.ByteArrayOutputStream(8192)
+        val buf = new Array[Byte](8192)
+        try {
+          while (!inf.finished()) {
+            val n = inf.inflate(buf)
+            if (n == 0 && inf.needsInput() && !inf.finished()) return result
+            if (totalOut + out.size() + n > MaxOutput) return result
+            out.write(buf, 0, n)
+          }
+          val consumed = inf.getBytesRead.toInt
+          totalOut += out.size()
+          members += out.toByteArray
+          off = p + consumed + 8 // CRC32 + ISIZE trailer
+        } finally inf.end()
+      }
+      result
+    } catch { case NonFatal(_) => result }
+  }
+
+  // ---------------------------------------------------------------- WARC
+
+  val warcSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("version",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("headers",
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType,
+          valueContainsNull = false), nullable = false),
+      org.apache.spark.sql.types.StructField("body",
+        BinaryType, nullable = false)))
+
+  /** Parse one WARC record: "WARC/x.y" version line, "Name: value"
+    * header lines to the first blank line, body = everything after.
+    * CRLF and bare-LF line endings both accepted; headers keep their
+    * written case (lookups use the exact WARC-* names). Null unless the
+    * payload starts with "WARC/". */
+  def warcRecord(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 6 || b(0) != 'W' || b(1) != 'A' ||
+      b(2) != 'R' || b(3) != 'C' || b(4) != '/') return null
+    // find the header/body split and keep header text small
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i < b.length && b(i) != '\n') i += 1
+      i
+    }
+    var i = lineEnd(0)
+    if (i >= b.length) return null
+    val version = new String(b, 0, if (i > 0 && b(i - 1) == '\r') i - 1 else i,
+      java.nio.charset.StandardCharsets.UTF_8)
+    i += 1
+    val keys = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var bodyStart = b.length
+    var done = false
+    while (!done && i < b.length) {
+      val e = lineEnd(i)
+      val len = (if (e > i && b(e - 1) == '\r') e - 1 else e) - i
+      if (len == 0) { bodyStart = math.min(e + 1, b.length); done = true }
+      else {
+        val line = new String(b, i, len,
+          java.nio.charset.StandardCharsets.UTF_8)
+        val colon = line.indexOf(':')
+        if (colon > 0) {
+          keys += UTF8String.fromString(line.substring(0, colon).trim)
+          vals += UTF8String.fromString(line.substring(colon + 1).trim)
+        } // malformed header lines are skipped, not fatal
+        i = e + 1
+      }
+    }
+    val body = java.util.Arrays.copyOfRange(b, bodyStart, b.length)
+    InternalRow(UTF8String.fromString(version),
+      org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        keys.toArray, vals.toArray),
+      body)
+  }
 }
 
 /** Codegen'd multi-codec decompression to UTF-8 text:
@@ -258,6 +381,56 @@ case class CodecSniff(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd concatenated-gzip split: `gzip_members(bin)` ->
+  * ARRAY<BINARY> of DECOMPRESSED members (the WARC convention: one
+  * record per member). Tolerant of a corrupt tail; null when the first
+  * member fails. */
+case class GzipMembers(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(BinaryType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gzip_members expects BINARY, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    CodecsUtil.gzipMembers(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.CodecsUtil.gzipMembers($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildInternal(newChild: Expression): GzipMembers =
+    copy(child = newChild)
+}
+
+/** Codegen'd WARC record parse: `warc_record(bin)` -> struct(version,
+  * headers MAP<STRING,STRING>, body BINARY); null unless the payload
+  * starts with "WARC/". */
+case class WarcRecord(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = CodecsUtil.warcSchema
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"warc_record expects BINARY, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    CodecsUtil.warcRecord(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.CodecsUtil.warcRecord($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildInternal(newChild: Expression): WarcRecord =
+    copy(child = newChild)
+}
+
 /** Column wrappers for the content codecs. */
 object codecs {
   import org.apache.spark.sql.GraftBridge
@@ -272,4 +445,10 @@ object codecs {
 
   def codec_sniff(data: Column): Column =
     GraftBridge.column(CodecSniff(GraftBridge.expression(data)))
+
+  def gzip_members(data: Column): Column =
+    GraftBridge.column(GzipMembers(GraftBridge.expression(data)))
+
+  def warc_record(data: Column): Column =
+    GraftBridge.column(WarcRecord(GraftBridge.expression(data)))
 }

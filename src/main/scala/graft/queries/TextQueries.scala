@@ -1029,6 +1029,58 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM documents"""),
     ),
 
+    // WARC-style crawl chunk ingestion: each row is a CONCATENATED-gzip
+    // chunk (three records, one per member — the WARC convention),
+    // gzip_members splits and decompresses by walking real gzip headers
+    // and the raw-deflate member boundary, warc_record parses version /
+    // header map / body. Record IDs, types, bodies, and Content-Length
+    // round-trip in closed form; any slip in the member walk or header
+    // split moves a row.
+    "q_content_warc" -> QueryDef(
+      (s, dir) => {
+        def rec(i: Int): org.apache.spark.sql.Column = {
+          val body = concat(lit("payload "), col("doc_id").cast("string"),
+            lit(s" member $i "),
+            repeat(lit("data "), (col("doc_id") % 5 + i).cast("int")))
+          val typ = Seq("response", "request", "metadata")(i)
+          graft.functions.codecs.compress_bytes(concat(
+            lit(s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Record-ID: <urn:uuid:"),
+            col("doc_id").cast("string"), lit(s"-$i>\r\nContent-Length: "),
+            length(body).cast("string"), lit("\r\n\r\n"), body
+          ).cast("binary"), lit("gzip"))
+        }
+        docs(s, dir)
+          .select(col("doc_id"),
+            concat(rec(0), rec(1), rec(2)).as("chunk"))
+          .select(col("doc_id"), posexplode(
+            graft.functions.codecs.gzip_members(col("chunk"))))
+          .select(col("doc_id"), col("pos").as("member_idx"),
+            graft.functions.codecs.warc_record(col("col")).as("r"))
+          .select(col("doc_id"), col("member_idx"),
+            col("r.version").as("version"),
+            element_at(col("r.headers"), "WARC-Type").as("warc_type"),
+            element_at(col("r.headers"), "WARC-Record-ID").as("record_id"),
+            element_at(col("r.headers"), "Content-Length")
+              .cast("int").as("content_length"),
+            col("r.body").cast("string").as("body"))
+      },
+      Some("""WITH m AS (
+          SELECT doc_id, unnest(generate_series(0, 2)) AS mi FROM documents),
+        b AS (
+          SELECT doc_id, mi,
+            'payload ' || doc_id || ' member ' || mi || ' ' ||
+              repeat('data ', CAST(doc_id % 5 + mi AS INT)) AS body
+          FROM m)
+        SELECT doc_id, CAST(mi AS INTEGER) AS member_idx,
+          'WARC/1.0' AS version,
+          CASE mi WHEN 0 THEN 'response' WHEN 1 THEN 'request'
+            ELSE 'metadata' END AS warc_type,
+          '<urn:uuid:' || doc_id || '-' || mi || '>' AS record_id,
+          CAST(length(body) AS INTEGER) AS content_length,
+          body
+        FROM b"""),
+    ),
+
     // PER-TRACK container metadata: synth_mp4 plants full trak subtrees
     // (tkhd id+16.16 dims, mdhd with the TRACK's own timescale+duration —
     // distinct from the movie-header ticks the flat container_meta gate

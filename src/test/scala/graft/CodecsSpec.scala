@@ -94,6 +94,79 @@ class CodecsSpec extends AnyFunSuite {
     }
   }
 
+  private def gz(s: String): Array[Byte] = CodecsUtil.compress(bytes(s), "gzip")
+
+  private def members(b: Array[Byte]): Option[Seq[String]] =
+    Option(CodecsUtil.gzipMembers(b)).map { arr =>
+      (0 until arr.numElements()).map(i => new String(arr.getBinary(i), UTF_8))
+    }
+
+  test("gzip_members: concatenated members split and decompress in order") {
+    val payload = gz("alpha") ++ gz("") ++ gz("beta " * 100)
+    assert(members(payload).contains(Seq("alpha", "", "beta " * 100)))
+    assert(members(gz("solo")).contains(Seq("solo")))
+  }
+
+  test("gzip_members: optional header fields (FEXTRA/FNAME/FCOMMENT/FHCRC) walk") {
+    // hand-build a member with every optional field set around the same
+    // deflate body a plain member carries
+    val plain = gz("optional fields")
+    val deflateAndTrailer = java.util.Arrays.copyOfRange(plain, 10, plain.length)
+    val header = Array[Byte](0x1f.toByte, 0x8b.toByte, 8,
+      (1 | 2 | 4 | 8 | 16).toByte, // FTEXT|FHCRC|FEXTRA|FNAME|FCOMMENT
+      0, 0, 0, 0, 0, 0) ++
+      Array[Byte](4, 0) ++ bytes("EXTR") ++ // FEXTRA: len 4 LE + payload
+      (bytes("name.txt") :+ 0.toByte) ++
+      (bytes("a comment") :+ 0.toByte) ++
+      Array[Byte](0x12, 0x34) // FHCRC (unvalidated)
+    val fancy = header ++ deflateAndTrailer
+    assert(members(fancy).contains(Seq("optional fields")))
+    assert(members(fancy ++ gz("tail")).contains(
+      Seq("optional fields", "tail")))
+  }
+
+  test("gzip_members: corrupt tail keeps the good prefix; corrupt head is null") {
+    val good = gz("keep me")
+    val corruptTail = good ++ bytes("garbage that is not gzip at all")
+    assert(members(corruptTail).contains(Seq("keep me")))
+    // truncated second member: good prefix survives
+    val second = gz("truncated away")
+    val truncated = good ++ java.util.Arrays.copyOf(second, second.length / 2)
+    assert(members(truncated).contains(Seq("keep me")))
+    assert(members(bytes("no gzip here")).isEmpty)
+    assert(members(Array.empty[Byte]).isEmpty)
+    // every prefix: never throws
+    val p = gz("a") ++ gz("b")
+    for (n <- 0 to p.length) members(java.util.Arrays.copyOf(p, n))
+  }
+
+  private def warc(b: Array[Byte]): Option[(String, Map[String, String], String)] =
+    Option(CodecsUtil.warcRecord(b)).map { r =>
+      val m = r.getMap(1)
+      val keys = (0 until m.numElements()).map(i =>
+        m.keyArray.getUTF8String(i).toString)
+      val vals = (0 until m.numElements()).map(i =>
+        m.valueArray.getUTF8String(i).toString)
+      (r.getUTF8String(0).toString, keys.zip(vals).toMap,
+        new String(r.getBinary(2), UTF_8))
+    }
+
+  test("warc_record: version, headers, body; CRLF and bare-LF; hostile") {
+    val crlf = "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 4\r\n\r\nbody"
+    assert(warc(bytes(crlf)).contains(("WARC/1.0",
+      Map("WARC-Type" -> "response", "Content-Length" -> "4"), "body")))
+    val lf = "WARC/1.1\nA: 1\nB:  spaced  \n\nrest\nlines"
+    assert(warc(bytes(lf)).contains(("WARC/1.1",
+      Map("A" -> "1", "B" -> "spaced"), "rest\nlines")))
+    // malformed header line skipped; empty body; missing blank line
+    assert(warc(bytes("WARC/1.0\r\nnocolon\r\nC: 2\r\n\r\n")).contains(
+      ("WARC/1.0", Map("C" -> "2"), "")))
+    assert(warc(bytes("WARC/1.0\r\nA: 1\r\n")).contains(
+      ("WARC/1.0", Map("A" -> "1"), "")))
+    assert(warc(bytes("HTTP/1.1 200 OK\r\n\r\n")).isEmpty)
+    assert(warc(Array.empty[Byte]).isEmpty)
+  }
+
   test("expression path: mixed-codec column decompresses through codegen") {
     import spark.implicits._
     val df = (0 until 24).map { i =>
