@@ -301,6 +301,37 @@ object Stress {
             maxPerBucket = 1L << 10)
         }
 
+        // full crawl-ingest chain over replicated chunks: build a
+        // 3-record concatenated-gzip WARC chunk per row (deflate inside
+        // the projection), split members, parse records, extract HTML
+        // text and canonical URLs. Every stage is a map-side expression:
+        // wall must scale ~linearly with rep and max-task share stay
+        // flat — compressed chunk bytes never reach an exchange.
+        measure(s"content_ingest@$rep") {
+          val rec = (i: Int) =>
+            graft.functions.codecs.compress_bytes(concat(
+              lit("WARC/1.0\r\nWARC-Target-URI: HTTP://Site"),
+              pmod(col("doc_id"), lit(97)).cast("string"),
+              lit(s".Example.COM:80/p/$i?utm_source=s&id="),
+              col("doc_id").cast("string"),
+              lit("\r\n\r\n<html><head><title>T</title>" +
+                "<script>if(1<2){}</script></head><body><p>"),
+              col("text"), lit("</p></body></html>")).cast("binary"),
+              lit("gzip"))
+          docs
+            .select(col("doc_id"),
+              concat(rec(0), rec(1), rec(2)).as("chunk"))
+            .select(col("doc_id"), explode(
+              graft.functions.codecs.gzip_members(col("chunk"))).as("m"))
+            .select(col("doc_id"),
+              graft.functions.codecs.warc_record(col("m")).as("r"))
+            .select(col("doc_id"),
+              graft.functions.web.url_canonical(
+                element_at(col("r.headers"), "WARC-Target-URI")).as("url"),
+              graft.functions.web.html_text(
+                col("r.body").cast("string")).as("text"))
+        }
+
         // the composed flagship funnel
         measure(s"curation_pipeline@$rep") {
           graft.operators.Curate.curationPipeline(

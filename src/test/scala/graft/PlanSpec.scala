@@ -274,6 +274,33 @@ class PlanSpec extends AnyFunSuite {
       p.contains("WholeStageCodegen"), s"codegen lost:\n$p")
     assert(df.distinct().count() > 0)
   }
+  test("crawl-ingest kernels stay inside whole-stage codegen") {
+    // the full ingest chain (compress -> member split -> record parse ->
+    // html/url extraction) is projections + one generator: no exchange,
+    // no non-codegen expression boundary
+    val df = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.codecs.compress_bytes(concat(
+          lit("WARC/1.0\r\nWARC-Target-URI: http://ex.com/p?utm_source=1\r\n\r\n<p>"),
+          col("text"), lit("</p>")).cast("binary"), lit("gzip")).as("chunk"))
+      .select(col("doc_id"),
+        explode(graft.functions.codecs.gzip_members(col("chunk"))).as("m"))
+      .select(col("doc_id"),
+        graft.functions.codecs.warc_record(col("m")).as("r"))
+      .select(col("doc_id"),
+        graft.functions.web.url_canonical(
+          element_at(col("r.headers"), "WARC-Target-URI")).as("u"),
+        graft.functions.web.html_text(col("r.body").cast("string")).as("t"))
+    val p = plan(df)
+    // "*(1)" prefixes mark whole-stage-codegen stage 1: the projections
+    // AND the member-explode generator all fuse into the scan stage
+    assert(p.contains("*(1) Project") && p.contains("*(1) Generate"),
+      s"codegen lost:\n$p")
+    assert(!p.contains("Exchange"), s"ingest chain should not shuffle:\n$p")
+    val out = df.where(col("u") === "http://ex.com/p").count()
+    assert(out > 0)
+  }
+
   test("round-8 ops: anomaly stats broadcast; stratified sample has no " +
       "global window; AUC cumsum range-partitions") {
     // robustAnomalies: both stats joins are broadcasts — the fact rows
