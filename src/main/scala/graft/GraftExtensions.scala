@@ -131,6 +131,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "disposal methods 1/2/3"),
       (args: Seq[Expression]) => GifCompositedFrames(args.head)))
     ext.injectFunction((
+      FunctionIdentifier("gif_frame_meta"),
+      info("gif_frame_meta",
+        "gif_frame_meta(bin) - per-frame GIF rects/timing/disposal " +
+          "without pixel decode (LZW skipped by sub-block lengths)"),
+      (args: Seq[Expression]) => GifFrameMeta(args.head)))
+    ext.injectFunction((
       FunctionIdentifier("synth_anim"),
       info("synth_anim",
         "synth_anim(seed, mode) - animated-GIF fixture exercising " +

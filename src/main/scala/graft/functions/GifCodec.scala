@@ -78,12 +78,13 @@ object GifCodecUtil {
     * image descriptor at (left, top), and a literal-code LZW stream. */
   private def writeFrame(bos: java.io.ByteArrayOutputStream,
       gray: Array[Byte], off: Int, w: Int, h: Int, gce: Boolean,
-      left: Int, top: Int, disposal: Int, transIdx: Int): Unit = {
+      left: Int, top: Int, disposal: Int, transIdx: Int,
+      delayCs: Int = 1): Unit = {
     def b(v: Int): Unit = bos.write(v & 0xff)
     def le2(v: Int): Unit = { b(v); b(v >> 8) }
     if (gce) {
       val packed = ((disposal & 7) << 2) | (if (transIdx >= 0) 1 else 0)
-      b(0x21); b(0xf9); b(4); b(packed); le2(1)
+      b(0x21); b(0xf9); b(4); b(packed); le2(delayCs)
       b(if (transIdx >= 0) transIdx else 0); b(0)
     }
     b(0x2c) // image descriptor
@@ -168,8 +169,10 @@ object GifCodecUtil {
     b(3); b(1); le2(0); b(0)
     val full = new Array[Byte](w * h)
     java.util.Arrays.fill(full, c0.toByte)
+    // per-frame delays f+1 centiseconds: cumulative timestamps stay
+    // closed-form for the metadata gate
     writeFrame(bos, full, 0, w, h, gce = true, left = 0, top = 0,
-      disposal = 1, transIdx = -1)
+      disposal = 1, transIdx = -1, delayCs = 1)
     val rect = new Array[Byte](12)
     var f = 1
     while (f < nFrames) {
@@ -183,7 +186,7 @@ object GifCodecUtil {
       }
       writeFrame(bos, rect, 0, 4, 3, gce = true, left = 5 * (f - 1),
         top = 2, disposal = disposal,
-        transIdx = if (transparent) 255 else -1)
+        transIdx = if (transparent) 255 else -1, delayCs = f + 1)
       f += 1
     }
     b(0x3b)
@@ -447,6 +450,98 @@ object GifCodecUtil {
     }
     result
   }
+
+  /** Per-frame animation metadata WITHOUT pixel decode: one row per
+    * image descriptor with its rect, the pending Graphic Control fields
+    * (delay in centiseconds, disposal method, transparency), and the
+    * cumulative start time. LZW data sub-blocks are length-skipped, so a
+    * 100 TB animation-metadata pass costs header bytes per frame, not
+    * pixels. Null when the payload is not a GIF or holds no frame. */
+  def gifFrameMeta(data: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    try {
+      val d = data
+      if (d.length < 14 || d(0) != 'G' || d(1) != 'I' || d(2) != 'F' ||
+        d(3) != '8' || (d(4) != '7' && d(4) != '9') || d(5) != 'a') return null
+      def le2(i: Int): Int = (d(i) & 0xff) | ((d(i + 1) & 0xff) << 8)
+      val flags = d(10) & 0xff
+      var pos = 13
+      if ((flags & 0x80) != 0) {
+        val sz = 3 * (1 << ((flags & 7) + 1))
+        if (pos + sz > d.length) return null
+        pos += sz
+      }
+      val rows = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var delay = 0
+      var disposal = 0
+      var trans = false
+      var startCs = 0L
+      def result: org.apache.spark.sql.catalyst.util.ArrayData =
+        if (rows.isEmpty) null
+        else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          rows.toArray)
+      while (pos < d.length && rows.size < MaxFrames) {
+        (d(pos) & 0xff) match {
+          case 0x3b => return result
+          case 0x21 =>
+            val label = if (pos + 1 < d.length) d(pos + 1) & 0xff else -1
+            if (label == 0xf9 && pos + 7 < d.length &&
+              (d(pos + 2) & 0xff) >= 4) {
+              val packed = d(pos + 3) & 0xff
+              disposal = (packed >> 2) & 7
+              trans = (packed & 1) != 0
+              delay = le2(pos + 4)
+            }
+            pos += 2
+            var len = if (pos < d.length) d(pos) & 0xff else return result
+            while (len != 0) {
+              pos += 1 + len
+              if (pos >= d.length) return result
+              len = d(pos) & 0xff
+            }
+            pos += 1
+          case 0x2c =>
+            if (pos + 10 > d.length) return result
+            val left = le2(pos + 1)
+            val top = le2(pos + 3)
+            val w = le2(pos + 5)
+            val h = le2(pos + 7)
+            val iFlags = d(pos + 9) & 0xff
+            pos += 10
+            if ((iFlags & 0x80) != 0) {
+              val sz = 3 * (1 << ((iFlags & 7) + 1))
+              if (pos + sz > d.length) return result
+              pos += sz
+            }
+            if (pos >= d.length) return result
+            pos += 1 // LZW min code size
+            if (pos >= d.length) return result
+            var len = d(pos) & 0xff
+            while (len != 0) { // skip the data sub-blocks by length alone
+              pos += 1 + len
+              if (pos >= d.length) return result
+              len = d(pos) & 0xff
+            }
+            pos += 1
+            rows += InternalRow(left, top, w, h, delay, disposal, trans,
+              startCs)
+            startCs += delay
+            delay = 0; disposal = 0; trans = false
+          case _ => return result
+        }
+      }
+      result
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  val frameMetaSchema: StructType = StructType(Seq(
+    StructField("left", IntegerType, nullable = false),
+    StructField("top", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("delay_cs", IntegerType, nullable = false),
+    StructField("disposal", IntegerType, nullable = false),
+    StructField("transparent", BooleanType, nullable = false),
+    StructField("start_cs", LongType, nullable = false)))
 
   /** Interlace pass row order: 0,8,16.. then 4,12.. then 2,6.. then 1,3.. */
   private def rowOrder(h: Int, interlaced: Boolean): Array[Int] = {
@@ -724,6 +819,33 @@ case class GifCompositedFrames(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(
       newChild: Expression): GifCompositedFrames =
+    copy(child = newChild)
+}
+
+/** Codegen'd animation metadata WITHOUT pixel decode:
+  * `gif_frame_meta(binary)` -> ARRAY<struct(left, top, width, height,
+  * delay_cs, disposal, transparent, start_cs)> — per-frame rects, timing
+  * (incl. the cumulative start time keyframe timestamps need), and
+  * disposal/transparency, skipping LZW data by sub-block lengths. */
+case class GifFrameMeta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(GifCodecUtil.frameMetaSchema, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gif_frame_meta expects BINARY, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    GifCodecUtil.gifFrameMeta(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.GifCodecUtil.gifFrameMeta($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildInternal(newChild: Expression): GifFrameMeta =
     copy(child = newChild)
 }
 

@@ -525,6 +525,9 @@ object images {
   def gif_frames_composited(data: Column): Column =
     GraftBridge.column(GifCompositedFrames(GraftBridge.expression(data)))
 
+  def gif_frame_meta(data: Column): Column =
+    GraftBridge.column(GifFrameMeta(GraftBridge.expression(data)))
+
   def synth_anim(seed: Column, mode: Column): Column =
     GraftBridge.column(SynthAnim(GraftBridge.expression(seed),
       GraftBridge.expression(mode)))

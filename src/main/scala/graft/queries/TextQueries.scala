@@ -1286,6 +1286,47 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM d"""),
     ),
 
+    // Animation metadata WITHOUT pixel decode: gif_frame_meta walks only
+    // descriptors and Graphic Control Extensions (LZW skipped by
+    // sub-block lengths), yielding per-frame rects, delays, disposal,
+    // transparency, and the cumulative start time a keyframe-timestamp
+    // pass needs. synth_anim plants delay f+1 per frame, so start_cs is
+    // the triangular number fi*(fi+1)/2 in closed form.
+    "q_multimodal_gif_meta" -> QueryDef(
+      (s, dir) => {
+        docs(s, dir).select(col("doc_id"),
+            graft.functions.images.synth_anim(col("doc_id").cast("long"),
+              (col("doc_id") % 4).cast("int")).as("data"))
+          .select(col("doc_id").as("media_id"),
+            posexplode(graft.functions.images.gif_frame_meta(col("data"))))
+          .select(col("media_id"), col("pos").as("frame_idx"),
+            col("col.left").as("left_px"), col("col.top").as("top_px"),
+            col("col.width").as("width"), col("col.height").as("height"),
+            col("col.delay_cs").as("delay_cs"),
+            col("col.disposal").as("disposal"),
+            col("col.transparent").as("transparent"),
+            col("col.start_cs").as("start_cs"))
+      },
+      Some("""WITH f AS (
+          SELECT doc_id,
+            unnest(generate_series(0, CAST(3 + doc_id % 3 AS INT))) AS fi
+          FROM documents)
+        SELECT doc_id AS media_id, CAST(fi AS INTEGER) AS frame_idx,
+          CAST(CASE WHEN fi = 0 THEN 0 ELSE 5 * (fi - 1) END AS INTEGER)
+            AS left_px,
+          CAST(CASE WHEN fi = 0 THEN 0 ELSE 2 END AS INTEGER) AS top_px,
+          CAST(CASE WHEN fi = 0 THEN 24 + (doc_id % 5) * 8 ELSE 4 END
+            AS INTEGER) AS width,
+          CAST(CASE WHEN fi = 0 THEN 10 + (doc_id % 3) * 4 ELSE 3 END
+            AS INTEGER) AS height,
+          CAST(fi + 1 AS INTEGER) AS delay_cs,
+          CAST(CASE WHEN fi = 0 THEN 1 WHEN doc_id % 4 = 1 THEN 2
+            WHEN doc_id % 4 = 2 THEN 3 ELSE 1 END AS INTEGER) AS disposal,
+          (doc_id % 4 = 3 AND fi % 2 = 0 AND fi > 0) AS transparent,
+          CAST(fi * (fi + 1) // 2 AS BIGINT) AS start_cs
+        FROM f"""),
+    ),
+
     // Multi-codec content ingestion round trip: planted closed-form text
     // is compressed with a codec cycling over all five self-identifying
     // formats (zlib, gzip, zstd, lz4, snappy-framed — all from jars Spark

@@ -392,6 +392,77 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("gif_frames_composited: per-frame LOCAL color tables override the global") {
+    import graft.functions.GifCodecUtil
+    // literal-code LZW stream with the decoder's width bookkeeping (the
+    // same scheme the production encoder uses, here for arbitrary tables)
+    def lzw(pixels: Seq[Int], minCode: Int): Array[Byte] = {
+      val clear = 1 << minCode
+      val end = clear + 1
+      val out = new java.io.ByteArrayOutputStream()
+      var acc = 0L
+      var nBits = 0
+      var codeSize = minCode + 1
+      var next = end + 1
+      var prev = -1
+      def emit(code: Int): Unit = {
+        acc |= code.toLong << nBits
+        nBits += codeSize
+        while (nBits >= 8) { out.write((acc & 0xff).toInt); acc >>= 8; nBits -= 8 }
+      }
+      emit(clear)
+      for (p <- pixels) {
+        emit(p)
+        if (prev >= 0 && next < 4096) {
+          next += 1
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = p
+      }
+      emit(end)
+      if (nBits > 0) out.write((acc & 0xff).toInt)
+      out.toByteArray
+    }
+    def frame(left: Int, top: Int, w: Int, h: Int, pixels: Seq[Int],
+        local: Option[Seq[Int]]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def b(v: Int): Unit = bos.write(v & 0xff)
+      def le2(v: Int): Unit = { b(v); b(v >> 8) }
+      b(0x2c); le2(left); le2(top); le2(w); le2(h)
+      b(local.map(_ => 0x80).getOrElse(0)) // 2-entry local table when set
+      local.foreach(_.foreach(g => { b(g); b(g); b(g) }))
+      b(2) // min LZW code size
+      val data = lzw(pixels, 2)
+      var p = 0
+      while (p < data.length) {
+        val len = math.min(255, data.length - p)
+        b(len); bos.write(data, p, len); p += len
+      }
+      b(0)
+      bos.toByteArray
+    }
+    val head = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](2, 0, 2, 0, 0xf0.toByte, 0, 0) ++ // 2x2, GCT(2), bg 0
+      Array[Byte](0, 0, 0, 100, 100, 100) // global: luma 0, 100
+    val payload = head ++
+      frame(0, 0, 2, 2, Seq(1, 1, 1, 1), None) ++ // global: all 100
+      frame(0, 0, 2, 2, Seq(0, 1, 0, 1), Some(Seq(200, 30))) ++ // local
+      frame(0, 0, 1, 1, Seq(1), None) ++ // global again, 1x1 patch
+      Array[Byte](0x3b)
+    val arr = GifCodecUtil.gifCompositedFrames(payload)
+    assert(arr != null && arr.numElements() == 3)
+    def pix(i: Int): Seq[Int] =
+      arr.getStruct(i, 4).getBinary(3).map(_ & 0xff).toSeq
+    assert(pix(0) == Seq(100, 100, 100, 100))
+    assert(pix(1) == Seq(200, 30, 200, 30)) // the local table's lumas
+    assert(pix(2) == Seq(100, 30, 200, 30)) // global restored for frame 3
+    // the standalone decoder resolves the same local palette per frame
+    val solo = GifCodecUtil.gifDecodeFrames(payload)
+    assert((0 until 3).map(i =>
+      solo.getStruct(i, 4).getBinary(3).map(_ & 0xff).toSeq) ==
+      Seq(Seq(100, 100, 100, 100), Seq(200, 30, 200, 30), Seq(100)))
+  }
+
   test("gif_frames_composited: hostile prefixes/flips never throw; junk is null") {
     import graft.functions.GifCodecUtil
     val p = GifCodecUtil.synthAnim(42L, 1)
