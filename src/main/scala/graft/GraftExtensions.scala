@@ -108,6 +108,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "html_title(str) - first <title> content, entity-decoded; null when absent"),
       (args: Seq[Expression]) => HtmlTitle(args.head)))
     ext.injectFunction((
+      FunctionIdentifier("fix_text"),
+      info("fix_text",
+        "fix_text(str) - repair UTF-8-read-as-latin1/cp1252 mojibake " +
+          "(strict re-decode of artifact runs; non-artifacts untouched)"),
+      (args: Seq[Expression]) => FixText(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("normalize_text"),
+      info("normalize_text",
+        "normalize_text(str, form) - Unicode normalization, form in " +
+          "NFC/NFD/NFKC/NFKD"),
+      (args: Seq[Expression]) => NormalizeText(args(0), args(1))))
+    ext.injectFunction((
       FunctionIdentifier("url_parse"),
       info("url_parse",
         "url_parse(str) - lenient parse to (scheme,host,registered_domain," +

@@ -306,6 +306,93 @@ object WebTextUtil {
     val c = canonicalizeUrl(url.toString)
     if (c == null) null else UTF8String.fromString(c)
   }
+
+  // ----------------------------------------------------------- text fix
+
+  /** cp1252's 0x80-0x9F graphic characters, reverse-mapped (char -> the
+    * byte that produced it). Mojibake routed through cp1252 shows these
+    * (€ ™ curly quotes …) where latin1 routing shows C1 control chars;
+    * both must map back for the repair to reconstruct the UTF-8 bytes. */
+  private val Cp1252Rev: Map[Char, Byte] = Map(
+    '€' -> 0x80, '‚' -> 0x82, 'ƒ' -> 0x83, '„' -> 0x84,
+    '…' -> 0x85, '†' -> 0x86, '‡' -> 0x87, 'ˆ' -> 0x88,
+    '‰' -> 0x89, 'Š' -> 0x8a, '‹' -> 0x8b, 'Œ' -> 0x8c,
+    'Ž' -> 0x8e, '‘' -> 0x91, '’' -> 0x92, '“' -> 0x93,
+    '”' -> 0x94, '•' -> 0x95, '–' -> 0x96, '—' -> 0x97,
+    '˜' -> 0x98, '™' -> 0x99, 'š' -> 0x9a, '›' -> 0x9b,
+    'œ' -> 0x9c, 'ž' -> 0x9e, 'Ÿ' -> 0x9f
+  ).map { case (c, b) => c -> b.toByte }
+
+  /** The byte this char encodes to under latin1-or-cp1252 decoding, or
+    * -1 when it cannot be a mojibake artifact. */
+  private def mojibakeByte(c: Char): Int =
+    if (c >= 0x80 && c <= 0xff) c.toInt
+    else Cp1252Rev.get(c).map(_ & 0xff).getOrElse(-1)
+
+  /** Repair UTF-8-read-as-latin1/cp1252 mojibake ("café" seen as
+    * "cafÃ©"): maximal runs of artifact-range chars are mapped back to
+    * the bytes that produced them and re-decoded as STRICT UTF-8; a run
+    * that decodes (and actually contained a multi-byte sequence) is
+    * replaced, anything else is left untouched — so legitimately
+    * latin1-ish text ("café" itself: a lone é is not valid UTF-8) never
+    * changes. The documented false-positive is text that intentionally
+    * spells a valid UTF-8 byte sequence in artifact chars — the same
+    * tradeoff every mojibake fixer makes. */
+  def fixMojibake(s: String): String = {
+    var i = 0
+    var found = false
+    while (i < s.length && !found) {
+      if (mojibakeByte(s.charAt(i)) >= 0xc2) found = true
+      i += 1
+    }
+    if (!found) return s // fast path: no possible lead byte anywhere
+    val out = new java.lang.StringBuilder(s.length)
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    i = 0
+    while (i < s.length) {
+      val b0 = mojibakeByte(s.charAt(i))
+      if (b0 < 0x80) { out.append(s.charAt(i)); i += 1 }
+      else {
+        var j = i
+        val bytes = new java.io.ByteArrayOutputStream(8)
+        while (j < s.length && mojibakeByte(s.charAt(j)) >= 0x80) {
+          bytes.write(mojibakeByte(s.charAt(j)))
+          j += 1
+        }
+        val arr = bytes.toByteArray
+        val repaired: String =
+          if (arr.exists(b => (b & 0xff) >= 0xc2)) {
+            try {
+              dec.reset()
+              dec.decode(java.nio.ByteBuffer.wrap(arr)).toString
+            } catch { case _: java.nio.charset.CharacterCodingException => null }
+          } else null
+        if (repaired != null) out.append(repaired)
+        else out.append(s, i, j)
+        i = j
+      }
+    }
+    out.toString
+  }
+
+  def fixMojibakeU(s: UTF8String): UTF8String =
+    UTF8String.fromString(fixMojibake(s.toString))
+
+  /** Unicode normalization via the JDK's Normalizer; `form` in
+    * NFC/NFD/NFKC/NFKD (case-insensitive), null for other forms. */
+  def normalizeText(s: UTF8String, form: UTF8String): UTF8String = {
+    if (form == null) return null
+    val f = form.toString.toUpperCase match {
+      case "NFC" => java.text.Normalizer.Form.NFC
+      case "NFD" => java.text.Normalizer.Form.NFD
+      case "NFKC" => java.text.Normalizer.Form.NFKC
+      case "NFKD" => java.text.Normalizer.Form.NFKD
+      case _ => return null
+    }
+    UTF8String.fromString(java.text.Normalizer.normalize(s.toString, f))
+  }
 }
 
 /** Codegen'd HTML text extraction: `html_text(str)` — tags dropped
@@ -399,6 +486,58 @@ case class UrlCanonical(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd mojibake repair: `fix_text(str)` — UTF-8-read-as-
+  * latin1/cp1252 artifact runs re-decoded strictly; non-artifacts
+  * untouched. */
+case class FixText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"fix_text expects STRING, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    WebTextUtil.fixMojibakeU(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WebTextUtil.fixMojibakeU($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): FixText =
+    copy(child = newChild)
+}
+
+/** Codegen'd Unicode normalization: `normalize_text(str, form)` with
+  * form in NFC/NFD/NFKC/NFKD; null for unknown forms. */
+case class NormalizeText(data: Expression, form: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = data
+  override def right: Expression = form
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (data.dataType == StringType && form.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"normalize_text expects (STRING, STRING), got " +
+        s"(${data.dataType}, ${form.dataType})")
+
+  override def nullSafeEval(d: Any, f: Any): Any =
+    WebTextUtil.normalizeText(d.asInstanceOf[UTF8String],
+      f.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, f) => s"""
+      ${ev.value} = graft.functions.WebTextUtil.normalizeText($d, $f);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NormalizeText =
+    copy(data = newLeft, form = newRight)
+}
+
 /** Column wrappers for the web-text kernels. */
 object web {
   import org.apache.spark.sql.GraftBridge
@@ -414,4 +553,11 @@ object web {
 
   def url_canonical(c: Column): Column =
     GraftBridge.column(UrlCanonical(GraftBridge.expression(c)))
+
+  def fix_text(c: Column): Column =
+    GraftBridge.column(FixText(GraftBridge.expression(c)))
+
+  def normalize_text(c: Column, form: Column): Column =
+    GraftBridge.column(NormalizeText(GraftBridge.expression(c),
+      GraftBridge.expression(form)))
 }

@@ -1151,6 +1151,47 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM documents"""),
     ),
 
+    // Mojibake repair round trip: the original text (with planted
+    // non-ASCII: é, №, an em dash) is UTF-8-encoded then mis-decoded as
+    // latin1 USING SPARK'S OWN encode/decode — the exact corruption a
+    // crawl picks up from charset-confused servers — and fix_text must
+    // reconstruct the original exactly. The oracle is simply the
+    // original construction: repair is correct iff the round trip is the
+    // identity.
+    "q_text_fix_mojibake" -> QueryDef(
+      (s, dir) => {
+        val original = concat(col("text"), lit(" café №"),
+          (col("doc_id") % 7).cast("string"), lit(" — ok"))
+        val broken = decode(encode(original, "UTF-8"), "ISO-8859-1")
+        docs(s, dir).select(col("doc_id"),
+          graft.functions.web.fix_text(broken).as("fixed"))
+      },
+      Some("""SELECT doc_id,
+          text || ' café №' || (doc_id % 7) || ' — ok' AS fixed
+        FROM documents"""),
+    ),
+
+    // Unicode NFC normalization: planted COMBINING-mark sequences
+    // (e + U+0301, o + U+0308) must compose to the precomposed forms;
+    // DuckDB's independent nfc_normalize over the same construction is
+    // the oracle — two Unicode implementations must agree exactly.
+    "q_text_normalize" -> QueryDef(
+      (s, dir) => {
+        val planted = concat(col("text"), lit(" éö n"),
+          (col("doc_id") % 5).cast("string"))
+        docs(s, dir).select(col("doc_id"),
+          graft.functions.web.normalize_text(planted, lit("NFC"))
+            .as("normalized"),
+          length(graft.functions.web.normalize_text(planted, lit("NFD")))
+            .cast("int").as("nfd_len"))
+      },
+      Some("""SELECT doc_id,
+          nfc_normalize(text || ' e' || chr(769) || 'o' || chr(776) ||
+            ' n' || (doc_id % 5)) AS normalized,
+          CAST(length(text) + 8 AS INTEGER) AS nfd_len
+        FROM documents"""),
+    ),
+
     // URL canonicalization + lenient parse: four planted URL shapes per
     // corpus (uppercase scheme/host + default port + tracking params +
     // fragment; a co.uk host exercising the public-suffix heuristic; a
