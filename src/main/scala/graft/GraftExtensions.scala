@@ -108,6 +108,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "html_title(str) - first <title> content, entity-decoded; null when absent"),
       (args: Seq[Expression]) => HtmlTitle(args.head)))
     ext.injectFunction((
+      FunctionIdentifier("robots_rules"),
+      info("robots_rules",
+        "robots_rules(str) - parse robots.txt to (agent, directive, path) rows"),
+      (args: Seq[Expression]) => RobotsRules(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("robots_allowed"),
+      info("robots_allowed",
+        "robots_allowed(txt, agent, path) - RFC 9309 decision: most " +
+          "specific agent group, longest rule wins, Allow beats Disallow " +
+          "on ties"),
+      (args: Seq[Expression]) => RobotsAllowed(args(0), args(1), args(2))))
+    ext.injectFunction((
+      FunctionIdentifier("split_sentences"),
+      info("split_sentences",
+        "split_sentences(str) - abbreviation- and initial-aware sentence " +
+          "segmentation"),
+      (args: Seq[Expression]) => SplitSentences(args.head)))
+    ext.injectFunction((
       FunctionIdentifier("fix_text"),
       info("fix_text",
         "fix_text(str) - repair UTF-8-read-as-latin1/cp1252 mojibake " +

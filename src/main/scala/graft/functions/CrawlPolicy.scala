@@ -1,0 +1,295 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Crawl-policy + sentence-boundary kernels.
+  *
+  * robots.txt evaluation is the gate between "URL discovered" and "URL
+  * fetched/kept": compliance filtering of a crawl dump is a per-row
+  * decision over (domain's robots payload, URL path), which this kernel
+  * makes inside codegen — the policy join broadcasts robots bodies (a
+  * few KB per domain) rather than shuffling documents.
+  *
+  * Semantics follow the de-facto standard (RFC 9309): records grouped
+  * under User-agent lines (a group may list several agents), most
+  * specific agent match wins ('*' is the fallback), within the group the
+  * LONGEST matching rule path wins, Allow beats Disallow on equal
+  * length, and an empty Disallow means allow-all. Only prefix rules are
+  * implemented; '*' wildcards inside rule paths match any span and '$'
+  * anchors the end.
+  */
+object CrawlPolicyUtil {
+
+  val ruleSchema: StructType = StructType(Seq(
+    StructField("agent", StringType, nullable = false),
+    StructField("directive", StringType, nullable = false),
+    StructField("path", StringType, nullable = false)))
+
+  /** Parsed (agent, directive, path) rows — allow/disallow rules fanned
+    * out per agent of their group; comments and unknown directives
+    * dropped. Null for null input only (an empty/meaningless file is an
+    * empty array: everything allowed). */
+  def parseRules(txt: String): Seq[(String, String, String)] = {
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    var agents = List.empty[String]
+    var groupOpen = false // false once rules started: next UA starts a new group
+    for (raw <- txt.split("\n")) {
+      val line = {
+        val h = raw.indexOf('#')
+        (if (h >= 0) raw.substring(0, h) else raw).trim
+      }
+      if (line.nonEmpty) {
+        val colon = line.indexOf(':')
+        if (colon > 0) {
+          val key = line.substring(0, colon).trim.toLowerCase
+          val value = line.substring(colon + 1).trim
+          key match {
+            case "user-agent" =>
+              if (!groupOpen) agents = Nil
+              agents = value.toLowerCase :: agents
+              groupOpen = true
+            case "allow" | "disallow" =>
+              groupOpen = false
+              for (a <- agents)
+                rules += ((a, key, value))
+            case _ => groupOpen = false // crawl-delay, sitemap, unknown
+          }
+        }
+      }
+    }
+    rules.toSeq
+  }
+
+  /** True when `rulePath` (with '*' spans and an optional trailing '$'
+    * end anchor) matches a prefix of `path`. Empty rule paths match
+    * nothing (an empty Disallow = allow-all by standard). */
+  def ruleMatches(rulePath: String, path: String): Boolean = {
+    if (rulePath.isEmpty) return false
+    val anchored = rulePath.endsWith("$")
+    val body =
+      if (anchored) rulePath.substring(0, rulePath.length - 1) else rulePath
+    // prefix match == full match of body+'*'; standard single-backtrack
+    // greedy wildcard match, O(|pat|*|path|) even on hostile star runs
+    val pat = if (anchored) body else body + "*"
+    var pi = 0
+    var si = 0
+    var star = -1
+    var mark = 0
+    while (si < path.length) {
+      if (pi < pat.length && pat.charAt(pi) == '*') {
+        star = pi; mark = si; pi += 1
+      } else if (pi < pat.length && pat.charAt(pi) == path.charAt(si)) {
+        pi += 1; si += 1
+      } else if (star >= 0) {
+        pi = star + 1; mark += 1; si = mark
+      } else return false
+    }
+    while (pi < pat.length && pat.charAt(pi) == '*') pi += 1
+    pi == pat.length
+  }
+
+  /** Effective rule length for specificity ordering (a '$' anchor does
+    * not add specificity over the same literal). */
+  private def ruleLen(rulePath: String): Int =
+    if (rulePath.endsWith("$")) rulePath.length - 1 else rulePath.length
+
+  /** RFC 9309 decision for (robots body, agent, path): the most
+    * specific matching agent's group (exact token containment beats the
+    * '*' fallback), longest matching rule wins, Allow beats Disallow on
+    * ties, no matching rule = allowed. */
+  def allowed(txt: String, agent: String, path: String): Boolean = {
+    val rules = parseRules(txt)
+    val a = agent.toLowerCase
+    // agent specificity: exact/substring token match > '*'
+    val named = rules.filter(r => r._1 != "*" && a.contains(r._1))
+    val pool =
+      if (named.nonEmpty) {
+        val best = named.map(_._1.length).max
+        named.filter(_._1.length == best)
+      } else rules.filter(_._1 == "*")
+    var bestLen = -1
+    var bestAllow = true
+    for ((_, directive, rp) <- pool if ruleMatches(rp, path)) {
+      val len = ruleLen(rp)
+      val isAllow = directive == "allow"
+      if (len > bestLen || (len == bestLen && isAllow && !bestAllow)) {
+        bestLen = len
+        bestAllow = isAllow
+      }
+    }
+    bestLen < 0 || bestAllow
+  }
+
+  def rulesArray(txt: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val rows = parseRules(txt.toString).map { case (a, d, p) =>
+      InternalRow(UTF8String.fromString(a), UTF8String.fromString(d),
+        UTF8String.fromString(p)): Any
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray)
+  }
+
+  def allowedU(txt: UTF8String, agent: UTF8String, path: UTF8String): Boolean =
+    allowed(txt.toString, agent.toString, path.toString)
+
+  // ------------------------------------------------------------ sentences
+
+  /** Abbreviations that do NOT end a sentence even before an uppercase
+    * start (the deterministic high-frequency slice; a full list is data,
+    * not code). Lowercase, with the trailing dot. */
+  private val Abbrev = Set("mr.", "mrs.", "ms.", "dr.", "prof.", "st.",
+    "vs.", "etc.", "e.g.", "i.e.", "fig.", "no.", "jr.", "sr.", "inc.",
+    "ltd.", "co.", "u.s.", "a.m.", "p.m.")
+
+  /** Split into sentences: a boundary is [.!?]+ (plus closing quotes /
+    * brackets) followed by whitespace and an uppercase letter, digit, or
+    * opening quote — unless the terminator belongs to a known
+    * abbreviation or a single capital initial ("J. Smith"). Whitespace
+    * around sentences is trimmed; empty pieces dropped. */
+  def splitSentences(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '.' || c == '!' || c == '?') {
+        var j = i + 1
+        while (j < s.length && (s.charAt(j) == '.' || s.charAt(j) == '!' ||
+          s.charAt(j) == '?' || s.charAt(j) == '"' || s.charAt(j) == '\'' ||
+          s.charAt(j) == ')' || s.charAt(j) == ']')) j += 1
+        val hasGap = j < s.length && Character.isWhitespace(s.charAt(j))
+        var k = j
+        while (k < s.length && Character.isWhitespace(s.charAt(k))) k += 1
+        val upNext = k < s.length &&
+          (Character.isUpperCase(s.charAt(k)) ||
+            Character.isDigit(s.charAt(k)) ||
+            s.charAt(k) == '"' || s.charAt(k) == '“')
+        val boundary = (hasGap && upNext) || j >= s.length
+        if (boundary && c == '.') {
+          // last token before the dot, dot included
+          var t = i - 1
+          while (t >= 0 && !Character.isWhitespace(s.charAt(t))) t -= 1
+          val token = s.substring(t + 1, i + 1).toLowerCase
+          val initial = i - t - 1 == 1 &&
+            Character.isUpperCase(s.charAt(i - 1))
+          if (!Abbrev.contains(token) && !initial) {
+            val piece = s.substring(start, j).trim
+            if (piece.nonEmpty) out += piece
+            start = k
+          }
+        } else if (boundary) {
+          val piece = s.substring(start, j).trim
+          if (piece.nonEmpty) out += piece
+          start = k
+        }
+        i = j
+      } else i += 1
+    }
+    val tail = s.substring(start).trim
+    if (tail.nonEmpty) out += tail
+    out.toSeq
+  }
+
+  def splitSentencesArray(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      splitSentences(s.toString).map(x =>
+        UTF8String.fromString(x): Any).toArray)
+}
+
+/** Codegen'd robots.txt parse: `robots_rules(str)` ->
+  * ARRAY<struct(agent, directive, path)>. */
+case class RobotsRules(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(CrawlPolicyUtil.ruleSchema, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"robots_rules expects STRING, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    CrawlPolicyUtil.rulesArray(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CrawlPolicyUtil.rulesArray($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RobotsRules =
+    copy(child = newChild)
+}
+
+/** Codegen'd robots.txt decision: `robots_allowed(txt, agent, path)` —
+  * RFC 9309 longest-match with Allow-beats-Disallow ties and the '*'
+  * agent fallback. */
+case class RobotsAllowed(txt: Expression, agent: Expression, path: Expression)
+    extends TernaryExpression {
+  override def first: Expression = txt
+  override def second: Expression = agent
+  override def third: Expression = path
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean =
+    txt.nullable || agent.nullable || path.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (txt.dataType == StringType && agent.dataType == StringType &&
+      path.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"robots_allowed expects (STRING, STRING, STRING), got " +
+        s"(${txt.dataType}, ${agent.dataType}, ${path.dataType})")
+
+  override def nullSafeEval(t: Any, a: Any, p: Any): Any =
+    CrawlPolicyUtil.allowedU(t.asInstanceOf[UTF8String],
+      a.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, a, p) =>
+      s"graft.functions.CrawlPolicyUtil.allowedU($t, $a, $p)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): RobotsAllowed =
+    copy(txt = newFirst, agent = newSecond, path = newThird)
+}
+
+/** Codegen'd sentence segmentation: `split_sentences(str)` ->
+  * ARRAY<STRING> with abbreviation- and initial-aware boundaries. */
+case class SplitSentences(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"split_sentences expects STRING, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    CrawlPolicyUtil.splitSentencesArray(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CrawlPolicyUtil.splitSentencesArray($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SplitSentences =
+    copy(child = newChild)
+}
+
+/** Column wrappers for the crawl-policy kernels. */
+object crawl {
+  import org.apache.spark.sql.GraftBridge
+
+  def robots_rules(c: Column): Column =
+    GraftBridge.column(RobotsRules(GraftBridge.expression(c)))
+
+  def robots_allowed(txt: Column, agent: Column, path: Column): Column =
+    GraftBridge.column(RobotsAllowed(GraftBridge.expression(txt),
+      GraftBridge.expression(agent), GraftBridge.expression(path)))
+
+  def split_sentences(c: Column): Column =
+    GraftBridge.column(SplitSentences(GraftBridge.expression(c)))
+}

@@ -1151,6 +1151,67 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM documents"""),
     ),
 
+    // robots.txt compliance: planted two-group policies (a '*' group
+    // with a Disallow plus a LONGER Allow carve-out, and a named-bot
+    // group whose presence must SHADOW the '*' group entirely for that
+    // bot) evaluated for four path shapes — longest-match, allow-over-
+    // disallow ties, and agent-group selection all land in closed form.
+    "q_crawl_robots" -> QueryDef(
+      (s, dir) => {
+        val robots = concat(
+          lit("User-agent: *\nDisallow: /private\nAllow: /private/ok\n" +
+            "User-agent: graftbot\nDisallow: /bot"),
+          (col("doc_id") % 3).cast("string"), lit("\n"))
+        val path = when(col("doc_id") % 4 === 0, lit("/public/x"))
+          .when(col("doc_id") % 4 === 1, lit("/private/y"))
+          .when(col("doc_id") % 4 === 2, lit("/private/ok/z"))
+          .otherwise(concat(lit("/bot"), (col("doc_id") % 3).cast("string"),
+            lit("/q")))
+        docs(s, dir).select(col("doc_id"), robots.as("robots"),
+            path.as("path"))
+          .select(col("doc_id"), col("path"),
+            graft.functions.crawl.robots_allowed(col("robots"),
+              lit("graftbot/1.0"), col("path")).as("allowed_graftbot"),
+            graft.functions.crawl.robots_allowed(col("robots"),
+              lit("otherbot"), col("path")).as("allowed_other"),
+            size(graft.functions.crawl.robots_rules(col("robots")))
+              .cast("int").as("n_rules"))
+      },
+      Some("""SELECT doc_id,
+          CASE doc_id % 4 WHEN 0 THEN '/public/x' WHEN 1 THEN '/private/y'
+            WHEN 2 THEN '/private/ok/z'
+            ELSE '/bot' || (doc_id % 3) || '/q' END AS path,
+          (doc_id % 4 <> 3) AS allowed_graftbot,
+          (doc_id % 4 <> 1) AS allowed_other,
+          CAST(3 AS INTEGER) AS n_rules
+        FROM documents"""),
+    ),
+
+    // Sentence segmentation: planted four-sentence paragraphs exercising
+    // '!'/'?' terminators, an abbreviation ("Dr.") that must NOT split,
+    // and digit-initial sentence starts; exploded (doc_id, sent_idx,
+    // sentence) rows reconstruct in closed form.
+    "q_text_sentences" -> QueryDef(
+      (s, dir) => {
+        val para = concat(lit("Hello world. This is doc "),
+          col("doc_id").cast("string"), lit("! Dr. Smith saw "),
+          (col("doc_id") % 5).cast("string"), lit(" items. Done?"))
+        docs(s, dir).select(col("doc_id"), posexplode(
+            graft.functions.crawl.split_sentences(para)))
+          .select(col("doc_id"), col("pos").as("sent_idx"),
+            col("col").as("sentence"))
+      },
+      Some("""WITH f AS (
+          SELECT doc_id, unnest(generate_series(0, 3)) AS si
+          FROM documents)
+        SELECT doc_id, CAST(si AS INTEGER) AS sent_idx,
+          CASE si WHEN 0 THEN 'Hello world.'
+            WHEN 1 THEN 'This is doc ' || doc_id || '!'
+            WHEN 2 THEN 'Dr. Smith saw ' || (doc_id % 5) || ' items.'
+            ELSE 'Done?' END AS sentence
+        FROM f"""),
+    ),
+
     // Mojibake repair round trip: the original text (with planted
     // non-ASCII: é, №, an em dash) is UTF-8-encoded then mis-decoded as
     // latin1 USING SPARK'S OWN encode/decode — the exact corruption a
