@@ -138,6 +138,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "NFC/NFD/NFKC/NFKD"),
       (args: Seq[Expression]) => NormalizeText(args(0), args(1))))
     ext.injectFunction((
+      FunctionIdentifier("html_links"),
+      info("html_links",
+        "html_links(str) - anchor href values in document order, entity-decoded"),
+      (args: Seq[Expression]) => HtmlLinks(args.head)))
+    ext.injectFunction((
       FunctionIdentifier("url_parse"),
       info("url_parse",
         "url_parse(str) - lenient parse to (scheme,host,registered_domain," +

@@ -159,6 +159,94 @@ object WebTextUtil {
   def htmlTextU(html: UTF8String): UTF8String =
     UTF8String.fromString(htmlText(html.toString, titleOnly = false))
 
+  /** href values of anchor tags, in document order, entity-decoded
+    * (hrefs legally contain &amp;). Quoted (single/double) and unquoted
+    * attribute forms; script/style/comment content skipped with the
+    * same machinery as [[htmlText]]. Empty hrefs dropped. */
+  def htmlLinks(html: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < html.length) {
+      if (html.charAt(i) == '<') {
+        if (startsAt(html, i, "<!--")) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) html.length else e + 3
+        } else if (startsAt(html, i, "<script")) {
+          var j = i + 7
+          while (j < html.length && html.charAt(j) != '>') j += 1
+          i = if (j < html.length) skipRawElement(html, j + 1, "</script")
+              else html.length
+        } else if (startsAt(html, i, "<style")) {
+          var j = i + 6
+          while (j < html.length && html.charAt(j) != '>') j += 1
+          i = if (j < html.length) skipRawElement(html, j + 1, "</style")
+              else html.length
+        } else {
+          var j = i + 1
+          while (j < html.length && html.charAt(j) != '>') j += 1
+          val isAnchor = i + 2 < html.length && j < html.length &&
+            (html.charAt(i + 1) == 'a' || html.charAt(i + 1) == 'A') &&
+            (i + 2 >= j || !Character.isLetterOrDigit(html.charAt(i + 2)))
+          if (isAnchor) {
+            // scan the tag span for an href attribute (preceded by
+            // whitespace or a quote, so data-href does not match)
+            var k = i + 2
+            var found: String = null
+            while (found == null && k + 5 <= j) {
+              val before = html.charAt(k - 1)
+              if (startsAt(html, k, "href") &&
+                (isWs(before) || before == '"' || before == '\'')) {
+                var v = k + 4
+                while (v < j && isWs(html.charAt(v))) v += 1
+                if (v < j && html.charAt(v) == '=') {
+                  v += 1
+                  while (v < j && isWs(html.charAt(v))) v += 1
+                  if (v < j) {
+                    val q = html.charAt(v)
+                    val (s0, e0) =
+                      if (q == '"' || q == '\'') {
+                        val e = html.indexOf(q, v + 1)
+                        (v + 1, if (e < 0 || e > j) j else e)
+                      } else {
+                        var e = v
+                        while (e < j && !isWs(html.charAt(e))) e += 1
+                        (v, e)
+                      }
+                    found = decodeEntities(html.substring(s0, e0))
+                  }
+                }
+              }
+              k += 1
+            }
+            if (found != null && found.nonEmpty) out += found
+          }
+          i = if (j < html.length) j + 1 else html.length
+        }
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  /** Entity-decode a short attribute value with [[entity]]. */
+  private def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '&') {
+        val (code, next) = entity(s, i)
+        if (code >= 0) { out.appendCodePoint(code); i = next }
+        else { out.append('&'); i += 1 }
+      } else { out.append(s.charAt(i)); i += 1 }
+    }
+    out.toString
+  }
+
+  def htmlLinksArray(html: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      htmlLinks(html.toString).map(x =>
+        UTF8String.fromString(x): Any).toArray)
+
   def htmlTitleU(html: UTF8String): UTF8String = {
     val t = htmlText(html.toString, titleOnly = true)
     if (t == null) null else UTF8String.fromString(t)
@@ -440,6 +528,28 @@ case class HtmlTitle(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd link extraction: `html_links(str)` -> ARRAY<STRING> of
+  * anchor href values in document order, entity-decoded. */
+case class HtmlLinks(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"html_links expects STRING, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    WebTextUtil.htmlLinksArray(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WebTextUtil.htmlLinksArray($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlLinks =
+    copy(child = newChild)
+}
+
 /** Codegen'd lenient URL parse: `url_parse(str)` -> struct(scheme, host,
   * registered_domain, port, path, query); null without a scheme://host
   * shape. */
@@ -547,6 +657,9 @@ object web {
 
   def html_title(c: Column): Column =
     GraftBridge.column(HtmlTitle(GraftBridge.expression(c)))
+
+  def html_links(c: Column): Column =
+    GraftBridge.column(HtmlLinks(GraftBridge.expression(c)))
 
   def url_parse(c: Column): Column =
     GraftBridge.column(UrlParse(GraftBridge.expression(c)))

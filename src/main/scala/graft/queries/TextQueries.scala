@@ -1151,6 +1151,43 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM documents"""),
     ),
 
+    // Link extraction -> canonical edges: planted pages carry three
+    // anchors in all three attribute spellings (double-quoted with an
+    // &amp; entity and shouting host/default port, single-quoted after
+    // another attribute, unquoted) plus a commented-out link that must
+    // NOT extract; html_links -> url_canonical yields the edge list a
+    // link graph ingests, every row closed-form.
+    "q_crawl_links" -> QueryDef(
+      (s, dir) => {
+        val page = concat(
+          lit("<html><body><a href=\"HTTP://Site"),
+          (col("doc_id") % 60).cast("string"),
+          lit(".EXAMPLE.COM:80/a?utm_source=x&amp;id="),
+          (col("doc_id") % 10).cast("string"),
+          lit("\">one</a><!-- <a href=\"http://skip.example.com/\">no</a> -->" +
+            "<a class='x' href='http://site"),
+          (col("doc_id") % 7).cast("string"),
+          lit(".example.com/b'>two</a><p>text</p><a href=http://site"),
+          (col("doc_id") % 13).cast("string"),
+          lit(".example.com/c>three</a></body></html>"))
+        docs(s, dir).select(col("doc_id"), posexplode(
+            graft.functions.web.html_links(page)))
+          .select(col("doc_id"), col("pos").as("link_idx"),
+            graft.functions.web.url_canonical(col("col")).as("url"))
+      },
+      Some("""WITH f AS (
+          SELECT doc_id, unnest(generate_series(0, 2)) AS li
+          FROM documents)
+        SELECT doc_id, CAST(li AS INTEGER) AS link_idx,
+          CASE li
+            WHEN 0 THEN 'http://site' || (doc_id % 60) ||
+              '.example.com/a?id=' || (doc_id % 10)
+            WHEN 1 THEN 'http://site' || (doc_id % 7) || '.example.com/b'
+            ELSE 'http://site' || (doc_id % 13) || '.example.com/c'
+          END AS url
+        FROM f"""),
+    ),
+
     // robots.txt compliance: planted two-group policies (a '*' group
     // with a Disallow plus a LONGER Allow carve-out, and a named-bot
     // group whose presence must SHADOW the '*' group entirely for that
