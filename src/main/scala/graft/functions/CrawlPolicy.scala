@@ -103,8 +103,34 @@ object CrawlPolicyUtil {
     * specific matching agent's group (exact token containment beats the
     * '*' fallback), longest matching rule wins, Allow beats Disallow on
     * ties, no matching rule = allowed. */
+  /** Per-thread memo of parsed robots bodies: a compliance filter
+    * evaluates ONE domain's policy for thousands of that domain's URLs
+    * (domain-sorted or broadcast-joined input), and re-parsing per row
+    * would dominate the decision. 64 entries, access-ordered; keys are
+    * the body text (hit cost = one string equality, far below a parse). */
+  private val ruleCache: ThreadLocal[java.util.LinkedHashMap[String, Seq[(String, String, String)]]] =
+    new ThreadLocal[java.util.LinkedHashMap[String, Seq[(String, String, String)]]] {
+      override def initialValue() =
+        new java.util.LinkedHashMap[String, Seq[(String, String, String)]](
+          64, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, Seq[(String, String, String)]]): Boolean =
+            size() > 64
+        }
+    }
+
+  private def parseRulesCached(txt: String): Seq[(String, String, String)] = {
+    val m = ruleCache.get()
+    var r = m.get(txt)
+    if (r == null) {
+      r = parseRules(txt)
+      m.put(txt, r)
+    }
+    r
+  }
+
   def allowed(txt: String, agent: String, path: String): Boolean = {
-    val rules = parseRules(txt)
+    val rules = parseRulesCached(txt)
     val a = agent.toLowerCase
     // agent specificity: exact/substring token match > '*'
     val named = rules.filter(r => r._1 != "*" && a.contains(r._1))
