@@ -1049,20 +1049,16 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
             length(body).cast("string"), lit("\r\n\r\n"), body
           ).cast("binary"), lit("gzip"))
         }
-        docs(s, dir)
-          .select(col("doc_id"),
-            concat(rec(0), rec(1), rec(2)).as("chunk"))
-          .select(col("doc_id"), posexplode(
-            graft.functions.codecs.gzip_members(col("chunk"))))
-          .select(col("doc_id"), col("pos").as("member_idx"),
-            graft.functions.codecs.warc_record(col("col")).as("r"))
-          .select(col("doc_id"), col("member_idx"),
-            col("r.version").as("version"),
-            element_at(col("r.headers"), "WARC-Type").as("warc_type"),
-            element_at(col("r.headers"), "WARC-Record-ID").as("record_id"),
-            element_at(col("r.headers"), "Content-Length")
+        graft.sources.Content.warcRecords(
+            docs(s, dir).select(col("doc_id"),
+              concat(rec(0), rec(1), rec(2)).as("chunk")),
+            "doc_id", "chunk")
+          .select(col("doc_id"), col("member_idx"), col("version"),
+            element_at(col("headers"), "WARC-Type").as("warc_type"),
+            element_at(col("headers"), "WARC-Record-ID").as("record_id"),
+            element_at(col("headers"), "Content-Length")
               .cast("int").as("content_length"),
-            col("r.body").cast("string").as("body"))
+            col("body").cast("string").as("body"))
       },
       Some("""WITH m AS (
           SELECT doc_id, unnest(generate_series(0, 2)) AS mi FROM documents),
@@ -1186,6 +1182,40 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
             ELSE 'http://site' || (doc_id % 13) || '.example.com/c'
           END AS url
         FROM f"""),
+    ),
+
+    // Per-domain corpus stats — the building block of domain-cap /
+    // domain-reweighting curation (a crawl is dominated by a few hosts):
+    // planted URLs (www-prefixed and bare, .com and .co.uk public-suffix
+    // forms) group by REGISTERED domain, with page counts, distinct
+    // paths, and the www share, all closed-form.
+    "q_crawl_domain_stats" -> QueryDef(
+      (s, dir) => {
+        val url = concat(lit("https://"),
+          when(col("doc_id") % 2 === 0, lit("www.")).otherwise(lit("")),
+          lit("site"), (col("doc_id") % 40).cast("string"),
+          when(col("doc_id") % 3 === 0, lit(".co.uk")).otherwise(lit(".com")),
+          lit("/p/"), (col("doc_id") % 11).cast("string"))
+        docs(s, dir)
+          .select(graft.functions.web.url_parse(url).as("u"))
+          .groupBy(col("u.registered_domain").as("domain"))
+          .agg(count(lit(1)).as("n_pages"),
+            countDistinct(col("u.path")).as("n_paths"),
+            sum(when(col("u.host").startsWith("www."), 1L).otherwise(0L))
+              .as("n_www"))
+      },
+      Some("""WITH u AS (
+          SELECT doc_id,
+            'site' || (doc_id % 40) ||
+              CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END
+              AS domain,
+            '/p/' || (doc_id % 11) AS path,
+            (doc_id % 2 = 0) AS www
+          FROM documents)
+        SELECT domain, count(*) AS n_pages,
+          CAST(count(DISTINCT path) AS BIGINT) AS n_paths,
+          CAST(sum(CASE WHEN www THEN 1 ELSE 0 END) AS BIGINT) AS n_www
+        FROM u GROUP BY 1"""),
     ),
 
     // robots.txt compliance: planted two-group policies (a '*' group

@@ -130,4 +130,24 @@ object Content {
         .select("trid", "pmid"), "trid")
       .select(col("pmid"),
         translate(inflateText(col("content")), "\t\n", " \t").as("text"))
+
+  /** WARC-style chunk ingestion: concatenated-gzip chunks -> one row per
+    * record (chunk id, member_idx, version, headers map, body bytes).
+    * Every stage is a codegen'd expression plus one generator fused into
+    * the scan stage — compressed chunk bytes never cross a shuffle, and
+    * the SAME transform runs batch or streaming (it is stateless).
+    * Unparseable members are dropped (the curation posture); corrupt
+    * chunk tails keep their good prefix by [[graft.functions.CodecsUtil.gzipMembers]]. */
+  def warcRecords(
+      chunks: DataFrame, idCol: String, chunkCol: String): DataFrame =
+    chunks
+      .select(col(idCol), posexplode(
+        graft.functions.codecs.gzip_members(col(chunkCol))))
+      .withColumnRenamed("pos", "member_idx")
+      .select(col(idCol), col("member_idx"),
+        graft.functions.codecs.warc_record(col("col")).as("r"))
+      .where(col("r").isNotNull)
+      .select(col(idCol), col("member_idx"),
+        col("r.version").as("version"), col("r.headers").as("headers"),
+        col("r.body").as("body"))
 }

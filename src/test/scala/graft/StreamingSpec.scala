@@ -46,6 +46,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming WARC ingest == batch: stateless chain, same transform") {
+    import graft.sources.Content
+    // the full crawl-ingest chain (compress -> member split -> record
+    // parse -> url/html extraction) is stateless, so the SAME transform
+    // must drain identically through readStream in Append mode
+    def ingested(df: org.apache.spark.sql.DataFrame) = {
+      val rec = (i: Int) => graft.functions.codecs.compress_bytes(concat(
+        lit("WARC/1.0\r\nWARC-Target-URI: HTTP://S"),
+        pmod(col("doc_id"), lit(9)).cast("string"),
+        lit(s".Example.COM:80/p/$i?utm_source=x\r\n\r\n<p>"),
+        col("text"), lit("</p>")).cast("binary"), lit("gzip"))
+      Content.warcRecords(
+          df.select(col("doc_id"), concat(rec(0), rec(1)).as("chunk")),
+          "doc_id", "chunk")
+        .select(col("doc_id"), col("member_idx"),
+          graft.functions.web.url_canonical(
+            element_at(col("headers"), "WARC-Target-URI")).as("url"),
+          graft.functions.web.html_text(
+            col("body").cast("string")).as("text"))
+    }
+    val batch = Tables.table(spark, dir, "documents")
+    val expected = ingested(batch).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(expected.size == 1000) // 500 docs x 2 members
+    assert(expected.forall(_._3.startsWith("http://s")))
+    val docsDir = java.nio.file.Files.createTempDirectory("graft-warc")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      docsDir.resolve("documents.parquet"))
+    val stream = spark.readStream.schema(batch.schema)
+      .parquet(docsDir.toString)
+    val q = ingested(stream).writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("warc_ingest_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("warc_ingest_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3)))
+        .toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("streaming quality-funnel report == batch report (shared transform)") {
     import graft.operators.{Curate, TextAnalysis}
     def tagged(df: org.apache.spark.sql.DataFrame) =
