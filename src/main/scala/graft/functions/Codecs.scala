@@ -249,6 +249,13 @@ object CodecsUtil {
       org.apache.spark.sql.types.StructField("body",
         BinaryType, nullable = false)))
 
+  /** Header-count cap: real WARC records carry tens of headers; a
+    * hostile 64 MB member of 4-byte "a:b" lines would otherwise build
+    * ~16M map entries (a 20-30x allocation amplifier per row). Past the
+    * cap, lines are still WALKED to find the body boundary but no
+    * longer collected. */
+  val MaxWarcHeaders: Int = 1024
+
   /** Parse one WARC record: "WARC/x.y" version line, "Name: value"
     * header lines to the first blank line, body = everything after.
     * CRLF and bare-LF line endings both accepted; headers keep their
@@ -277,13 +284,15 @@ object CodecsUtil {
       val len = (if (e > i && b(e - 1) == '\r') e - 1 else e) - i
       if (len == 0) { bodyStart = math.min(e + 1, b.length); done = true }
       else {
-        val line = new String(b, i, len,
-          java.nio.charset.StandardCharsets.UTF_8)
-        val colon = line.indexOf(':')
-        if (colon > 0) {
-          keys += UTF8String.fromString(line.substring(0, colon).trim)
-          vals += UTF8String.fromString(line.substring(colon + 1).trim)
-        } // malformed header lines are skipped, not fatal
+        if (keys.size < MaxWarcHeaders) {
+          val line = new String(b, i, len,
+            java.nio.charset.StandardCharsets.UTF_8)
+          val colon = line.indexOf(':')
+          if (colon > 0) {
+            keys += UTF8String.fromString(line.substring(0, colon).trim)
+            vals += UTF8String.fromString(line.substring(colon + 1).trim)
+          } // malformed header lines are skipped, not fatal
+        }
         i = e + 1
       }
     }

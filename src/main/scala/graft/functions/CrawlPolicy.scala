@@ -31,10 +31,17 @@ object CrawlPolicyUtil {
     StructField("directive", StringType, nullable = false),
     StructField("path", StringType, nullable = false)))
 
+  /** Rule-count cap (crawlers conventionally parse at most ~500 KB of
+    * robots.txt; a hostile multi-MB body must not amplify into millions
+    * of rule tuples that then sit in the per-thread memo). Rules past
+    * the cap are dropped — for a file that large the policy is
+    * effectively unparseable anyway. */
+  val MaxRules: Int = 4096
+
   /** Parsed (agent, directive, path) rows — allow/disallow rules fanned
     * out per agent of their group; comments and unknown directives
     * dropped. Null for null input only (an empty/meaningless file is an
-    * empty array: everything allowed). */
+    * empty array: everything allowed). Bounded by [[MaxRules]]. */
   def parseRules(txt: String): Seq[(String, String, String)] = {
     val rules = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
     var agents = List.empty[String]
@@ -56,7 +63,7 @@ object CrawlPolicyUtil {
               groupOpen = true
             case "allow" | "disallow" =>
               groupOpen = false
-              for (a <- agents)
+              for (a <- agents if rules.size < MaxRules)
                 rules += ((a, key, value))
             case _ => groupOpen = false // crawl-delay, sitemap, unknown
           }
@@ -120,6 +127,8 @@ object CrawlPolicyUtil {
     }
 
   private def parseRulesCached(txt: String): Seq[(String, String, String)] = {
+    // don't let hostile multi-MB bodies pin 64x their size as cache keys
+    if (txt.length > 512 * 1024) return parseRules(txt)
     val m = ruleCache.get()
     var r = m.get(txt)
     if (r == null) {

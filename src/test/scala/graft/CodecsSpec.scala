@@ -151,6 +151,16 @@ class CodecsSpec extends AnyFunSuite {
         new String(r.getBinary(2), UTF_8))
     }
 
+  test("warc_record: hostile header floods are capped, body still found") {
+    val flood = "WARC/1.0\r\n" +
+      (1 to 50000).map(i => s"h$i: v").mkString("\r\n") +
+      "\r\n\r\nthe body"
+    val r = CodecsUtil.warcRecord(bytes(flood))
+    assert(r != null)
+    assert(r.getMap(1).numElements() == CodecsUtil.MaxWarcHeaders)
+    assert(new String(r.getBinary(2), UTF_8) == "the body")
+  }
+
   test("warc_record: version, headers, body; CRLF and bare-LF; hostile") {
     val crlf = "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 4\r\n\r\nbody"
     assert(warc(bytes(crlf)).contains(("WARC/1.0",

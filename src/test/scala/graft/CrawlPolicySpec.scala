@@ -69,6 +69,16 @@ class CrawlPolicySpec extends AnyFunSuite {
       Seq(("nicebot", "disallow", "")))
   }
 
+  test("robots: hostile rule floods are capped, decisions still sane") {
+    val flood = "User-agent: *\n" +
+      (1 to 100000).map(i => s"Disallow: /x$i").mkString("\n")
+    assert(CrawlPolicyUtil.parseRules(flood).size ==
+      CrawlPolicyUtil.MaxRules)
+    // paths outside the flood stay allowed; an in-cap rule still blocks
+    assert(CrawlPolicyUtil.allowed(flood, "bot", "/elsewhere"))
+    assert(!CrawlPolicyUtil.allowed(flood, "bot", "/x1/page"))
+  }
+
   test("sentences: terminators, abbreviations, initials, runs") {
     val split = CrawlPolicyUtil.splitSentences _
     assert(split("One. Two! Three?") == Seq("One.", "Two!", "Three?"))
