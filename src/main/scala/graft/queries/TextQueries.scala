@@ -1305,18 +1305,24 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
     // the oracle — two Unicode implementations must agree exactly.
     "q_text_normalize" -> QueryDef(
       (s, dir) => {
-        val planted = concat(col("text"), lit(" éö n"),
+        // the suffix literal is authored DECOMPOSED (e+U+0301, o+U+0308)
+        val suffix = concat(lit(" éö n"),
           (col("doc_id") % 5).cast("string"))
+        val planted = concat(col("text"), suffix)
         docs(s, dir).select(col("doc_id"),
           graft.functions.web.normalize_text(planted, lit("NFC"))
             .as("normalized"),
-          length(graft.functions.web.normalize_text(planted, lit("NFD")))
+          // NFD length over the SUFFIX only, so the assertion (NFD keeps
+          // decomposed marks decomposed: 8 code points, not 6) stays
+          // valid even if a future testdata generation plants non-ASCII
+          // document text
+          length(graft.functions.web.normalize_text(suffix, lit("NFD")))
             .cast("int").as("nfd_len"))
       },
       Some("""SELECT doc_id,
           nfc_normalize(text || ' e' || chr(769) || 'o' || chr(776) ||
             ' n' || (doc_id % 5)) AS normalized,
-          CAST(length(text) + 8 AS INTEGER) AS nfd_len
+          CAST(8 AS INTEGER) AS nfd_len
         FROM documents"""),
     ),
 
