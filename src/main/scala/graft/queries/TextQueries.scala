@@ -1129,11 +1129,17 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
     "q_text_html_extract" -> QueryDef(
       (s, dir) => {
         val id = col("doc_id").cast("string")
+        // ESCAPE the document text into the page the way a generator
+        // would (& and < become entities), so the gate stays correct
+        // even if a future testdata regeneration plants markup-looking
+        // characters; extraction decodes them back
+        val escaped = regexp_replace(regexp_replace(
+          col("text"), "&", "&amp;"), "<", "&lt;")
         val html = concat(
           lit("<html><head><title> Doc "), id,
           lit(" </title><style>p{color:#000}</style>" +
             "<script>if(1<2){var x='</';}</script></head><body><h1>Doc "),
-          id, lit("</h1><p>"), col("text"),
+          id, lit("</h1><p>"), escaped,
           lit("</p><p>A &amp; B &lt;tag&gt; &#65;&#x42;&nbsp;end</p>" +
             "<!-- skip --></body></html>"))
         docs(s, dir).select(col("doc_id"), html.as("html"))
@@ -1141,9 +1147,14 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
             graft.functions.web.html_title(col("html")).as("title"),
             graft.functions.web.html_text(col("html")).as("text"))
       },
+      // the oracle replays html_text's whitespace collapse over the raw
+      // text (space/tab/cr/lf/ff runs -> one space, trimmed) — identity
+      // on today's corpus, robust to regenerated whitespace
       Some("""SELECT doc_id, 'Doc ' || doc_id AS title,
-          'Doc ' || doc_id || ' Doc ' || doc_id || ' ' || text ||
-            ' A & B <tag> AB end' AS text
+          trim(regexp_replace(
+            'Doc ' || doc_id || ' Doc ' || doc_id || ' ' || text ||
+              ' A & B <tag> AB end',
+            '[ \t\r\n\f]+', ' ', 'g')) AS text
         FROM documents"""),
     ),
 
