@@ -28,6 +28,49 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(dot == 11.0)
   }
 
+  test("round-10 crawl-ingest registrations are callable from SQL") {
+    // every function registered this round answers through the SQL name,
+    // so a registration typo cannot rot silently behind the Column API
+    val r = spark.sql(
+      "SELECT decompress_text(compress_bytes(CAST('t' AS BINARY), 'zstd'), 'auto') AS a," +
+        " codec_sniff(compress_bytes(CAST('t' AS BINARY), 'gzip')) AS b," +
+        " size(gzip_members(compress_bytes(CAST('t' AS BINARY), 'gzip'))) AS c," +
+        " warc_record(CAST('WARC/1.0\r\nK: v\r\n\r\nbody' AS BINARY)).headers['K'] AS d," +
+        " html_text('<p>x &amp; y</p>') AS e," +
+        " html_title('<title>T</title>') AS f," +
+        " html_links('<a href=\"http://x.com/\">l</a>')[0] AS g," +
+        " url_parse('http://a.b.com/p').registered_domain AS h," +
+        " url_canonical('HTTP://A.com:80/p#f') AS i," +
+        " fix_text('cafÃ©') AS j," +
+        " normalize_text('é', 'NFC') AS k," +
+        " robots_allowed('User-agent: *\nDisallow: /x', 'b', '/x/y') AS l," +
+        " size(robots_rules('User-agent: *\nDisallow: /x')) AS m," +
+        " size(split_sentences('One. Two.')) AS n," +
+        " byte_sum(CAST('ab' AS BINARY)) AS o," +
+        " size(container_tracks(synth_mp4(CAST(7 AS BIGINT), true))) AS p," +
+        " size(gif_frame_meta(synth_anim(CAST(3 AS BIGINT), 0))) AS q," +
+        " size(gif_frames_composited(synth_anim(CAST(3 AS BIGINT), 0))) AS r"
+    ).collect().head
+    assert(r.getString(0) == "t")
+    assert(r.getString(1) == "gzip")
+    assert(r.getInt(2) == 1)
+    assert(r.getString(3) == "v")
+    assert(r.getString(4) == "x & y")
+    assert(r.getString(5) == "T")
+    assert(r.getString(6) == "http://x.com/")
+    assert(r.getString(7) == "b.com")
+    assert(r.getString(8) == "http://a.com/p")
+    assert(r.getString(9) == "café")
+    assert(r.getString(10) == "é")
+    assert(!r.getBoolean(11))
+    assert(r.getInt(12) == 1)
+    assert(r.getInt(13) == 2)
+    assert(r.getLong(14) == 'a' + 'b')
+    assert(r.getInt(15) == 2) // video + audio trak
+    assert(r.getInt(16) == 4) // synth_anim nFrames = 4 + seed % 3
+    assert(r.getInt(17) == r.getInt(16))
+  }
+
   test("array kernels are callable from SQL and match the Scala API") {
     val sh = spark.sql(
       "SELECT word_shingles('a b c d', 3) AS s").collect().head.getSeq[String](0)
