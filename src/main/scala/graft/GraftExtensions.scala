@@ -155,6 +155,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "ports + fragments + tracking params dropped"),
       (args: Seq[Expression]) => UrlCanonical(args.head)))
     ext.injectFunction((
+      FunctionIdentifier("image_resize"),
+      info("image_resize",
+        "image_resize(pixels, w, h, new_w, new_h) - bilinear grayscale " +
+          "resize, half-pixel convention, exact integer fixed-point"),
+      (args: Seq[Expression]) =>
+        ImageResize(args(0), args(1), args(2), args(3), args(4))))
+    ext.injectFunction((
+      FunctionIdentifier("synth_gradient"),
+      info("synth_gradient",
+        "synth_gradient(seed, w, h) - seed-derived linear-gradient fixture"),
+      (args: Seq[Expression]) => SynthGradient(args(0), args(1), args(2))))
+    ext.injectFunction((
       FunctionIdentifier("byte_sum"),
       info("byte_sum", "byte_sum(bin) - sum of the buffer's unsigned bytes"),
       (args: Seq[Expression]) => ByteSum(args.head)))

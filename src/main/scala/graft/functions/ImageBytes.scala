@@ -20,6 +20,78 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ImageBytesUtil {
 
+  /** Bilinear grayscale resize under the half-pixel (align-corners =
+    * false) convention ML pipelines use: srcX = (dstX + 0.5) * w/newW -
+    * 0.5, edge-clamped. ALL arithmetic is exact integer fixed-point
+    * (denominator 2*newW resp. 2*newH, rounding half-up at the end), so
+    * results are platform-deterministic; an odd integer downscale factor
+    * k lands every sample exactly on the source grid (srcX = k*dstX +
+    * (k-1)/2), which is what the oracle gate exploits. Null on
+    * non-positive/overflowing dims or a short buffer. */
+  def resizeGray(src: Array[Byte], w: Int, h: Int,
+      newW: Int, newH: Int): Array[Byte] = {
+    if (w <= 0 || h <= 0 || newW <= 0 || newH <= 0) return null
+    if (w.toLong * h > src.length || newW.toLong * newH > (1L << 24))
+      return null
+    val out = new Array[Byte](newW * newH)
+    val denX = 2L * newW
+    val denY = 2L * newH
+    var y = 0
+    while (y < newH) {
+      // numY/denY is the real-valued source row, clamped at the edges
+      var numY = (2L * y + 1) * h - newH
+      if (numY < 0) numY = 0
+      var y0 = (numY / denY).toInt
+      if (y0 > h - 1) y0 = h - 1
+      val y1 = math.min(y0 + 1, h - 1)
+      val wy = numY - y0 * denY // 0..denY
+      var x = 0
+      while (x < newW) {
+        var numX = (2L * x + 1) * w - newW
+        if (numX < 0) numX = 0
+        var x0 = (numX / denX).toInt
+        if (x0 > w - 1) x0 = w - 1
+        val x1 = math.min(x0 + 1, w - 1)
+        val wx = numX - x0 * denX // 0..denX
+        val p00 = src(y0 * w + x0) & 0xff
+        val p01 = src(y0 * w + x1) & 0xff
+        val p10 = src(y1 * w + x0) & 0xff
+        val p11 = src(y1 * w + x1) & 0xff
+        val top = p00 * (denX - wx) + p01 * wx
+        val bot = p10 * (denX - wx) + p11 * wx
+        val v = (top * (denY - wy) + bot * wy + denX * denY / 2) /
+          (denX * denY)
+        out(y * newW + x) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Fixture builder: a seed-derived LINEAR gradient buffer —
+    * pixel(x, y) = (a*x + b*y + c) mod 256 with a = seed%5+1,
+    * b = seed%7+1, c = seed%97 — the image whose odd-factor resize is
+    * closed-form (grid-exact samples pick planted values directly). */
+  def synthGradient(seed: Long, w: Int, h: Int): Array[Byte] = {
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return null
+    val s = if (seed < 0) -seed else seed
+    val a = (s % 5 + 1).toInt
+    val b = (s % 7 + 1).toInt
+    val c = (s % 97).toInt
+    val out = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out(y * w + x) = ((a * x + b * y + c) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Sum of the buffer's UNSIGNED bytes. */
   def byteSum(d: Array[Byte]): Long = {
     var s = 0L
@@ -256,6 +328,72 @@ object ImageBytesUtil {
   }
 }
 
+/** Codegen'd bilinear resize: `image_resize(pixels, w, h, new_w, new_h)`
+  * -> BINARY grayscale buffer of new_w x new_h (half-pixel convention,
+  * exact integer fixed-point; null for unusable dims). */
+case class ImageResize(pixels: Expression, w: Expression, h: Expression,
+    newW: Expression, newH: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuinaryExpression {
+  override def children: Seq[Expression] = Seq(pixels, w, h, newW, newH)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (pixels.dataType == BinaryType && w.dataType == IntegerType &&
+      h.dataType == IntegerType && newW.dataType == IntegerType &&
+      newH.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"image_resize expects (BINARY, INT, INT, INT, INT), got " +
+        children.map(_.dataType).mkString("(", ", ", ")"))
+
+  override def nullSafeEval(p: Any, wv: Any, hv: Any, nw: Any, nh: Any): Any =
+    ImageBytesUtil.resizeGray(p.asInstanceOf[Array[Byte]],
+      wv.asInstanceOf[Int], hv.asInstanceOf[Int],
+      nw.asInstanceOf[Int], nh.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, wv, hv, nw, nh) => s"""
+      ${ev.value} = graft.functions.ImageBytesUtil.resizeGray($p, $wv, $hv, $nw, $nh);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ImageResize =
+    copy(pixels = newChildren(0), w = newChildren(1), h = newChildren(2),
+      newW = newChildren(3), newH = newChildren(4))
+}
+
+/** Fixture builder: `synth_gradient(seed, w, h)` -> the seed-derived
+  * linear-gradient buffer of [[ImageBytesUtil.synthGradient]]. */
+case class SynthGradient(seed: Expression, w: Expression, h: Expression)
+    extends TernaryExpression {
+  override def first: Expression = seed
+  override def second: Expression = w
+  override def third: Expression = h
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (seed.dataType == LongType && w.dataType == IntegerType &&
+      h.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"synth_gradient expects (BIGINT, INT, INT), got " +
+        s"(${seed.dataType}, ${w.dataType}, ${h.dataType})")
+
+  override def nullSafeEval(sv: Any, wv: Any, hv: Any): Any =
+    ImageBytesUtil.synthGradient(sv.asInstanceOf[Long],
+      wv.asInstanceOf[Int], hv.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (sv, wv, hv) => s"""
+      ${ev.value} = graft.functions.ImageBytesUtil.synthGradient($sv, $wv, $hv);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): SynthGradient =
+    copy(seed = newFirst, w = newSecond, h = newThird)
+}
+
 /** Codegen'd unsigned-byte sum: `byte_sum(binary)` -> BIGINT. The
   * closed-form probe for pixel/sample buffers: a planted image's sum is
   * arithmetic an oracle can predict, and any decode slip moves it. */
@@ -459,6 +597,16 @@ object images {
 
   def byte_sum(data: Column): Column =
     GraftBridge.column(ByteSum(GraftBridge.expression(data)))
+
+  def image_resize(pixels: Column, w: Column, h: Column,
+      newW: Column, newH: Column): Column =
+    GraftBridge.column(ImageResize(GraftBridge.expression(pixels),
+      GraftBridge.expression(w), GraftBridge.expression(h),
+      GraftBridge.expression(newW), GraftBridge.expression(newH)))
+
+  def synth_gradient(seed: Column, w: Column, h: Column): Column =
+    GraftBridge.column(SynthGradient(GraftBridge.expression(seed),
+      GraftBridge.expression(w), GraftBridge.expression(h)))
 
   def audio_meta(data: Column): Column =
     GraftBridge.column(AudioMeta(GraftBridge.expression(data)))

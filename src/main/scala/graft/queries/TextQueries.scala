@@ -1472,6 +1472,46 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM d"""),
     ),
 
+    // Image resize (half-pixel bilinear in exact integer fixed-point):
+    // a 3x downscale lands every destination sample EXACTLY on the
+    // source grid (srcX = 3x'+1), so resizing the seed-derived linear
+    // gradient picks planted values directly and the per-image pixel sum
+    // is a double summation the oracle replays in closed form — any slip
+    // in the sampling grid, clamping, or weight math moves a sum.
+    "q_multimodal_resize" -> QueryDef(
+      (s, dir) => {
+        val nw = (col("doc_id") % 6 + 3).cast("int")
+        val nh = (col("doc_id") % 4 + 2).cast("int")
+        docs(s, dir).select(col("doc_id"), nw.as("new_w"), nh.as("new_h"))
+          .select(col("doc_id").as("media_id"), col("new_w"), col("new_h"),
+            graft.functions.images.byte_sum(
+              graft.functions.images.image_resize(
+                graft.functions.images.synth_gradient(
+                  col("doc_id").cast("long"),
+                  (col("new_w") * 3).cast("int"),
+                  (col("new_h") * 3).cast("int")),
+                (col("new_w") * 3).cast("int"), (col("new_h") * 3).cast("int"),
+                col("new_w"), col("new_h"))).as("pix_sum"))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, CAST(doc_id % 6 + 3 AS INTEGER) AS new_w,
+            CAST(doc_id % 4 + 2 AS INTEGER) AS new_h,
+            doc_id % 5 + 1 AS a, doc_id % 7 + 1 AS b, doc_id % 97 AS c
+          FROM documents),
+        xs AS (
+          SELECT doc_id, new_w, new_h, a, b, c,
+            unnest(generate_series(0, new_w - 1)) AS x
+          FROM d),
+        ys AS (
+          SELECT doc_id, new_w, new_h, a, b, c, x,
+            unnest(generate_series(0, new_h - 1)) AS y
+          FROM xs)
+        SELECT doc_id AS media_id, new_w, new_h,
+          CAST(SUM((a * (3 * x + 1) + b * (3 * y + 1) + c) % 256)
+            AS BIGINT) AS pix_sum
+        FROM ys GROUP BY 1, 2, 3"""),
+    ),
+
     // Animation metadata WITHOUT pixel decode: gif_frame_meta walks only
     // descriptors and Graphic Control Extensions (LZW skipped by
     // sub-block lengths), yielding per-frame rects, delays, disposal,

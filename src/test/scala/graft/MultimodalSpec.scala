@@ -329,6 +329,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(kf.head.isNullAt(3) && kf.last.getInt(3) == 64)
   }
 
+  test("image_resize: identity, grid-exact odd factors, reference bilinear, hostile") {
+    import graft.functions.ImageBytesUtil.{resizeGray, synthGradient}
+    // identity resize returns the same bytes
+    val g = synthGradient(11L, 9, 6)
+    assert(java.util.Arrays.equals(resizeGray(g, 9, 6, 9, 6), g))
+    // constant image stays constant under any scale, up or down
+    val const = Array.fill(12 * 7)(93.toByte)
+    for ((nw, nh) <- Seq((4, 3), (25, 2), (1, 1), (24, 14)))
+      assert(resizeGray(const, 12, 7, nw, nh).forall(_ == 93.toByte),
+        s"$nw x $nh")
+    // 3x downscale samples land exactly on the source grid: 3x'+1
+    val down = resizeGray(g, 9, 6, 3, 2)
+    for (y <- 0 until 2; x <- 0 until 3)
+      assert(down(y * 3 + x) == g((3 * y + 1) * 9 + (3 * x + 1)))
+    // general (non-grid) case against an independent double-precision
+    // bilinear reference with the same half-pixel convention
+    def ref(src: Array[Byte], w: Int, h: Int, nw: Int, nh: Int): Array[Int] = {
+      val out = new Array[Int](nw * nh)
+      for (y <- 0 until nh; x <- 0 until nw) {
+        val sx = math.max(0.0, math.min((x + 0.5) * w / nw - 0.5, w - 1.0))
+        val sy = math.max(0.0, math.min((y + 0.5) * h / nh - 0.5, h - 1.0))
+        val (x0, y0) = (sx.toInt, sy.toInt)
+        val (x1, y1) = (math.min(x0 + 1, w - 1), math.min(y0 + 1, h - 1))
+        val (fx, fy) = (sx - x0, sy - y0)
+        def p(i: Int, j: Int) = (src(j * w + i) & 0xff).toDouble
+        val v = (p(x0, y0) * (1 - fx) + p(x1, y0) * fx) * (1 - fy) +
+          (p(x0, y1) * (1 - fx) + p(x1, y1) * fx) * fy
+        out(y * nw + x) = math.floor(v + 0.5).toInt
+      }
+      out
+    }
+    // gradient small enough that no byte wrap occurs (max 2*9+3*6+40 < 256)
+    val smooth = new Array[Byte](10 * 7)
+    for (y <- 0 until 7; x <- 0 until 10)
+      smooth(y * 10 + x) = (2 * x + 3 * y + 40).toByte
+    for ((nw, nh) <- Seq((7, 5), (4, 4), (15, 9), (10, 3))) {
+      val got = resizeGray(smooth, 10, 7, nw, nh).map(_ & 0xff)
+      assert(got.toSeq == ref(smooth, 10, 7, nw, nh).toSeq, s"$nw x $nh")
+    }
+    // hostile: bad dims / short buffers null, never throw
+    assert(resizeGray(g, 9, 6, 0, 2) == null)
+    assert(resizeGray(g, 9, 6, 3, -1) == null)
+    assert(resizeGray(g, 9, 6, 1 << 13, 1 << 13) == null) // output cap
+    assert(resizeGray(Array[Byte](1, 2), 9, 6, 3, 2) == null) // short src
+  }
+
   test("gif_frames_composited: disposal/transparency replay matches a reference compositor") {
     import graft.functions.GifCodecUtil
     // independent reference: replay synthAnim's PLANTED geometry directly
