@@ -49,7 +49,9 @@ class ExtensionsSpec extends AnyFunSuite {
         " byte_sum(CAST('ab' AS BINARY)) AS o," +
         " size(container_tracks(synth_mp4(CAST(7 AS BIGINT), true))) AS p," +
         " size(gif_frame_meta(synth_anim(CAST(3 AS BIGINT), 0))) AS q," +
-        " size(gif_frames_composited(synth_anim(CAST(3 AS BIGINT), 0))) AS r"
+        " size(gif_frames_composited(synth_anim(CAST(3 AS BIGINT), 0))) AS r," +
+        " byte_sum(image_resize(synth_gradient(CAST(0 AS BIGINT), 3, 3)," +
+        "   3, 3, 1, 1)) AS s" // gradient a=1,b=1,c=0: center pixel = 2
     ).collect().head
     assert(r.getString(0) == "t")
     assert(r.getString(1) == "gzip")
@@ -69,6 +71,7 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(15) == 2) // video + audio trak
     assert(r.getInt(16) == 4) // synth_anim nFrames = 4 + seed % 3
     assert(r.getInt(17) == r.getInt(16))
+    assert(r.getLong(18) == 2L)
   }
 
   test("array kernels are callable from SQL and match the Scala API") {
