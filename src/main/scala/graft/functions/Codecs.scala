@@ -99,9 +99,14 @@ object CodecsUtil {
           val buf = new Array[Byte](8192)
           while (!inf.finished()) {
             val n = inf.inflate(buf)
-            // 0 bytes with an empty input buffer and not finished =
-            // truncated stream (finished+needsInput is the empty payload)
-            if (n == 0 && inf.needsInput() && !inf.finished()) {
+            // 0 bytes while not finished = truncated stream (empty input
+            // buffer) or an FDICT preset-dictionary request — this engine
+            // never has the dictionary, and without the check a 7-byte
+            // FDICT payload makes inflate() return 0 with
+            // needsInput()==false forever (executor-thread wedge).
+            // (finished+needsInput is the legal empty-payload case.)
+            if (n == 0 && !inf.finished() &&
+              (inf.needsInput() || inf.needsDictionary())) {
               inf.end(); return null
             }
             if (out.size().toLong + n > maxOut) { inf.end(); return null }
@@ -221,7 +226,10 @@ object CodecsUtil {
         try {
           while (!inf.finished()) {
             val n = inf.inflate(buf)
-            if (n == 0 && inf.needsInput() && !inf.finished()) return result
+            // raw deflate has no FDICT flag, but guard the dictionary
+            // request anyway — same wedge shape as the zlib loop above
+            if (n == 0 && !inf.finished() &&
+              (inf.needsInput() || inf.needsDictionary())) return result
             if (totalOut + out.size() + n > MaxOutput) return result
             out.write(buf, 0, n)
           }
@@ -259,8 +267,10 @@ object CodecsUtil {
   /** Parse one WARC record: "WARC/x.y" version line, "Name: value"
     * header lines to the first blank line, body = everything after.
     * CRLF and bare-LF line endings both accepted; headers keep their
-    * written case (lookups use the exact WARC-* names). Null unless the
-    * payload starts with "WARC/". */
+    * written case (lookups use the exact WARC-* names). Repeated header
+    * names (legal in WARC, e.g. WARC-Concurrent-To) keep the FIRST
+    * occurrence — a MAP with duplicate keys has undefined downstream
+    * behavior. Null unless the payload starts with "WARC/". */
   def warcRecord(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 6 || b(0) != 'W' || b(1) != 'A' ||
       b(2) != 'R' || b(3) != 'C' || b(4) != '/') return null
@@ -277,6 +287,7 @@ object CodecsUtil {
     i += 1
     val keys = scala.collection.mutable.ArrayBuffer.empty[Any]
     val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val seen = scala.collection.mutable.HashSet.empty[String]
     var bodyStart = b.length
     var done = false
     while (!done && i < b.length) {
@@ -289,8 +300,11 @@ object CodecsUtil {
             java.nio.charset.StandardCharsets.UTF_8)
           val colon = line.indexOf(':')
           if (colon > 0) {
-            keys += UTF8String.fromString(line.substring(0, colon).trim)
-            vals += UTF8String.fromString(line.substring(colon + 1).trim)
+            val k = line.substring(0, colon).trim
+            if (seen.add(k)) { // first occurrence wins
+              keys += UTF8String.fromString(k)
+              vals += UTF8String.fromString(line.substring(colon + 1).trim)
+            }
           } // malformed header lines are skipped, not fatal
         }
         i = e + 1

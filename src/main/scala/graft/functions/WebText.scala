@@ -58,7 +58,11 @@ object WebTextUtil {
               if (name.charAt(1) == 'x' || name.charAt(1) == 'X')
                 Integer.parseInt(name.substring(2), 16)
               else Integer.parseInt(name.substring(1))
-            if (v > 0 && v <= 0x10ffff) v else -1
+            // surrogate code points (U+D800..U+DFFF) would emit lone
+            // surrogates (ill-formed strings); the HTML spec maps these
+            // NCRs to U+FFFD
+            if (v >= 0xd800 && v <= 0xdfff) 0xfffd
+            else if (v > 0 && v <= 0x10ffff) v else -1
           } catch { case _: NumberFormatException => -1 }
         } else -1
     }
@@ -299,7 +303,7 @@ object WebTextUtil {
     if (colon >= 0 && auth.indexOf(']') < colon) { // not inside IPv6 [...]
       val p = auth.substring(colon + 1)
       if (p.nonEmpty && p.forall(c => c >= '0' && c <= '9') &&
-        p.length <= 5) {
+        p.length <= 5 && p.toInt <= 65535) { // TCP port range only
         port = p.toInt
         host = auth.substring(0, colon)
       }

@@ -84,6 +84,17 @@ class CodecsSpec extends AnyFunSuite {
       CodecsUtil.MaxOutput) == null)
   }
 
+  test("zlib FDICT preset-dictionary request aborts to null, never spins") {
+    // CMF 0x78 FLG 0x20: deflate/32k, FDICT set, (0x7820 % 31) == 0 so the
+    // sniffer routes it to zlib; before the needsDictionary() guard this
+    // 7-byte payload wedged the inflate loop forever (inflate()==0,
+    // needsInput()==false, finished()==false)
+    val fdict = Array[Byte](0x78, 0x20, 0x11, 0x22, 0x33, 0x44, 0x55)
+    assert(CodecsUtil.sniff(fdict) == "zlib")
+    assert(CodecsUtil.decompress(fdict, "zlib", CodecsUtil.MaxOutput) == null)
+    assert(CodecsUtil.decompress(fdict, "auto", CodecsUtil.MaxOutput) == null)
+  }
+
   test("decompression-bomb cap: oversized output aborts to null") {
     val bomb = new Array[Byte](1 << 20) // 1 MB of zeros compresses tiny
     for (c <- Codecs) {
@@ -175,6 +186,18 @@ class CodecsSpec extends AnyFunSuite {
       ("WARC/1.0", Map("A" -> "1"), "")))
     assert(warc(bytes("HTTP/1.1 200 OK\r\n\r\n")).isEmpty)
     assert(warc(Array.empty[Byte]).isEmpty)
+  }
+
+  test("warc_record: repeated header names keep the first occurrence only") {
+    // WARC-Concurrent-To may legally repeat; a MAP with duplicate keys
+    // has undefined downstream behavior, so the parser dedups
+    val rec = "WARC/1.0\r\nWARC-Concurrent-To: <urn:a>\r\n" +
+      "WARC-Concurrent-To: <urn:b>\r\nWARC-Type: response\r\n\r\nbody"
+    val r = CodecsUtil.warcRecord(bytes(rec))
+    assert(r.getMap(1).numElements() == 2) // no duplicate key entries
+    assert(warc(bytes(rec)).contains(("WARC/1.0",
+      Map("WARC-Concurrent-To" -> "<urn:a>", "WARC-Type" -> "response"),
+      "body")))
   }
 
   test("expression path: mixed-codec column decompresses through codegen") {

@@ -52,6 +52,11 @@ class WebTextSpec extends AnyFunSuite {
     for (c <- cases) { text(c); title(c) } // completing is the test
     assert(text("<script>never closed") == "")
     assert(text("&#xZZ;x") == "&#xZZ;x") // bad numeric stays literal
+    // surrogate-range NCRs map to U+FFFD (HTML spec), never lone surrogates
+    assert(text("a&#xD800;b") == "a�b")
+    assert(text("a&#xDFFF;b") == "a�b")
+    assert(text("a&#55296;b") == "a�b")
+    assert(text("ok&#x1F600;ok") == "ok😀ok") // astral still fine
   }
 
   test("url_parse: shapes, ports, userinfo, IPv6, registered domain") {
@@ -68,6 +73,13 @@ class WebTextSpec extends AnyFunSuite {
     // fragment before query chars: ? inside fragment is not a query
     assert(WebTextUtil.parseUrl("http://ex.com/p#frag?notq") ==
       ("http", "ex.com", -1, "/p", null))
+    // out-of-range ports (>65535) are not ports: the split is not taken
+    assert(WebTextUtil.parseUrl("http://ex.com:65535/x") ==
+      ("http", "ex.com", 65535, "/x", null))
+    assert(WebTextUtil.parseUrl("http://ex.com:65536/x") ==
+      ("http", "ex.com:65536", -1, "/x", null))
+    assert(WebTextUtil.parseUrl("http://ex.com:99999/x") ==
+      ("http", "ex.com:99999", -1, "/x", null))
     assert(WebTextUtil.parseUrl("no-scheme.com/x") == null)
     assert(WebTextUtil.parseUrl("http://") == null)
     assert(WebTextUtil.parseUrl("ht tp://x.com") == null)
