@@ -96,6 +96,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("warc_record",
         "warc_record(bin) - parse a WARC record to (version, headers map, body)"),
       (args: Seq[Expression]) => WarcRecord(args.head)))
+    // hint coalesced to '' (= no hint) so a missing Content-Type header
+    // column degrades to sniffing instead of nulling the row
+    def hintArg(args: Seq[Expression]): Expression =
+      if (args.length < 2)
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          "", org.apache.spark.sql.types.StringType)
+      else org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(args(1),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          "", org.apache.spark.sql.types.StringType)))
+    ext.injectFunction((
+      FunctionIdentifier("decode_text"),
+      info("decode_text",
+        "decode_text(bin[, hint]) - charset-aware byte->text decode: " +
+          "BOM, then Content-Type hint, then <meta charset> prescan, " +
+          "then strict UTF-8, then windows-1252; malformed sequences " +
+          "become U+FFFD"),
+      (args: Seq[Expression]) => DecodeText(args(0), hintArg(args))))
+    ext.injectFunction((
+      FunctionIdentifier("charset_detect"),
+      info("charset_detect",
+        "charset_detect(bin[, hint]) - the normalized encoding name " +
+          "decode_text would decode with"),
+      (args: Seq[Expression]) => CharsetDetect(args(0), hintArg(args))))
     ext.injectFunction((
       FunctionIdentifier("html_text"),
       info("html_text",

@@ -1077,6 +1077,104 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM b"""),
     ),
 
+    // Charset-aware byte->text decode: six planted page classes cover
+    // every step of the WHATWG sniffing order — UTF-16LE/BE BOMs
+    // (stripped), a transport hint that outranks a contradicting
+    // <meta>, a meta-declared iso-8859-15 whose 0xA4 byte must become
+    // the EURO sign (cp1252 would give the currency sign — proving the
+    // declaration is used, not the fallback), strict-UTF-8 multibyte
+    // acceptance, and undeclared latin1 bytes landing on the
+    // windows-1252 fallback. Detected name and decoded text both
+    // closed-form.
+    "q_content_charset" -> QueryDef(
+      (s, dir) => {
+        val id = col("doc_id").cast("string")
+        val m = col("doc_id") % 6
+        val body = when(m === 0, encode(
+            concat(lit("page "), id, lit(" café 世界")), "UTF-8"))
+          .when(m === 1, concat(
+            lit(Array[Byte](0xff.toByte, 0xfe.toByte)),
+            encode(concat(lit("page "), id, lit(" wide")), "UTF-16LE")))
+          .when(m === 2, concat(
+            lit(Array[Byte](0xfe.toByte, 0xff.toByte)),
+            encode(concat(lit("page "), id, lit(" wide")), "UTF-16BE")))
+          .when(m === 3, encode(
+            concat(lit("page "), id, lit(" café ¤")), "ISO-8859-1"))
+          .when(m === 4, encode(
+            concat(lit("<meta charset=iso-8859-15>page "), id, lit(" ¤")),
+            "ISO-8859-1"))
+          .otherwise(encode(
+            concat(lit("<meta charset=windows-1252>page "), id, lit(" ¤")),
+            "ISO-8859-1"))
+        val hint = when(m === 5, lit("text/html; charset=ISO-8859-15"))
+          .otherwise(lit(null).cast("string"))
+        docs(s, dir).select(col("doc_id"),
+          graft.functions.charsets.charset_detect(body, hint).as("charset"),
+          graft.functions.charsets.decode_text(body, hint).as("text"))
+      },
+      Some("""SELECT doc_id,
+          CASE doc_id % 6 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
+            WHEN 2 THEN 'utf-16be' WHEN 3 THEN 'windows-1252'
+            ELSE 'iso-8859-15' END AS charset,
+          CASE doc_id % 6
+            WHEN 0 THEN 'page ' || doc_id || ' caf' || chr(233) || ' ' ||
+              chr(19990) || chr(30028)
+            WHEN 1 THEN 'page ' || doc_id || ' wide'
+            WHEN 2 THEN 'page ' || doc_id || ' wide'
+            WHEN 3 THEN 'page ' || doc_id || ' caf' || chr(233) || ' ' ||
+              chr(164)
+            WHEN 4 THEN '<meta charset=iso-8859-15>page ' || doc_id ||
+              ' ' || chr(8364)
+            ELSE '<meta charset=windows-1252>page ' || doc_id || ' ' ||
+              chr(8364)
+          END AS text
+        FROM documents"""),
+    ),
+
+    // The full crawl chain, charset-aware end to end: concatenated-gzip
+    // chunks -> gzip_members -> warc_record -> decode_text with the
+    // record's Content-Type header as the transport hint -> html_text.
+    // Member bodies are planted in iso-8859-15 (hinted; 0xA4 -> EURO),
+    // UTF-16LE with BOM (unhinted), and multibyte UTF-8 (unhinted), so
+    // a mojibake slip anywhere in the chain moves a row.
+    "q_content_warc_charset" -> QueryDef(
+      (s, dir) => {
+        val id = col("doc_id").cast("string")
+        def rec(ct: String, body: org.apache.spark.sql.Column) =
+          graft.functions.codecs.compress_bytes(concat(
+            lit("WARC/1.0\r\nWARC-Type: response\r\nContent-Type: " + ct +
+              "\r\n\r\n").cast("binary"), body), lit("gzip"))
+        val chunk = concat(
+          rec("text/html; charset=ISO-8859-15", encode(
+            concat(lit("<p>euro ¤ page "), id, lit("</p>")),
+            "ISO-8859-1")),
+          rec("text/html", concat(
+            lit(Array[Byte](0xff.toByte, 0xfe.toByte)),
+            encode(concat(lit("<p>wide page "), id, lit("</p>")),
+              "UTF-16LE"))),
+          rec("text/html", encode(
+            concat(lit("<p>café 世界 page "), id, lit("</p>")),
+            "UTF-8")))
+        graft.sources.Content.warcPages(
+            docs(s, dir).select(col("doc_id"), chunk.as("chunk")),
+            "doc_id", "chunk")
+          .select(col("doc_id"), col("member_idx"), col("charset"),
+            graft.functions.web.html_text(col("text")).as("visible"))
+      },
+      Some("""WITH m AS (
+          SELECT doc_id, unnest(generate_series(0, 2)) AS mi FROM documents)
+        SELECT doc_id, CAST(mi AS INTEGER) AS member_idx,
+          CASE mi WHEN 0 THEN 'iso-8859-15' WHEN 1 THEN 'utf-16le'
+            ELSE 'utf-8' END AS charset,
+          CASE mi
+            WHEN 0 THEN 'euro ' || chr(8364) || ' page ' || doc_id
+            WHEN 1 THEN 'wide page ' || doc_id
+            ELSE 'caf' || chr(233) || ' ' || chr(19990) || chr(30028) ||
+              ' page ' || doc_id
+          END AS visible
+        FROM m"""),
+    ),
+
     // PER-TRACK container metadata: synth_mp4 plants full trak subtrees
     // (tkhd id+16.16 dims, mdhd with the TRACK's own timescale+duration —
     // distinct from the movie-header ticks the flat container_meta gate

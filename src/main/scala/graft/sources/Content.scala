@@ -150,4 +150,21 @@ object Content {
       .select(col(idCol), col("member_idx"),
         col("r.version").as("version"), col("r.headers").as("headers"),
         col("r.body").as("body"))
+
+  /** WARC records -> decoded pages: the charset-aware end of the chain.
+    * Body bytes decode under the WHATWG sniffing order
+    * ([[graft.functions.CharsetUtil]]) with the record's Content-Type
+    * header as the transport hint, so cp1252 / UTF-16 / Shift_JIS
+    * bodies reach the text pipeline as text, not mojibake. Adds
+    * `charset` (the chosen encoding) and `text` (decoded body); still
+    * one fused scan-stage projection — bytes never cross a shuffle. */
+  def warcPages(
+      chunks: DataFrame, idCol: String, chunkCol: String): DataFrame = {
+    val hint = element_at(col("headers"), "Content-Type")
+    warcRecords(chunks, idCol, chunkCol)
+      .withColumn("charset",
+        graft.functions.charsets.charset_detect(col("body"), hint))
+      .withColumn("text",
+        graft.functions.charsets.decode_text(col("body"), hint))
+  }
 }

@@ -74,6 +74,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(18) == 2L)
   }
 
+  test("round-11 charset registrations are callable from SQL") {
+    val r = spark.sql(
+      "SELECT decode_text(CAST('plain' AS BINARY)) AS a," +
+        " decode_text(CAST('x' AS BINARY), 'charset=utf-8') AS b," +
+        " decode_text(CAST('y' AS BINARY), CAST(NULL AS STRING)) AS c," +
+        " charset_detect(CAST('z' AS BINARY)) AS d," +
+        " charset_detect(CAST('z' AS BINARY), 'text/html; charset=sjis') AS e"
+    ).collect().head
+    assert(r.getString(0) == "plain")
+    assert(r.getString(1) == "x")
+    assert(r.getString(2) == "y") // null hint = no hint, not a null row
+    assert(r.getString(3) == "utf-8")
+    assert(r.getString(4) == "shift_jis")
+  }
+
   test("array kernels are callable from SQL and match the Scala API") {
     val sh = spark.sql(
       "SELECT word_shingles('a b c d', 3) AS s").collect().head.getSeq[String](0)

@@ -276,8 +276,8 @@ class PlanSpec extends AnyFunSuite {
   }
   test("crawl-ingest kernels stay inside whole-stage codegen") {
     // the full ingest chain (compress -> member split -> record parse ->
-    // html/url extraction) is projections + one generator: no exchange,
-    // no non-codegen expression boundary
+    // charset-aware decode -> html/url extraction) is projections + one
+    // generator: no exchange, no non-codegen expression boundary
     val df = Tables.table(spark, dir, "documents")
       .select(col("doc_id"),
         graft.functions.codecs.compress_bytes(concat(
@@ -290,7 +290,9 @@ class PlanSpec extends AnyFunSuite {
       .select(col("doc_id"),
         graft.functions.web.url_canonical(
           element_at(col("r.headers"), "WARC-Target-URI")).as("u"),
-        graft.functions.web.html_text(col("r.body").cast("string")).as("t"))
+        graft.functions.web.html_text(graft.functions.charsets.decode_text(
+          col("r.body"),
+          element_at(col("r.headers"), "Content-Type"))).as("t"))
     val p = plan(df)
     // "*(1)" prefixes mark whole-stage-codegen stage 1: the projections
     // AND the member-explode generator all fuse into the scan stage
