@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Inherit the parent's stdout for forked `runMain` instead of routing
+// through sbt's logger: graft.Bench emits machine-readable JSON lines
+// that downstream parsers read from the raw stream, and the logger's
+// "[info] " prefix breaks them.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
