@@ -161,6 +161,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "NFC/NFD/NFKC/NFKD"),
       (args: Seq[Expression]) => NormalizeText(args(0), args(1))))
     ext.injectFunction((
+      FunctionIdentifier("html_main_text"),
+      info("html_main_text",
+        "html_main_text(str) - main-content text: jusText-style block " +
+          "segmentation, link-dense/short boilerplate dropped, short " +
+          "blocks kept only next to good content; blocks joined by \\n"),
+      (args: Seq[Expression]) => HtmlMainText(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("html_blocks"),
+      info("html_blocks",
+        "html_blocks(str) - classification blocks behind html_main_text: " +
+          "array of (text, link_len, kept)"),
+      (args: Seq[Expression]) => HtmlBlocks(args.head)))
+    ext.injectFunction((
       FunctionIdentifier("html_links"),
       info("html_links",
         "html_links(str) - anchor href values in document order, entity-decoded"),

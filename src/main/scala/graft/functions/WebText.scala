@@ -256,6 +256,179 @@ object WebTextUtil {
     if (t == null) null else UTF8String.fromString(t)
   }
 
+  // -------------------------------------------- main-content extraction
+
+  /** Block-segmenting tags (jusText's segmentation set, Pomikálek 2011:
+    * text between block-level tag boundaries forms one classification
+    * unit; inline tags like <a>/<b>/<span> do not split). */
+  private val BlockTags = Set("address", "article", "aside", "blockquote",
+    "body", "caption", "center", "dd", "dir", "div", "dl", "dt",
+    "fieldset", "figcaption", "figure", "footer", "form", "h1", "h2",
+    "h3", "h4", "h5", "h6", "header", "hr", "li", "main", "menu", "nav",
+    "ol", "p", "pre", "section", "table", "tbody", "td", "tfoot", "th",
+    "thead", "tr", "ul")
+
+  /** Boilerplate-classification thresholds (documented contract; the
+    * closed-form gates depend on these exact values):
+    *   - link-dense: 3 * linkLen > len  -> bad (nav / sidebar / footer
+    *     link blocks — Boilerpipe's strongest single feature)
+    *   - len >= 80                      -> good (text-dense content)
+    *   - len < 25                       -> bad (stubs, copyright lines)
+    *   - otherwise                      -> short: kept iff the nearest
+    *     decisively-classified block on EITHER side is good (jusText's
+    *     context-sensitive short-block resolution; document edges count
+    *     as bad) — headlines and captions survive next to content,
+    *     promo stubs between nav and footer do not. */
+  val GoodMinLen = 80
+  val MinLen = 25
+
+  /** One classification unit: collapsed visible text, the portion of it
+    * (in chars) that sat inside <a> elements, and the final keep
+    * decision after short-block resolution. */
+  final case class TextBlock(text: String, linkLen: Int, kept: Boolean)
+
+  /** Segment HTML into classified blocks. Title, script, style, and
+    * comment content are excluded entirely (a title is metadata, not
+    * body content — [[htmlText]]'s title inclusion is the "all visible
+    * text" contract, this is the "what a reader came for" contract). */
+  def htmlBlocks(html: String): Seq[TextBlock] = {
+    val texts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val links = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val sb = new java.lang.StringBuilder(128)
+    var linkLen = 0
+    var linkDepth = 0
+    var pendingSpace = false
+    def flush(): Unit = {
+      if (sb.length() > 0) {
+        texts += sb.toString; links += linkLen
+        sb.setLength(0)
+      }
+      linkLen = 0
+      pendingSpace = false
+    }
+    def emit(c: Int): Unit = {
+      if (isWs(c.toChar) && c <= 0xffff) pendingSpace = sb.length() > 0
+      else {
+        if (pendingSpace) {
+          sb.append(' ')
+          if (linkDepth > 0) linkLen += 1
+          pendingSpace = false
+        }
+        val before = sb.length()
+        sb.appendCodePoint(c)
+        if (linkDepth > 0) linkLen += sb.length() - before
+      }
+    }
+    var i = 0
+    while (i < html.length) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (startsAt(html, i, "<!--")) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) html.length else e + 3
+          pendingSpace = sb.length() > 0
+        } else if (startsAt(html, i, "<script")) {
+          var j = i + 7
+          while (j < html.length && html.charAt(j) != '>') j += 1
+          i = if (j < html.length) skipRawElement(html, j + 1, "</script")
+              else html.length
+          pendingSpace = sb.length() > 0
+        } else if (startsAt(html, i, "<style")) {
+          var j = i + 6
+          while (j < html.length && html.charAt(j) != '>') j += 1
+          i = if (j < html.length) skipRawElement(html, j + 1, "</style")
+              else html.length
+          pendingSpace = sb.length() > 0
+        } else if (startsAt(html, i, "<title")) {
+          var j = i + 6
+          while (j < html.length && html.charAt(j) != '>') j += 1
+          i = if (j < html.length) skipRawElement(html, j + 1, "</title")
+              else html.length
+          pendingSpace = sb.length() > 0
+        } else {
+          // tag name: optional '/', then letters/digits
+          var k = i + 1
+          val closing = k < html.length && html.charAt(k) == '/'
+          if (closing) k += 1
+          val nameStart = k
+          while (k < html.length && (Character.isLetterOrDigit(
+            html.charAt(k)))) k += 1
+          val name = html.substring(nameStart, k)
+            .toLowerCase(java.util.Locale.ROOT)
+          if (name == "a") {
+            if (closing) linkDepth = math.max(0, linkDepth - 1)
+            else linkDepth += 1
+          } else if (BlockTags.contains(name)) flush()
+          var j = i + 1
+          while (j < html.length && html.charAt(j) != '>') j += 1
+          i = if (j < html.length) j + 1 else html.length
+          pendingSpace = sb.length() > 0
+        }
+      } else if (c == '&') {
+        val (code, next) = entity(html, i)
+        if (code >= 0) { emit(code); i = next }
+        else { emit('&'); i += 1 }
+      } else { emit(c); i += 1 }
+    }
+    flush()
+    // decisive classification: 1 good, 0 short, -1 bad
+    val n = texts.length
+    val cls = new Array[Int](n)
+    var x = 0
+    while (x < n) {
+      val len = texts(x).length
+      cls(x) =
+        if (3 * links(x) > len) -1
+        else if (len >= GoodMinLen) 1
+        else if (len < MinLen) -1
+        else 0
+      x += 1
+    }
+    // short-block resolution: nearest decisive neighbor on either side
+    val prevD = new Array[Int](n) // nearest decisive class before (edge=-1)
+    var run = -1
+    x = 0
+    while (x < n) {
+      prevD(x) = run
+      if (cls(x) != 0) run = cls(x)
+      x += 1
+    }
+    val nextD = new Array[Int](n)
+    run = -1
+    x = n - 1
+    while (x >= 0) {
+      nextD(x) = run
+      if (cls(x) != 0) run = cls(x)
+      x -= 1
+    }
+    (0 until n).map { b =>
+      val kept =
+        if (cls(b) == 1) true
+        else if (cls(b) == -1) false
+        else prevD(b) == 1 || nextD(b) == 1
+      TextBlock(texts(b), links(b), kept)
+    }
+  }
+
+  /** Main-content text: kept blocks joined by '\n'. */
+  def mainText(html: String): String =
+    htmlBlocks(html).iterator.filter(_.kept).map(_.text).mkString("\n")
+
+  def mainTextU(html: UTF8String): UTF8String =
+    UTF8String.fromString(mainText(html.toString))
+
+  val blockSchema: StructType = StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("link_len", IntegerType, nullable = false),
+    StructField("kept", org.apache.spark.sql.types.BooleanType,
+      nullable = false)))
+
+  def htmlBlocksArray(html: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      htmlBlocks(html.toString).map { b =>
+        InternalRow(UTF8String.fromString(b.text), b.linkLen, b.kept): Any
+      }.toArray)
+
   // ----------------------------------------------------------------- URL
 
   val urlSchema: StructType = StructType(Seq(
@@ -554,6 +727,54 @@ case class HtmlLinks(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd main-content extraction: `html_main_text(str)` —
+  * boilerplate (link-dense blocks, stubs, orphaned short blocks)
+  * removed under the documented jusText-style contract; kept blocks
+  * joined by newline. */
+case class HtmlMainText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"html_main_text expects STRING, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    WebTextUtil.mainTextU(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WebTextUtil.mainTextU($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlMainText =
+    copy(child = newChild)
+}
+
+/** Codegen'd block segmentation: `html_blocks(str)` ->
+  * ARRAY<STRUCT<text, link_len, kept>> — the classification units
+  * behind [[HtmlMainText]], for per-block quality pipelines. */
+case class HtmlBlocks(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(WebTextUtil.blockSchema,
+      containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"html_blocks expects STRING, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    WebTextUtil.htmlBlocksArray(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WebTextUtil.htmlBlocksArray($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlBlocks =
+    copy(child = newChild)
+}
+
 /** Codegen'd lenient URL parse: `url_parse(str)` -> struct(scheme, host,
   * registered_domain, port, path, query); null without a scheme://host
   * shape. */
@@ -664,6 +885,12 @@ object web {
 
   def html_links(c: Column): Column =
     GraftBridge.column(HtmlLinks(GraftBridge.expression(c)))
+
+  def html_main_text(c: Column): Column =
+    GraftBridge.column(HtmlMainText(GraftBridge.expression(c)))
+
+  def html_blocks(c: Column): Column =
+    GraftBridge.column(HtmlBlocks(GraftBridge.expression(c)))
 
   def url_parse(c: Column): Column =
     GraftBridge.column(UrlParse(GraftBridge.expression(c)))

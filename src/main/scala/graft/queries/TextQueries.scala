@@ -1256,6 +1256,60 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM documents"""),
     ),
 
+    // Main-content extraction (boilerplate removal): planted pages carry
+    // every boilerplate class around two real paragraphs — a link-dense
+    // nav, a headline (short, kept only because content follows), a
+    // figure caption (short, kept between paragraphs), a link-dense
+    // sidebar at GOOD length (proving the density rule, not the length
+    // rule, drops it), a promo stub stranded between two bad blocks
+    // (dropped by short-block resolution), and a copyright footer
+    // (dropped as a stub). The kept text and both block counts are
+    // closed-form; the title is excluded by contract.
+    "q_text_main_content" -> QueryDef(
+      (s, dir) => {
+        val id = col("doc_id").cast("string")
+        val filler =
+          "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        val page = concat(
+          lit("<html><head><title>Doc "), id,
+          lit("</title><style>p{color:#000}</style></head><body>" +
+            "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+            "<a href=\"/contact\">Contact us</a></nav>" +
+            "<h1>Headline "), id,
+          lit(" of a reasonably long article</h1>" +
+            "<p>Content paragraph one for doc "), id,
+          lit(" " + filler + "</p>" +
+            "<figcaption>Short caption for figure number "), id,
+          lit("</figcaption>" +
+            "<p>Content paragraph two for doc "), id,
+          lit(" " + filler + "</p>" +
+            "<div><a href=\"/l1\">Related article one</a> " +
+            "<a href=\"/l2\">Related article two</a> " +
+            "<a href=\"/l3\">Related article three</a></div>" +
+            "<p>Promo text snippet number "), id,
+          lit(" here</p>" +
+            "<footer>All rights reserved</footer></body></html>"))
+        val blocks = graft.functions.web.html_blocks(page)
+        docs(s, dir).select(col("doc_id"),
+          graft.functions.web.html_main_text(page).as("main"),
+          size(filter(blocks, b => b.getField("kept"))).as("n_kept"),
+          size(blocks).as("n_blocks"))
+      },
+      Some("""SELECT doc_id,
+          'Headline ' || doc_id || ' of a reasonably long article' ||
+            chr(10) ||
+          'Content paragraph one for doc ' || doc_id ||
+            ' alpha beta gamma delta epsilon zeta eta theta iota kappa' ||
+            chr(10) ||
+          'Short caption for figure number ' || doc_id || chr(10) ||
+          'Content paragraph two for doc ' || doc_id ||
+            ' alpha beta gamma delta epsilon zeta eta theta iota kappa'
+            AS main,
+          CAST(4 AS INTEGER) AS n_kept,
+          CAST(8 AS INTEGER) AS n_blocks
+        FROM documents"""),
+    ),
+
     // Link extraction -> canonical edges: planted pages carry three
     // anchors in all three attribute spellings (double-quoted with an
     // &amp; entity and shouting host/default port, single-quoted after

@@ -80,13 +80,17 @@ class ExtensionsSpec extends AnyFunSuite {
         " decode_text(CAST('x' AS BINARY), 'charset=utf-8') AS b," +
         " decode_text(CAST('y' AS BINARY), CAST(NULL AS STRING)) AS c," +
         " charset_detect(CAST('z' AS BINARY)) AS d," +
-        " charset_detect(CAST('z' AS BINARY), 'text/html; charset=sjis') AS e"
+        " charset_detect(CAST('z' AS BINARY), 'text/html; charset=sjis') AS e," +
+        " html_main_text(concat('<p>', repeat('word ', 17), '</p>')) AS f," +
+        " size(html_blocks('<p>tiny</p><div>x</div>')) AS g"
     ).collect().head
     assert(r.getString(0) == "plain")
     assert(r.getString(1) == "x")
     assert(r.getString(2) == "y") // null hint = no hint, not a null row
     assert(r.getString(3) == "utf-8")
     assert(r.getString(4) == "shift_jis")
+    assert(r.getString(5) == ("word " * 17).trim)
+    assert(r.getInt(6) == 2)
   }
 
   test("array kernels are callable from SQL and match the Scala API") {

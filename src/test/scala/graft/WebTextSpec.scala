@@ -59,6 +59,45 @@ class WebTextSpec extends AnyFunSuite {
     assert(text("ok&#x1F600;ok") == "ok😀ok") // astral still fine
   }
 
+  test("html_main_text: boilerplate classification laws") {
+    val good = ("word " * 17).trim // 84 chars -> text-dense, always kept
+    def main(h: String): String = WebTextUtil.mainText(h)
+    // long text-dense block kept; link-dense block dropped
+    assert(main(s"<p>${good}</p>") == good)
+    assert(main("<nav><a href='/'>Home</a> <a href='/a'>About page</a> " +
+      "<a href='/c'>Contact us</a></nav>") == "")
+    // a link-DENSE long block drops even at good length (3*link > len)
+    val linky = (1 to 12).map(i => s"<a href='/$i'>related item $i</a>")
+      .mkString(" ")
+    assert(main(s"<div>$linky</div>") == "")
+    // short stub dropped; title excluded; script/style/comments excluded
+    assert(main("<p>tiny stub</p>") == "")
+    assert(main(s"<title>My Title</title><p>${good}</p>") == good)
+    assert(main(s"<script>var x=1;</script><style>p{}</style>" +
+      s"<!-- c --><p>${good}</p>") == good)
+    // short-block resolution: a headline/caption next to good content
+    // is kept; the same block surrounded by bad blocks is dropped
+    val headline = "A forty-character headline for the test" // 39 chars
+    assert(main(s"<h1>$headline</h1><p>${good}</p>") ==
+      s"$headline\n${good}")
+    assert(main(s"<nav><a href='/'>Home page link</a></nav>" +
+      s"<p>$headline</p>" +
+      s"<div><a href='/x'>Another link-only sidebar</a></div>") == "")
+    // document edge with no good neighbor counts as bad
+    assert(main(s"<p>$headline</p>") == "")
+    // inline tags do not split a block: <b>/<span> inside one paragraph
+    val styled = s"<p>${"word " * 8}<b>bold</b> <span>${"word " * 8}</span></p>"
+    assert(main(styled) == ("word " * 8 + "bold " + ("word " * 8).trim))
+    // html_blocks exposes the decisions
+    val blocks = WebTextUtil.htmlBlocks(
+      s"<nav><a href='/'>Home About Contact</a></nav><p>${good}</p>")
+    assert(blocks.map(b => (b.kept, b.linkLen > 0)) ==
+      Seq((false, true), (true, false)))
+    // hostile sweep: never throws
+    for (h <- Seq("", "<", "<p", "<a href", "</a></a>", "&#xZZ;",
+      "<div" * 200, "a<p>b</p>" * 500)) main(h)
+  }
+
   test("url_parse: shapes, ports, userinfo, IPv6, registered domain") {
     assert(WebTextUtil.parseUrl("HTTP://WWW.Ex.COM:80/P?q=1#f") ==
       ("http", "www.ex.com", 80, "/P", "q=1"))
