@@ -378,17 +378,16 @@ object TextAnalysis {
       df: DataFrame, textCol: String, targetVocab: Long,
       markEnd: Boolean = false): DataFrame = {
     val init = bpeInitialVocabChars(df, textCol, markEnd)
-    val iters = targetVocab - init
-    require(iters <= 1000,
-      s"targetVocab $targetVocab implies $iters merges; cap is 1000/call " +
-        "(chain calls or raise bpeMergeLoop's bound for production depth)")
+    val iters = math.min(targetVocab - init, Int.MaxValue.toLong).toInt
     val spark = df.sparkSession
     import spark.implicits._
     val merges =
       if (iters <= 0)
         Seq.empty[(Int, String, String, Long)]
           .toDF("it", "pair_l", "pair_r", "cnt")
-      else bpeTrainChars(df, textCol, iters.toInt, markEnd)
+      else if (iters <= 1000) bpeTrainChars(df, textCol, iters, markEnd)
+      // production depth: the exact chained loop, 1000 merges a segment
+      else bpeTrainCharsChained(df, textCol, iters, markEnd)
     merges.withColumn("vocab_size", (lit(init) + col("it")).cast("long"))
   }
 
@@ -565,11 +564,29 @@ object TextAnalysis {
     require(iterations >= 1 && iterations <= 1000,
       s"iterations must be in [1, 1000] (got $iterations)")
     val spark = encWeighted.sparkSession
-    var enc = encWeighted.localCheckpoint(false)
+    import spark.implicits._
+    val (_, merges) =
+      bpeMergeSegment(encWeighted.localCheckpoint(false), iterations, 1)
+    merges.toDF("it", "pair_l", "pair_r", "cnt")
+  }
+
+  /** One resumable training segment: run up to `iterations` merges over
+    * an already-encoded (and already-checkpointed) weighted dictionary,
+    * numbering merges from `startIt`. Returns the REWRITTEN dictionary
+    * (checkpointed, lineage-free — the complete training state, since
+    * BPE's loop is Markov in the rewritten corpus) plus the accepted
+    * merges, so a caller can chain segments to any depth: the returned
+    * dictionary feeds the next call verbatim and training continues
+    * exactly where it stopped. */
+  private def bpeMergeSegment(
+      enc0: DataFrame, iterations: Int, startIt: Int)
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
+    var enc = enc0
     val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
-    var it = 1
+    var it = startIt
+    val endIt = startIt + iterations - 1
     var exhausted = false
-    while (it <= iterations && !exhausted) {
+    while (it <= endIt && !exhausted) {
       val syms = enc.select(bpeSymbols(col("enc")).as("t"), col("wc"))
       val pairs = syms
         .where(size(col("t")) >= 2)
@@ -594,8 +611,45 @@ object TextAnalysis {
         it += 1
       }
     }
+    (enc, merges.toSeq)
+  }
+
+  /** Char-level BPE training to ANY depth — the production path past
+    * the 1000-merge per-call bound: the sequential merge loop runs in
+    * segments of `segmentSize` merges, and between segments the only
+    * state that exists is the rewritten word dictionary (BPE is Markov
+    * in the rewritten corpus: pair counts are a pure function of it),
+    * already lineage-free via per-round localCheckpoint. Chaining is
+    * therefore EXACT — a 32k-vocab train is this driver loop, and its
+    * merge table is identical to a hypothetical single unbounded run
+    * (RetrievalSpec pins the law). Stops early when pairs exhaust.
+    * Each merge is still one full pass over the |vocab|-row dictionary;
+    * at real depth prefer [[bpeTrainCharsSampled]] to bound |vocab| and
+    * [[bpeTrainBatched]] to amortize passes. */
+  def bpeTrainCharsChained(
+      df: DataFrame, textCol: String, iterations: Int,
+      markEnd: Boolean = false, segmentSize: Int = 1000): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1 (got $iterations)")
+    require(segmentSize >= 1 && segmentSize <= 1000,
+      s"segmentSize must be in [1, 1000] (got $segmentSize)")
+    val spark = df.sparkSession
     import spark.implicits._
-    merges.toSeq.toDF("it", "pair_l", "pair_r", "cnt")
+    var enc = df.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .select(bpeEncodeChars(col("word"), markEnd).as("enc"), col("wc"))
+      .localCheckpoint(false)
+    val all = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var done = 0
+    var exhausted = false
+    while (done < iterations && !exhausted) {
+      val n = math.min(segmentSize, iterations - done)
+      val (enc2, ms) = bpeMergeSegment(enc, n, done + 1)
+      all ++= ms
+      exhausted = ms.size < n // segment came up short: pairs ran out
+      enc = enc2
+      done += ms.size
+    }
+    all.toSeq.toDF("it", "pair_l", "pair_r", "cnt")
   }
 
   /** Apply a learned merge table ([[bpeTrain]] rows, applied in `it`

@@ -336,6 +336,43 @@ class RetrievalSpec extends AnyFunSuite {
       == init + 1)
   }
 
+  test("bpeTrainCharsChained: segmented == unchained, exhaustion-safe, 4096+ vocab") {
+    val texts = Seq(
+      "lower lowest newer newest low new",
+      "wider widest lower newer",
+      "low low lower newest")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("it").collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // chaining is EXACT: 12 merges in segments of 5 (boundaries at 5 and
+    // 10) equal one unchained call, including the merge numbering
+    assert(rows(TextAnalysis.bpeTrainCharsChained(df, "text", 12,
+      segmentSize = 5)) == rows(TextAnalysis.bpeTrainChars(df, "text", 12)))
+    // a request far past exhaustion crosses segment boundaries without
+    // error and stops when pairs run out (every word one symbol)
+    val deep = rows(TextAnalysis.bpeTrainCharsChained(df, "text", 5000))
+    assert(deep.nonEmpty && deep.size < 5000)
+    assert(deep.map(_._1) == (1 to deep.size)) // continuous numbering
+    assert(deep == rows(TextAnalysis.bpeTrainCharsChained(df, "text",
+      deep.size, segmentSize = 7))) // exhaustion result == exact-depth run
+    // production depth: a wide-alphabet corpus (4000 distinct chars)
+    // trains past a 4096 vocabulary via chaining, identical to the
+    // unchained run at the same depth
+    val wide = (0 until 1100).map { i =>
+      val w = (0 until 4).map(k => (0x4e00 + (i * 4 + k) % 4000).toChar)
+      (i.toLong, w.mkString)
+    }.toDF("doc_id", "text")
+    val initW = TextAnalysis.bpeInitialVocabChars(wide, "text")
+    assert(initW == 4000L)
+    val chainedW = rows(TextAnalysis.bpeTrainCharsChained(wide, "text", 120,
+      segmentSize = 50)) // segments at 50 and 100
+    assert(chainedW.size == 120)
+    assert(initW + chainedW.size >= 4096) // final vocab past 4096
+    assert(chainedW == rows(TextAnalysis.bpeTrainChars(wide, "text", 120)))
+  }
+
   test("bpe sampled training segments the full corpus within a bounded delta") {
     // the law the sampled path must satisfy: merges learned from a
     // deterministic hash-sample, applied to the FULL corpus, land within
