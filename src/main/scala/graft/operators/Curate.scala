@@ -795,4 +795,70 @@ object Curate {
       .withColumn("selected",
         col("cum_tokens") - col(tokensCol) < budget)
   }
+
+  // --- soft-404 / near-empty page detection --------------------------------
+
+  /** Error-page phrases (lowercase): a title or body lead containing one
+    * marks the page as a declared error. The classic soft-404 markers —
+    * servers that return HTTP 200 with an error template (Bar-Yossef et
+    * al., "Sic Transit Gloria Telae", WWW 2004). */
+  val Soft404Phrases: Seq[String] = Seq(
+    "page not found", "404 error", "error 404", "404 not found",
+    "page does not exist", "no longer available", "cannot be found",
+    "page unavailable", "nothing was found")
+
+  /** How much of the body lead is scanned for error phrases (error
+    * templates declare themselves immediately; a deep mention of "404"
+    * in an article must not flag it). */
+  val Soft404LeadChars: Int = 240
+
+  /** Soft-404 / near-empty page flags — classifier-free heuristics over
+    * (title, main-content text, domain):
+    *
+    *   - `phrase_hit`: the lowercased title or first
+    *     [[Soft404LeadChars]] chars of the body contain a
+    *     [[Soft404Phrases]] marker.
+    *   - `near_empty`: main-content length < `minMainLen` (feed
+    *     `html_main_text` output, so boilerplate doesn't pad an empty
+    *     page past the bar).
+    *   - `template_dup`: the page's body SimHash is IDENTICAL to >=
+    *     `minCluster - 1` other pages on the same domain — the shape of
+    *     an error template rendered for many URLs (distinct real pages
+    *     share a domain but not a fingerprint).
+    *   - `soft404` = phrase_hit OR (near_empty AND template_dup): a
+    *     declared error, or an empty page stamped from a per-domain
+    *     template. A unique near-empty page (a stub article) is NOT
+    *     flagged — stubs are a quality-funnel concern, not a crawl
+    *     error.
+    *
+    * Scale shape: one token-explode + doc-keyed aggregation for the
+    * SimHash (map-side partial agg), one (domain, simhash) count
+    * aggregation, one join back on that same key — no self-join, no
+    * all-pairs anything; the flags themselves are row-local. Output:
+    * every input column plus the four flags. */
+  def soft404Flags(
+      df: DataFrame, idCol: String, domainCol: String, titleCol: String,
+      textCol: String, minMainLen: Int = 200,
+      minCluster: Long = 3): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val sh = Dedup.simhash(toks)
+      .withColumnRenamed("doc_id", idCol)
+    val keyed = df.join(sh, idCol)
+    val clusters = keyed.groupBy(col(domainCol), col("simhash"))
+      .agg(count(lit(1)).as("cluster_n"))
+    val lead = lower(concat(coalesce(col(titleCol), lit("")), lit(" "),
+      substring(coalesce(col(textCol), lit("")), 1, Soft404LeadChars)))
+    val phraseHit = Soft404Phrases
+      .map(p => instr(lead, p) > 0)
+      .reduce(_ || _)
+    keyed.join(clusters, Seq(domainCol, "simhash"))
+      .withColumn("phrase_hit", phraseHit)
+      .withColumn("near_empty",
+        length(coalesce(col(textCol), lit(""))) < minMainLen)
+      .withColumn("template_dup", col("cluster_n") >= minCluster)
+      .withColumn("soft404",
+        col("phrase_hit") || (col("near_empty") && col("template_dup")))
+      .drop("simhash", "cluster_n")
+  }
 }

@@ -1347,6 +1347,49 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM f"""),
     ),
 
+    // Soft-404 detection: five planted page classes — real articles on
+    // per-id domains, declared error pages ("404 ... Page Not Found"
+    // titles), an error TEMPLATE stamped identically across one domain
+    // (near-empty + shared SimHash cluster -> soft404 without any error
+    // phrase), unique near-empty stubs (NOT flagged: a stub is a
+    // quality concern, not a crawl error), and long articles on the
+    // template's own domain (not near-empty -> never flagged). The
+    // planted texts are closed-form in doc_id only, so every flag is
+    // deterministic at any SF.
+    "q_crawl_soft404" -> QueryDef(
+      (s, dir) => {
+        val id = col("doc_id").cast("string")
+        val m = col("doc_id") % 5
+        val filler =
+          ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4)
+            .trim
+        val title = when(m === 1, lit("404 Error - Page Not Found"))
+          .when(m === 2, lit("Service notice"))
+          .otherwise(concat(lit("Doc "), id))
+        val text = when(m === 0,
+            concat(lit("Article content for doc "), id, lit(" " + filler)))
+          .when(m === 1,
+            lit("The page you requested is missing from this site"))
+          .when(m === 2, lit("service temporarily offline"))
+          .when(m === 3, concat(lit("tiny note number "), id))
+          .otherwise(concat(lit("Long article on the shared domain for doc "),
+            id, lit(" " + filler)))
+        val domain = when(m === 2 || m === 4, lit("err.example.com"))
+          .otherwise(concat(lit("site"), id, lit(".example.com")))
+        graft.operators.Curate.soft404Flags(
+            docs(s, dir).select(col("doc_id"), domain.as("domain"),
+              title.as("title"), text.as("text")),
+            "doc_id", "domain", "title", "text")
+          .select(col("doc_id"), col("phrase_hit"), col("near_empty"),
+            col("soft404"))
+      },
+      Some("""SELECT doc_id,
+          (doc_id % 5 = 1) AS phrase_hit,
+          (doc_id % 5 IN (1, 2, 3)) AS near_empty,
+          (doc_id % 5 IN (1, 2)) AS soft404
+        FROM documents"""),
+    ),
+
     // Per-domain corpus stats — the building block of domain-cap /
     // domain-reweighting curation (a crawl is dominated by a few hosts):
     // planted URLs (www-prefixed and bare, .com and .co.uk public-suffix

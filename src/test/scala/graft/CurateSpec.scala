@@ -375,4 +375,38 @@ class CurateSpec extends AnyFunSuite {
     assert(s1.intersect(s2).size < shared.size,
       "CDC should beat fixed-stride chunk reuse under a prefix edit")
   }
+
+  test("soft404Flags: phrase lead window, template cluster bar, stub safety") {
+    import spark.implicits._
+    val long = ("word " * 50).trim // 249 chars, past minMainLen
+    val rows = Seq(
+      // declared error: phrase in the title
+      (1L, "a.com", "404 Error", "whatever short body"),
+      // phrase buried PAST the 240-char lead window: NOT a phrase hit
+      (2L, "b.com", "Article", long + " mentions a 404 error in prose " +
+        ("pad " * 20)),
+      // error template: identical short body on one domain, 3 copies
+      (3L, "t.com", "Notice", "service offline"),
+      (4L, "t.com", "Notice", "service offline"),
+      (5L, "t.com", "Notice", "service offline"),
+      // same body but only TWO copies on this domain: under the bar
+      (6L, "u.com", "Notice", "service offline"),
+      (7L, "u.com", "Notice", "service offline"),
+      // unique near-empty stub: never a soft404
+      (8L, "c.com", "Stub", "tiny unique note"),
+      // null title tolerated
+      (9L, "d.com", null.asInstanceOf[String], long)
+    ).toDF("id", "domain", "title", "text")
+    val out = Curate.soft404Flags(rows, "id", "domain", "title", "text")
+      .select("id", "phrase_hit", "near_empty", "template_dup", "soft404")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))
+      .toMap
+    assert(out(1L) == ((true, true, false, true)))
+    assert(out(2L) == ((false, false, false, false))) // deep 404 mention safe
+    for (i <- 3L to 5L) assert(out(i) == ((false, true, true, true)), i)
+    for (i <- 6L to 7L) assert(out(i) == ((false, true, false, false)), i)
+    assert(out(8L) == ((false, true, false, false)))
+    assert(out(9L) == ((false, false, false, false)))
+  }
 }
