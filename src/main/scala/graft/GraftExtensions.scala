@@ -143,6 +143,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "on ties"),
       (args: Seq[Expression]) => RobotsAllowed(args(0), args(1), args(2))))
     ext.injectFunction((
+      FunctionIdentifier("sitemap_kind"),
+      info("sitemap_kind",
+        "sitemap_kind(str) - 'urlset' / 'sitemapindex' / null"),
+      (args: Seq[Expression]) => SitemapKind(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("sitemap_entries"),
+      info("sitemap_entries",
+        "sitemap_entries(str) - sitemaps.org entries: array of " +
+          "(loc, lastmod, changefreq, priority) for urlset and " +
+          "sitemapindex documents"),
+      (args: Seq[Expression]) => SitemapEntries(args.head)))
+    ext.injectFunction((
       FunctionIdentifier("split_sentences"),
       info("split_sentences",
         "split_sentences(str) - abbreviation- and initial-aware sentence " +

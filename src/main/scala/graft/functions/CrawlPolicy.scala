@@ -234,6 +234,172 @@ object CrawlPolicyUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       splitSentences(s.toString).map(x =>
         UTF8String.fromString(x): Any).toArray)
+
+  // ------------------------------------------------------------- sitemaps
+
+  val sitemapEntrySchema: StructType = StructType(Seq(
+    StructField("loc", StringType, nullable = false),
+    StructField("lastmod", StringType, nullable = true),
+    StructField("changefreq", StringType, nullable = true),
+    StructField("priority", DoubleType, nullable = true)))
+
+  /** Per-file entry cap — the sitemaps.org protocol caps a sitemap at
+    * 50,000 URLs; entries past it are dropped (a file that large is
+    * out of protocol anyway). */
+  val MaxSitemapEntries: Int = 50000
+
+  /** ASCII-case-insensitive startsWith (t must be lowercase ASCII). */
+  private def startsAtIC(s: String, i: Int, t: String): Boolean = {
+    if (i < 0 || i + t.length > s.length) return false
+    var k = 0
+    while (k < t.length) {
+      if (Character.toLowerCase(s.charAt(i + k)) != t.charAt(k)) return false
+      k += 1
+    }
+    true
+  }
+
+  private def indexOfIC(s: String, t: String, from: Int): Int = {
+    var i = math.max(from, 0)
+    val lim = s.length - t.length
+    while (i <= lim) {
+      if (startsAtIC(s, i, t)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Index AFTER '>' of the next `<name ...>` opening tag at or past
+    * `from`, requiring a real name boundary (so `<url` does not match
+    * `<urlset`). -1 when absent. */
+  private def findElem(s: String, from: Int, name: String): Int = {
+    val probe = "<" + name
+    var i = from
+    while (i >= 0 && i < s.length) {
+      i = indexOfIC(s, probe, i)
+      if (i < 0) return -1
+      val after = i + probe.length
+      if (after >= s.length) return -1
+      val c = s.charAt(after)
+      if (c == '>') return after + 1
+      if (Character.isWhitespace(c) || c == '/') {
+        val gt = s.indexOf('>', after)
+        return if (gt < 0) -1 else gt + 1
+      }
+      i = after
+    }
+    -1
+  }
+
+  /** Minimal XML entity decode for element text (the five predefined
+    * entities plus numeric references — the sitemap protocol requires
+    * URLs entity-escaped). */
+  private def decodeXmlEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        val name = if (semi > i && semi <= i + 10) s.substring(i + 1, semi)
+          else null
+        val code: Int = name match {
+          case "amp" => '&'
+          case "lt" => '<'
+          case "gt" => '>'
+          case "quot" => '"'
+          case "apos" => '\''
+          case null => -1
+          case n if n.length > 1 && n.charAt(0) == '#' =>
+            try {
+              val v = if (n.charAt(1) == 'x' || n.charAt(1) == 'X')
+                Integer.parseInt(n.substring(2), 16)
+              else Integer.parseInt(n.substring(1))
+              if (v >= 0xd800 && v <= 0xdfff) 0xfffd
+              else if (v > 0 && v <= 0x10ffff) v else -1
+            } catch { case _: NumberFormatException => -1 }
+          case _ => -1
+        }
+        if (code >= 0) { out.appendCodePoint(code); i = semi + 1 }
+        else { out.append('&'); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Trimmed, entity-decoded text of the FIRST `<name>` child inside
+    * [from, end), or null. */
+  private def elemText(s: String, from: Int, end: Int, name: String): String = {
+    val open = findElem(s, from, name)
+    if (open < 0 || open >= end) return null
+    val close = indexOfIC(s, "</" + name, open)
+    val stop = if (close < 0 || close > end) end else close
+    val t = decodeXmlEntities(s.substring(open, stop).trim)
+    if (t.isEmpty) null else t
+  }
+
+  /** Document kind: "urlset" (a sitemap of pages), "sitemapindex" (a
+    * sitemap of sitemaps), or null — whichever root element appears
+    * first. */
+  def sitemapKind(xml: String): String = {
+    val us = findElem(xml, 0, "urlset")
+    val si = findElem(xml, 0, "sitemapindex")
+    if (us < 0 && si < 0) null
+    else if (si < 0 || (us >= 0 && us < si)) "urlset"
+    else "sitemapindex"
+  }
+
+  /** Entries of a sitemap OR sitemap index, in document order: one row
+    * per `<url>` / `<sitemap>` element with a non-empty `<loc>` —
+    * (loc, lastmod, changefreq, priority). Index entries naturally
+    * carry null changefreq/priority. Unparseable priorities are null;
+    * entries without a loc are skipped (the protocol requires one).
+    * Bounded by [[MaxSitemapEntries]]; a truncated trailing element
+    * yields its fields up to end-of-input. */
+  def sitemapEntries(xml: String): Seq[InternalRow] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var i = 0
+    while (i < xml.length && out.size < MaxSitemapEntries) {
+      val u = findElem(xml, i, "url")
+      val m = findElem(xml, i, "sitemap")
+      val (open, closeTag) =
+        if (u < 0 && m < 0) (-1, null)
+        else if (m < 0 || (u >= 0 && u < m)) (u, "</url")
+        else (m, "</sitemap")
+      if (open < 0) i = xml.length
+      else {
+        val close = indexOfIC(xml, closeTag, open)
+        val end = if (close < 0) xml.length else close
+        val loc = elemText(xml, open, end, "loc")
+        if (loc != null) {
+          val pr = elemText(xml, open, end, "priority")
+          val prD: Any =
+            if (pr == null) null
+            else try java.lang.Double.parseDouble(pr)
+            catch { case _: NumberFormatException => null }
+          out += InternalRow(
+            UTF8String.fromString(loc),
+            Option(elemText(xml, open, end, "lastmod"))
+              .map(UTF8String.fromString).orNull,
+            Option(elemText(xml, open, end, "changefreq"))
+              .map(UTF8String.fromString).orNull,
+            prD)
+        }
+        i = if (close < 0) xml.length else close + closeTag.length
+      }
+    }
+    out.toSeq
+  }
+
+  def sitemapKindU(xml: UTF8String): UTF8String = {
+    val k = sitemapKind(xml.toString)
+    if (k == null) null else UTF8String.fromString(k)
+  }
+
+  def sitemapEntriesArray(xml: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      sitemapEntries(xml.toString).map(x => x: Any).toArray)
 }
 
 /** Codegen'd robots.txt parse: `robots_rules(str)` ->
@@ -314,6 +480,53 @@ case class SplitSentences(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd sitemap kind: `sitemap_kind(str)` -> 'urlset' /
+  * 'sitemapindex' / null. */
+case class SitemapKind(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sitemap_kind expects STRING, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    CrawlPolicyUtil.sitemapKindU(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.CrawlPolicyUtil.sitemapKindU($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildInternal(newChild: Expression): SitemapKind =
+    copy(child = newChild)
+}
+
+/** Codegen'd sitemap parse: `sitemap_entries(str)` ->
+  * ARRAY<struct(loc, lastmod, changefreq, priority)> for both urlset
+  * and sitemapindex documents (sitemaps.org protocol). */
+case class SitemapEntries(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(CrawlPolicyUtil.sitemapEntrySchema, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sitemap_entries expects STRING, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    CrawlPolicyUtil.sitemapEntriesArray(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CrawlPolicyUtil.sitemapEntriesArray($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SitemapEntries =
+    copy(child = newChild)
+}
+
 /** Column wrappers for the crawl-policy kernels. */
 object crawl {
   import org.apache.spark.sql.GraftBridge
@@ -327,4 +540,10 @@ object crawl {
 
   def split_sentences(c: Column): Column =
     GraftBridge.column(SplitSentences(GraftBridge.expression(c)))
+
+  def sitemap_kind(c: Column): Column =
+    GraftBridge.column(SitemapKind(GraftBridge.expression(c)))
+
+  def sitemap_entries(c: Column): Column =
+    GraftBridge.column(SitemapEntries(GraftBridge.expression(c)))
 }

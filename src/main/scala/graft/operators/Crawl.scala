@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{crawl, web}
+
+/** Crawl-planning operators: sitemap ingestion and the politeness-
+  * budgeted frontier — the loop-closing pieces over the URL, robots,
+  * and sitemap kernels. A crawl at 100 TB scale is dominated by a few
+  * giant hosts; the frontier's job is exactly to cap per-domain spend
+  * while keeping the selection deterministic and auditable.
+  */
+object Crawl {
+
+  /** Explode a column of sitemap XML documents (urlset or sitemapindex)
+    * into entry rows: (idCol, kind, entry_idx, loc, lastmod,
+    * changefreq, priority). One codegen'd parse + one generator, fused
+    * into the scan stage — XML bytes never cross a shuffle. Documents
+    * that are not sitemaps (null kind) produce no rows. */
+  def sitemapUrls(df: DataFrame, idCol: String, xmlCol: String): DataFrame =
+    df.select(col(idCol), crawl.sitemap_kind(col(xmlCol)).as("kind"),
+        posexplode(crawl.sitemap_entries(col(xmlCol))))
+      .where(col("kind").isNotNull)
+      .select(col(idCol), col("kind"), col("pos").as("entry_idx"),
+        col("col.loc").as("loc"), col("col.lastmod").as("lastmod"),
+        col("col.changefreq").as("changefreq"),
+        col("col.priority").as("priority"))
+
+  /** Politeness-budgeted frontier selection: candidate URLs ->
+    * per-domain top-`budget` picks, robots-compliant and deduplicated.
+    *
+    *   1. canonicalize (dedup key) and parse each URL; unparseable rows
+    *      drop, canonical duplicates collapse to one row (highest
+    *      score wins the representative's priority);
+    *   2. robots filter: left-join `robots` (domain, robots_txt) on the
+    *      HOST (where robots.txt actually lives — politeness is a
+    *      per-host contract, so two subdomains of one site budget
+    *      independently; regroup on registered_domain upstream for
+    *      eTLD+1 caps) and evaluate RFC 9309 for `agent` against the
+    *      URL path — no robots row means allowed;
+    *   3. budget: left-join `budgets` (domain, budget), missing domains
+    *      get `defaultBudget`;
+    *   4. rank allowed URLs per domain by (score desc, url asc) —
+    *      `scoreCol` if given, else a deterministic content hash (a
+    *      seedless shuffle, so the un-scored frontier is an unbiased
+    *      per-domain sample) — and mark `selected` = rank <= budget.
+    *
+    * Returns the full allowed audit trail: (url, domain, score, rnk,
+    * budget, selected); callers fetch `selected`. Scale shape: one
+    * dedup aggregation on the canonical key, two left joins on domain
+    * (robots/budget sides are domain-cardinality — broadcastable), one
+    * per-domain window. The window ranks every allowed row of a domain
+    * even though only `budget` survive; that sort is the same
+    * per-group-top-k shape the engine benches as q_window_topn, and the
+    * giant-domain skew it pays for once is exactly what the budget cap
+    * removes from every downstream stage. */
+  def frontierSample(
+      candidates: DataFrame, urlCol: String, agent: String,
+      robots: DataFrame, budgets: DataFrame, defaultBudget: Long,
+      scoreCol: Option[String] = None): DataFrame = {
+    val score = scoreCol.map(col).getOrElse(
+      pmod(xxhash64(col("url")), lit(1000000007L)))
+    val canon = candidates
+      .withColumn("url", web.url_canonical(col(urlCol)))
+      .where(col("url").isNotNull)
+      .groupBy("url").agg(max(score).as("score"))
+      .withColumn("u", web.url_parse(col("url")))
+      .where(col("u").isNotNull)
+      .select(col("url"), col("score"),
+        col("u.host").as("domain"), col("u.path").as("path"))
+    val allowed = canon
+      .join(robots.select(col("domain"), col("robots_txt")), Seq("domain"),
+        "left")
+      .where(col("robots_txt").isNull ||
+        crawl.robots_allowed(col("robots_txt"), lit(agent), col("path")))
+    allowed
+      .join(budgets.select(col("domain"), col("budget")), Seq("domain"),
+        "left")
+      .withColumn("budget",
+        coalesce(col("budget").cast("long"), lit(defaultBudget)))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("domain"))
+          .orderBy(col("score").desc, col("url").asc)).cast("long"))
+      .withColumn("selected", col("rnk") <= col("budget"))
+      .select("url", "domain", "score", "rnk", "budget", "selected")
+  }
+}

@@ -1390,6 +1390,118 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM documents"""),
     ),
 
+    // Sitemap ingestion (sitemaps.org protocol): every fourth doc plants
+    // a <sitemapindex> of two child sitemaps, the rest a three-entry
+    // <urlset> exercising entity-escaped locs (&amp; in a query string),
+    // optional lastmod/changefreq, and a doc_id-derived priority; one
+    // entry carries nothing but its loc. Kind, order, and every field
+    // are closed-form.
+    "q_crawl_sitemap" -> QueryDef(
+      (s, dir) => {
+        val id = col("doc_id").cast("string")
+        val urlset = concat(
+          lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+            "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+            "<url><loc>https://site"), id,
+          lit(".example.com/p/0?a=1&amp;b="), id,
+          lit("</loc><lastmod>2025-01-01</lastmod>" +
+            "<changefreq>daily</changefreq>" +
+            "<priority>0.8</priority></url>" +
+            "<url><loc>https://site"), id,
+          lit(".example.com/p/1</loc><lastmod>2025-01-02</lastmod>" +
+            "<priority>0."), (col("doc_id") % 9 + 1).cast("string"),
+          lit("</priority></url><url><loc>https://site"), id,
+          lit(".example.com/p/2</loc></url></urlset>"))
+        val index = concat(
+          lit("<?xml version=\"1.0\"?><sitemapindex>" +
+            "<sitemap><loc>https://site"), id,
+          lit(".example.com/sitemap0.xml</loc>" +
+            "<lastmod>2025-02-01</lastmod></sitemap>" +
+            "<sitemap><loc>https://site"), id,
+          lit(".example.com/sitemap1.xml</loc>" +
+            "<lastmod>2025-02-02</lastmod></sitemap></sitemapindex>"))
+        val xml = when(col("doc_id") % 4 === 0, index).otherwise(urlset)
+        graft.operators.Crawl.sitemapUrls(
+          docs(s, dir).select(col("doc_id"), xml.as("xml")),
+          "doc_id", "xml")
+      },
+      Some("""WITH e AS (
+          SELECT doc_id, unnest(generate_series(0,
+            CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 2 END)) AS i
+          FROM documents)
+        SELECT doc_id,
+          CASE WHEN doc_id % 4 = 0 THEN 'sitemapindex'
+            ELSE 'urlset' END AS kind,
+          CAST(i AS INTEGER) AS entry_idx,
+          CASE WHEN doc_id % 4 = 0 THEN 'https://site' || doc_id ||
+              '.example.com/sitemap' || i || '.xml'
+            WHEN i = 0 THEN 'https://site' || doc_id ||
+              '.example.com/p/0?a=1&b=' || doc_id
+            ELSE 'https://site' || doc_id || '.example.com/p/' || i
+          END AS loc,
+          CASE WHEN doc_id % 4 = 0 THEN '2025-02-0' || (i + 1)
+            WHEN i = 2 THEN NULL
+            ELSE '2025-01-0' || (i + 1) END AS lastmod,
+          CASE WHEN doc_id % 4 <> 0 AND i = 0 THEN 'daily' END
+            AS changefreq,
+          CASE WHEN doc_id % 4 <> 0 AND i = 0 THEN CAST('0.8' AS DOUBLE)
+            WHEN doc_id % 4 <> 0 AND i = 1 THEN
+              CAST('0.' || (doc_id % 9 + 1) AS DOUBLE)
+          END AS priority
+        FROM e"""),
+    ),
+
+    // Politeness-budgeted crawl frontier: four planted URLs per doc
+    // spread over eight hosts — one path robots-disallowed — ranked per
+    // host by a closed-form score under per-host budgets (explicit 5
+    // for half the hosts, the default 10 for the rest). The full audit
+    // trail (rank, budget, selected) is replayed relationally in the
+    // oracle; a slip in canonicalization, the robots decision, the
+    // budget default, or the rank tie-break moves a row.
+    "q_crawl_frontier" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val id = col("doc_id").cast("string")
+        val cands = docs(s, dir)
+          .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("j"))
+          .select(
+            concat(lit("https://d"), (col("doc_id") % 8).cast("string"),
+              lit(".example.com"),
+              when(col("j") === 3, concat(lit("/private/"), id))
+                .otherwise(concat(lit("/p/"), id, lit("/"),
+                  col("j").cast("string")))).as("url"),
+            ((col("doc_id") * 7 + col("j")) % 100).cast("long").as("score"))
+        val robots = (0 until 8)
+          .map(d => (s"d$d.example.com", "User-agent: *\nDisallow: /private"))
+          .toDF("domain", "robots_txt")
+        val budgets = (0 until 4).map(d => (s"d$d.example.com", 5L))
+          .toDF("domain", "budget")
+        graft.operators.Crawl.frontierSample(cands, "url", "graftbot",
+          robots, budgets, defaultBudget = 10L, scoreCol = Some("score"))
+      },
+      Some("""WITH c AS (
+          SELECT doc_id, unnest(generate_series(0, 3)) AS j
+          FROM documents),
+        u AS (
+          SELECT 'd' || (doc_id % 8) || '.example.com' AS domain,
+            'https://d' || (doc_id % 8) || '.example.com' ||
+              CASE WHEN j = 3 THEN '/private/' || doc_id
+                ELSE '/p/' || doc_id || '/' || j END AS url,
+            CAST((doc_id * 7 + j) % 100 AS BIGINT) AS score, j
+          FROM c),
+        a AS (SELECT * FROM u WHERE j <> 3),
+        r AS (
+          SELECT url, domain, score,
+            CAST(row_number() OVER (PARTITION BY domain
+              ORDER BY score DESC, url ASC) AS BIGINT) AS rnk,
+            CAST(CASE WHEN CAST(substr(domain, 2, 1) AS INT) < 4
+              THEN 5 ELSE 10 END AS BIGINT) AS budget
+          FROM a)
+        SELECT url, domain, score, rnk, budget,
+          (rnk <= budget) AS selected
+        FROM r"""),
+    ),
+
     // Per-domain corpus stats — the building block of domain-cap /
     // domain-reweighting curation (a crawl is dominated by a few hosts):
     // planted URLs (www-prefixed and bare, .com and .co.uk public-suffix

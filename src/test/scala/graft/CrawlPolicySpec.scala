@@ -115,4 +115,91 @@ class CrawlPolicySpec extends AnyFunSuite {
         "size(split_sentences('Hi there. Bye.')) n").collect().head
     assert(viaSql.getBoolean(0) && viaSql.getInt(1) == 2)
   }
+
+  test("sitemap: urlset entries, entity-escaped locs, optional fields") {
+    import graft.functions.CrawlPolicyUtil
+    val xml = """<?xml version="1.0" encoding="UTF-8"?>
+      <urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        <url><loc> https://ex.com/a?x=1&amp;y=2 </loc>
+          <lastmod>2024-06-01</lastmod>
+          <changefreq>weekly</changefreq><priority>0.9</priority></url>
+        <url><loc>https://ex.com/b</loc></url>
+        <url><lastmod>2024-01-01</lastmod></url>
+        <url><loc>https://ex.com/c</loc><priority>high</priority></url>
+      </urlset>"""
+    assert(CrawlPolicyUtil.sitemapKind(xml) == "urlset")
+    val es = CrawlPolicyUtil.sitemapEntries(xml)
+    // the loc-less entry is skipped (protocol requires loc)
+    assert(es.size == 3)
+    assert(es(0).getUTF8String(0).toString == "https://ex.com/a?x=1&y=2")
+    assert(es(0).getUTF8String(1).toString == "2024-06-01")
+    assert(es(0).getUTF8String(2).toString == "weekly")
+    assert(es(0).getDouble(3) == 0.9)
+    assert(es(1).getUTF8String(0).toString == "https://ex.com/b")
+    assert(es(1).isNullAt(1) && es(1).isNullAt(2) && es(1).isNullAt(3))
+    // unparseable priority -> null, entry survives
+    assert(es(2).getUTF8String(0).toString == "https://ex.com/c")
+    assert(es(2).isNullAt(3))
+  }
+
+  test("sitemap: index documents, tag-name boundaries, case, hostile") {
+    import graft.functions.CrawlPolicyUtil
+    val idx = "<SITEMAPINDEX><SITEMAP><LOC>https://ex.com/s1.xml</LOC>" +
+      "<LASTMOD>2024-02-02</LASTMOD></SITEMAP>" +
+      "<sitemap><loc>https://ex.com/s2.xml</loc></sitemap></SITEMAPINDEX>"
+    assert(CrawlPolicyUtil.sitemapKind(idx) == "sitemapindex")
+    val es = CrawlPolicyUtil.sitemapEntries(idx)
+    assert(es.size == 2)
+    assert(es(0).getUTF8String(0).toString == "https://ex.com/s1.xml")
+    assert(es(0).getUTF8String(1).toString == "2024-02-02")
+    assert(es(1).getUTF8String(0).toString == "https://ex.com/s2.xml")
+    // <url never matches <urlset's prefix: a bare urlset root is no entry
+    assert(CrawlPolicyUtil.sitemapEntries("<urlset></urlset>").isEmpty)
+    assert(CrawlPolicyUtil.sitemapKind("<html><body>nope</body>") == null)
+    assert(CrawlPolicyUtil.sitemapKind("") == null)
+    // truncated trailing element still yields its loc
+    val trunc = "<urlset><url><loc>https://ex.com/t</loc><lastmod>2024"
+    val te = CrawlPolicyUtil.sitemapEntries(trunc)
+    assert(te.size == 1 &&
+      te(0).getUTF8String(0).toString == "https://ex.com/t")
+    // hostile sweep: prefixes never throw
+    val full = idx + "<urlset><url><loc>x</loc></url></urlset>"
+    for (n <- 0 to full.length)
+      CrawlPolicyUtil.sitemapEntries(full.substring(0, n))
+  }
+
+  test("frontier: dedup, robots, budget default, deterministic ranking") {
+    import spark.implicits._
+    import graft.operators.Crawl
+    val cands = Seq(
+      ("HTTP://A.com:80/p1#frag", 9L), // canonicalizes with the next row
+      ("http://a.com/p1", 5L),         // ...highest score wins the dedup
+      ("http://a.com/p2", 8L),
+      ("http://a.com/p3", 7L),
+      ("http://a.com/private/x", 99L), // robots-blocked, never ranked
+      ("http://b.com/q1", 1L),         // no robots row -> allowed
+      ("http://b.com/q2", 2L),         // no budget row -> default applies
+      ("not a url", 50L)               // unparseable -> dropped
+    ).toDF("url", "score")
+    val robots = Seq(("a.com", "User-agent: *\nDisallow: /private"))
+      .toDF("domain", "robots_txt")
+    val budgets = Seq(("a.com", 2L)).toDF("domain", "budget")
+    val out = Crawl.frontierSample(cands, "url", "bot", robots, budgets,
+        defaultBudget = 1L, scoreCol = Some("score"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(out.size == 5) // 3 on a.com (dup collapsed, private dropped) + 2
+    assert(out("http://a.com/p1") == ((9L, 1L, 2L, true))) // max(9,5) kept
+    assert(out("http://a.com/p2") == ((8L, 2L, 2L, true)))
+    assert(out("http://a.com/p3") == ((7L, 3L, 2L, false))) // past budget
+    assert(out("http://b.com/q2") == ((2L, 1L, 1L, true))) // default budget
+    assert(out("http://b.com/q1") == ((1L, 2L, 1L, false)))
+    assert(!out.contains("http://a.com/private/x"))
+    // unscored mode: the hash priority is deterministic across runs
+    val h1 = Crawl.frontierSample(cands, "url", "bot", robots, budgets, 1L)
+      .orderBy("url").collect().toSeq
+    val h2 = Crawl.frontierSample(cands, "url", "bot", robots, budgets, 1L)
+      .orderBy("url").collect().toSeq
+    assert(h1 == h2 && h1.nonEmpty)
+  }
 }

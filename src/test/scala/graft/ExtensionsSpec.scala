@@ -82,7 +82,10 @@ class ExtensionsSpec extends AnyFunSuite {
         " charset_detect(CAST('z' AS BINARY)) AS d," +
         " charset_detect(CAST('z' AS BINARY), 'text/html; charset=sjis') AS e," +
         " html_main_text(concat('<p>', repeat('word ', 17), '</p>')) AS f," +
-        " size(html_blocks('<p>tiny</p><div>x</div>')) AS g"
+        " size(html_blocks('<p>tiny</p><div>x</div>')) AS g," +
+        " sitemap_kind('<urlset><url><loc>u</loc></url></urlset>') AS h," +
+        " sitemap_entries('<urlset><url><loc>https://e.com/x</loc>" +
+        "</url></urlset>')[0].loc AS i"
     ).collect().head
     assert(r.getString(0) == "plain")
     assert(r.getString(1) == "x")
@@ -91,6 +94,8 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getString(4) == "shift_jis")
     assert(r.getString(5) == ("word " * 17).trim)
     assert(r.getInt(6) == 2)
+    assert(r.getString(7) == "urlset")
+    assert(r.getString(8) == "https://e.com/x")
   }
 
   test("array kernels are callable from SQL and match the Scala API") {
