@@ -75,6 +75,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!queryPart.contains("Window"), s"global window regressed:\n$queryPart")
   }
 
+  test("global-order paths: top-k or ranged cumsum; every data-sized window partitioned") {
+    // The test log's "WindowExec: No Partition Defined" warnings come from
+    // test-side reference computations; this pin documents the production
+    // global-order paths so the warning can never hide a data-sized
+    // regression.
+    val ro = TpchWorld.readonly(spark, dir)
+    // 1. the hash-list envelope (ORDER BY + LIMIT) is a distributed
+    //    top-k, not a global sort or a window
+    val p1 = plan(Results.hashes(HasReadings(), ro, TpchWorld.types,
+      limit = 10))
+    assert(p1.contains("TakeOrderedAndProject"),
+      s"envelope should plan as top-k:\n$p1")
+    assert(!p1.split("InMemoryRelation").head.contains("Window"),
+      s"envelope must not window:\n$p1")
+    // 2. token-budget cumsum: the DATA-sized window is partitioned by the
+    //    range bucket; the only unpartitioned window rangedCumsum owns
+    //    runs over the <= 64 bucket-total rows (model-sized by contract)
+    val docsT = Tables.table(spark, dir, "documents").select(col("doc_id"),
+      (length(col("text")) / 4).cast("long").as("toks"),
+      length(col("text")).cast("double").as("score"))
+    val p2 = plan(graft.operators.Curate.tokenBudgetSelect(
+      docsT, "doc_id", "toks", "score", 1000L))
+    assert(p2.contains("windowspecdefinition(_bucket"),
+      s"cumsum's data leg must window per range bucket:\n$p2")
+    // 3. frontier ranking windows are partitioned by domain
+    import spark.implicits._
+    val cands = Seq(("http://a.com/x", 1L)).toDF("url", "score")
+    val robots = Seq(("a.com", "User-agent: *")).toDF("domain", "robots_txt")
+    val budgets = Seq(("a.com", 5L)).toDF("domain", "budget")
+    val p3 = plan(graft.operators.Crawl.frontierSample(cands, "url", "bot",
+      robots, budgets, 10L, Some("score")))
+    assert(p3.contains("windowspecdefinition(domain"),
+      s"frontier rank must partition by domain:\n$p3")
+  }
+
   test("decontamination probes a BROADCAST bench side — never a shuffle join") {
     val docs = Tables.table(spark, dir, "documents").select("doc_id", "text")
     val bench = docs.filter(col("doc_id") % 7 === 0)
