@@ -608,6 +608,10 @@ object RelationalQueries extends QueryPack {
         val li = Tables.table(s, dir, "lineitem")
         val merged = graft.operators.Sketches.hllMergeEstimate(
           li, "l_returnflag", "l_partkey")
+        // GATE-ONLY leg: the full-corpus exact countDistinct exists to
+        // band-check the estimate (crossJoin of two 1-row aggregates);
+        // the OPERATOR is the mergeable sketch alone — production never
+        // computes the exact side
         val exact = li.agg(countDistinct(col("l_partkey")).as("exact_parts"))
         merged.crossJoin(exact).select(
           col("exact_parts"), col("n_groups"),
