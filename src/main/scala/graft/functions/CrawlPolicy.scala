@@ -259,9 +259,9 @@ object CrawlPolicyUtil {
     true
   }
 
-  private def indexOfIC(s: String, t: String, from: Int): Int = {
+  private def indexOfIC(s: String, t: String, from: Int, until: Int): Int = {
     var i = math.max(from, 0)
-    val lim = s.length - t.length
+    val lim = math.min(until, s.length) - t.length
     while (i <= lim) {
       if (startsAtIC(s, i, t)) return i
       i += 1
@@ -269,14 +269,17 @@ object CrawlPolicyUtil {
     -1
   }
 
-  /** Index AFTER '>' of the next `<name ...>` opening tag at or past
-    * `from`, requiring a real name boundary (so `<url` does not match
-    * `<urlset`). -1 when absent. */
-  private def findElem(s: String, from: Int, name: String): Int = {
+  /** Index AFTER '>' of the next `<name ...>` opening tag in
+    * [from, until), requiring a real name boundary (so `<url` does not
+    * match `<urlset`). -1 when absent. The `until` bound is what keeps
+    * per-entry field lookups O(entry span): without it a corpus of
+    * loc-only entries would re-scan to end-of-document for every absent
+    * optional field — a hostile quadratic. */
+  private def findElem(s: String, from: Int, until: Int, name: String): Int = {
     val probe = "<" + name
     var i = from
-    while (i >= 0 && i < s.length) {
-      i = indexOfIC(s, probe, i)
+    while (i >= 0 && i < until) {
+      i = indexOfIC(s, probe, i, until)
       if (i < 0) return -1
       val after = i + probe.length
       if (after >= s.length) return -1
@@ -331,20 +334,49 @@ object CrawlPolicyUtil {
   /** Trimmed, entity-decoded text of the FIRST `<name>` child inside
     * [from, end), or null. */
   private def elemText(s: String, from: Int, end: Int, name: String): String = {
-    val open = findElem(s, from, name)
+    val open = findElem(s, from, end, name)
     if (open < 0 || open >= end) return null
-    val close = indexOfIC(s, "</" + name, open)
-    val stop = if (close < 0 || close > end) end else close
+    val close = indexOfIC(s, "</" + name, open, end)
+    val stop = if (close < 0) end else close
     val t = decodeXmlEntities(s.substring(open, stop).trim)
     if (t.isEmpty) null else t
+  }
+
+  /** Next `<url ...>` or `<sitemap ...>` opening tag at or past `from`,
+    * in ONE left-to-right scan — two independent per-name searches
+    * would rescan the whole tail for the absent name on every entry (a
+    * urlset never contains `<sitemap>` at all), a hostile quadratic.
+    * Returns (index after '>', close tag) or null. */
+  private def nextEntry(s: String, from: Int): (Int, String) = {
+    var i = from
+    while (i >= 0 && i < s.length) {
+      i = s.indexOf('<', i)
+      if (i < 0) return null
+      var name: String = null
+      if (startsAtIC(s, i, "<url")) name = "url"
+      else if (startsAtIC(s, i, "<sitemap")) name = "sitemap"
+      if (name != null) {
+        val after = i + 1 + name.length
+        if (after >= s.length) return null
+        val c = s.charAt(after)
+        if (c == '>') return (after + 1, "</" + name)
+        if (Character.isWhitespace(c) || c == '/') {
+          val gt = s.indexOf('>', after)
+          return if (gt < 0) null else (gt + 1, "</" + name)
+        }
+        // name-boundary miss (<urlset, <sitemapindex): keep scanning
+      }
+      i += 1
+    }
+    null
   }
 
   /** Document kind: "urlset" (a sitemap of pages), "sitemapindex" (a
     * sitemap of sitemaps), or null — whichever root element appears
     * first. */
   def sitemapKind(xml: String): String = {
-    val us = findElem(xml, 0, "urlset")
-    val si = findElem(xml, 0, "sitemapindex")
+    val us = findElem(xml, 0, xml.length, "urlset")
+    val si = findElem(xml, 0, xml.length, "sitemapindex")
     if (us < 0 && si < 0) null
     else if (si < 0 || (us >= 0 && us < si)) "urlset"
     else "sitemapindex"
@@ -361,15 +393,11 @@ object CrawlPolicyUtil {
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
     var i = 0
     while (i < xml.length && out.size < MaxSitemapEntries) {
-      val u = findElem(xml, i, "url")
-      val m = findElem(xml, i, "sitemap")
-      val (open, closeTag) =
-        if (u < 0 && m < 0) (-1, null)
-        else if (m < 0 || (u >= 0 && u < m)) (u, "</url")
-        else (m, "</sitemap")
+      val ne = nextEntry(xml, i)
+      val (open, closeTag) = if (ne == null) (-1, null) else ne
       if (open < 0) i = xml.length
       else {
-        val close = indexOfIC(xml, closeTag, open)
+        val close = indexOfIC(xml, closeTag, open, xml.length)
         val end = if (close < 0) xml.length else close
         val loc = elemText(xml, open, end, "loc")
         if (loc != null) {

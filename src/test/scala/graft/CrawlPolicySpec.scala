@@ -168,6 +168,22 @@ class CrawlPolicySpec extends AnyFunSuite {
       CrawlPolicyUtil.sitemapEntries(full.substring(0, n))
   }
 
+  test("sitemap: large loc-only urlset parses in linear time") {
+    import graft.functions.CrawlPolicyUtil
+    // loc-only entries are the hostile shape for per-entry field lookups:
+    // an unbounded search for the absent optional fields (or for the
+    // never-present <sitemap> tag) would rescan the tail per entry —
+    // quadratic. ~0.9 MB / 20k entries must parse in linear time.
+    val xml = "<urlset>" + (1 to 20000)
+      .map(i => s"<url><loc>https://e.com/$i</loc></url>").mkString +
+      "</urlset>"
+    val t0 = System.nanoTime()
+    val es = CrawlPolicyUtil.sitemapEntries(xml)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(es.size == 20000)
+    assert(ms < 2000, s"looks quadratic: $ms ms for 20k loc-only entries")
+  }
+
   test("frontier: dedup, robots, budget default, deterministic ranking") {
     import spark.implicits._
     import graft.operators.Crawl
