@@ -143,6 +143,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "on ties"),
       (args: Seq[Expression]) => RobotsAllowed(args(0), args(1), args(2))))
     ext.injectFunction((
+      FunctionIdentifier("crawl_delay"),
+      info("crawl_delay",
+        "crawl_delay(txt, agent) - Crawl-delay seconds from the most " +
+          "specific agent group of a robots.txt, null when undeclared"),
+      (args: Seq[Expression]) => CrawlDelay(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("robots_sitemaps"),
+      info("robots_sitemaps",
+        "robots_sitemaps(txt) - Sitemap: directive URLs of a robots.txt " +
+          "in declaration order"),
+      (args: Seq[Expression]) => RobotsSitemaps(args.head)))
+    ext.injectFunction((
       FunctionIdentifier("sitemap_kind"),
       info("sitemap_kind",
         "sitemap_kind(str) - 'urlset' / 'sitemapindex' / null"),

@@ -161,6 +161,82 @@ object CrawlPolicyUtil {
     bestLen < 0 || bestAllow
   }
 
+  /** Crawl-delay (seconds) for the most specific agent group, or null
+    * when no applicable group declares one. Not in RFC 9309 but the
+    * de-facto politeness contract most large sites publish; group
+    * selection mirrors [[allowed]] (named-agent groups shadow '*'),
+    * the last declaration of the winning pool applies, and unparseable
+    * or negative values are ignored. */
+  def crawlDelay(txt: String, agent: String): java.lang.Double = {
+    val delays = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var agents = List.empty[String]
+    var groupOpen = false
+    for (raw <- txt.split("\n")) {
+      val line = {
+        val h = raw.indexOf('#')
+        (if (h >= 0) raw.substring(0, h) else raw).trim
+      }
+      if (line.nonEmpty) {
+        val colon = line.indexOf(':')
+        if (colon > 0) {
+          val key = line.substring(0, colon).trim.toLowerCase
+          val value = line.substring(colon + 1).trim
+          key match {
+            case "user-agent" =>
+              if (!groupOpen) agents = Nil
+              agents = value.toLowerCase :: agents
+              groupOpen = true
+            case "crawl-delay" =>
+              groupOpen = false
+              try {
+                val d = java.lang.Double.parseDouble(value)
+                if (d >= 0 && !d.isNaN && !d.isInfinite)
+                  for (a <- agents if delays.size < MaxRules)
+                    delays += ((a, d))
+              } catch { case _: NumberFormatException => () }
+            case _ => groupOpen = false
+          }
+        }
+      }
+    }
+    val a = agent.toLowerCase
+    val named = delays.filter(d => d._1 != "*" && a.contains(d._1))
+    val pool =
+      if (named.nonEmpty) {
+        val best = named.map(_._1.length).max
+        named.filter(_._1.length == best)
+      } else delays.filter(_._1 == "*")
+    if (pool.isEmpty) null else Double.box(pool.last._2)
+  }
+
+  def crawlDelayU(txt: UTF8String, agent: UTF8String): Any =
+    crawlDelay(txt.toString, agent.toString)
+
+  /** `Sitemap:` directive URLs in declaration order (site-wide, outside
+    * any agent group per the original sitemaps.org extension); case of
+    * the URL preserved, empty values dropped, bounded by [[MaxRules]]. */
+  def robotsSitemaps(txt: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (raw <- txt.split("\n") if out.size < MaxRules) {
+      val line = {
+        val h = raw.indexOf('#')
+        (if (h >= 0) raw.substring(0, h) else raw).trim
+      }
+      val colon = line.indexOf(':')
+      if (colon > 0 &&
+        line.substring(0, colon).trim.toLowerCase == "sitemap") {
+        val v = line.substring(colon + 1).trim
+        if (v.nonEmpty) out += v
+      }
+    }
+    out.toSeq
+  }
+
+  def robotsSitemapsArray(txt: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      robotsSitemaps(txt.toString).map(x =>
+        UTF8String.fromString(x): Any).toArray)
+
   def rulesArray(txt: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
     val rows = parseRules(txt.toString).map { case (a, d, p) =>
       InternalRow(UTF8String.fromString(a), UTF8String.fromString(d),
@@ -508,6 +584,63 @@ case class SplitSentences(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd crawl-delay lookup: `crawl_delay(txt, agent)` -> seconds
+  * (DOUBLE) from the most specific agent group, null when undeclared. */
+case class CrawlDelay(txt: Expression, agent: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = txt
+  override def right: Expression = agent
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (txt.dataType == StringType && agent.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"crawl_delay expects (STRING, STRING), got " +
+        s"(${txt.dataType}, ${agent.dataType})")
+
+  override def nullSafeEval(t: Any, a: Any): Any =
+    CrawlPolicyUtil.crawlDelayU(t.asInstanceOf[UTF8String],
+      a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, a) => {
+      val r = ctx.freshName("delay")
+      s"""
+      Object $r = graft.functions.CrawlPolicyUtil.crawlDelayU($t, $a);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((Double) $r).doubleValue(); }"""
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CrawlDelay =
+    copy(txt = newLeft, agent = newRight)
+}
+
+/** Codegen'd robots sitemap discovery: `robots_sitemaps(txt)` ->
+  * ARRAY<STRING> of Sitemap: directive URLs in declaration order. */
+case class RobotsSitemaps(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"robots_sitemaps expects STRING, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    CrawlPolicyUtil.robotsSitemapsArray(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CrawlPolicyUtil.robotsSitemapsArray($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RobotsSitemaps =
+    copy(child = newChild)
+}
+
 /** Codegen'd sitemap kind: `sitemap_kind(str)` -> 'urlset' /
   * 'sitemapindex' / null. */
 case class SitemapKind(child: Expression) extends UnaryExpression {
@@ -574,4 +707,11 @@ object crawl {
 
   def sitemap_entries(c: Column): Column =
     GraftBridge.column(SitemapEntries(GraftBridge.expression(c)))
+
+  def crawl_delay(txt: Column, agent: Column): Column =
+    GraftBridge.column(CrawlDelay(GraftBridge.expression(txt),
+      GraftBridge.expression(agent)))
+
+  def robots_sitemaps(c: Column): Column =
+    GraftBridge.column(RobotsSitemaps(GraftBridge.expression(c)))
 }

@@ -27,6 +27,24 @@ object Crawl {
         col("col.changefreq").as("changefreq"),
         col("col.priority").as("priority"))
 
+  /** Derive per-host fetch budgets from each host's own declared
+    * Crawl-delay: budget = floor(windowSec / delay), at least 1 —
+    * "how many fetches does this host permit `agent` in one politeness
+    * window" — with `defaultBudget` for hosts declaring no delay (and
+    * for a declared delay of 0, which means unthrottled). Feeds
+    * [[frontierSample]]'s `budgets` side directly; row-local over the
+    * host-cardinality robots table. */
+  def budgetsFromRobots(
+      robots: DataFrame, agent: String, windowSec: Double,
+      defaultBudget: Long): DataFrame = {
+    require(windowSec > 0, s"windowSec must be positive (got $windowSec)")
+    val delay = crawl.crawl_delay(col("robots_txt"), lit(agent))
+    robots.select(col("domain"),
+      when(delay.isNull || delay <= 0d, lit(defaultBudget))
+        .otherwise(greatest(floor(lit(windowSec) / delay), lit(1d)))
+        .cast("long").as("budget"))
+  }
+
   /** Politeness-budgeted frontier selection: candidate URLs ->
     * per-domain top-`budget` picks, robots-compliant and deduplicated.
     *

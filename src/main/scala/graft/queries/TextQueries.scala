@@ -1502,6 +1502,46 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM r"""),
     ),
 
+    // Crawl-delay -> fetch budgets + sitemap discovery from robots.txt:
+    // four planted policy classes — a '*' group with delay 2 (and two
+    // site-wide Sitemap: directives), a named graftbot group (delay
+    // 0.5) shadowing a slower '*' group, no delay at all, and a delay
+    // declared only for a non-matching agent — with budget =
+    // floor(window/delay) or the default, all closed-form.
+    "q_crawl_budgets" -> QueryDef(
+      (s, dir) => {
+        val id = col("doc_id").cast("string")
+        val m = col("doc_id") % 4
+        val domain = concat(lit("site"), id, lit(".example.com"))
+        val txt = when(m === 0, concat(
+            lit("Sitemap: https://site"), id,
+            lit(".example.com/sitemap.xml\nSitemap: https://site"), id,
+            lit(".example.com/news.xml\nUser-agent: *\nCrawl-delay: 2")))
+          .when(m === 1, lit("User-agent: graftbot\nCrawl-delay: 0.5\n\n" +
+            "User-agent: *\nCrawl-delay: 10"))
+          .when(m === 2, lit("User-agent: *\nDisallow: /x"))
+          .otherwise(lit("User-agent: other\nCrawl-delay: 1"))
+        val robotsDf = docs(s, dir)
+          .select(domain.as("domain"), txt.as("robots_txt"))
+        val budgets = graft.operators.Crawl.budgetsFromRobots(
+          robotsDf, "graftbot", windowSec = 60.0, defaultBudget = 10L)
+        val maps = robotsDf.select(col("domain"),
+          size(graft.functions.crawl.robots_sitemaps(col("robots_txt")))
+            .as("n_sitemaps"),
+          try_element_at(graft.functions.crawl.robots_sitemaps(
+            col("robots_txt")), lit(1)).as("first_sitemap"))
+        budgets.join(maps, "domain")
+      },
+      Some("""SELECT 'site' || doc_id || '.example.com' AS domain,
+          CAST(CASE doc_id % 4 WHEN 0 THEN 30 WHEN 1 THEN 120
+            ELSE 10 END AS BIGINT) AS budget,
+          CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 0 END AS INTEGER)
+            AS n_sitemaps,
+          CASE WHEN doc_id % 4 = 0 THEN 'https://site' || doc_id ||
+            '.example.com/sitemap.xml' END AS first_sitemap
+        FROM documents"""),
+    ),
+
     // Per-domain corpus stats — the building block of domain-cap /
     // domain-reweighting curation (a crawl is dominated by a few hosts):
     // planted URLs (www-prefixed and bare, .com and .co.uk public-suffix

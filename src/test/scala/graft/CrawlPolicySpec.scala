@@ -168,6 +168,28 @@ class CrawlPolicySpec extends AnyFunSuite {
       CrawlPolicyUtil.sitemapEntries(full.substring(0, n))
   }
 
+  test("crawl_delay and robots_sitemaps: groups, shadowing, junk values") {
+    import graft.functions.CrawlPolicyUtil
+    val txt = "Sitemap: https://e.com/a.xml\n" +
+      "User-agent: fastbot\nCrawl-delay: 0.25\n\n" +
+      "User-agent: *\nCrawl-delay: 5\nDisallow: /x\n" +
+      "Sitemap: https://e.com/b.xml"
+    // named group shadows '*'; '*' serves everyone else
+    assert(CrawlPolicyUtil.crawlDelay(txt, "FastBot/1.0") == 0.25)
+    assert(CrawlPolicyUtil.crawlDelay(txt, "otherbot") == 5.0)
+    // no applicable group -> null
+    assert(CrawlPolicyUtil.crawlDelay(
+      "User-agent: x\nCrawl-delay: 3", "y") == null)
+    // junk / negative values are ignored, later valid one wins
+    assert(CrawlPolicyUtil.crawlDelay(
+      "User-agent: *\nCrawl-delay: soon\nCrawl-delay: -2\nCrawl-delay: 7",
+      "b") == 7.0)
+    // sitemaps: declaration order, case preserved, group-independent
+    assert(CrawlPolicyUtil.robotsSitemaps(txt) ==
+      Seq("https://e.com/a.xml", "https://e.com/b.xml"))
+    assert(CrawlPolicyUtil.robotsSitemaps("User-agent: *\nAllow: /").isEmpty)
+  }
+
   test("sitemap: large loc-only urlset parses in linear time") {
     import graft.functions.CrawlPolicyUtil
     // loc-only entries are the hostile shape for per-entry field lookups:

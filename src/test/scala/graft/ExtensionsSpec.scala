@@ -85,7 +85,9 @@ class ExtensionsSpec extends AnyFunSuite {
         " size(html_blocks('<p>tiny</p><div>x</div>')) AS g," +
         " sitemap_kind('<urlset><url><loc>u</loc></url></urlset>') AS h," +
         " sitemap_entries('<urlset><url><loc>https://e.com/x</loc>" +
-        "</url></urlset>')[0].loc AS i"
+        "</url></urlset>')[0].loc AS i," +
+        " crawl_delay('User-agent: *\nCrawl-delay: 2.5', 'bot') AS j," +
+        " robots_sitemaps('Sitemap: https://e.com/s.xml')[0] AS k"
     ).collect().head
     assert(r.getString(0) == "plain")
     assert(r.getString(1) == "x")
@@ -96,6 +98,8 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(6) == 2)
     assert(r.getString(7) == "urlset")
     assert(r.getString(8) == "https://e.com/x")
+    assert(r.getDouble(9) == 2.5)
+    assert(r.getString(10) == "https://e.com/s.xml")
   }
 
   test("array kernels are callable from SQL and match the Scala API") {

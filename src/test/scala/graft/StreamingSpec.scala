@@ -49,22 +49,27 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming WARC ingest == batch: stateless chain, same transform") {
     import graft.sources.Content
     // the full crawl-ingest chain (compress -> member split -> record
-    // parse -> url/html extraction) is stateless, so the SAME transform
-    // must drain identically through readStream in Append mode
+    // parse -> charset-aware decode -> url/html extraction) is
+    // stateless, so the SAME transform must drain identically through
+    // readStream in Append mode. Member 0 declares its charset in the
+    // Content-Type header (hint path); member 1 has no header and takes
+    // the strict-UTF-8 sniff path.
     def ingested(df: org.apache.spark.sql.DataFrame) = {
       val rec = (i: Int) => graft.functions.codecs.compress_bytes(concat(
         lit("WARC/1.0\r\nWARC-Target-URI: HTTP://S"),
         pmod(col("doc_id"), lit(9)).cast("string"),
-        lit(s".Example.COM:80/p/$i?utm_source=x\r\n\r\n<p>"),
+        lit(s".Example.COM:80/p/$i?utm_source=x\r\n" +
+          (if (i == 0) "Content-Type: text/html; charset=UTF-8\r\n" else "") +
+          "\r\n<p>"),
         col("text"), lit("</p>")).cast("binary"), lit("gzip"))
-      Content.warcRecords(
+      Content.warcPages(
           df.select(col("doc_id"), concat(rec(0), rec(1)).as("chunk")),
           "doc_id", "chunk")
         .select(col("doc_id"), col("member_idx"),
           graft.functions.web.url_canonical(
             element_at(col("headers"), "WARC-Target-URI")).as("url"),
-          graft.functions.web.html_text(
-            col("body").cast("string")).as("text"))
+          concat(col("charset"), lit("|"),
+            graft.functions.web.html_text(col("text"))).as("text"))
     }
     val batch = Tables.table(spark, dir, "documents")
     val expected = ingested(batch).collect()
@@ -72,6 +77,7 @@ class StreamingSpec extends AnyFunSuite {
       .toSet
     assert(expected.size == 1000) // 500 docs x 2 members
     assert(expected.forall(_._3.startsWith("http://s")))
+    assert(expected.forall(_._4.startsWith("utf-8|")))
     val docsDir = java.nio.file.Files.createTempDirectory("graft-warc")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/documents.parquet"),
