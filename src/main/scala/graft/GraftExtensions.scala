@@ -57,6 +57,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "compress_bytes(bin, codec) - compress with the named codec"),
       (args: Seq[Expression]) => CompressBytes(args(0), args(1))))
     ext.injectFunction((
+      FunctionIdentifier("decompress_bytes"),
+      info("decompress_bytes",
+        "decompress_bytes(bin, codec) - byte-preserving multi-codec " +
+          "decompression (the pre-charset-decode twin of decompress_text)"),
+      (args: Seq[Expression]) => DecompressBytes(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("http_response"),
+      info("http_response",
+        "http_response(bin) - parse an HTTP response message to (version, " +
+          "status, reason, headers map with lowercased first-wins keys, " +
+          "raw body)"),
+      (args: Seq[Expression]) => HttpResponse(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("http_dechunk"),
+      info("http_dechunk",
+        "http_dechunk(bin) - decode a Transfer-Encoding: chunked body; " +
+          "null on malformed/truncated input"),
+      (args: Seq[Expression]) => HttpDechunk(args.head)))
+    ext.injectFunction((
       FunctionIdentifier("codec_sniff"),
       info("codec_sniff",
         "codec_sniff(bin) - codec from magic bytes: zlib/gzip/zstd/lz4/snappy or null"),

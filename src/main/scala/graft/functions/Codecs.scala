@@ -316,6 +316,146 @@ object CodecsUtil {
         keys.toArray, vals.toArray),
       body)
   }
+
+  // ---------------------------------------------------------------- HTTP
+
+  val httpSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("version",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("status",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("reason",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("headers",
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType,
+          valueContainsNull = false), nullable = false),
+      org.apache.spark.sql.types.StructField("body",
+        BinaryType, nullable = false)))
+
+  /** Parse an HTTP response message (a WARC response record's body):
+    * "HTTP/x.y NNN reason" status line, header lines to the first blank
+    * line (repeated names keep the FIRST occurrence — RFC 9110 treats
+    * later duplicates of singleton fields as errors), body = the rest.
+    * CRLF and bare-LF accepted. Null unless the payload starts with
+    * "HTTP/" and carries a 3-digit status. The body is RAW: still
+    * chunked if Transfer-Encoding said so ([[httpDechunk]]), still
+    * compressed if Content-Encoding said so (decompress_bytes). */
+  def httpResponse(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 12 || b(0) != 'H' || b(1) != 'T' ||
+      b(2) != 'T' || b(3) != 'P' || b(4) != '/') return null
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i < b.length && b(i) != '\n') i += 1
+      i
+    }
+    var i = lineEnd(0)
+    val statusLine = new String(b, 0,
+      if (i > 0 && b(i - 1) == '\r') i - 1 else i,
+      java.nio.charset.StandardCharsets.UTF_8)
+    val sp1 = statusLine.indexOf(' ')
+    if (sp1 < 0 || sp1 + 4 > statusLine.length) return null
+    val d0 = statusLine.charAt(sp1 + 1)
+    val d1 = statusLine.charAt(sp1 + 2)
+    val d2 = statusLine.charAt(sp1 + 3)
+    if (!d0.isDigit || !d1.isDigit || !d2.isDigit) return null
+    if (sp1 + 4 < statusLine.length && statusLine.charAt(sp1 + 4) != ' ')
+      return null
+    val status = (d0 - '0') * 100 + (d1 - '0') * 10 + (d2 - '0')
+    val reason =
+      if (sp1 + 5 <= statusLine.length) statusLine.substring(
+        math.min(sp1 + 5, statusLine.length)).trim
+      else ""
+    i += 1
+    val keys = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    var bodyStart = b.length
+    var done = false
+    while (!done && i < b.length) {
+      val e = lineEnd(i)
+      val len = (if (e > i && b(e - 1) == '\r') e - 1 else e) - i
+      if (len == 0) { bodyStart = math.min(e + 1, b.length); done = true }
+      else {
+        if (keys.size < MaxWarcHeaders) {
+          val line = new String(b, i, len,
+            java.nio.charset.StandardCharsets.UTF_8)
+          val colon = line.indexOf(':')
+          if (colon > 0) {
+            // HTTP header lookup is case-insensitive; normalize the key
+            // to lowercase so map consumers need one spelling
+            val k = line.substring(0, colon).trim
+              .toLowerCase(java.util.Locale.ROOT)
+            if (seen.add(k)) {
+              keys += UTF8String.fromString(k)
+              vals += UTF8String.fromString(line.substring(colon + 1).trim)
+            }
+          }
+        }
+        i = e + 1
+      }
+    }
+    InternalRow(
+      UTF8String.fromString(statusLine.substring(0, sp1)),
+      status,
+      if (reason.isEmpty) null else UTF8String.fromString(reason),
+      org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        keys.toArray, vals.toArray),
+      java.util.Arrays.copyOfRange(b, bodyStart, b.length))
+  }
+
+  /** Chunk-count cap for [[httpDechunk]] (a hostile stream of zero-byte
+    * chunks must not spin; real responses carry a few thousand at most). */
+  val MaxChunks: Int = 1 << 16
+
+  /** Decode a Transfer-Encoding: chunked body: hex-size line, that many
+    * raw bytes, CRLF, repeat; a 0-size chunk ends the stream (trailers
+    * ignored). Chunk extensions (";ext=val" after the size) accepted.
+    * Null on malformed sizes, truncation mid-chunk, or output past
+    * [[MaxOutput]] — hostile input degrades, never throws or spins. */
+  def httpDechunk(b: Array[Byte]): Array[Byte] = {
+    if (b == null) return null
+    val out = new java.io.ByteArrayOutputStream(math.min(b.length, 1 << 16))
+    var i = 0
+    var chunks = 0
+    while (chunks < MaxChunks) {
+      // parse hex size up to ';' or line end
+      var size = 0L
+      var p = i
+      var any = false
+      while (p < b.length && {
+        val c = b(p) & 0xff
+        val v =
+          if (c >= '0' && c <= '9') c - '0'
+          else if (c >= 'a' && c <= 'f') c - 'a' + 10
+          else if (c >= 'A' && c <= 'F') c - 'A' + 10
+          else -1
+        if (v >= 0) {
+          size = size * 16 + v
+          if (size > MaxOutput) return null
+          any = true; true
+        } else false
+      }) p += 1
+      if (!any) return null
+      // skip extensions to end of line
+      while (p < b.length && b(p) != '\n') p += 1
+      if (p >= b.length) return if (size == 0) out.toByteArray else null
+      p += 1
+      if (size == 0) return out.toByteArray // trailers ignored
+      if (p + size > b.length) return null // truncated mid-chunk
+      if (out.size() + size > MaxOutput) return null
+      out.write(b, p, size.toInt)
+      p += size.toInt
+      // consume the chunk-terminating CRLF / LF
+      if (p < b.length && b(p) == '\r') p += 1
+      if (p < b.length && b(p) == '\n') p += 1
+      i = p
+      chunks += 1
+    }
+    null // chunk-count cap: treat as hostile
+  }
 }
 
 /** Codegen'd multi-codec decompression to UTF-8 text:
@@ -454,6 +594,88 @@ case class WarcRecord(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd binary decompression: `decompress_bytes(bin, codec)` ->
+  * BINARY — the byte-preserving twin of [[DecompressText]] for payloads
+  * that are NOT UTF-8 yet (an HTTP body whose charset decode comes
+  * AFTER its Content-Encoding decompression). */
+case class DecompressBytes(data: Expression, codec: Expression)
+    extends BinaryExpression {
+  override def left: Expression = data
+  override def right: Expression = codec
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (data.dataType == BinaryType && codec.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"decompress_bytes expects (BINARY, STRING), got " +
+        s"(${data.dataType}, ${codec.dataType})")
+
+  override def nullSafeEval(d: Any, c: Any): Any =
+    CodecsUtil.decompress(d.asInstanceOf[Array[Byte]],
+      c.asInstanceOf[UTF8String].toString, CodecsUtil.MaxOutput)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, c) => s"""
+      ${ev.value} = graft.functions.CodecsUtil.decompress($d, $c.toString(),
+        graft.functions.CodecsUtil.MaxOutput());
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DecompressBytes =
+    copy(data = newLeft, codec = newRight)
+}
+
+/** Codegen'd HTTP response parse: `http_response(bin)` ->
+  * struct(version, status, reason, headers MAP (lowercased keys,
+  * first occurrence wins), body BINARY — still chunked/compressed as
+  * transferred); null unless the payload starts with an HTTP status
+  * line. */
+case class HttpResponse(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = CodecsUtil.httpSchema
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"http_response expects BINARY, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    CodecsUtil.httpResponse(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.CodecsUtil.httpResponse($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildInternal(newChild: Expression): HttpResponse =
+    copy(child = newChild)
+}
+
+/** Codegen'd chunked-transfer decode: `http_dechunk(bin)` -> BINARY;
+  * null on malformed/truncated/bomb input. */
+case class HttpDechunk(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"http_dechunk expects BINARY, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    CodecsUtil.httpDechunk(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.CodecsUtil.httpDechunk($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildInternal(newChild: Expression): HttpDechunk =
+    copy(child = newChild)
+}
+
 /** Column wrappers for the content codecs. */
 object codecs {
   import org.apache.spark.sql.GraftBridge
@@ -461,6 +683,16 @@ object codecs {
   def decompress_text(data: Column, codec: Column): Column =
     GraftBridge.column(DecompressText(GraftBridge.expression(data),
       GraftBridge.expression(codec)))
+
+  def decompress_bytes(data: Column, codec: Column): Column =
+    GraftBridge.column(DecompressBytes(GraftBridge.expression(data),
+      GraftBridge.expression(codec)))
+
+  def http_response(data: Column): Column =
+    GraftBridge.column(HttpResponse(GraftBridge.expression(data)))
+
+  def http_dechunk(data: Column): Column =
+    GraftBridge.column(HttpDechunk(GraftBridge.expression(data)))
 
   def compress_bytes(data: Column, codec: Column): Column =
     GraftBridge.column(CompressBytes(GraftBridge.expression(data),

@@ -1175,6 +1175,66 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM m"""),
     ),
 
+    // The CommonCrawl shape end to end: WARC response records whose
+    // bodies are full HTTP messages — status line, HTTP headers, then
+    // an entity that is plain, Content-Encoding-gzipped, or
+    // Transfer-Encoding-chunked — plus a 404 in iso-8859-15. Each layer
+    // (member split, WARC parse, HTTP parse, dechunk, decompress,
+    // charset decode, text extraction) must undo in protocol order or a
+    // row moves.
+    "q_content_http" -> QueryDef(
+      (s, dir) => {
+        val id = col("doc_id").cast("string")
+        val m = col("doc_id") % 4
+        def page(statusLine: String, headers: String,
+            entity: org.apache.spark.sql.Column) =
+          graft.functions.codecs.compress_bytes(concat(
+            lit("WARC/1.0\r\nWARC-Type: response\r\n\r\nHTTP/1.1 " +
+              statusLine + "\r\n" + headers + "\r\n\r\n").cast("binary"),
+            entity), lit("gzip"))
+        val plainEnt = encode(
+          concat(lit("<p>plain page "), id, lit(" café</p>")), "UTF-8")
+        val gzipEnt = graft.functions.codecs.compress_bytes(
+          encode(concat(lit("<p>gzip page "), id, lit("</p>")), "UTF-8"),
+          lit("gzip"))
+        // two chunks: fixed "<p>chunked " (11 = 0xb) + the id-sized rest
+        val rest = concat(lit("page "), id, lit("</p>"))
+        val chunkedEnt = concat(lit("b\r\n<p>chunked \r\n"),
+          conv(length(rest).cast("string"), 10, 16), lit("\r\n"),
+          rest, lit("\r\n0\r\n\r\n")).cast("binary")
+        val euroEnt = encode(
+          concat(lit("<p>euro ¤ not found "), id, lit("</p>")),
+          "ISO-8859-1")
+        val chunk = when(m === 0, page("200 OK",
+            "Content-Type: text/html; charset=utf-8", plainEnt))
+          .when(m === 1, page("200 OK",
+            "Content-Type: text/html\r\nContent-Encoding: gzip", gzipEnt))
+          .when(m === 2, page("200 OK",
+            "Content-Type: text/html\r\nTransfer-Encoding: chunked",
+            chunkedEnt))
+          .otherwise(page("404 Not Found",
+            "Content-Type: text/html; charset=ISO-8859-15", euroEnt))
+        graft.sources.Content.httpPages(
+            docs(s, dir).select(col("doc_id"), chunk.as("chunk")),
+            "doc_id", "chunk")
+          .select(col("doc_id"), col("member_idx"), col("status"),
+            col("charset"),
+            graft.functions.web.html_text(col("text")).as("visible"))
+      },
+      Some("""SELECT doc_id, CAST(0 AS INTEGER) AS member_idx,
+          CAST(CASE WHEN doc_id % 4 = 3 THEN 404 ELSE 200 END AS INTEGER)
+            AS status,
+          CASE WHEN doc_id % 4 = 3 THEN 'iso-8859-15'
+            ELSE 'utf-8' END AS charset,
+          CASE doc_id % 4
+            WHEN 0 THEN 'plain page ' || doc_id || ' caf' || chr(233)
+            WHEN 1 THEN 'gzip page ' || doc_id
+            WHEN 2 THEN 'chunked page ' || doc_id
+            ELSE 'euro ' || chr(8364) || ' not found ' || doc_id
+          END AS visible
+        FROM documents"""),
+    ),
+
     // PER-TRACK container metadata: synth_mp4 plants full trak subtrees
     // (tkhd id+16.16 dims, mdhd with the TRACK's own timescale+duration —
     // distinct from the movie-header ticks the flat container_meta gate

@@ -167,4 +167,47 @@ object Content {
       .withColumn("text",
         graft.functions.charsets.decode_text(col("body"), hint))
   }
+
+  /** WARC response records -> decoded HTTP pages: the CommonCrawl
+    * shape, where a response record's body is a full HTTP message —
+    * status line, HTTP headers, then an entity body that may still be
+    * Transfer-Encoding: chunked and/or Content-Encoding compressed.
+    * The chain undoes each layer in protocol order, every step a
+    * codegen'd expression in the scan stage:
+    *
+    *   gzip_members -> warc_record -> http_response -> http_dechunk
+    *   (when chunked) -> decompress_bytes (when magic bytes say the
+    *   entity is compressed; identity bodies pass through) ->
+    *   decode_text with the HTTP Content-Type charset as hint.
+    *
+    * Non-HTTP records (warcinfo, request, metadata) drop. Output:
+    * (idCol, member_idx, warc_headers, status, http_headers, charset,
+    * text). A failed layer (corrupt chunking/compression) nulls `text`
+    * but keeps the row — status-code analytics still work on it. */
+  def httpPages(
+      chunks: DataFrame, idCol: String, chunkCol: String): DataFrame = {
+    val recs = warcRecords(chunks, idCol, chunkCol)
+      .withColumnRenamed("headers", "warc_headers")
+      .withColumn("h", graft.functions.codecs.http_response(col("body")))
+      .where(col("h").isNotNull)
+    val chunked = lower(coalesce(
+      element_at(col("h.headers"), "transfer-encoding"), lit("")))
+      .contains("chunked")
+    val hint = element_at(col("h.headers"), "content-type")
+    recs
+      .withColumn("raw", when(chunked,
+        graft.functions.codecs.http_dechunk(col("h.body")))
+        .otherwise(col("h.body")))
+      .withColumn("entity", when(
+        graft.functions.codecs.codec_sniff(col("raw")).isNotNull,
+        graft.functions.codecs.decompress_bytes(col("raw"), lit("auto")))
+        .otherwise(col("raw")))
+      .select(col(idCol), col("member_idx"), col("warc_headers"),
+        col("h.status").as("status"),
+        col("h.headers").as("http_headers"),
+        graft.functions.charsets.charset_detect(col("entity"), hint)
+          .as("charset"),
+        graft.functions.charsets.decode_text(col("entity"), hint)
+          .as("text"))
+  }
 }

@@ -200,6 +200,50 @@ class CodecsSpec extends AnyFunSuite {
       "body")))
   }
 
+  test("http_response: status line, lowercased first-wins headers, body") {
+    val msg = "HTTP/1.1 301 Moved Permanently\r\nLocation: /new\r\n" +
+      "Content-Type: text/html\r\ncontent-type: text/plain\r\n\r\nthe body"
+    val r = CodecsUtil.httpResponse(bytes(msg))
+    assert(r.getUTF8String(0).toString == "HTTP/1.1")
+    assert(r.getInt(1) == 301)
+    assert(r.getUTF8String(2).toString == "Moved Permanently")
+    val m = r.getMap(3)
+    val hdrs = (0 until m.numElements()).map(i =>
+      m.keyArray.getUTF8String(i).toString ->
+        m.valueArray.getUTF8String(i).toString).toMap
+    assert(hdrs == Map("location" -> "/new",
+      "content-type" -> "text/html")) // case-insensitive, first wins
+    assert(new String(r.getBinary(4), UTF_8) == "the body")
+    // no reason phrase -> null reason; bare-LF accepted
+    val bare = CodecsUtil.httpResponse(bytes("HTTP/1.0 204\nA: 1\n\n"))
+    assert(bare.getInt(1) == 204 && bare.isNullAt(2))
+    // hostile: non-HTTP, garbage status, truncation — null, never throw
+    assert(CodecsUtil.httpResponse(bytes("WARC/1.0\r\n\r\n")) == null)
+    assert(CodecsUtil.httpResponse(bytes("HTTP/1.1 20x OK\r\n\r\n")) == null)
+    assert(CodecsUtil.httpResponse(bytes("HTTP/1.1 2000 OK\r\n\r\n")) == null)
+    assert(CodecsUtil.httpResponse(bytes("HTTP/")) == null)
+    for (n <- 0 to msg.length)
+      CodecsUtil.httpResponse(bytes(msg.substring(0, n))) // no throw
+  }
+
+  test("http_dechunk: sizes, extensions, trailers, hostile bounds") {
+    def dechunk(s: String): Option[String] =
+      Option(CodecsUtil.httpDechunk(bytes(s))).map(new String(_, UTF_8))
+    assert(dechunk("5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n")
+      .contains("hello world"))
+    // chunk extensions after the size; uppercase hex; bare LF; trailers
+    assert(dechunk("A;ext=1\r\n0123456789\r\n0\r\nX-Trail: v\r\n\r\n")
+      .contains("0123456789"))
+    assert(dechunk("b\nhello world\n0\n\n").contains("hello world"))
+    // hostile: bad size, truncated mid-chunk, declared-size bomb
+    assert(dechunk("zz\r\nnope\r\n").isEmpty)
+    assert(dechunk("ff\r\nshort\r\n").isEmpty)
+    assert(dechunk("ffffffffff\r\nx").isEmpty) // size > MaxOutput aborts
+    assert(dechunk("").isEmpty)
+    // a flood of zero-progress chunks hits the chunk-count cap, no spin
+    assert(dechunk("1\r\na\r\n" * 100000 + "0\r\n\r\n").isEmpty)
+  }
+
   test("expression path: mixed-codec column decompresses through codegen") {
     import spark.implicits._
     val df = (0 until 24).map { i =>

@@ -87,7 +87,13 @@ class ExtensionsSpec extends AnyFunSuite {
         " sitemap_entries('<urlset><url><loc>https://e.com/x</loc>" +
         "</url></urlset>')[0].loc AS i," +
         " crawl_delay('User-agent: *\nCrawl-delay: 2.5', 'bot') AS j," +
-        " robots_sitemaps('Sitemap: https://e.com/s.xml')[0] AS k"
+        " robots_sitemaps('Sitemap: https://e.com/s.xml')[0] AS k," +
+        " http_response(CAST('HTTP/1.1 200 OK\r\nA: b\r\n\r\nhi' AS BINARY))" +
+        ".status AS l," +
+        " CAST(http_dechunk(CAST('2\r\nhi\r\n0\r\n\r\n' AS BINARY)) AS STRING)" +
+        " AS m," +
+        " CAST(decompress_bytes(compress_bytes(CAST('x' AS BINARY), 'zstd')," +
+        " 'auto') AS STRING) AS n"
     ).collect().head
     assert(r.getString(0) == "plain")
     assert(r.getString(1) == "x")
@@ -100,6 +106,9 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getString(8) == "https://e.com/x")
     assert(r.getDouble(9) == 2.5)
     assert(r.getString(10) == "https://e.com/s.xml")
+    assert(r.getInt(11) == 200)
+    assert(r.getString(12) == "hi")
+    assert(r.getString(13) == "x")
   }
 
   test("array kernels are callable from SQL and match the Scala API") {
