@@ -204,6 +204,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "NFC/NFD/NFKC/NFKD"),
       (args: Seq[Expression]) => NormalizeText(args(0), args(1))))
     ext.injectFunction((
+      FunctionIdentifier("html_anchors"),
+      info("html_anchors",
+        "html_anchors(str) - anchor (href, text) pairs in document " +
+          "order; text entity-decoded and collapsed, unclosed anchors " +
+          "auto-close at the next <a"),
+      (args: Seq[Expression]) => HtmlAnchors(args.head)))
+    ext.injectFunction((
       FunctionIdentifier("html_main_text"),
       info("html_main_text",
         "html_main_text(str) - main-content text: jusText-style block " +

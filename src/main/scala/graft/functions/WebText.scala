@@ -231,6 +231,131 @@ object WebTextUtil {
     out.toSeq
   }
 
+  /** (href, anchor text) pairs of anchor tags in document order — the
+    * link-graph edge WITH its label (anchor text is the strongest
+    * public relevance/spam signal a crawl carries per the classic
+    * anchor-text retrieval literature). href handling matches
+    * [[htmlLinks]]; anchor text is the visible text to the matching
+    * `</a>` (inner tags dropped word-separating, entities decoded,
+    * whitespace collapsed, "" for image-only anchors). An unclosed
+    * anchor auto-closes at the next `<a` — the browser recovery rule —
+    * or at end of input. */
+  def htmlAnchors(html: String): Seq[(String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    def isAnchorOpen(k: Int): Boolean =
+      k + 1 < html.length && html.charAt(k) == '<' &&
+        (html.charAt(k + 1) == 'a' || html.charAt(k + 1) == 'A') &&
+        (k + 2 >= html.length || !Character.isLetterOrDigit(html.charAt(k + 2)))
+    var i = 0
+    while (i < html.length) {
+      if (html.charAt(i) == '<') {
+        if (startsAt(html, i, "<!--")) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) html.length else e + 3
+        } else if (startsAt(html, i, "<script")) {
+          var j = i + 7
+          while (j < html.length && html.charAt(j) != '>') j += 1
+          i = if (j < html.length) skipRawElement(html, j + 1, "</script")
+              else html.length
+        } else if (startsAt(html, i, "<style")) {
+          var j = i + 6
+          while (j < html.length && html.charAt(j) != '>') j += 1
+          i = if (j < html.length) skipRawElement(html, j + 1, "</style")
+              else html.length
+        } else {
+          var j = i + 1
+          while (j < html.length && html.charAt(j) != '>') j += 1
+          if (isAnchorOpen(i) && j < html.length) {
+            // href attribute scan — identical contract to htmlLinks
+            var k = i + 2
+            var found: String = null
+            while (found == null && k + 5 <= j) {
+              val before = html.charAt(k - 1)
+              if (startsAt(html, k, "href") &&
+                (isWs(before) || before == '"' || before == '\'')) {
+                var v = k + 4
+                while (v < j && isWs(html.charAt(v))) v += 1
+                if (v < j && html.charAt(v) == '=') {
+                  v += 1
+                  while (v < j && isWs(html.charAt(v))) v += 1
+                  if (v < j) {
+                    val q = html.charAt(v)
+                    val (s0, e0) =
+                      if (q == '"' || q == '\'') {
+                        val e = html.indexOf(q, v + 1)
+                        (v + 1, if (e < 0 || e > j) j else e)
+                      } else {
+                        var e = v
+                        while (e < j && !isWs(html.charAt(e))) e += 1
+                        (v, e)
+                      }
+                    found = decodeEntities(html.substring(s0, e0))
+                  }
+                }
+              }
+              k += 1
+            }
+            // collect the anchor's visible text to </a> / auto-close
+            val sb = new java.lang.StringBuilder(32)
+            var pendingSpace = false
+            def emit(c: Int): Unit = {
+              if (isWs(c.toChar) && c <= 0xffff) pendingSpace = sb.length() > 0
+              else {
+                if (pendingSpace) { sb.append(' '); pendingSpace = false }
+                sb.appendCodePoint(c)
+              }
+            }
+            var t = j + 1
+            var next = html.length // where the outer loop resumes
+            var done = false
+            while (!done && t < html.length) {
+              val c = html.charAt(t)
+              if (c == '<') {
+                if (startsAt(html, t, "</a") && (t + 3 >= html.length ||
+                  html.charAt(t + 3) == '>' || isWs(html.charAt(t + 3)))) {
+                  var g = t + 3
+                  while (g < html.length && html.charAt(g) != '>') g += 1
+                  next = if (g < html.length) g + 1 else html.length
+                  done = true
+                } else if (isAnchorOpen(t)) {
+                  next = t // browser auto-close: reprocess the new anchor
+                  done = true
+                } else if (startsAt(html, t, "<!--")) {
+                  val e = html.indexOf("-->", t + 4)
+                  t = if (e < 0) html.length else e + 3
+                  pendingSpace = sb.length() > 0
+                } else {
+                  var g = t + 1
+                  while (g < html.length && html.charAt(g) != '>') g += 1
+                  t = if (g < html.length) g + 1 else html.length
+                  pendingSpace = sb.length() > 0
+                }
+              } else if (c == '&') {
+                val (code, n) = entity(html, t)
+                if (code >= 0) { emit(code); t = n }
+                else { emit('&'); t += 1 }
+              } else { emit(c); t += 1 }
+            }
+            if (found != null && found.nonEmpty)
+              out += ((found, sb.toString))
+            i = next
+          } else i = if (j < html.length) j + 1 else html.length
+        }
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  def htmlAnchorsArray(html: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      htmlAnchors(html.toString).map { case (h, t) =>
+        InternalRow(UTF8String.fromString(h), UTF8String.fromString(t)): Any
+      }.toArray)
+
+  val anchorSchema: StructType = StructType(Seq(
+    StructField("href", StringType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
   /** Entity-decode a short attribute value with [[entity]]. */
   private def decodeEntities(s: String): String = {
     if (s.indexOf('&') < 0) return s
@@ -727,6 +852,30 @@ case class HtmlLinks(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd anchor extraction with labels: `html_anchors(str)` ->
+  * ARRAY<STRUCT<href, text>> in document order. */
+case class HtmlAnchors(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(WebTextUtil.anchorSchema,
+      containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"html_anchors expects STRING, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    WebTextUtil.htmlAnchorsArray(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WebTextUtil.htmlAnchorsArray($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlAnchors =
+    copy(child = newChild)
+}
+
 /** Codegen'd main-content extraction: `html_main_text(str)` —
   * boilerplate (link-dense blocks, stubs, orphaned short blocks)
   * removed under the documented jusText-style contract; kept blocks
@@ -885,6 +1034,9 @@ object web {
 
   def html_links(c: Column): Column =
     GraftBridge.column(HtmlLinks(GraftBridge.expression(c)))
+
+  def html_anchors(c: Column): Column =
+    GraftBridge.column(HtmlAnchors(GraftBridge.expression(c)))
 
   def html_main_text(c: Column): Column =
     GraftBridge.column(HtmlMainText(GraftBridge.expression(c)))

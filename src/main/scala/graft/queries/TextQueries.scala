@@ -1602,6 +1602,51 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM documents"""),
     ),
 
+    // Anchor extraction WITH labels: the link-graph edge plus its
+    // anchor text (the classic relevance/spam signal). Three anchor
+    // shapes per page — inner markup dropped from the label, an
+    // image-only anchor yielding the empty label, an entity-bearing
+    // label — plus a commented-out anchor that must not extract;
+    // canonical edge and label both closed-form.
+    "q_crawl_anchors" -> QueryDef(
+      (s, dir) => {
+        val page = concat(
+          lit("<html><body><a href=\"HTTP://Site"),
+          (col("doc_id") % 60).cast("string"),
+          lit(".EXAMPLE.COM:80/a\">Read <b>more</b> about topic "),
+          (col("doc_id") % 9).cast("string"),
+          lit("</a><!-- <a href=\"http://skip.example.com/\">no</a> -->" +
+            "<a href='http://img"),
+          (col("doc_id") % 5).cast("string"),
+          lit(".example.com/i'><img src=\"i.png\"></a>" +
+            "<a href=http://site"),
+          (col("doc_id") % 13).cast("string"),
+          lit(".example.com/c>A &amp; B "),
+          (col("doc_id") % 7).cast("string"),
+          lit("</a></body></html>"))
+        docs(s, dir).select(col("doc_id"), posexplode(
+            graft.functions.web.html_anchors(page)))
+          .select(col("doc_id"), col("pos").as("link_idx"),
+            graft.functions.web.url_canonical(col("col.href")).as("url"),
+            col("col.text").as("text"))
+      },
+      Some("""WITH f AS (
+          SELECT doc_id, unnest(generate_series(0, 2)) AS li
+          FROM documents)
+        SELECT doc_id, CAST(li AS INTEGER) AS link_idx,
+          CASE li
+            WHEN 0 THEN 'http://site' || (doc_id % 60) || '.example.com/a'
+            WHEN 1 THEN 'http://img' || (doc_id % 5) || '.example.com/i'
+            ELSE 'http://site' || (doc_id % 13) || '.example.com/c'
+          END AS url,
+          CASE li
+            WHEN 0 THEN 'Read more about topic ' || (doc_id % 9)
+            WHEN 1 THEN ''
+            ELSE 'A & B ' || (doc_id % 7)
+          END AS text
+        FROM f"""),
+    ),
+
     // Per-domain corpus stats — the building block of domain-cap /
     // domain-reweighting curation (a crawl is dominated by a few hosts):
     // planted URLs (www-prefixed and bare, .com and .co.uk public-suffix

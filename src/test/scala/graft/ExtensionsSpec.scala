@@ -93,7 +93,8 @@ class ExtensionsSpec extends AnyFunSuite {
         " CAST(http_dechunk(CAST('2\r\nhi\r\n0\r\n\r\n' AS BINARY)) AS STRING)" +
         " AS m," +
         " CAST(decompress_bytes(compress_bytes(CAST('x' AS BINARY), 'zstd')," +
-        " 'auto') AS STRING) AS n"
+        " 'auto') AS STRING) AS n," +
+        " html_anchors('<a href=\"/l\">the <b>label</b></a>')[0].text AS o"
     ).collect().head
     assert(r.getString(0) == "plain")
     assert(r.getString(1) == "x")
@@ -109,6 +110,7 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(11) == 200)
     assert(r.getString(12) == "hi")
     assert(r.getString(13) == "x")
+    assert(r.getString(14) == "the label")
   }
 
   test("array kernels are callable from SQL and match the Scala API") {

@@ -334,6 +334,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*(1) Project") && p.contains("*(1) Generate"),
       s"codegen lost:\n$p")
     assert(!p.contains("Exchange"), s"ingest chain should not shuffle:\n$p")
+    // the full HTTP-envelope chain (httpPages: WARC -> HTTP -> dechunk ->
+    // decompress -> charset decode) keeps the same shape: one codegen
+    // stage, zero exchanges
+    val http = graft.sources.Content.httpPages(
+      Tables.table(spark, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.codecs.compress_bytes(concat(
+            lit("WARC/1.0\r\nWARC-Type: response\r\n\r\n" +
+              "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>"),
+            col("text"), lit("</p>")).cast("binary"), lit("gzip"))
+            .as("chunk")),
+      "doc_id", "chunk")
+    val ph = plan(http)
+    assert(ph.contains("*(1) Project") && ph.contains("*(1) Generate"),
+      s"http chain codegen lost:\n$ph")
+    assert(!ph.contains("Exchange"), s"http chain should not shuffle:\n$ph")
     val out = df.where(col("u") === "http://ex.com/p").count()
     assert(out > 0)
   }

@@ -98,6 +98,30 @@ class WebTextSpec extends AnyFunSuite {
       "<div" * 200, "a<p>b</p>" * 500)) main(h)
   }
 
+  test("html_anchors: labels, nesting recovery, skipped regions, hostile") {
+    val a = WebTextUtil.htmlAnchors _
+    assert(a("""<a href="http://x.com/">Click <b>here</b> now</a>""") ==
+      Seq(("http://x.com/", "Click here now")))
+    // entities decode in text and href; image-only anchor -> ""
+    assert(a("<a href=\"/p?a=1&amp;b=2\">A &amp; B</a>" +
+      "<a href='/i'><img src=x></a>") ==
+      Seq(("/p?a=1&b=2", "A & B"), ("/i", "")))
+    // unclosed anchor auto-closes at the next <a (browser recovery)
+    assert(a("""<a href="/1">one <a href="/2">two</a>""") ==
+      Seq(("/1", "one"), ("/2", "two")))
+    // </abbr> is not </a>; comments inside drop; hrefless anchors skip
+    assert(a("""<a href="/x">an <abbr>abbr</abbr><!-- c --> end</a>""") ==
+      Seq(("/x", "an abbr end")))
+    assert(a("""<a name="top">no href</a>""") == Nil)
+    // href parity with html_links
+    val page = """<a href="/1">x</a><p><a href='/2'>y</a></p>"""
+    assert(a(page).map(_._1) == WebTextUtil.htmlLinks(page))
+    // hostile: never throws, unclosed tail collected to EOF
+    for (h <- Seq("<a", "<a href", "<a href=\"", "<a href='/x'>unclosed",
+      "</a></a>", "<a href=/x>" + "t" * 10000)) a(h)
+    assert(a("<a href='/x'>tail runs out") == Seq(("/x", "tail runs out")))
+  }
+
   test("url_parse: shapes, ports, userinfo, IPv6, registered domain") {
     assert(WebTextUtil.parseUrl("HTTP://WWW.Ex.COM:80/P?q=1#f") ==
       ("http", "www.ex.com", 80, "/P", "q=1"))
