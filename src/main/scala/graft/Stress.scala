@@ -332,6 +332,33 @@ object Stress {
                 col("r.body").cast("string")).as("text"))
         }
 
+        // the HTTP-envelope variant of the same chain (the CommonCrawl
+        // record shape): WARC response records whose bodies carry a full
+        // HTTP message with a gzip Content-Encoding entity — so the
+        // chain pays member split + WARC parse + HTTP parse + entity
+        // decompress + charset decode + boilerplate removal per row.
+        // Same law: every stage map-side, wall ~linear in rep, max-task
+        // share flat, payload bytes never reach an exchange.
+        measure(s"http_ingest@$rep") {
+          val entity = graft.functions.codecs.compress_bytes(concat(
+            lit("<html><head><title>T</title></head><body>" +
+              "<nav><a href=\"/\">Home</a> <a href=\"/a\">About us</a>" +
+              "</nav><p>"),
+            col("text"),
+            lit("</p><footer>All rights reserved</footer></body></html>"))
+            .cast("binary"), lit("gzip"))
+          val chunk = graft.functions.codecs.compress_bytes(concat(
+            lit("WARC/1.0\r\nWARC-Type: response\r\n\r\n" +
+              "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8" +
+              "\r\nContent-Encoding: gzip\r\n\r\n").cast("binary"),
+            entity), lit("gzip"))
+          graft.sources.Content.httpPages(
+              docs.select(col("doc_id"), chunk.as("chunk")),
+              "doc_id", "chunk")
+            .select(col("doc_id"), col("status"), col("charset"),
+              graft.functions.web.html_main_text(col("text")).as("main"))
+        }
+
         // the composed flagship funnel
         measure(s"curation_pipeline@$rep") {
           graft.operators.Curate.curationPipeline(
