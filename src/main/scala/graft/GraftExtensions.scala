@@ -204,6 +204,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "NFC/NFD/NFKC/NFKD"),
       (args: Seq[Expression]) => NormalizeText(args(0), args(1))))
     ext.injectFunction((
+      FunctionIdentifier("html_meta"),
+      info("html_meta",
+        "html_meta(str) - meta tags as a map keyed by lowercase " +
+          "name/http-equiv/property (first wins; bare charset under " +
+          "'charset')"),
+      (args: Seq[Expression]) => HtmlMeta(args.head)))
+    ext.injectFunction((
       FunctionIdentifier("html_anchors"),
       info("html_anchors",
         "html_anchors(str) - anchor (href, text) pairs in document " +

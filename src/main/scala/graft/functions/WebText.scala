@@ -356,6 +356,111 @@ object WebTextUtil {
     StructField("href", StringType, nullable = false),
     StructField("text", StringType, nullable = false)))
 
+  /** Value of an attribute inside a tag span [from, until), or null.
+    * Case-insensitive name (pass lowercase), boundary-checked on both
+    * sides (so `name` does not match `longname` or `namex`), quoted
+    * and unquoted values, entity-decoded. */
+  private def attrInTag(
+      html: String, from: Int, until: Int, name: String): String = {
+    var k = from
+    while (k + name.length + 1 <= until) {
+      val before = html.charAt(k - 1)
+      val afterIdx = k + name.length
+      if (startsAt(html, k, name) &&
+        (isWs(before) || before == '"' || before == '\'') &&
+        afterIdx < until &&
+        (isWs(html.charAt(afterIdx)) || html.charAt(afterIdx) == '=')) {
+        var v = afterIdx
+        while (v < until && isWs(html.charAt(v))) v += 1
+        if (v < until && html.charAt(v) == '=') {
+          v += 1
+          while (v < until && isWs(html.charAt(v))) v += 1
+          if (v < until) {
+            val q = html.charAt(v)
+            val (s0, e0) =
+              if (q == '"' || q == '\'') {
+                val e = html.indexOf(q, v + 1)
+                (v + 1, if (e < 0 || e > until) until else e)
+              } else {
+                var e = v
+                while (e < until && !isWs(html.charAt(e))) e += 1
+                (v, e)
+              }
+            return decodeEntities(html.substring(s0, e0))
+          }
+        }
+      }
+      k += 1
+    }
+    null
+  }
+
+  /** Entry cap for [[htmlMeta]]: real pages carry tens of meta tags; a
+    * hostile page of millions must not build a giant map. */
+  val MaxMetaEntries: Int = 256
+
+  /** Meta tags as a map: lowercase key from `name`, `http-equiv`, or
+    * `property` (whichever the tag carries, tried in that order) ->
+    * `content`; a bare `<meta charset=X>` lands under key "charset".
+    * First occurrence of a key wins; comment/script/style regions
+    * skipped with the usual machinery. The curation consumers:
+    * robots noindex/nofollow compliance, description/og:* quality
+    * signals, declared charset. */
+  def htmlMeta(html: String): Seq[(String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    var i = 0
+    while (i < html.length && out.size < MaxMetaEntries) {
+      if (html.charAt(i) == '<') {
+        if (startsAt(html, i, "<!--")) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) html.length else e + 3
+        } else if (startsAt(html, i, "<script")) {
+          var j = i + 7
+          while (j < html.length && html.charAt(j) != '>') j += 1
+          i = if (j < html.length) skipRawElement(html, j + 1, "</script")
+              else html.length
+        } else if (startsAt(html, i, "<style")) {
+          var j = i + 6
+          while (j < html.length && html.charAt(j) != '>') j += 1
+          i = if (j < html.length) skipRawElement(html, j + 1, "</style")
+              else html.length
+        } else {
+          var j = i + 1
+          while (j < html.length && html.charAt(j) != '>') j += 1
+          val isMeta = startsAt(html, i, "<meta") &&
+            i + 5 < html.length &&
+            !Character.isLetterOrDigit(html.charAt(i + 5))
+          if (isMeta && j <= html.length) {
+            val end = math.min(j, html.length)
+            val cs = attrInTag(html, i + 5, end, "charset")
+            if (cs != null) {
+              if (seen.add("charset")) out += (("charset", cs))
+            } else {
+              var key = attrInTag(html, i + 5, end, "name")
+              if (key == null) key = attrInTag(html, i + 5, end, "http-equiv")
+              if (key == null) key = attrInTag(html, i + 5, end, "property")
+              val content = attrInTag(html, i + 5, end, "content")
+              if (key != null && content != null) {
+                val k = key.trim.toLowerCase(java.util.Locale.ROOT)
+                if (k.nonEmpty && seen.add(k)) out += ((k, content))
+              }
+            }
+          }
+          i = if (j < html.length) j + 1 else html.length
+        }
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  def htmlMetaMap(html: UTF8String): org.apache.spark.sql.catalyst.util.MapData = {
+    val pairs = htmlMeta(html.toString)
+    org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      pairs.map(p => UTF8String.fromString(p._1): Any).toArray,
+      pairs.map(p => UTF8String.fromString(p._2): Any).toArray)
+  }
+
   /** Entity-decode a short attribute value with [[entity]]. */
   private def decodeEntities(s: String): String = {
     if (s.indexOf('&') < 0) return s
@@ -852,6 +957,30 @@ case class HtmlLinks(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd meta-tag extraction: `html_meta(str)` ->
+  * MAP<STRING,STRING> keyed by lowercase name/http-equiv/property
+  * (first wins; bare charset under "charset"). */
+case class HtmlMeta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.MapType(StringType, StringType,
+      valueContainsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"html_meta expects STRING, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    WebTextUtil.htmlMetaMap(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WebTextUtil.htmlMetaMap($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlMeta =
+    copy(child = newChild)
+}
+
 /** Codegen'd anchor extraction with labels: `html_anchors(str)` ->
   * ARRAY<STRUCT<href, text>> in document order. */
 case class HtmlAnchors(child: Expression) extends UnaryExpression {
@@ -1037,6 +1166,9 @@ object web {
 
   def html_anchors(c: Column): Column =
     GraftBridge.column(HtmlAnchors(GraftBridge.expression(c)))
+
+  def html_meta(c: Column): Column =
+    GraftBridge.column(HtmlMeta(GraftBridge.expression(c)))
 
   def html_main_text(c: Column): Column =
     GraftBridge.column(HtmlMainText(GraftBridge.expression(c)))

@@ -64,19 +64,28 @@ object Crawl {
     *      seedless shuffle, so the un-scored frontier is an unbiased
     *      per-domain sample) — and mark `selected` = rank <= budget.
     *
-    * Returns the full allowed audit trail: (url, domain, score, rnk,
-    * budget, selected); callers fetch `selected`. Scale shape: one
-    * dedup aggregation on the canonical key, two left joins on domain
-    * (robots/budget sides are domain-cardinality — broadcastable), one
-    * per-domain window. The window ranks every allowed row of a domain
-    * even though only `budget` survive; that sort is the same
-    * per-group-top-k shape the engine benches as q_window_topn, and the
-    * giant-domain skew it pays for once is exactly what the budget cap
-    * removes from every downstream stage. */
+    * With `auditAll` (the default) returns the full allowed audit
+    * trail: (url, domain, score, rnk, budget, selected); callers fetch
+    * `selected`. Scale shape: one dedup aggregation on the canonical
+    * key, two left joins on domain (robots/budget sides are
+    * domain-cardinality — broadcastable), one per-domain window.
+    *
+    * `auditAll = false` is the giant-domain scale mode: a host with a
+    * billion candidate URLs would otherwise sort them all in one
+    * window partition just to keep `budget`. The two-phase top-k first
+    * takes the per-(domain, salt) local top-`budget` — the global
+    * top-`budget` is always a subset of the union of salted
+    * top-`budget`s, so this prunes each domain to at most
+    * [[FrontierSaltBuckets]]×budget rows without changing the
+    * selection — then ranks exactly and returns ONLY the selected rows
+    * (the audit trail is what gets pruned; spec pins selected-set
+    * equality with the audit mode). */
+  val FrontierSaltBuckets = 32
+
   def frontierSample(
       candidates: DataFrame, urlCol: String, agent: String,
       robots: DataFrame, budgets: DataFrame, defaultBudget: Long,
-      scoreCol: Option[String] = None): DataFrame = {
+      scoreCol: Option[String] = None, auditAll: Boolean = true): DataFrame = {
     val score = scoreCol.map(col).getOrElse(
       pmod(xxhash64(col("url")), lit(1000000007L)))
     val canon = candidates
@@ -92,15 +101,26 @@ object Crawl {
         "left")
       .where(col("robots_txt").isNull ||
         crawl.robots_allowed(col("robots_txt"), lit(agent), col("path")))
-    allowed
+    val budgeted = allowed
       .join(budgets.select(col("domain"), col("budget")), Seq("domain"),
         "left")
       .withColumn("budget",
         coalesce(col("budget").cast("long"), lit(defaultBudget)))
+    val pruned =
+      if (auditAll) budgeted
+      else budgeted
+        .withColumn("_srnk", row_number().over(
+          Window.partitionBy(col("domain"),
+            pmod(xxhash64(col("url")), lit(FrontierSaltBuckets)))
+            .orderBy(col("score").desc, col("url").asc)))
+        .where(col("_srnk") <= col("budget"))
+        .drop("_srnk")
+    val ranked = pruned
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("domain"))
           .orderBy(col("score").desc, col("url").asc)).cast("long"))
       .withColumn("selected", col("rnk") <= col("budget"))
       .select("url", "domain", "score", "rnk", "budget", "selected")
+    if (auditAll) ranked else ranked.where(col("selected"))
   }
 }

@@ -1647,6 +1647,49 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM f"""),
     ),
 
+    // Meta-tag extraction -> noindex compliance: planted heads carry a
+    // bare charset meta, a robots directive (noindex,nofollow on one
+    // class — the pages a compliant training pipeline must drop), an
+    // entity-bearing description, an og: property, a DUPLICATE
+    // description that must not win, and an unquoted viewport; every
+    // key and the noindex flag closed-form.
+    "q_crawl_meta" -> QueryDef(
+      (s, dir) => {
+        val id = col("doc_id").cast("string")
+        val robotsVal = when(col("doc_id") % 5 === 1,
+          lit("noindex, nofollow")).otherwise(lit("index, follow"))
+        val page = concat(
+          lit("<html><head><meta charset=\"utf-8\">" +
+            "<meta name=\"robots\" content=\""), robotsVal,
+          lit("\"><meta name=\"description\" content=\"Desc &amp; more "),
+          id,
+          lit("\"><meta property=\"og:title\" content=\"OG "), id,
+          lit("\"><meta name=\"description\" content=\"dup must not win\">" +
+            "<meta name=viewport content=width-"),
+          (col("doc_id") % 3).cast("string"),
+          lit("></head><body><p>x</p></body></html>"))
+        val m = graft.functions.web.html_meta(page)
+        docs(s, dir).select(col("doc_id"),
+          element_at(m, "charset").as("charset"),
+          element_at(m, "robots").as("robots"),
+          (instr(lower(element_at(m, "robots")), "noindex") > 0)
+            .as("noindex"),
+          element_at(m, "description").as("description"),
+          element_at(m, "og:title").as("og_title"),
+          element_at(m, "viewport").as("viewport"),
+          size(m).as("n_meta"))
+      },
+      Some("""SELECT doc_id, 'utf-8' AS charset,
+          CASE WHEN doc_id % 5 = 1 THEN 'noindex, nofollow'
+            ELSE 'index, follow' END AS robots,
+          (doc_id % 5 = 1) AS noindex,
+          'Desc & more ' || doc_id AS description,
+          'OG ' || doc_id AS og_title,
+          'width-' || (doc_id % 3) AS viewport,
+          CAST(5 AS INTEGER) AS n_meta
+        FROM documents"""),
+    ),
+
     // Per-domain corpus stats — the building block of domain-cap /
     // domain-reweighting curation (a crawl is dominated by a few hosts):
     // planted URLs (www-prefixed and bare, .com and .co.uk public-suffix

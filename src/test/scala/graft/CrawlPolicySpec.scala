@@ -190,6 +190,31 @@ class CrawlPolicySpec extends AnyFunSuite {
     assert(CrawlPolicyUtil.robotsSitemaps("User-agent: *\nAllow: /").isEmpty)
   }
 
+  test("frontier scale mode: salted two-phase top-k selects identically") {
+    import spark.implicits._
+    import graft.operators.Crawl
+    import org.apache.spark.sql.functions.col
+    // one giant domain (500 candidates, budget 7) plus a singleton: the
+    // global top-budget is always a subset of the union of per-salt
+    // top-budgets, so the pruned two-phase mode must pick the SAME urls
+    // with the SAME ranks as the full audit mode
+    val cands = ((1 to 500).map(i =>
+      (f"http://big.com/p$i%04d", ((i * 37) % 211).toLong)) ++
+      Seq(("http://small.com/x", 5L))).toDF("url", "score")
+    val robots = Seq(("big.com", "User-agent: *\nAllow: /"))
+      .toDF("domain", "robots_txt")
+    val budgets = Seq(("big.com", 7L)).toDF("domain", "budget")
+    def run(audit: Boolean) = Crawl.frontierSample(cands, "url", "bot",
+      robots, budgets, 3L, Some("score"), auditAll = audit)
+    val full = run(audit = true).where(col("selected")).collect()
+      .map(r => (r.getString(0), r.getLong(3))).toSet
+    val fast = run(audit = false).collect()
+      .map(r => (r.getString(0), r.getLong(3))).toSet
+    assert(fast == full)
+    assert(full.count(_._1.startsWith("http://big.com")) == 7)
+    assert(full.count(_._1.startsWith("http://small.com")) == 1)
+  }
+
   test("sitemap: large loc-only urlset parses in linear time") {
     import graft.functions.CrawlPolicyUtil
     // loc-only entries are the hostile shape for per-entry field lookups:

@@ -94,7 +94,9 @@ class ExtensionsSpec extends AnyFunSuite {
         " AS m," +
         " CAST(decompress_bytes(compress_bytes(CAST('x' AS BINARY), 'zstd')," +
         " 'auto') AS STRING) AS n," +
-        " html_anchors('<a href=\"/l\">the <b>label</b></a>')[0].text AS o"
+        " html_anchors('<a href=\"/l\">the <b>label</b></a>')[0].text AS o," +
+        " html_meta('<meta name=\"robots\" content=\"noindex\">')['robots']" +
+        " AS p"
     ).collect().head
     assert(r.getString(0) == "plain")
     assert(r.getString(1) == "x")
@@ -111,6 +113,7 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getString(12) == "hi")
     assert(r.getString(13) == "x")
     assert(r.getString(14) == "the label")
+    assert(r.getString(15) == "noindex")
   }
 
   test("array kernels are callable from SQL and match the Scala API") {

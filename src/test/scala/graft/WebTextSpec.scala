@@ -122,6 +122,31 @@ class WebTextSpec extends AnyFunSuite {
     assert(a("<a href='/x'>tail runs out") == Seq(("/x", "tail runs out")))
   }
 
+  test("html_meta: key sources, first-wins, charset, hostile") {
+    val m = (h: String) => WebTextUtil.htmlMeta(h).toMap
+    val page = "<head><meta charset='UTF-8'>" +
+      "<meta name=\"Robots\" content=\"noindex\">" +
+      "<meta http-equiv=\"Refresh\" content=\"5\">" +
+      "<meta property=\"og:type\" content=\"article\">" +
+      "<meta name=\"robots\" content=\"dup loses\">" +
+      "<meta name=\"nocontent\">" + // content-less: skipped
+      "<!-- <meta name=\"c\" content=\"no\"> -->" +
+      "<script>var s='<meta name=\"s\" content=\"no\">';</script></head>"
+    assert(m(page) == Map("charset" -> "UTF-8", "robots" -> "noindex",
+      "refresh" -> "5", "og:type" -> "article"))
+    // attribute-name boundaries: longname/namex do not match name
+    assert(m("<meta longname=\"x\" content=\"y\">") == Map())
+    assert(m("<meta namex=\"x\" content=\"y\">") == Map())
+    // <meta is a word boundary: <metadata> is not a meta tag
+    assert(m("<metadata name=\"x\" content=\"y\"></metadata>") == Map())
+    // hostile: floods capped, garbage never throws
+    val flood = "<meta name=\"k0\" content=\"v\">" * 1 +
+      (1 to 5000).map(i => s"<meta name='k$i' content='v'>").mkString
+    assert(WebTextUtil.htmlMeta(flood).size == WebTextUtil.MaxMetaEntries)
+    for (h <- Seq("<meta", "<meta name", "<meta name=", "<meta name='x'",
+      "", "<" * 300)) WebTextUtil.htmlMeta(h)
+  }
+
   test("url_parse: shapes, ports, userinfo, IPv6, registered domain") {
     assert(WebTextUtil.parseUrl("HTTP://WWW.Ex.COM:80/P?q=1#f") ==
       ("http", "www.ex.com", 80, "/P", "q=1"))
