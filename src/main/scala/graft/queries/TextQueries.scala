@@ -1647,6 +1647,57 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM f"""),
     ),
 
+    // The frontier's giant-domain scale mode: same planted world as
+    // q_crawl_frontier but through the salted two-phase top-k
+    // (auditAll=false), which must return exactly the SELECTED rows of
+    // the audit mode — the oracle is the audit oracle filtered to
+    // rnk <= budget. A pruning slip (salt bucket dropping a global
+    // winner) moves a row.
+    "q_crawl_frontier_scaled" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val id = col("doc_id").cast("string")
+        val cands = docs(s, dir)
+          .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("j"))
+          .select(
+            concat(lit("https://d"), (col("doc_id") % 8).cast("string"),
+              lit(".example.com"),
+              when(col("j") === 3, concat(lit("/private/"), id))
+                .otherwise(concat(lit("/p/"), id, lit("/"),
+                  col("j").cast("string")))).as("url"),
+            ((col("doc_id") * 7 + col("j")) % 100).cast("long").as("score"))
+        val robots = (0 until 8)
+          .map(d => (s"d$d.example.com", "User-agent: *\nDisallow: /private"))
+          .toDF("domain", "robots_txt")
+        val budgets = (0 until 4).map(d => (s"d$d.example.com", 5L))
+          .toDF("domain", "budget")
+        graft.operators.Crawl.frontierSample(cands, "url", "graftbot",
+          robots, budgets, defaultBudget = 10L, scoreCol = Some("score"),
+          auditAll = false)
+      },
+      Some("""WITH c AS (
+          SELECT doc_id, unnest(generate_series(0, 3)) AS j
+          FROM documents),
+        u AS (
+          SELECT 'd' || (doc_id % 8) || '.example.com' AS domain,
+            'https://d' || (doc_id % 8) || '.example.com' ||
+              CASE WHEN j = 3 THEN '/private/' || doc_id
+                ELSE '/p/' || doc_id || '/' || j END AS url,
+            CAST((doc_id * 7 + j) % 100 AS BIGINT) AS score, j
+          FROM c),
+        a AS (SELECT * FROM u WHERE j <> 3),
+        r AS (
+          SELECT url, domain, score,
+            CAST(row_number() OVER (PARTITION BY domain
+              ORDER BY score DESC, url ASC) AS BIGINT) AS rnk,
+            CAST(CASE WHEN CAST(substr(domain, 2, 1) AS INT) < 4
+              THEN 5 ELSE 10 END AS BIGINT) AS budget
+          FROM a)
+        SELECT url, domain, score, rnk, budget,
+          (rnk <= budget) AS selected
+        FROM r WHERE rnk <= budget"""),
+    ),
+
     // Meta-tag extraction -> noindex compliance: planted heads carry a
     // bare charset meta, a robots directive (noindex,nofollow on one
     // class — the pages a compliant training pipeline must drop), an
