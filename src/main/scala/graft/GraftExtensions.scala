@@ -48,8 +48,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("decompress_text"),
       info("decompress_text",
         "decompress_text(bin, codec) - multi-codec decompression to UTF-8 " +
-          "text; codec in {zlib,gzip,zstd,lz4,snappy,snappy_raw,auto}; " +
-          "null on corrupt streams or the decompression-bomb cap"),
+          "text; codec in {zlib,gzip,zstd,lz4,snappy,snappy_raw,deflate," +
+          "auto}; null on corrupt streams or the decompression-bomb cap"),
       (args: Seq[Expression]) => DecompressText(args(0), args(1))))
     ext.injectFunction((
       FunctionIdentifier("compress_bytes"),

@@ -31,7 +31,10 @@ import scala.util.control.NonFatal
   *
   * Codec names: "zlib", "gzip", "zstd", "lz4" (frame format), "snappy"
   * (framed format, self-identifying), "snappy_raw" (block format — no
-  * magic, so never sniffed; explicit only), and "auto" (sniff).
+  * magic, so never sniffed; explicit only), "deflate" (the HTTP
+  * Content-Encoding semantics: zlib-wrapped per RFC 9110, raw-deflate
+  * fallback for the classically-broken servers — explicit only; the
+  * zlib-wrapped case is also reachable via sniff), and "auto" (sniff).
   */
 object CodecsUtil {
 
@@ -134,9 +137,35 @@ object CodecsUtil {
             if (len > maxOut) null
             else org.xerial.snappy.Snappy.uncompress(b)
           }
+        case "deflate" =>
+          // the HTTP Content-Encoding mess: "deflate" means zlib-wrapped
+          // per RFC 9110, but broken servers (classically IIS) send RAW
+          // deflate; browsers try zlib and fall back, so this does too
+          val z = decompress(b, "zlib", maxOut)
+          if (z != null) z else inflateRaw(b, maxOut)
         case _ => null
       }
     } catch { case NonFatal(_) => null }
+  }
+
+  /** Raw (nowrap) deflate with the same truncation/FDICT/bomb guards as
+    * the zlib branch. */
+  private def inflateRaw(b: Array[Byte], maxOut: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater(true)
+    inf.setInput(b)
+    val out = new java.io.ByteArrayOutputStream(math.min(
+      maxOut.toLong, b.length.toLong * 4).toInt.max(64))
+    val buf = new Array[Byte](8192)
+    try {
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && !inf.finished() &&
+          (inf.needsInput() || inf.needsDictionary())) return null
+        if (out.size().toLong + n > maxOut) return null
+        out.write(buf, 0, n)
+      }
+      out.toByteArray
+    } catch { case NonFatal(_) => null } finally inf.end()
   }
 
   def decompressText(b: Array[Byte], codec: UTF8String): UTF8String = {

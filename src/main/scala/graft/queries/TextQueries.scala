@@ -1177,15 +1177,17 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
 
     // The CommonCrawl shape end to end: WARC response records whose
     // bodies are full HTTP messages — status line, HTTP headers, then
-    // an entity that is plain, Content-Encoding-gzipped, or
-    // Transfer-Encoding-chunked — plus a 404 in iso-8859-15. Each layer
+    // an entity that is plain, Content-Encoding-gzipped,
+    // Transfer-Encoding-chunked, or RAW-deflate under a
+    // Content-Encoding: deflate header (the broken-server shape the
+    // sniff can't see) — plus a 404 in iso-8859-15. Each layer
     // (member split, WARC parse, HTTP parse, dechunk, decompress,
     // charset decode, text extraction) must undo in protocol order or a
     // row moves.
     "q_content_http" -> QueryDef(
       (s, dir) => {
         val id = col("doc_id").cast("string")
-        val m = col("doc_id") % 4
+        val m = col("doc_id") % 5
         def page(statusLine: String, headers: String,
             entity: org.apache.spark.sql.Column) =
           graft.functions.codecs.compress_bytes(concat(
@@ -1205,6 +1207,12 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         val euroEnt = encode(
           concat(lit("<p>euro ¤ not found "), id, lit("</p>")),
           "ISO-8859-1")
+        // RAW deflate (the broken-server Content-Encoding: deflate):
+        // zlib output minus its 2-byte header and 4-byte Adler trailer
+        val zl = graft.functions.codecs.compress_bytes(
+          encode(concat(lit("<p>deflate page "), id, lit("</p>")),
+            "UTF-8"), lit("zlib"))
+        val rawDeflateEnt = substring(zl, lit(3), length(zl) - 6)
         val chunk = when(m === 0, page("200 OK",
             "Content-Type: text/html; charset=utf-8", plainEnt))
           .when(m === 1, page("200 OK",
@@ -1212,8 +1220,11 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
           .when(m === 2, page("200 OK",
             "Content-Type: text/html\r\nTransfer-Encoding: chunked",
             chunkedEnt))
-          .otherwise(page("404 Not Found",
+          .when(m === 3, page("404 Not Found",
             "Content-Type: text/html; charset=ISO-8859-15", euroEnt))
+          .otherwise(page("200 OK",
+            "Content-Type: text/html\r\nContent-Encoding: deflate",
+            rawDeflateEnt))
         graft.sources.Content.httpPages(
             docs(s, dir).select(col("doc_id"), chunk.as("chunk")),
             "doc_id", "chunk")
@@ -1222,15 +1233,16 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
             graft.functions.web.html_text(col("text")).as("visible"))
       },
       Some("""SELECT doc_id, CAST(0 AS INTEGER) AS member_idx,
-          CAST(CASE WHEN doc_id % 4 = 3 THEN 404 ELSE 200 END AS INTEGER)
+          CAST(CASE WHEN doc_id % 5 = 3 THEN 404 ELSE 200 END AS INTEGER)
             AS status,
-          CASE WHEN doc_id % 4 = 3 THEN 'iso-8859-15'
+          CASE WHEN doc_id % 5 = 3 THEN 'iso-8859-15'
             ELSE 'utf-8' END AS charset,
-          CASE doc_id % 4
+          CASE doc_id % 5
             WHEN 0 THEN 'plain page ' || doc_id || ' caf' || chr(233)
             WHEN 1 THEN 'gzip page ' || doc_id
             WHEN 2 THEN 'chunked page ' || doc_id
-            ELSE 'euro ' || chr(8364) || ' not found ' || doc_id
+            WHEN 3 THEN 'euro ' || chr(8364) || ' not found ' || doc_id
+            ELSE 'deflate page ' || doc_id
           END AS visible
         FROM documents"""),
     ),

@@ -194,6 +194,8 @@ object Content {
       element_at(col("h.headers"), "transfer-encoding"), lit("")))
       .contains("chunked")
     val hint = element_at(col("h.headers"), "content-type")
+    val contentEnc = lower(coalesce(
+      element_at(col("h.headers"), "content-encoding"), lit("")))
     recs
       .withColumn("raw", when(chunked,
         graft.functions.codecs.http_dechunk(col("h.body")))
@@ -201,6 +203,12 @@ object Content {
       .withColumn("entity", when(
         graft.functions.codecs.codec_sniff(col("raw")).isNotNull,
         graft.functions.codecs.decompress_bytes(col("raw"), lit("auto")))
+        // raw deflate has no magic to sniff: only the header knows.
+        // coalesce keeps the raw bytes when the header lies (identity
+        // body declared deflate) — the row degrades, not disappears
+        .when(contentEnc.contains("deflate"), coalesce(
+          graft.functions.codecs.decompress_bytes(col("raw"),
+            lit("deflate")), col("raw")))
         .otherwise(col("raw")))
       .select(col(idCol), col("member_idx"), col("warc_headers"),
         col("h.status").as("status"),

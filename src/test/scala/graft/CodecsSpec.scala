@@ -95,6 +95,30 @@ class CodecsSpec extends AnyFunSuite {
     assert(CodecsUtil.decompress(fdict, "auto", CodecsUtil.MaxOutput) == null)
   }
 
+  test("'deflate' codec: zlib-wrapped per RFC 9110, raw-deflate fallback") {
+    val p = bytes("content-encoding deflate " * 30)
+    val zl = CodecsUtil.compress(p, "zlib")
+    // conformant servers send zlib-wrapped
+    assert(java.util.Arrays.equals(
+      CodecsUtil.decompress(zl, "deflate", CodecsUtil.MaxOutput), p))
+    // broken servers send RAW deflate = zlib minus header(2) + adler(4)
+    val raw = java.util.Arrays.copyOfRange(zl, 2, zl.length - 4)
+    assert(CodecsUtil.decompress(raw, "auto", CodecsUtil.MaxOutput) == null,
+      "raw deflate must not be sniffable")
+    assert(java.util.Arrays.equals(
+      CodecsUtil.decompress(raw, "deflate", CodecsUtil.MaxOutput), p))
+    // hostile: garbage null, FDICT zlib null (and raw path rejects too)
+    assert(CodecsUtil.decompress(bytes("garbage!"), "deflate",
+      CodecsUtil.MaxOutput) == null)
+    val fdict = Array[Byte](0x78, 0x20, 0x11, 0x22, 0x33, 0x44, 0x55)
+    assert(CodecsUtil.decompress(fdict, "deflate",
+      CodecsUtil.MaxOutput) == null)
+    // bomb cap applies on the raw fallback path as well
+    val bomb = CodecsUtil.compress(new Array[Byte](1 << 20), "zlib")
+    val rawBomb = java.util.Arrays.copyOfRange(bomb, 2, bomb.length - 4)
+    assert(CodecsUtil.decompress(rawBomb, "deflate", 1 << 16) == null)
+  }
+
   test("decompression-bomb cap: oversized output aborts to null") {
     val bomb = new Array[Byte](1 << 20) // 1 MB of zeros compresses tiny
     for (c <- Codecs) {
