@@ -14,6 +14,21 @@ object TextAnalysis {
   /** Whitespace tokens of a text column. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Script-aware tokens for mixed/multilingual text — the charset
+    * work makes CJK pages reachable, and CJK scripts carry no word
+    * spaces, so under [[tokens]] a Chinese document is ~one giant
+    * token (mis-scored by every length/TTR quality rule). The CCNet /
+    * fastText convention: each CJK ideograph, kana, or fullwidth form
+    * becomes its own token (spacing them before the whitespace split);
+    * spaced scripts behave exactly like [[tokens]]. Pass this anywhere
+    * a token column feeds quality stats / BM25 / shingles on a
+    * multilingual corpus. */
+  def tokensMixed(text: Column): Column =
+    split(trim(regexp_replace(text,
+      "([\\u3005\\u3040-\\u30ff\\u3400-\\u4dbf\\u4e00-\\u9fff" +
+        "\\uf900-\\ufaff\\uff00-\\uffef])",
+      " $1 ")), "\\s+")
+
   /** Deterministic polynomial rolling hash of a string, mod 1e9+7.
     * `h = fold(chars)(acc * 31 + codepoint) % p` — a document fingerprint
     * cheap enough to run at ingest on every row. Backed by the codegen'd

@@ -1710,6 +1710,32 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM r WHERE rnk <= budget"""),
     ),
 
+    // Script-aware tokenization: CJK scripts carry no word spaces, so
+    // whitespace tokens mis-score every Chinese/Japanese page the
+    // charset work now decodes correctly; tokensMixed spaces each
+    // ideograph/kana (the CCNet convention) while leaving spaced
+    // scripts untouched. Planted mixed text has a closed-form token
+    // layout: count and the tokens at latin/ideograph/kana/punct
+    // positions all verified.
+    "q_text_tokens_mixed" -> QueryDef(
+      (s, dir) => {
+        val text = concat(lit("Doc "), col("doc_id").cast("string"),
+          lit(" says 你好世界 and " +
+            "こんにちは!"))
+        val toks = graft.operators.TextAnalysis.tokensMixed(text)
+        docs(s, dir).select(col("doc_id"),
+          size(toks).as("n_tokens"),
+          element_at(toks, 1).as("t_first"),
+          element_at(toks, 4).as("t_cjk"),
+          element_at(toks, 13).as("t_kana"),
+          element_at(toks, 14).as("t_punct"))
+      },
+      Some("""SELECT doc_id, CAST(14 AS INTEGER) AS n_tokens,
+          'Doc' AS t_first, chr(20320) AS t_cjk, chr(12399) AS t_kana,
+          '!' AS t_punct
+        FROM documents"""),
+    ),
+
     // Meta-tag extraction -> noindex compliance: planted heads carry a
     // bare charset meta, a robots directive (noindex,nofollow on one
     // class — the pages a compliant training pipeline must drop), an

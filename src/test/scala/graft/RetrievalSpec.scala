@@ -336,6 +336,21 @@ class RetrievalSpec extends AnyFunSuite {
       == init + 1)
   }
 
+  test("tokensMixed: CJK singles out, spaced scripts unchanged") {
+    val df = Seq(
+      (1L, "hello big world"),
+      (2L, "中文测试 ok"),
+      (3L, "カタana mix"),
+      (4L, "")).toDF("id", "text")
+    val got = df.select(col("id"),
+        TextAnalysis.tokensMixed(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(got(1L) == List("hello", "big", "world")) // == tokens()
+    assert(got(2L) == List("中", "文", "测", "试", "ok"))
+    assert(got(3L) == List("カ", "タ", "ana", "mix"))
+    assert(got(4L) == List("")) // same degenerate shape as tokens()
+  }
+
   test("bpeTrainCharsChained: segmented == unchained, exhaustion-safe, 4096+ vocab") {
     val texts = Seq(
       "lower lowest newer newest low new",
