@@ -45,6 +45,55 @@ object Crawl {
         .cast("long").as("budget"))
   }
 
+  /** Incremental [[frontierSample]]: select from a NEW candidate batch
+    * under budgets already partly spent by prior rounds — the
+    * continuous-discovery loop of a real crawler. `spent` is
+    * (domain, n_selected) aggregated from earlier selections; `done`
+    * is previously selected/fetched URLs (canonical), excluded by
+    * anti-join so a re-discovered page never re-spends budget. Each
+    * host's remaining budget is max(budget - spent, 0); ordering and
+    * robots semantics are identical to the batch operator, and with no
+    * spend and no history the output IS the batch operator's selected
+    * set (spec-pinned). Stream semantics match the other delta
+    * operators: earlier rounds' picks are never revisited, so a
+    * later-arriving higher-score URL wins only FUTURE budget. */
+  def frontierDelta(
+      batch: DataFrame, urlCol: String, agent: String,
+      robots: DataFrame, budgets: DataFrame, defaultBudget: Long,
+      spent: DataFrame, done: DataFrame,
+      scoreCol: Option[String] = None): DataFrame = {
+    val score = scoreCol.map(col).getOrElse(
+      pmod(xxhash64(col("url")), lit(1000000007L)))
+    val canon = batch
+      .withColumn("url", web.url_canonical(col(urlCol)))
+      .where(col("url").isNotNull)
+      .groupBy("url").agg(max(score).as("score"))
+      .join(done.select(web.url_canonical(col("url")).as("url")),
+        Seq("url"), "left_anti")
+      .withColumn("u", web.url_parse(col("url")))
+      .where(col("u").isNotNull)
+      .select(col("url"), col("score"),
+        col("u.host").as("domain"), col("u.path").as("path"))
+    val allowed = canon
+      .join(robots.select(col("domain"), col("robots_txt")), Seq("domain"),
+        "left")
+      .where(col("robots_txt").isNull ||
+        crawl.robots_allowed(col("robots_txt"), lit(agent), col("path")))
+    allowed
+      .join(budgets.select(col("domain"), col("budget")), Seq("domain"),
+        "left")
+      .join(spent.select(col("domain"), col("n_selected")), Seq("domain"),
+        "left")
+      .withColumn("budget", greatest(
+        coalesce(col("budget").cast("long"), lit(defaultBudget)) -
+          coalesce(col("n_selected").cast("long"), lit(0L)), lit(0L)))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("domain"))
+          .orderBy(col("score").desc, col("url").asc)).cast("long"))
+      .withColumn("selected", col("rnk") <= col("budget"))
+      .select("url", "domain", "score", "rnk", "budget", "selected")
+  }
+
   /** Politeness-budgeted frontier selection: candidate URLs ->
     * per-domain top-`budget` picks, robots-compliant and deduplicated.
     *

@@ -215,6 +215,43 @@ class CrawlPolicySpec extends AnyFunSuite {
     assert(full.count(_._1.startsWith("http://small.com")) == 1)
   }
 
+  test("frontierDelta: zero-state == batch; spend and done arithmetic") {
+    import spark.implicits._
+    import graft.operators.Crawl
+    import org.apache.spark.sql.functions.col
+    val cands = Seq(
+      ("http://a.com/p1", 9L), ("http://a.com/p2", 8L),
+      ("http://a.com/p3", 7L), ("http://b.com/q1", 1L)
+    ).toDF("url", "score")
+    val robots = Seq(("a.com", "User-agent: *\nAllow: /"))
+      .toDF("domain", "robots_txt")
+    val budgets = Seq(("a.com", 2L)).toDF("domain", "budget")
+    val noSpent = Seq.empty[(String, Long)].toDF("domain", "n_selected")
+    val noDone = Seq.empty[(String, String)].toDF("k", "url").select("url")
+    def sel(d: org.apache.spark.sql.DataFrame) =
+      d.where(col("selected")).collect().map(_.getString(0)).toSet
+    // no spend, no history: identical to the batch operator
+    assert(sel(Crawl.frontierDelta(cands, "url", "bot", robots, budgets,
+      1L, noSpent, noDone, Some("score"))) ==
+      sel(Crawl.frontierSample(cands, "url", "bot", robots, budgets, 1L,
+        Some("score"))))
+    // one unit of a.com's budget already spent: only the top-1 survives
+    val spent1 = Seq(("a.com", 1L)).toDF("domain", "n_selected")
+    assert(sel(Crawl.frontierDelta(cands, "url", "bot", robots, budgets,
+      1L, spent1, noDone, Some("score"))) ==
+      Set("http://a.com/p1", "http://b.com/q1"))
+    // overspent domains clamp to zero, never negative
+    val spent9 = Seq(("a.com", 9L)).toDF("domain", "n_selected")
+    assert(sel(Crawl.frontierDelta(cands, "url", "bot", robots, budgets,
+      1L, spent9, noDone, Some("score"))) == Set("http://b.com/q1"))
+    // already-done URLs are excluded BEFORE ranking: the next one in
+    // score order takes the slot
+    val done = Seq("HTTP://A.com:80/p1").toDF("url") // canonical match
+    assert(sel(Crawl.frontierDelta(cands, "url", "bot", robots, budgets,
+      1L, spent1, done, Some("score"))) ==
+      Set("http://a.com/p2", "http://b.com/q1"))
+  }
+
   test("sitemap: large loc-only urlset parses in linear time") {
     import graft.functions.CrawlPolicyUtil
     // loc-only entries are the hostile shape for per-entry field lookups:
