@@ -45,6 +45,33 @@ object Crawl {
         .cast("long").as("budget"))
   }
 
+  /** Fetch schedule for a frontier selection: politeness says not just
+    * how many URLs a host permits per window but WHEN — one fetch per
+    * `Crawl-delay`, spaced. Each selected row gets
+    * `fetch_at_ms = (rnk - 1) * delay_ms` within its host's window
+    * (hosts without a declared delay use `defaultDelaySec`), so a
+    * fetcher fleet can partition by (domain, fetch_at_ms) and stay
+    * compliant with zero coordination — the schedule is a pure function
+    * of the selection. Row-local arithmetic over the selection joined
+    * with the host-cardinality delays side. */
+  def fetchSchedule(
+      selection: DataFrame, robots: DataFrame, agent: String,
+      defaultDelaySec: Double): DataFrame = {
+    require(defaultDelaySec > 0,
+      s"defaultDelaySec must be positive (got $defaultDelaySec)")
+    val delay = crawl.crawl_delay(col("robots_txt"), lit(agent))
+    val delays = robots.select(col("domain"),
+      when(delay.isNull || delay <= 0d, lit(defaultDelaySec))
+        .otherwise(delay).as("delay_sec"))
+    selection.where(col("selected"))
+      .join(delays, Seq("domain"), "left")
+      .withColumn("delay_sec",
+        coalesce(col("delay_sec"), lit(defaultDelaySec)))
+      .withColumn("fetch_at_ms",
+        ((col("rnk") - 1) * col("delay_sec") * 1000d).cast("long"))
+      .select("url", "domain", "rnk", "delay_sec", "fetch_at_ms")
+  }
+
   /** Incremental [[frontierSample]]: select from a NEW candidate batch
     * under budgets already partly spent by prior rounds — the
     * continuous-discovery loop of a real crawler. `spent` is

@@ -1710,6 +1710,63 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM r WHERE rnk <= budget"""),
     ),
 
+    // Fetch schedule: the selected frontier spaced one fetch per
+    // Crawl-delay — hosts d0-d3 declare a 2s delay (robots-derived),
+    // d4-d7 use the 0.5s default; fetch_at_ms = (rank-1)*delay, all
+    // replayed relationally. Politeness is now closed end to end:
+    // allowed (robots) -> how many (budgets) -> when (schedule).
+    "q_crawl_schedule" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val id = col("doc_id").cast("string")
+        val cands = docs(s, dir)
+          .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("j"))
+          .select(
+            concat(lit("https://d"), (col("doc_id") % 8).cast("string"),
+              lit(".example.com"),
+              when(col("j") === 3, concat(lit("/private/"), id))
+                .otherwise(concat(lit("/p/"), id, lit("/"),
+                  col("j").cast("string")))).as("url"),
+            ((col("doc_id") * 7 + col("j")) % 100).cast("long").as("score"))
+        val robots = (0 until 8).map { d =>
+          (s"d$d.example.com",
+            if (d < 4) "User-agent: *\nDisallow: /private\nCrawl-delay: 2"
+            else "User-agent: *\nDisallow: /private")
+        }.toDF("domain", "robots_txt")
+        val budgets = (0 until 4).map(d => (s"d$d.example.com", 5L))
+          .toDF("domain", "budget")
+        val sel = graft.operators.Crawl.frontierSample(cands, "url",
+          "graftbot", robots, budgets, defaultBudget = 10L,
+          scoreCol = Some("score"))
+        graft.operators.Crawl.fetchSchedule(sel, robots, "graftbot",
+          defaultDelaySec = 0.5)
+      },
+      Some("""WITH c AS (
+          SELECT doc_id, unnest(generate_series(0, 3)) AS j
+          FROM documents),
+        u AS (
+          SELECT 'd' || (doc_id % 8) || '.example.com' AS domain,
+            'https://d' || (doc_id % 8) || '.example.com' ||
+              CASE WHEN j = 3 THEN '/private/' || doc_id
+                ELSE '/p/' || doc_id || '/' || j END AS url,
+            CAST((doc_id * 7 + j) % 100 AS BIGINT) AS score, j
+          FROM c),
+        a AS (SELECT * FROM u WHERE j <> 3),
+        r AS (
+          SELECT url, domain,
+            CAST(row_number() OVER (PARTITION BY domain
+              ORDER BY score DESC, url ASC) AS BIGINT) AS rnk,
+            CAST(substr(domain, 2, 1) AS INT) AS idx
+          FROM a)
+        SELECT url, domain, rnk,
+          CASE WHEN idx < 4 THEN CAST(2.0 AS DOUBLE)
+            ELSE CAST(0.5 AS DOUBLE) END AS delay_sec,
+          CAST((rnk - 1) * CASE WHEN idx < 4 THEN 2000 ELSE 500 END
+            AS BIGINT) AS fetch_at_ms
+        FROM r
+        WHERE rnk <= CASE WHEN idx < 4 THEN 5 ELSE 10 END"""),
+    ),
+
     // Incremental frontier: the same planted world as q_crawl_frontier,
     // but each host has already SPENT part of its budget in earlier
     // rounds (spent = the host's index) and every tenth doc's first URL
