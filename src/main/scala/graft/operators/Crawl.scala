@@ -45,6 +45,43 @@ object Crawl {
         .cast("long").as("budget"))
   }
 
+  /** Recrawl selection: which known URLs need refetching, from sitemap
+    * `lastmod` against the fetch log — the decision sitemaps exist to
+    * enable. A URL is stale iff it was never fetched, or its declared
+    * lastmod (parseable prefix of W3C datetime, date-only accepted) is
+    * strictly after its last fetch. URLs with an unparseable/absent
+    * lastmod fall back to age: refetch when now - last_fetch >=
+    * `maxAgeDays` (the polite default for undeclared freshness).
+    * Canonical-URL left join; row-local date arithmetic. Output:
+    * (url, lastmod, last_fetched, stale, reason). */
+  def recrawlSet(
+      entries: DataFrame, fetchLog: DataFrame, nowDate: String,
+      maxAgeDays: Int): DataFrame = {
+    require(maxAgeDays >= 0, s"maxAgeDays must be >= 0 (got $maxAgeDays)")
+    val ents = entries.select(
+      web.url_canonical(col("loc")).as("url"), col("lastmod"))
+      .where(col("url").isNotNull)
+      .groupBy("url").agg(max(col("lastmod")).as("lastmod"))
+    val log = fetchLog.select(
+      web.url_canonical(col("url")).as("url"),
+      col("last_fetched").cast("date").as("last_fetched"))
+      .groupBy("url").agg(max(col("last_fetched")).as("last_fetched"))
+    // try_to_date: a hostile lastmod must degrade to the age rule, not
+    // throw under ANSI
+    val modDate = try_to_date(substring(col("lastmod"), 1, 10))
+    ents.join(log, Seq("url"), "left")
+      .withColumn("reason",
+        when(col("last_fetched").isNull, lit("never_fetched"))
+          .when(modDate.isNotNull && modDate > col("last_fetched"),
+            lit("modified"))
+          .when(modDate.isNull &&
+            datediff(lit(nowDate).cast("date"), col("last_fetched")) >=
+              maxAgeDays, lit("aged_out"))
+          .otherwise(lit("fresh")))
+      .withColumn("stale", col("reason") =!= "fresh")
+      .select("url", "lastmod", "last_fetched", "stale", "reason")
+  }
+
   /** Fetch schedule for a frontier selection: politeness says not just
     * how many URLs a host permits per window but WHEN — one fetch per
     * `Crawl-delay`, spaced. Each selected row gets

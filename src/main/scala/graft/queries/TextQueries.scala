@@ -1710,6 +1710,46 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM r WHERE rnk <= budget"""),
     ),
 
+    // Recrawl selection from sitemap lastmod vs the fetch log — the
+    // decision lastmod exists for: modified (declared newer than the
+    // last fetch), fresh (declared older), aged out (no parseable
+    // declaration, fetch older than the max age), hostile lastmod
+    // falling back to the age rule, and never-fetched. All five
+    // classes closed-form.
+    "q_crawl_recrawl" -> QueryDef(
+      (s, dir) => {
+        val id = col("doc_id").cast("string")
+        val url = concat(lit("https://site"), id, lit(".example.com/p"))
+        val m = col("doc_id") % 5
+        val entries = docs(s, dir).select(url.as("loc"),
+          when(m === 0, lit("2026-03-01"))
+            .when(m === 1, lit("2026-01-01"))
+            .when(m === 3, lit("not-a-date"))
+            .when(m === 4, lit("2026-04-01"))
+            .otherwise(lit(null).cast("string")).as("lastmod"))
+        val fetchLog = docs(s, dir).where(col("doc_id") % 5 =!= 4)
+          .select(url.as("url"),
+            when(col("doc_id") % 5 === 3, lit("2026-07-30"))
+              .otherwise(lit("2026-02-01")).as("last_fetched"))
+        graft.operators.Crawl.recrawlSet(entries, fetchLog,
+            nowDate = "2026-08-01", maxAgeDays = 90)
+          // NULL DATE stringifies differently across the compare
+          // harness's readers; the gate compares it as VARCHAR
+          .withColumn("last_fetched", col("last_fetched").cast("string"))
+      },
+      Some("""SELECT 'https://site' || doc_id || '.example.com/p' AS url,
+          CASE doc_id % 5 WHEN 0 THEN '2026-03-01'
+            WHEN 1 THEN '2026-01-01' WHEN 3 THEN 'not-a-date'
+            WHEN 4 THEN '2026-04-01' END AS lastmod,
+          CAST(CASE WHEN doc_id % 5 = 4 THEN NULL
+            WHEN doc_id % 5 = 3 THEN DATE '2026-07-30'
+            ELSE DATE '2026-02-01' END AS VARCHAR) AS last_fetched,
+          (doc_id % 5 IN (0, 2, 4)) AS stale,
+          CASE doc_id % 5 WHEN 0 THEN 'modified' WHEN 2 THEN 'aged_out'
+            WHEN 4 THEN 'never_fetched' ELSE 'fresh' END AS reason
+        FROM documents"""),
+    ),
+
     // Fetch schedule: the selected frontier spaced one fetch per
     // Crawl-delay — hosts d0-d3 declare a 2s delay (robots-derived),
     // d4-d7 use the 0.5s default; fetch_at_ms = (rank-1)*delay, all
