@@ -252,6 +252,33 @@ class CrawlPolicySpec extends AnyFunSuite {
       Set("http://a.com/p2", "http://b.com/q1"))
   }
 
+  test("recrawlSet: canonical collapse, max lastmod/fetch, hostile dates") {
+    import spark.implicits._
+    import graft.operators.Crawl
+    val entries = Seq(
+      ("HTTP://A.com:80/p", "2026-01-01"), // collapses with the next row,
+      ("http://a.com/p", "2026-05-01"),    // latest lastmod wins
+      ("http://b.com/q", "9999-junk"),     // unparseable -> age rule
+      ("http://c.com/r", "2026-06-01")     // never fetched
+    ).toDF("loc", "lastmod")
+    val log = Seq(
+      ("http://a.com/p#frag", "2026-03-01"), // collapses with the next,
+      ("http://a.com/p", "2026-04-01"),      // latest fetch wins
+      ("http://b.com/q", "2026-07-20")
+    ).toDF("url", "last_fetched")
+    val out = Crawl.recrawlSet(entries, log, "2026-08-01", maxAgeDays = 30)
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(3), r.getString(4))).toMap
+    assert(out.size == 3)
+    assert(out("http://a.com/p") == ((true, "modified"))) // 05-01 > 04-01
+    assert(out("http://b.com/q") == ((false, "fresh")))   // 12 days < 30
+    assert(out("http://c.com/r") == ((true, "never_fetched")))
+    // the same world with a 10-day age bar: the undeclared URL ages out
+    val aged = Crawl.recrawlSet(entries, log, "2026-08-01", maxAgeDays = 10)
+      .collect().map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(aged("http://b.com/q") == "aged_out")
+  }
+
   test("sitemap: large loc-only urlset parses in linear time") {
     import graft.functions.CrawlPolicyUtil
     // loc-only entries are the hostile shape for per-entry field lookups:
