@@ -115,6 +115,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("warc_record",
         "warc_record(bin) - parse a WARC record to (version, headers map, body)"),
       (args: Seq[Expression]) => WarcRecord(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("header_get"),
+      info("header_get",
+        "header_get(map, name) - case-insensitive first-match header " +
+          "lookup in a MAP<STRING,STRING> (WARC field names are not " +
+          "case sensitive)"),
+      (args: Seq[Expression]) => HeaderGet(args(0), args(1))))
     // hint coalesced to '' (= no hint) so a missing Content-Type header
     // column degrades to sniffing instead of nulling the row
     def hintArg(args: Seq[Expression]): Expression =

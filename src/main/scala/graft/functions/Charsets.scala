@@ -124,7 +124,15 @@ object CharsetUtil {
   def resolveHint(hint: String): String = {
     if (hint == null) return null
     val lower = hint.toLowerCase(java.util.Locale.ROOT)
-    val at = lower.indexOf("charset=")
+    // The charset parameter must start at a token boundary (string
+    // start, ';', or whitespace, per the media-type parameter grammar):
+    // a bare substring match would misread a parameter whose NAME merely
+    // ends in "charset" (nocharset=x, x-charset=…) as the declaration.
+    // Scan forward past non-boundary hits to a boundary occurrence.
+    var at = lower.indexOf("charset=")
+    while (at >= 0 && !(at == 0 || lower.charAt(at - 1) == ';' ||
+        lower.charAt(at - 1) == ' ' || lower.charAt(at - 1) == '\t'))
+      at = lower.indexOf("charset=", at + 1)
     if (at < 0) return resolveLabel(lower)
     var i = at + 8
     while (i < lower.length &&

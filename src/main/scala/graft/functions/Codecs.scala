@@ -346,6 +346,29 @@ object CodecsUtil {
       body)
   }
 
+  /** Case-insensitive first-match lookup in a header MAP. WARC headers
+    * preserve the case each writer used (`WARC-Type:` vs `warc-type:`
+    * are the same field per the spec's "field names are not case
+    * sensitive"), so consumers must not key on one spelling —
+    * `element_at(headers, 'Content-Type')` silently loses a record
+    * written `content-type:`. ASCII-fold compare, first entry wins
+    * (matching [[warcRecord]]'s first-occurrence-wins map build). */
+  def headerGet(
+      m: org.apache.spark.sql.catalyst.util.MapData,
+      key: UTF8String): UTF8String = {
+    if (m == null || key == null) return null
+    val want = key.toString
+    val keys = m.keyArray()
+    var i = 0
+    while (i < m.numElements()) {
+      val k = keys.getUTF8String(i)
+      if (k != null && k.toString.equalsIgnoreCase(want))
+        return m.valueArray().getUTF8String(i)
+      i += 1
+    }
+    null
+  }
+
   // ---------------------------------------------------------------- HTTP
 
   val httpSchema: org.apache.spark.sql.types.StructType =
@@ -623,6 +646,40 @@ case class WarcRecord(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd case-insensitive header lookup:
+  * `header_get(map<string,string>, name)` -> STRING value of the first
+  * entry whose key ASCII-equals `name` ignoring case, else null. The
+  * read-side twin of [[WarcRecord]]'s case-preserving header map. */
+case class HeaderGet(map: Expression, key: Expression)
+    extends BinaryExpression {
+  override def left: Expression = map
+  override def right: Expression = key
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = map.dataType match {
+    case org.apache.spark.sql.types.MapType(StringType, StringType, _)
+      if key.dataType == StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"header_get expects (MAP<STRING,STRING>, STRING), got " +
+        s"(${map.dataType}, ${key.dataType})")
+  }
+
+  override def nullSafeEval(m: Any, k: Any): Any =
+    CodecsUtil.headerGet(
+      m.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData],
+      k.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (m, k) => s"""
+      ${ev.value} = graft.functions.CodecsUtil.headerGet($m, $k);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HeaderGet =
+    copy(map = newLeft, key = newRight)
+}
+
 /** Codegen'd binary decompression: `decompress_bytes(bin, codec)` ->
   * BINARY — the byte-preserving twin of [[DecompressText]] for payloads
   * that are NOT UTF-8 yet (an HTTP body whose charset decode comes
@@ -735,4 +792,8 @@ object codecs {
 
   def warc_record(data: Column): Column =
     GraftBridge.column(WarcRecord(GraftBridge.expression(data)))
+
+  def header_get(map: Column, key: Column): Column =
+    GraftBridge.column(HeaderGet(GraftBridge.expression(map),
+      GraftBridge.expression(key)))
 }

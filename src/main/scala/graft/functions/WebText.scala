@@ -324,6 +324,22 @@ object WebTextUtil {
                   val e = html.indexOf("-->", t + 4)
                   t = if (e < 0) html.length else e + 3
                   pendingSpace = sb.length() > 0
+                } else if (startsAt(html, t, "<script")) {
+                  // raw elements inside an open anchor: their bodies are
+                  // script/CSS, never label text — same skip rule as the
+                  // outer scan (a </a> inside a script string does not
+                  // close the anchor in a browser either)
+                  var g = t + 7
+                  while (g < html.length && html.charAt(g) != '>') g += 1
+                  t = if (g < html.length) skipRawElement(html, g + 1, "</script")
+                      else html.length
+                  pendingSpace = sb.length() > 0
+                } else if (startsAt(html, t, "<style")) {
+                  var g = t + 6
+                  while (g < html.length && html.charAt(g) != '>') g += 1
+                  t = if (g < html.length) skipRawElement(html, g + 1, "</style")
+                      else html.length
+                  pendingSpace = sb.length() > 0
                 } else {
                   var g = t + 1
                   while (g < html.length && html.charAt(g) != '>') g += 1

@@ -840,23 +840,32 @@ object Curate {
       df: DataFrame, idCol: String, domainCol: String, titleCol: String,
       textCol: String, minMainLen: Int = 200,
       minCluster: Long = 3): DataFrame = {
+    // null text tokenizes as "" (one empty token), so a failed
+    // dechunk/decompress layer — exactly the prime soft-404 candidate —
+    // still gets a fingerprint row: every input row must come back with
+    // flags, and same-domain null/empty bodies cluster together (many
+    // decode-failed pages on one host ARE a template signal)
     val toks = df.select(col(idCol).as("doc_id"),
-      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      explode(TextAnalysis.tokens(coalesce(col(textCol), lit("")))).as("tok"))
     val sh = Dedup.simhash(toks)
       .withColumnRenamed("doc_id", idCol)
-    val keyed = df.join(sh, idCol)
-    val clusters = keyed.groupBy(col(domainCol), col("simhash"))
+    // left joins as the second line of defense: a doc the fingerprint
+    // pass somehow missed still surfaces, with template_dup = false
+    val keyed = df.join(sh, Seq(idCol), "left")
+    val clusters = keyed.where(col("simhash").isNotNull)
+      .groupBy(col(domainCol), col("simhash"))
       .agg(count(lit(1)).as("cluster_n"))
     val lead = lower(concat(coalesce(col(titleCol), lit("")), lit(" "),
       substring(coalesce(col(textCol), lit("")), 1, Soft404LeadChars)))
     val phraseHit = Soft404Phrases
       .map(p => instr(lead, p) > 0)
       .reduce(_ || _)
-    keyed.join(clusters, Seq(domainCol, "simhash"))
+    keyed.join(clusters, Seq(domainCol, "simhash"), "left")
       .withColumn("phrase_hit", phraseHit)
       .withColumn("near_empty",
         length(coalesce(col(textCol), lit(""))) < minMainLen)
-      .withColumn("template_dup", col("cluster_n") >= minCluster)
+      .withColumn("template_dup",
+        coalesce(col("cluster_n") >= minCluster, lit(false)))
       .withColumn("soft404",
         col("phrase_hit") || (col("near_empty") && col("template_dup")))
       .drop("simhash", "cluster_n")

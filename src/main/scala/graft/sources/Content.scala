@@ -160,7 +160,12 @@ object Content {
     * one fused scan-stage projection — bytes never cross a shuffle. */
   def warcPages(
       chunks: DataFrame, idCol: String, chunkCol: String): DataFrame = {
-    val hint = element_at(col("headers"), "Content-Type")
+    // case-insensitive: warcRecord preserves written header case (the
+    // WARC spec makes field names case-insensitive), so a record writing
+    // "content-type:" must not lose its charset hint to an exact-case
+    // lookup — mojibake for hint-only encodings like Shift_JIS
+    val hint = graft.functions.codecs.header_get(
+      col("headers"), lit("Content-Type"))
     warcRecords(chunks, idCol, chunkCol)
       .withColumn("charset",
         graft.functions.charsets.charset_detect(col("body"), hint))

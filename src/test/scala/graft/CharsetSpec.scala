@@ -57,6 +57,15 @@ class CharsetSpec extends AnyFunSuite {
     // unresolvable hints fall through to the next step, not to garbage
     assert(det(enc("plain", "UTF-8"), "charset=klingon") == "utf-8")
     assert(det(enc("plain", "UTF-8"), "") == "utf-8")
+    // "charset=" must sit at a token boundary (start, ';', whitespace)
+    // per the media-type parameter grammar: a parameter whose NAME
+    // merely ends in "charset" is not the declaration
+    assert(det(sjis, "text/plain; nocharset=shift_jis") == "windows-1252")
+    assert(dec(smart, "text/plain; x-charset=utf-8") == "“hi”")
+    // and the scan continues PAST a non-boundary hit to the real one
+    assert(det(sjis, "text/plain; nocharset=x; charset=shift_jis") ==
+      "shift_jis")
+    assert(det(sjis, "text/html;charset=shift_jis") == "shift_jis")
   }
 
   test("meta prescan: charset attr, http-equiv form, quoting, utf-16 rule") {

@@ -299,4 +299,36 @@ class CodecsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT codec_sniff(compress_bytes(" +
       "CAST('x' AS BINARY), 'lz4')) AS c").collect().head.getString(0) == "lz4")
   }
+
+  test("header_get: case-insensitive lookup; warcPages charset hint " +
+    "survives any written header casing") {
+    import spark.implicits._
+    // kernel: first case-insensitive match wins; miss and null are null
+    val rec = "WARC/1.0\r\ncontent-type: text/html; charset=shift_jis\r\n" +
+      "WARC-Type: response\r\n\r\n"
+    val r = CodecsUtil.warcRecord(bytes(rec))
+    assert(CodecsUtil.headerGet(r.getMap(1),
+      org.apache.spark.unsafe.types.UTF8String.fromString("Content-Type"))
+      .toString == "text/html; charset=shift_jis")
+    assert(CodecsUtil.headerGet(r.getMap(1),
+      org.apache.spark.unsafe.types.UTF8String.fromString("WARC-TYPE"))
+      .toString == "response")
+    assert(CodecsUtil.headerGet(r.getMap(1),
+      org.apache.spark.unsafe.types.UTF8String.fromString("absent")) == null)
+    // end to end: a record writing "content-type:" (lowercase) keeps its
+    // Shift_JIS hint — exact-case element_at would fall back to sniffing
+    // and mojibake the page (no UTF-8 validity, no meta, no BOM)
+    val payload = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "content-type: text/html; charset=shift_jis\r\n\r\n").getBytes(UTF_8) ++
+      "日本語ページ".getBytes("windows-31j")
+    val chunk = CodecsUtil.compress(payload, "gzip")
+    val out = graft.sources.Content.warcPages(
+        Seq((1L, chunk)).toDF("doc_id", "chunk"), "doc_id", "chunk")
+      .select("charset", "text").collect().head
+    assert(out.getString(0) == "shift_jis")
+    assert(out.getString(1) == "日本語ページ")
+    // SQL registration
+    assert(spark.sql("SELECT header_get(map('X-A', '1'), 'x-a') v")
+      .collect().head.getString(0) == "1")
+  }
 }

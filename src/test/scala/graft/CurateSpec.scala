@@ -409,4 +409,33 @@ class CurateSpec extends AnyFunSuite {
     assert(out(8L) == ((false, true, false, false)))
     assert(out(9L) == ((false, false, false, false)))
   }
+
+  test("soft404Flags: null/empty text rows survive with flags") {
+    import spark.implicits._
+    // null text is what httpPages produces when a dechunk/decompress
+    // layer fails — the PRIME soft-404 candidate; it must come back
+    // flagged, not silently vanish from the output
+    val rows = Seq(
+      // three decode-failed pages on one domain: a template signal
+      (1L, "f.com", "T", null.asInstanceOf[String]),
+      (2L, "f.com", "T", null.asInstanceOf[String]),
+      (3L, "f.com", "T", null.asInstanceOf[String]),
+      // a lone null-text page: near-empty but unique, not flagged
+      (4L, "g.com", "T", null.asInstanceOf[String]),
+      // empty string behaves like null (same fingerprint class)
+      (5L, "f.com", "T", ""),
+      // error phrase in the title flags even with a null body
+      (6L, "h.com", "404 Not Found", null.asInstanceOf[String])
+    ).toDF("id", "domain", "title", "text")
+    val out = Curate.soft404Flags(rows, "id", "domain", "title", "text")
+      .select("id", "phrase_hit", "near_empty", "template_dup", "soft404")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))
+      .toMap
+    assert(out.size == 6, "every input row must survive")
+    for (i <- 1L to 3L) assert(out(i) == ((false, true, true, true)), i)
+    assert(out(4L) == ((false, true, false, false)))
+    assert(out(5L) == ((false, true, true, true))) // clusters with 1-3
+    assert(out(6L) == ((true, true, false, true)))
+  }
 }

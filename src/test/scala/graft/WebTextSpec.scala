@@ -116,9 +116,17 @@ class WebTextSpec extends AnyFunSuite {
     // href parity with html_links
     val page = """<a href="/1">x</a><p><a href='/2'>y</a></p>"""
     assert(a(page).map(_._1) == WebTextUtil.htmlLinks(page))
+    // script/CSS bodies inside an open anchor never leak into the
+    // label (raw-element skip, same rule as the outer scan) — and a
+    // </a> inside a script string does not close the anchor
+    assert(a("<a href='/s'>go<script>var x = 1; //</a></script> now</a>") ==
+      Seq(("/s", "go now")))
+    assert(a("<a href='/c'>big<style>.a{color:red}</style> sale</a>") ==
+      Seq(("/c", "big sale")))
     // hostile: never throws, unclosed tail collected to EOF
     for (h <- Seq("<a", "<a href", "<a href=\"", "<a href='/x'>unclosed",
-      "</a></a>", "<a href=/x>" + "t" * 10000)) a(h)
+      "</a></a>", "<a href=/x>" + "t" * 10000,
+      "<a href='/x'>t<script>unclosed raw", "<a href='/x'><style>")) a(h)
     assert(a("<a href='/x'>tail runs out") == Seq(("/x", "tail runs out")))
   }
 
