@@ -58,10 +58,21 @@ object Crawl {
       entries: DataFrame, fetchLog: DataFrame, nowDate: String,
       maxAgeDays: Int): DataFrame = {
     require(maxAgeDays >= 0, s"maxAgeDays must be >= 0 (got $maxAgeDays)")
+    // Representative lastmod per canonical URL: latest by NORMALIZED
+    // instant, not lexicographic string — mixed W3C forms on one host
+    // (…T23:00:00-05:00 vs …T10:00:00Z) compare as instants, and a junk
+    // string (which sorts above every ISO date lexicographically) can
+    // never shadow a parseable declaration: junk keys to the epoch-floor
+    // sentinel, so any parseable date beats it; all-junk URLs tie on the
+    // sentinel and keep the raw-string max as the representative.
+    val modKey = struct(
+      coalesce(try_to_timestamp(col("lastmod")),
+        lit("1900-01-01").cast("timestamp")).as("ts"),
+      coalesce(col("lastmod"), lit("")).as("raw"))
     val ents = entries.select(
       web.url_canonical(col("loc")).as("url"), col("lastmod"))
       .where(col("url").isNotNull)
-      .groupBy("url").agg(max(col("lastmod")).as("lastmod"))
+      .groupBy("url").agg(max_by(col("lastmod"), modKey).as("lastmod"))
     val log = fetchLog.select(
       web.url_canonical(col("url")).as("url"),
       col("last_fetched").cast("date").as("last_fetched"))
@@ -120,12 +131,15 @@ object Crawl {
     * spend and no history the output IS the batch operator's selected
     * set (spec-pinned). Stream semantics match the other delta
     * operators: earlier rounds' picks are never revisited, so a
-    * later-arriving higher-score URL wins only FUTURE budget. */
+    * later-arriving higher-score URL wins only FUTURE budget.
+    * `auditAll = false` is the giant-domain scale mode (salted
+    * two-phase top-k on the REMAINING budget, selected rows only) —
+    * see [[frontierSample]]. */
   def frontierDelta(
       batch: DataFrame, urlCol: String, agent: String,
       robots: DataFrame, budgets: DataFrame, defaultBudget: Long,
       spent: DataFrame, done: DataFrame,
-      scoreCol: Option[String] = None): DataFrame = {
+      scoreCol: Option[String] = None, auditAll: Boolean = true): DataFrame = {
     val score = scoreCol.map(col).getOrElse(
       pmod(xxhash64(col("url")), lit(1000000007L)))
     val canon = batch
@@ -143,7 +157,7 @@ object Crawl {
         "left")
       .where(col("robots_txt").isNull ||
         crawl.robots_allowed(col("robots_txt"), lit(agent), col("path")))
-    allowed
+    val budgeted = allowed
       .join(budgets.select(col("domain"), col("budget")), Seq("domain"),
         "left")
       .join(spent.select(col("domain"), col("n_selected")), Seq("domain"),
@@ -151,11 +165,32 @@ object Crawl {
       .withColumn("budget", greatest(
         coalesce(col("budget").cast("long"), lit(defaultBudget)) -
           coalesce(col("n_selected").cast("long"), lit(0L)), lit(0L)))
+    // auditAll = false is the giant-domain scale mode, identical in
+    // spirit to [[frontierSample]]'s: a delta batch dominated by one
+    // huge host (a giant sitemap index landing in one discovery round)
+    // must not sort all its candidates in a single window partition.
+    // The salted per-(domain, salt) top-REMAINING-budget prune keeps a
+    // superset of the global top-budget (same subset argument as the
+    // batch mode — here budget is the REMAINING budget after spend),
+    // then the exact rank runs on at most FrontierSaltBuckets×budget
+    // rows per domain; only selected rows return (the audit trail is
+    // what gets pruned — spec pins selected-set equality).
+    val pruned =
+      if (auditAll) budgeted
+      else budgeted
+        .withColumn("_srnk", row_number().over(
+          Window.partitionBy(col("domain"),
+            pmod(xxhash64(col("url")), lit(FrontierSaltBuckets)))
+            .orderBy(col("score").desc, col("url").asc)))
+        .where(col("_srnk") <= col("budget"))
+        .drop("_srnk")
+    val ranked = pruned
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("domain"))
           .orderBy(col("score").desc, col("url").asc)).cast("long"))
       .withColumn("selected", col("rnk") <= col("budget"))
       .select("url", "domain", "score", "rnk", "budget", "selected")
+    if (auditAll) ranked else ranked.where(col("selected"))
   }
 
   /** Politeness-budgeted frontier selection: candidate URLs ->

@@ -1867,6 +1867,66 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM r"""),
     ),
 
+    // q_crawl_frontier_delta but through the salted two-phase top-k
+    // (auditAll=false), pruning each host to REMAINING-budget rows per
+    // salt bucket before the exact rank: must return exactly the
+    // SELECTED rows of the audit mode — the oracle is the delta oracle
+    // filtered to rnk <= budget. A prune slip (capping at the raw
+    // budget, or a salt bucket dropping a global winner) moves a row.
+    "q_crawl_frontier_delta_scaled" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val id = col("doc_id").cast("string")
+        val cands = docs(s, dir)
+          .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("j"))
+          .select(
+            concat(lit("https://d"), (col("doc_id") % 8).cast("string"),
+              lit(".example.com"),
+              when(col("j") === 3, concat(lit("/private/"), id))
+                .otherwise(concat(lit("/p/"), id, lit("/"),
+                  col("j").cast("string")))).as("url"),
+            ((col("doc_id") * 7 + col("j")) % 100).cast("long").as("score"))
+        val robots = (0 until 8)
+          .map(d => (s"d$d.example.com", "User-agent: *\nDisallow: /private"))
+          .toDF("domain", "robots_txt")
+        val budgets = (0 until 4).map(d => (s"d$d.example.com", 5L))
+          .toDF("domain", "budget")
+        val spent = (0 until 8).map(d => (s"d$d.example.com", d.toLong))
+          .toDF("domain", "n_selected")
+        val done = docs(s, dir).where(col("doc_id") % 10 === 0)
+          .select(concat(lit("https://d"), (col("doc_id") % 8).cast("string"),
+            lit(".example.com/p/"), id, lit("/0")).as("url"))
+        graft.operators.Crawl.frontierDelta(cands, "url", "graftbot",
+          robots, budgets, defaultBudget = 10L, spent = spent, done = done,
+          scoreCol = Some("score"), auditAll = false)
+      },
+      Some("""WITH c AS (
+          SELECT doc_id, unnest(generate_series(0, 3)) AS j
+          FROM documents),
+        u AS (
+          SELECT doc_id, j,
+            'd' || (doc_id % 8) || '.example.com' AS domain,
+            'https://d' || (doc_id % 8) || '.example.com' ||
+              CASE WHEN j = 3 THEN '/private/' || doc_id
+                ELSE '/p/' || doc_id || '/' || j END AS url,
+            CAST((doc_id * 7 + j) % 100 AS BIGINT) AS score
+          FROM c),
+        a AS (SELECT * FROM u
+          WHERE j <> 3 AND NOT (j = 0 AND doc_id % 10 = 0)),
+        r AS (
+          SELECT url, domain, score,
+            CAST(row_number() OVER (PARTITION BY domain
+              ORDER BY score DESC, url ASC) AS BIGINT) AS rnk,
+            CAST(CASE WHEN CAST(substr(domain, 2, 1) AS INT) < 4
+              THEN 5 - CAST(substr(domain, 2, 1) AS INT)
+              ELSE 10 - CAST(substr(domain, 2, 1) AS INT)
+            END AS BIGINT) AS budget
+          FROM a)
+        SELECT url, domain, score, rnk, budget,
+          (rnk <= budget) AS selected
+        FROM r WHERE rnk <= budget"""),
+    ),
+
     // Script-aware tokenization: CJK scripts carry no word spaces, so
     // whitespace tokens mis-score every Chinese/Japanese page the
     // charset work now decodes correctly; tokensMixed spaces each

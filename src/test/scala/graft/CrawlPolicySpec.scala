@@ -252,6 +252,35 @@ class CrawlPolicySpec extends AnyFunSuite {
       Set("http://a.com/p2", "http://b.com/q1"))
   }
 
+  test("frontierDelta scale mode: salted prune on the REMAINING budget " +
+    "selects identically at a hot host") {
+    import spark.implicits._
+    import graft.operators.Crawl
+    import org.apache.spark.sql.functions.col
+    // one giant domain (500 candidates, budget 9, of which 2 already
+    // spent -> remaining 7) plus a singleton, and a handful of the hot
+    // host's URLs already done: the pruned mode must select exactly the
+    // audit mode's rows WITH the same ranks — the prune cap must be the
+    // remaining budget, not the raw one
+    val cands = ((1 to 500).map(i =>
+      (f"http://big.com/p$i%04d", ((i * 37) % 211).toLong)) ++
+      Seq(("http://small.com/x", 5L))).toDF("url", "score")
+    val robots = Seq(("big.com", "User-agent: *\nAllow: /"))
+      .toDF("domain", "robots_txt")
+    val budgets = Seq(("big.com", 9L)).toDF("domain", "budget")
+    val spent = Seq(("big.com", 2L)).toDF("domain", "n_selected")
+    val done = (1 to 10).map(i => f"http://big.com/p$i%04d").toDF("url")
+    def run(audit: Boolean) = Crawl.frontierDelta(cands, "url", "bot",
+      robots, budgets, 3L, spent, done, Some("score"), auditAll = audit)
+    val full = run(audit = true).where(col("selected")).collect()
+      .map(r => (r.getString(0), r.getLong(3))).toSet
+    val fast = run(audit = false).collect()
+      .map(r => (r.getString(0), r.getLong(3))).toSet
+    assert(fast == full)
+    assert(full.count(_._1.startsWith("http://big.com")) == 7)
+    assert(full.count(_._1.startsWith("http://small.com")) == 1)
+  }
+
   test("recrawlSet: canonical collapse, max lastmod/fetch, hostile dates") {
     import spark.implicits._
     import graft.operators.Crawl
@@ -277,6 +306,42 @@ class CrawlPolicySpec extends AnyFunSuite {
     val aged = Crawl.recrawlSet(entries, log, "2026-08-01", maxAgeDays = 10)
       .collect().map(r => r.getString(0) -> r.getString(4)).toMap
     assert(aged("http://b.com/q") == "aged_out")
+  }
+
+  test("recrawlSet: junk lastmod never shadows a parseable date; " +
+    "mixed W3C forms compare as instants") {
+    import spark.implicits._
+    import graft.operators.Crawl
+    val entries = Seq(
+      // a hostile sitemap entry sorts above every ISO date
+      // lexicographically — it must LOSE to the parseable declaration
+      ("http://a.com/p", "not-a-date"),
+      ("http://a.com/p", "2026-05-01"),
+      // mixed offset forms on one URL: the -05:00 evening IS the later
+      // instant (04:30Z on the 2nd beats 01:00Z on the 2nd) though its
+      // string sorts LOWER — lexicographic max would pick the wrong
+      // representative day
+      ("http://b.com/q", "2026-05-01T23:30:00-05:00"),
+      ("http://b.com/q", "2026-05-02T01:00:00Z"),
+      // all-junk URL keeps the raw-string max and falls to the age rule
+      ("http://c.com/r", "junk"),
+      ("http://c.com/r", "also-junk")
+    ).toDF("loc", "lastmod")
+    val log = Seq(
+      ("http://a.com/p", "2026-04-01"),
+      ("http://b.com/q", "2026-05-01"),
+      ("http://c.com/r", "2026-07-30")
+    ).toDF("url", "last_fetched")
+    val out = Crawl.recrawlSet(entries, log, "2026-08-01", maxAgeDays = 90)
+      .collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(4))).toMap
+    assert(out("http://a.com/p") == (("2026-05-01", "modified")))
+    // the -05:00 form won the max (later instant); its declared-day
+    // prefix (05-01) is not > the 05-01 fetch, so the URL stays fresh
+    // at the documented day granularity
+    assert(out("http://b.com/q") ==
+      (("2026-05-01T23:30:00-05:00", "fresh")))
+    assert(out("http://c.com/r") == (("junk", "fresh")))
   }
 
   test("sitemap: large loc-only urlset parses in linear time") {
@@ -328,5 +393,68 @@ class CrawlPolicySpec extends AnyFunSuite {
     val h2 = Crawl.frontierSample(cands, "url", "bot", robots, budgets, 1L)
       .orderBy("url").collect().toSeq
     assert(h1 == h2 && h1.nonEmpty)
+  }
+
+  test("politeness invariant: budgets -> frontier -> schedule composed " +
+    "never violates a host's declared contract") {
+    import spark.implicits._
+    import graft.operators.Crawl
+    import graft.functions.CrawlPolicyUtil
+    import org.apache.spark.sql.functions.col
+    // The three operators are individually gated; this law pins the
+    // COMPOSED contract so they can never drift apart: for every host
+    // in a fetchSchedule output, (a) the selected count stays within
+    // budgetsFromRobots' window allowance, (b) consecutive fetch_at_ms
+    // gaps are >= the host's declared Crawl-delay, (c) every scheduled
+    // URL is robots-allowed for the agent. Planted policies sweep the
+    // interesting shapes: declared delays, zero delay (unthrottled),
+    // junk delay, no robots at all, and a Disallow the candidates probe.
+    val agent = "graftbot"
+    val windowSec = 60.0
+    val robotsRows = Seq(
+      ("h0.com", "User-agent: *\nCrawl-delay: 10\nDisallow: /no"),
+      ("h1.com", "User-agent: *\nCrawl-delay: 2.5"),
+      ("h2.com", "User-agent: *\nCrawl-delay: 0"),          // unthrottled
+      ("h3.com", "User-agent: *\nCrawl-delay: soon"),       // junk -> default
+      ("h4.com", s"User-agent: $agent\nCrawl-delay: 30\n" +
+        "User-agent: *\nCrawl-delay: 1"))                   // named group wins
+      // h5.com has no robots row at all
+    val robots = robotsRows.toDF("domain", "robots_txt")
+    val cands = (for (h <- 0 to 5; i <- 1 to 40) yield (
+      s"http://h$h.com" + (if (i % 7 == 0) s"/no/$i" else s"/p/$i"),
+      ((i * 31 + h) % 97).toLong)).toDF("url", "score")
+    val budgets = Crawl.budgetsFromRobots(robots, agent, windowSec,
+      defaultBudget = 8L)
+    val sel = Crawl.frontierSample(cands, "url", agent, robots, budgets,
+      defaultBudget = 8L, scoreCol = Some("score"))
+    val sched = Crawl.fetchSchedule(sel, robots, agent,
+      defaultDelaySec = 0.5).collect()
+    assert(sched.nonEmpty)
+    val robotsMap = robotsRows.toMap
+    val byHost = sched.groupBy(_.getString(1))
+    assert(byHost.keySet == Set("h0.com", "h1.com", "h2.com", "h3.com",
+      "h4.com", "h5.com"))
+    for ((host, rows) <- byHost) {
+      val declared = robotsMap.get(host)
+        .flatMap(t => Option(CrawlPolicyUtil.crawlDelay(t, agent))
+          .map(_.doubleValue))
+        .filter(_ > 0)
+      // (a) count <= floor(window / delay) (declared), else the default
+      val allowance = declared.map(d =>
+        math.max(math.floor(windowSec / d).toLong, 1L)).getOrElse(8L)
+      assert(rows.length <= allowance, s"$host over budget")
+      // (b) consecutive gaps >= declared delay (default-delay hosts get
+      // the scheduler's default spacing)
+      val gapFloorMs = (declared.getOrElse(0.5) * 1000).toLong
+      val times = rows.map(_.getLong(4)).sorted
+      for (Array(a, b) <- times.sliding(2).map(_.toArray))
+        assert(b - a >= gapFloorMs, s"$host gap $a -> $b under $gapFloorMs")
+      // (c) robots compliance for every scheduled URL
+      for (r <- rows; txt <- robotsMap.get(host)) {
+        val path = r.getString(0).replaceFirst("^https?://[^/]+", "")
+        assert(CrawlPolicyUtil.allowed(txt, agent, path),
+          s"disallowed ${r.getString(0)} scheduled")
+      }
+    }
   }
 }
