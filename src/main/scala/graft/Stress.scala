@@ -366,6 +366,35 @@ object Stress {
             bench = graft.sources.Tables.table(spark, dir, "documents")
               .where(col("doc_id") % 50 === 0).select("doc_id", "text"))
         }
+
+        // the composed flagship CRAWL pipeline: WARC-gzip chunks in,
+        // packed training rows out — ingest chain map-side in the scan
+        // stage, then the same dedup/decontaminate/split/pack shape as
+        // curation_pipeline. Wall ~linear in rep, max-task share flat.
+        measure(s"crawl_pipeline@$rep") {
+          val entity = graft.functions.codecs.compress_bytes(concat(
+            lit("<html><head><title>T</title></head><body>" +
+              "<nav><a href=\"/\">Home</a> <a href=\"/a\">About us</a>" +
+              "</nav><p>"),
+            col("text"),
+            lit("</p><footer>All rights reserved</footer></body></html>"))
+            .cast("binary"), lit("gzip"))
+          val chunk = graft.functions.codecs.compress_bytes(concat(
+            concat(lit("WARC/1.0\r\nWARC-Type: response\r\n" +
+              "WARC-Target-URI: HTTP://Site"),
+              pmod(col("doc_id"), lit(97)).cast("string"),
+              lit(".Example.COM:80/p?utm_source=s&id="),
+              col("doc_id").cast("string"),
+              lit("\r\n\r\nHTTP/1.1 200 OK\r\n" +
+                "Content-Type: text/html; charset=utf-8\r\n" +
+                "Content-Encoding: gzip\r\n\r\n")).cast("binary"),
+            entity), lit("gzip"))
+          graft.operators.Crawl.crawlPipeline(
+            docs.select(col("doc_id"), chunk.as("chunk")),
+            "doc_id", "chunk",
+            bench = graft.sources.Tables.table(spark, dir, "documents")
+              .where(col("doc_id") % 50 === 0).select("doc_id", "text"))
+        }
         ev.unpersist()
       }
       out.toSeq

@@ -193,6 +193,104 @@ object Crawl {
     if (auditAll) ranked else ranked.where(col("selected"))
   }
 
+  /** The flagship end-to-end crawl→training-data pipeline — the crawl
+    * twin of [[Curate.curationPipeline]] — composing the audited stages
+    * in the order a production run executes them:
+    *
+    *   1. ingest: [[graft.sources.Content.httpPages]] — gzip WARC
+    *      members -> HTTP envelope -> dechunk -> Content-Encoding ->
+    *      charset decode, all fused into one codegen'd scan stage;
+    *   2. response filter: status 200, a decoded body, and a
+    *      WARC-Target-URI (read case-insensitively — WARC field names
+    *      are not case sensitive);
+    *   3. canonical-URL dedup: `url_canonical` collapses scheme/host
+    *      case, default ports, fragments, and tracking params; the
+    *      lowest (idCol, member_idx) row represents each page;
+    *   4. meta-robots compliance: pages declaring `noindex` drop (a
+    *      compliant training pipeline honors the publisher's opt-out);
+    *   5. main-content extraction: `html_main_text` (jusText-style
+    *      block classification) plus `html_title`;
+    *   6. soft-404 removal: declared error phrases + per-domain
+    *      template clusters ([[Curate.soft404Flags]]);
+    *   7. quality funnel: token floor, language id, type-token ratio
+    *      ([[TextAnalysis.qualityStats]] + langId) over the MAIN text;
+    *   8. near-dup removal: MinHash-LSH pairs -> connected components
+    *      -> min-id survivor ([[Dedup.minhashNearDups]] +
+    *      [[Dedup.dedupCorpus]]);
+    *   9. decontamination: benchmark shingle-overlap anti-join
+    *      ([[Curate.contaminated]]);
+    *  10. leakage-safe split: split hash over each doc's duplicate-
+    *      cluster root ([[Curate.leakageSafeSplit]]);
+    *  11. packing: shard-parallel contiguous-fill sequence assignment
+    *      ([[Curate.packSequences]]).
+    *
+    * Composition is the point: every stage is individually oracle-gated,
+    * and this operator's gate proves they compose without boundary bugs
+    * over real WARC bytes. Scale shape inherits from the parts — the
+    * ingest chain is row-local in the scan stage (bytes never shuffle),
+    * the URL dedup is one hash aggregation on the canonical key, the
+    * extraction/funnel work is map-side, dedup runs on the banded pair
+    * graph, decontamination probes broadcast benchmark shingles, and
+    * packing windows per shard.
+    *
+    * Returns one row per packed surviving page:
+    * (idCol, url, split, n_tokens, shard, seq_id). */
+  def crawlPipeline(
+      chunks: DataFrame, idCol: String, chunkCol: String,
+      bench: DataFrame, // benchmark docs to decontaminate against: (idCol, text)
+      stopwords: Seq[String] = Nil,
+      minTokens: Long = 30, lang: String = "en", minTtr: Double = 0.2,
+      minMainLen: Int = 200, minCluster: Long = 3,
+      n: Int = 5, k: Int = 12, r: Int = 3,
+      dedupThreshold: Double = 0.6, contamFrac: Double = 0.5,
+      packBudget: Long = 512L, packShards: Int = 8): DataFrame = {
+    val pages = graft.sources.Content.httpPages(chunks, idCol, chunkCol)
+      .withColumn("url", web.url_canonical(
+        graft.functions.codecs.header_get(col("warc_headers"),
+          lit("WARC-Target-URI"))))
+      .where(col("status") === 200 && col("text").isNotNull &&
+        col("url").isNotNull)
+    // one row per canonical URL: lowest (id, member) wins — recrawls and
+    // tracking-param variants of one page collapse deterministically
+    val uniq = pages
+      .withColumn("_urn", row_number().over(
+        Window.partitionBy(col("url"))
+          .orderBy(col(idCol).asc, col("member_idx").asc)))
+      .where(col("_urn") === 1)
+    val indexable = uniq.where(!coalesce(
+      lower(element_at(web.html_meta(col("text")), "robots"))
+        .contains("noindex"), lit(false)))
+    val main = indexable.select(col(idCol), col("url"),
+      web.url_parse(col("url")).getField("host").as("domain"),
+      web.html_title(col("text")).as("title"),
+      web.html_main_text(col("text")).as("main"))
+    val s404 = Curate.soft404Flags(main, idCol, "domain", "title", "main",
+        minMainLen, minCluster)
+      .where(!col("soft404"))
+    val kept = TextAnalysis.qualityStats(s404, "main", stopwords)
+      .withColumn("lang_pred", TextAnalysis.langId(col("main"), stopwords))
+      .where(col("n_tokens") >= minTokens &&
+        col("lang_pred") === lang && col("ttr") >= minTtr)
+      .select(col(idCol), col("url"), col("main"),
+        col("n_tokens").cast("long").as("n_tokens"))
+    val pairs = Dedup.minhashNearDups(kept.select(idCol, "main"), idCol,
+      "main", n = n, k = k, r = r, threshold = dedupThreshold)
+    val deduped = Dedup.dedupCorpus(kept, idCol, pairs)
+    val clean = deduped.join(
+      Curate.contaminated(deduped.select(idCol, "main"),
+        bench.select(col(idCol), col("text").as("main")), idCol,
+        "main", n = n, minFrac = contamFrac).select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti")
+    val split = Curate.leakageSafeSplit(clean.select(col(idCol)), idCol,
+      pairs)
+    Curate.packSequences(
+        clean.join(split.select(col(idCol), col("split")), Seq(idCol))
+          .select(col(idCol), col("url"), col("split"), col("n_tokens")),
+        idCol, "n_tokens", packBudget, packShards)
+      .select(col(idCol), col("url"), col("split"), col("n_tokens"),
+        col("shard"), col("seq_id"))
+  }
+
   /** Politeness-budgeted frontier selection: candidate URLs ->
     * per-domain top-`budget` picks, robots-compliant and deduplicated.
     *

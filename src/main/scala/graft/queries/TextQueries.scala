@@ -4201,6 +4201,206 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM fin f JOIN keepd kd ON kd.doc_id = f.doc_id"""),
     ),
 
+    // The flagship END-TO-END CRAWL pipeline gate: real WARC-gzip chunks
+    // (two members per doc — the second a tracking-param URL variant
+    // with shouting host and default port) are ingested through the full
+    // HTTP envelope (status line, gzip Content-Encoding on every main
+    // survivor, chunked transfer + ISO-8859-15 charset on the m=5
+    // class), then main-content extracted, soft-404/noindex/quality
+    // filtered, URL- and content-deduplicated, decontaminated against a
+    // benchmark, leakage-safe split, and packed — and the oracle replays
+    // EVERY relational stage over the closed-form decoded texts. Page
+    // classes by doc_id % 8: 0 = article (survives unless benchmark-
+    // contaminated at id%16=0), 1 = near-copy of doc id-1 (dedup loser),
+    // 2 = short note (funnel floor), 3 = declared 404 page (soft-404
+    // phrase), 4 = HTTP 404 (status filter), 5 = euro-priced article in
+    // ISO-8859-15 via chunked transfer (survives — certifying dechunk +
+    // charset), 6 = near-empty template stamped across one domain
+    // (soft-404 cluster), 7 = meta-robots noindex (compliance drop).
+    // contamFrac=0.9: the template vocabulary makes every article share
+    // its id-free shingles with the benchmark pool (~0.56), so the cut
+    // must separate exact copies (1.0) only.
+    "q_crawl_pipeline" -> QueryDef(
+      (s, dir) => {
+        val id = col("doc_id").cast("string")
+        val m = col("doc_id") % 8
+        val cid = when(m === 1, col("doc_id") - 1)
+          .otherwise(col("doc_id")).cast("string")
+        val filler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        val fillerShort = "alpha beta gamma delta epsilon zeta eta theta"
+        def article(p1Extra: org.apache.spark.sql.Column, p2Fill: String,
+            extraHead: String): org.apache.spark.sql.Column = concat(
+          lit("<html><head><title>Doc "), cid,
+          lit("</title><style>p{color:#000}</style>" + extraHead +
+            "</head><body>" +
+            "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+            "<a href=\"/contact\">Contact us</a></nav>" +
+            "<h1>Headline "), cid,
+          lit(" of a reasonably long article</h1>" +
+            "<p>Content paragraph one for doc "), cid, p1Extra,
+          lit(" " + filler + "</p>" +
+            "<figcaption>Short caption for figure number "), cid,
+          lit("</figcaption><p>Content paragraph two for doc "), cid,
+          lit(" " + p2Fill + "</p>" +
+            "<div><a href=\"/l1\">Related article one</a> " +
+            "<a href=\"/l2\">Related article two</a> " +
+            "<a href=\"/l3\">Related article three</a></div>" +
+            "<p>Promo text snippet number "), cid, lit(" here</p>" +
+            "<footer>All rights reserved</footer></body></html>"))
+        val html = when(m === 2, concat(lit("<html><head><title>Note "), id,
+            lit("</title></head><body><p>tiny note number "), id,
+            lit("</p></body></html>")))
+          .when(m === 3, concat(
+            lit("<html><head><title>404 Error - Page Not Found</title>" +
+              "</head><body><p>The page you requested could not be found " +
+              "on this server (ref "), id, lit(")</p></body></html>")))
+          .when(m === 4, concat(lit("<html><body><p>gone "), id,
+            lit("</p></body></html>")))
+          .when(m === 6, lit("<html><head><title>Notice</title></head>" +
+            "<body><p>service temporarily offline please retry</p>" +
+            "</body></html>"))
+          .when(m === 1, article(lit(""), fillerShort, ""))
+          .when(m === 5, article(lit(" price ¤"), filler, ""))
+          .when(m === 7, article(lit(""), filler,
+            "<meta name=\"robots\" content=\"noindex,nofollow\">"))
+          .otherwise(article(lit(""), filler, ""))
+        val utf8Ent = encode(html, "UTF-8")
+        // ISO-8859-1 byte 0xA4 reads as the euro sign under the declared
+        // ISO-8859-15 (the cp-plantable seam — Spark encode() has no
+        // 8859-15 encoder)
+        val isoEnt = encode(html, "ISO-8859-1")
+        def chunked(ent: org.apache.spark.sql.Column): org.apache.spark.sql.Column = concat(
+          conv(length(ent).cast("string"), 10, 16).cast("binary"),
+          lit("\r\n").cast("binary"), ent,
+          lit("\r\n0\r\n\r\n").cast("binary"))
+        val entity = when(m === 0,
+            graft.functions.codecs.compress_bytes(utf8Ent, lit("gzip")))
+          .when(m === 5, chunked(isoEnt))
+          .otherwise(utf8Ent)
+        val headers = when(m === 0, lit("Content-Type: text/html; " +
+            "charset=utf-8\r\nContent-Encoding: gzip"))
+          .when(m === 5, lit("Content-Type: text/html; " +
+            "charset=ISO-8859-15\r\nTransfer-Encoding: chunked"))
+          .otherwise(lit("Content-Type: text/html; charset=utf-8"))
+        val status = when(m === 4, lit("404 Not Found"))
+          .otherwise(lit("200 OK"))
+        val uri0 = when(m === 6, concat(lit("https://err.example.com/p/"),
+            id))
+          .otherwise(concat(lit("https://site"), id,
+            lit(".example.com/a/"), id))
+        val uri1 = when(m === 6, concat(lit("https://err.example.com/p/"),
+            id, lit("?utm_source=feed")))
+          .otherwise(concat(lit("HTTPS://SITE"), id,
+            lit(".EXAMPLE.COM:443/a/"), id, lit("?utm_source=feed")))
+        def member(uriHeader: String, uri: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          graft.functions.codecs.compress_bytes(concat(
+            concat(lit("WARC/1.0\r\nWARC-Type: response\r\n" + uriHeader +
+              ": "), uri, lit("\r\n\r\nHTTP/1.1 "), status, lit("\r\n"),
+              headers, lit("\r\n\r\n")).cast("binary"),
+            entity), lit("gzip"))
+        // member 0 writes its URI header lowercase: WARC field names are
+        // not case sensitive and the representative row must not care
+        val chunk = concat(member("warc-target-uri", uri0),
+          member("WARC-Target-URI", uri1))
+        val bench = docs(s, dir).where(col("doc_id") % 16 === 0)
+          .select(col("doc_id"), concat(
+            lit("Headline "), id, lit(" of a reasonably long article\n" +
+              "Content paragraph one for doc "), id,
+            lit(" " + filler + "\nShort caption for figure number "), id,
+            lit("\nContent paragraph two for doc "), id,
+            lit(" " + filler)).as("text"))
+        graft.operators.Crawl.crawlPipeline(
+          docs(s, dir).select(col("doc_id"), chunk.as("chunk")),
+          "doc_id", "chunk", bench, n = 5, contamFrac = 0.9)
+      },
+      Some(s"""WITH RECURSIVE base AS (
+          SELECT doc_id, doc_id % 8 AS m,
+            CASE WHEN doc_id % 8 = 1 THEN doc_id - 1 ELSE doc_id END AS cid
+          FROM documents),
+        pg AS (
+          SELECT doc_id,
+            CASE WHEN m = 2 THEN ''
+              ELSE 'Headline ' || cid || ' of a reasonably long article'
+                || chr(10) || 'Content paragraph one for doc ' || cid ||
+                CASE WHEN m = 5 THEN ' price ' || chr(8364) ELSE '' END ||
+                ' alpha beta gamma delta epsilon zeta eta theta iota kappa'
+                || chr(10) || 'Short caption for figure number ' || cid ||
+                chr(10) || 'Content paragraph two for doc ' || cid ||
+                CASE WHEN m = 1
+                  THEN ' alpha beta gamma delta epsilon zeta eta theta'
+                  ELSE ' alpha beta gamma delta epsilon zeta eta theta' ||
+                    ' iota kappa' END
+            END AS text
+          FROM base WHERE m IN (0, 1, 2, 5)),
+        t AS (SELECT doc_id,
+            string_split_regex(trim(text), '\\s+') AS toks,
+            string_split_regex(trim(lower(text)), '\\s+') AS toks_l
+          FROM pg),
+        s AS (SELECT doc_id, len(toks) AS n_tokens,
+          CAST(len(list_distinct(toks)) AS DOUBLE) /
+            CAST(len(toks) AS DOUBLE) AS ttr,
+          len(list_filter(toks_l, x -> x IN ('the','a','of','and','is')))
+            AS c_en,
+          len(list_filter(toks_l, x -> x IN ('der','die','das','und','ist')))
+            AS c_de,
+          len(list_filter(toks_l, x -> x IN ('el','los','que','y','es')))
+            AS c_es,
+          len(list_filter(toks_l, x -> x IN ('le','les','et','est','une')))
+            AS c_fr
+          FROM t),
+        keepd AS (SELECT doc_id, n_tokens FROM s
+          WHERE n_tokens >= 30
+            AND (CASE WHEN greatest(c_en, c_de, c_es, c_fr) = 0 THEN 'und'
+                      WHEN c_en = greatest(c_en, c_de, c_es, c_fr) THEN 'en'
+                      WHEN c_de = greatest(c_en, c_de, c_es, c_fr) THEN 'de'
+                      WHEN c_es = greatest(c_en, c_de, c_es, c_fr) THEN 'es'
+                      ELSE 'fr' END) = 'en'
+            AND ttr >= 0.2),
+        corpus AS (SELECT c.doc_id, c.text FROM pg c
+          JOIN keepd kd ON kd.doc_id = c.doc_id),
+        ${duckShingles("sh", "corpus", n = 5)},
+        $DUCK_MINHASH_COMPONENTS,
+        losers AS (SELECT node AS doc_id FROM comp WHERE node <> component),
+        surv AS (SELECT c.doc_id FROM corpus c
+          LEFT JOIN losers l ON l.doc_id = c.doc_id
+          WHERE l.doc_id IS NULL),
+        benchsrc AS (SELECT doc_id,
+            'Headline ' || doc_id || ' of a reasonably long article' ||
+              chr(10) || 'Content paragraph one for doc ' || doc_id ||
+              ' alpha beta gamma delta epsilon zeta eta theta iota kappa' ||
+              chr(10) || 'Short caption for figure number ' || doc_id ||
+              chr(10) || 'Content paragraph two for doc ' || doc_id ||
+              ' alpha beta gamma delta epsilon zeta eta theta iota kappa'
+              AS text
+          FROM documents WHERE doc_id % 16 = 0),
+        ${duckShingles("bs", "benchsrc", n = 5)},
+        bset AS (SELECT DISTINCT sh_hash FROM bsh),
+        ov AS (SELECT doc_id,
+            CAST(count(*) FILTER (WHERE sh_hash IN
+              (SELECT sh_hash FROM bset)) AS DOUBLE) /
+              CAST(count(*) AS DOUBLE) AS frac
+          FROM shh GROUP BY 1),
+        contam AS (SELECT doc_id FROM ov WHERE frac >= 0.9),
+        fin AS (SELECT sv.doc_id, kd.n_tokens,
+            ${duckHash("CAST(sv.doc_id AS VARCHAR)")} % 8 AS shard,
+            ${duckHash("CAST(sv.doc_id AS VARCHAR)")} % 100 AS sb
+          FROM surv sv
+          JOIN keepd kd ON kd.doc_id = sv.doc_id
+          LEFT JOIN contam c ON c.doc_id = sv.doc_id
+          WHERE c.doc_id IS NULL)
+        SELECT doc_id,
+          'https://site' || doc_id || '.example.com/a/' || doc_id AS url,
+          CASE WHEN sb < 90 THEN 'train' WHEN sb < 95 THEN 'val'
+            ELSE 'test' END AS split,
+          CAST(n_tokens AS BIGINT) AS n_tokens,
+          shard,
+          CAST(shard * 1099511627776 +
+            COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+            AS BIGINT) AS seq_id
+        FROM fin"""),
+    ),
+
     // count-min sketch: 3×16 cells over the 31-term vocabulary, so bucket
     // collisions make est > exact for some terms (the one-sided error is
     // visible); the oracle replays the affine cells and the min exactly

@@ -431,6 +431,72 @@ object Streams {
         .audioBandSignatures(b, "media_id", "data"),
       indexDir, checkpointDir, pairsOutDir, maxHamming)
 
+  /** Schema of a (url, score) crawl-discovery directory stream. */
+  private val candStreamSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("url",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("score",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Streaming crawl loop: each micro-batch of discovered URLs runs
+    * [[graft.operators.Crawl.frontierDelta]] against the budgets ALREADY
+    * SPENT by every earlier batch, so continuous discovery becomes a
+    * stream with exactly-once spend accounting. The state IS the output:
+    * `done` = every URL selected so far, `spent` = its per-domain counts
+    * — both reread from the batch_id-partitioned selection sink, so no
+    * separate state table can drift from what was actually selected.
+    * A replayed batch excludes its OWN prior partition from the state
+    * read (otherwise its old output would anti-join its rerun to empty)
+    * and dynamically overwrites that partition — exactly-once under
+    * foreachBatch's at-least-once contract, the same shape as the other
+    * streaming sinks here. Batch law preserved: earlier batches' picks
+    * are never revisited, so a later-arriving higher-score URL wins only
+    * future budget (`frontierDelta`'s documented stream semantics). */
+  def streamingFrontier(
+      spark: org.apache.spark.sql.SparkSession,
+      candsDir: String,
+      agent: String,
+      robots: DataFrame,
+      budgets: DataFrame,
+      defaultBudget: Long,
+      checkpointDir: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(candStreamSchema).parquet(candsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.Crawl
+        val prior =
+          try spark.read.parquet(outDir)
+            .where(col("batch_id") =!= batchId)
+            .select("url", "domain")
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            // first batch: no sink yet — zero state, which frontierDelta
+            // pins as identical to the batch operator
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("url",
+                  org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("domain",
+                  org.apache.spark.sql.types.StringType))))
+          }
+        val spent = prior.groupBy("domain")
+          .agg(count(lit(1)).as("n_selected"))
+        Crawl.frontierDelta(batch, "url", agent, robots, budgets,
+            defaultBudget, spent = spent, done = prior.select("url"),
+            scoreCol = Some("score"))
+          .where(col("selected"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+        ()
+      }
+      .start()
+
   /** Shared core of the streaming perceptual-dedup sinks: `sigsOf` turns
     * a raw batch into banded 64-bit signature rows (decode+hash, run
     * exactly once per batch), and everything downstream — index pruning

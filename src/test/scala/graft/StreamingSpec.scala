@@ -203,6 +203,53 @@ class StreamingSpec extends AnyFunSuite {
       "in-stream compaction should have rewritten the index")
   }
 
+  test("streaming frontier == two-step batch delta; spend is exactly-once") {
+    import spark.implicits._
+    import graft.operators.Crawl
+    val candsDir = java.nio.file.Files.createTempDirectory("fr-cands").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("fr-ck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("fr-out").toString +
+      "/sel"
+    val robots = Seq(("a.com", "User-agent: *\nAllow: /"))
+      .toDF("domain", "robots_txt")
+    val budgets = Seq(("a.com", 2L)).toDF("domain", "budget")
+    // drain 1: a.com over-subscribed (budget 2), b.com on default budget
+    val b1 = Seq(("http://a.com/p1", 9L), ("http://a.com/p2", 8L),
+      ("http://a.com/p3", 7L), ("http://b.com/q1", 1L)).toDF("url", "score")
+    b1.coalesce(1).write.mode("append").parquet(candsDir)
+    Streams.streamingFrontier(spark, candsDir, "bot", robots, budgets,
+      defaultBudget = 2L, ckDir, outDir).awaitTermination()
+    val run1 = spark.read.parquet(outDir)
+      .select("url").as[String].collect().toSet
+    assert(run1 == Set("http://a.com/p1", "http://a.com/p2",
+      "http://b.com/q1"))
+    // drain 2: a late 99-score URL on the exhausted host wins NOTHING
+    // (earlier picks are never revisited — the batch law), a re-discovered
+    // done URL does not re-spend, and b.com's remaining slot fills
+    val b2 = Seq(("http://a.com/p9", 99L), ("http://b.com/q2", 2L),
+      ("http://b.com/q1", 50L), ("http://a.com/p3", 7L)).toDF("url", "score")
+    b2.coalesce(1).write.mode("append").parquet(candsDir)
+    Streams.streamingFrontier(spark, candsDir, "bot", robots, budgets,
+      defaultBudget = 2L, ckDir, outDir).awaitTermination()
+    val byBatch = spark.read.parquet(outDir)
+      .select("batch_id", "url").as[(Long, String)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    assert(byBatch(1L) == Set("http://b.com/q2"))
+    // streamed two-drain result == the two-step batch delta law
+    val noState = Seq.empty[(String, Long)].toDF("domain", "n_selected")
+    val noDone = Seq.empty[(String, String)].toDF("k", "url").select("url")
+    def sel(d: org.apache.spark.sql.DataFrame) =
+      d.where(col("selected"))
+    val s1 = sel(Crawl.frontierDelta(b1, "url", "bot", robots, budgets, 2L,
+      noState, noDone, Some("score"))).cache()
+    val spent1 = s1.groupBy("domain").agg(count(lit(1)).as("n_selected"))
+    val s2 = sel(Crawl.frontierDelta(b2, "url", "bot", robots, budgets, 2L,
+      spent1, s1.select("url"), Some("score")))
+    val twoStep = (s1.select("url").as[String].collect() ++
+      s2.select("url").as[String].collect()).toSet
+    assert(byBatch.values.flatten.toSet == twoStep)
+  }
+
   test("streaming line dedup probes accumulated df and grows the index") {
     import spark.implicits._
     import graft.operators.Dedup
