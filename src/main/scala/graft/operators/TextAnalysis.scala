@@ -768,6 +768,48 @@ object TextAnalysis {
         col("n_oov").cast("double") / col("n_tokens").cast("double"))
   }
 
+  // --- char-n-gram NB language identification (fastText-style) -----------
+
+  /** Character n-gram view of a text for language identification:
+    * lowercase, whitespace runs folded to '_' (token boundaries become
+    * features — the fastText convention), then every n-char window
+    * joined by single spaces, so the word-level NB machinery's
+    * whitespace tokenizer recovers exactly the gram stream. Texts
+    * shorter than n chars produce no grams (empty string). Pure column
+    * expressions — codegen'd, no UDF. */
+  def charGramText(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1 (got $n)")
+    val g = regexp_replace(lower(text), "\\s+", "_")
+    when(length(g) < n, lit(""))
+      .otherwise(array_join(transform(
+        sequence(lit(1), length(g) - (n - 1)),
+        i => g.substr(i, lit(n))), " "))
+  }
+
+  /** Train a char-n-gram NB language identifier — the documented
+    * in-engine stand-in for a fastText-style langid model (same feature
+    * space: char n-grams over lowercased text with boundary markers;
+    * same scoring shape: a linear model per language). Built on
+    * [[nbTrain]], so the model is two exact count relations, mergeable
+    * via [[nbMerge]]: per-batch deltas fold into the serving model
+    * without retraining. Where the quality funnel's profile-hit
+    * [[langId]] can only score languages with curated stopword lists
+    * (and answers "und" for every other script), this path learns any
+    * script the charset decode now makes readable — Cyrillic, CJK —
+    * from labeled examples. */
+  def langIdNbTrain(labeled: DataFrame, textCol: String, labelCol: String,
+      n: Int = 3): (DataFrame, DataFrame) =
+    nbTrain(labeled.withColumn("_grams", charGramText(col(textCol), n)),
+      "_grams", labelCol)
+
+  /** Argmax language prediction under a [[langIdNbTrain]] model:
+    * (idCol, pred, score). `n` must match training. */
+  def langIdNbPredict(df: DataFrame, idCol: String, textCol: String,
+      model: (DataFrame, DataFrame), n: Int = 3,
+      vocab: Long = 65536L): DataFrame =
+    nbPredict(df.withColumn("_grams", charGramText(col(textCol), n)),
+      idCol, "_grams", model._1, model._2, vocab)
+
   // --- multinomial Naive Bayes (fastText-style quality/domain filter) ----
 
   /** Train a multinomial Naive Bayes text classifier — the relational

@@ -102,6 +102,32 @@ object TextQueries extends QueryPack {
        list_transform(string_split($expr, ''), c -> CAST(ascii(c) AS BIGINT))),
        (a, b) -> (a * 31 + b) % 1000000007)"""
 
+  /** Multi-script langid fixtures (escape-coded so the source file stays
+    * pure ASCII): привет мир как дела / 天地玄黄宇宙洪荒 /
+    * いろはにほへとちりぬるを. */
+  private val LangIdRu = "\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440 \u043a\u0430\u043a \u0434\u0435\u043b\u0430"
+  private val LangIdZh = "\u5929\u5730\u7384\u9ec4\u5b87\u5b99\u6d2a\u8352"
+  private val LangIdJa = "\u3044\u308d\u306f\u306b\u307b\u3078\u3068\u3061\u308a\u306c\u308b\u3092"
+
+  /** A Scala string as a DuckDB expression: ASCII runs stay quoted
+    * literals, every non-ASCII char becomes chr(code) — so multi-script
+    * planted texts survive the JSON/SQL round trip byte-exactly without
+    * relying on either side's source encoding. */
+  private def duckStr(s: String): String = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    def flush(): Unit =
+      if (sb.nonEmpty) {
+        parts += s"'${sb.toString.replace("'", "''")}'"; sb.clear()
+      }
+    for (c <- s) {
+      if (c >= ' ' && c < 127.toChar) sb += c
+      else { flush(); parts += s"chr(${c.toInt})" }
+    }
+    flush()
+    if (parts.isEmpty) "''" else parts.mkString(" || ")
+  }
+
   /** DuckDB twin of [[graft.operators.TextAnalysis.mix32]] over the rolling
     * hash of a `tok` CTE: chain tok(doc_id, tok) -> th(doc_id, th). Stage
     * columns are spelled out (not nested) so every intermediate stays a
@@ -4473,6 +4499,103 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         SELECT CAST(size AS BIGINT) AS size,
           CAST(count(*) AS BIGINT) AS n_clusters
         FROM cz GROUP BY 1"""),
+    ),
+
+    // Char-n-gram NB LANGUAGE ID over a multi-script corpus: four page
+    // classes (English/Latin, Russian/Cyrillic via a BOM'd UTF-16LE
+    // payload, Chinese and Japanese via UTF-8) reach the engine as BYTES
+    // and become text through decode_text — the charset work is what
+    // makes non-Latin pages classifiable at all. The model trains on
+    // half the ids (doc_id % 8 < 4 — decorrelated from the % 4 class;
+    // fastText-style: char trigrams of lowercased text
+    // with '_' boundary markers, multinomial NB) and argmax-classifies
+    // every doc; the oracle replays gram extraction and the integer
+    // micro-nat scoring exactly. The profile-hit langId would answer
+    // "und" for all three non-English classes — this is the learned
+    // path for scripts without curated stopword lists.
+    "q_text_langid_nb" -> QueryDef(
+      (s, dir) => {
+        val id = col("doc_id").cast("string")
+        val m = col("doc_id") % 4
+        val full = (t: String) => concat(lit(t), lit(" num "), id)
+        val enT = "the quick brown fox jumps over the lazy dog"
+        val ruT = LangIdRu
+        val zhT = LangIdZh
+        val jaT = LangIdJa
+        val bytes = when(m === 1, concat(
+            lit(Array(0xFF.toByte, 0xFE.toByte)),
+            encode(full(ruT), "UTF-16LE")))
+          .when(m === 2, encode(full(zhT), "UTF-8"))
+          .when(m === 3, encode(full(jaT), "UTF-8"))
+          .otherwise(encode(full(enT), "UTF-8"))
+        val lang = when(m === 1, "ru").when(m === 2, "zh")
+          .when(m === 3, "ja").otherwise(lit("en"))
+        val d = docs(s, dir).select(col("doc_id"), lang.as("lang"),
+          graft.functions.charsets.decode_text(bytes).as("text"))
+        // train on doc_id % 8 < 4 — NOT % 2, which is correlated with
+        // the % 4 class (odd classes would never be trained)
+        val model = TextAnalysis.langIdNbTrain(
+          d.where(col("doc_id") % 8 < 4).select("text", "lang"),
+          "text", "lang")
+        TextAnalysis.langIdNbPredict(d, "doc_id", "text", model)
+          .join(d.select("doc_id", "lang"), "doc_id")
+          .select("doc_id", "lang", "pred", "score")
+      },
+      Some(s"""WITH src AS (
+          SELECT doc_id,
+            CASE doc_id % 4
+              WHEN 1 THEN ${duckStr(LangIdRu)}
+              WHEN 2 THEN ${duckStr(LangIdZh)}
+              WHEN 3 THEN ${duckStr(LangIdJa)}
+              ELSE 'the quick brown fox jumps over the lazy dog'
+            END || ' num ' || doc_id AS text,
+            CASE doc_id % 4 WHEN 1 THEN 'ru' WHEN 2 THEN 'zh'
+              WHEN 3 THEN 'ja' ELSE 'en' END AS lang
+          FROM documents),
+        g AS (SELECT doc_id, lang,
+            regexp_replace(lower(text), '\\s+', '_', 'g') AS gt
+          FROM src),
+        gr AS (SELECT doc_id, lang,
+            CASE WHEN length(gt) < 3 THEN []
+              ELSE list_transform(range(1, length(gt) - 1),
+                i -> substr(gt, i, 3)) END AS toks
+          FROM g),
+        tr AS (SELECT lang AS label, unnest(toks) AS term
+          FROM gr WHERE doc_id % 8 < 4),
+        tc AS (SELECT label, term, count(*) AS c FROM tr GROUP BY 1, 2),
+        nd AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs
+          FROM src WHERE doc_id % 8 < 4 GROUP BY 1),
+        tt AS (SELECT label, CAST(sum(c) AS BIGINT) AS tot
+          FROM tc GROUP BY 1),
+        nt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM nd),
+        lb AS (SELECT nd.label, tt.tot,
+            CAST(round(ln(CAST(nd.n_docs AS DOUBLE) /
+              CAST(nt.n_total AS DOUBLE)) * 1e6) AS BIGINT) AS prior_micro,
+            CAST(round(ln(1.0 / (CAST(tt.tot AS DOUBLE) + 65536.0)) * 1e6)
+              AS BIGINT) AS lp0_micro
+          FROM nd JOIN tt USING (label) CROSS JOIN nt),
+        lp AS (SELECT tc.label, tc.term,
+            CAST(round(ln((CAST(tc.c AS DOUBLE) + 1.0) /
+              (CAST(tt.tot AS DOUBLE) + 65536.0)) * 1e6) AS BIGINT)
+              AS lp_micro
+          FROM tc JOIN tt USING (label)),
+        dt AS (SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(toks) AS term FROM gr)
+          GROUP BY 1, 2),
+        sc AS (SELECT dt.doc_id, lb.label, lb.prior_micro,
+            dt.tf * coalesce(lp.lp_micro, lb.lp0_micro) AS term_micro
+          FROM dt CROSS JOIN lb
+          LEFT JOIN lp ON dt.term = lp.term AND lb.label = lp.label),
+        ag AS (SELECT doc_id, label,
+            any_value(prior_micro) + CAST(sum(term_micro) AS BIGINT)
+              AS score_micro
+          FROM sc GROUP BY 1, 2),
+        rk AS (SELECT doc_id, label, score_micro,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY score_micro DESC, label ASC) AS rn FROM ag)
+        SELECT s.doc_id, s.lang, r.label AS pred,
+          CAST(r.score_micro AS DOUBLE) / 1e6 AS score
+        FROM rk r JOIN src s ON s.doc_id = r.doc_id WHERE r.rn = 1"""),
     ),
 
     // multinomial Naive Bayes (fastText-style filter analog): train on the

@@ -451,6 +451,68 @@ class RetrievalSpec extends AnyFunSuite {
     assert(pred.length == 1 && pred.head.getAs[String]("pred") == "x")
   }
 
+  test("char-gram NB langid: diagonal confusion on a multi-script corpus; " +
+    "funnel accepts the NB scorer where profiles answer und") {
+    import graft.operators.Curate
+    // escape-coded multi-script fixtures (Cyrillic / Han / kana / Latin)
+    val ru = "\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440 \u043a\u0430\u043a \u0434\u0435\u043b\u0430"
+    val zh = "\u5929\u5730\u7384\u9ec4\u5b87\u5b99\u6d2a\u8352"
+    val ja = "\u3044\u308d\u306f\u306b\u307b\u3078\u3068\u3061\u308a\u306c\u308b\u3092"
+    val en = "the quick brown fox jumps over the lazy dog"
+    val corpus = (0 until 40).map { i =>
+      val (t, l) = (i % 4) match {
+        case 0 => (en, "en")
+        case 1 => (ru, "ru")
+        case 2 => (zh, "zh")
+        case _ => (ja, "ja")
+      }
+      (i.toLong, s"$t num $i", l)
+    }.toDF("doc_id", "text", "lang")
+    // train on half the ids, decorrelated from the % 4 class
+    val model = TextAnalysis.langIdNbTrain(
+      corpus.filter(col("doc_id") % 8 < 4).select("text", "lang"),
+      "text", "lang")
+    val pred = TextAnalysis.langIdNbPredict(corpus, "doc_id", "text", model)
+    // confusion matrix: strictly diagonal (every script classified right)
+    val confusion = pred.join(corpus.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang", "pred").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(confusion.keySet == Set(("en", "en"), ("ru", "ru"),
+      ("zh", "zh"), ("ja", "ja")), s"off-diagonal: $confusion")
+    assert(confusion.values.sum == 40)
+    // the langid model merges like any NB model (incremental serving)
+    val merged = TextAnalysis.nbMerge(
+      TextAnalysis.langIdNbTrain(corpus.filter(col("doc_id") % 4 < 2)
+        .filter(col("doc_id") % 8 < 4).select("text", "lang"),
+        "text", "lang"),
+      TextAnalysis.langIdNbTrain(corpus.filter(col("doc_id") % 4 >= 2)
+        .filter(col("doc_id") % 8 < 4).select("text", "lang"),
+        "text", "lang"))
+    val mergedPred = TextAnalysis.langIdNbPredict(corpus, "doc_id", "text",
+        merged)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fullPred = pred.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(mergedPred == fullPred)
+    // the quality funnel accepts the NB scorer as its language stage:
+    // profile-hit langId answers "und" for every non-Latin script (no
+    // curated stopword list), so a Russian-language pipeline MUST use
+    // the learned path — same filterFunnel, different keep column
+    val withBoth = corpus
+      .withColumn("lang_profile", TextAnalysis.langId(col("text")))
+      .join(pred.select(col("doc_id"), col("pred").as("lang_nb")),
+        "doc_id")
+    assert(withBoth.filter(col("lang") === "ru")
+      .select("lang_profile").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("und"))
+    val funnel = Curate.filterFunnel(withBoth, Seq(
+      Curate.FilterStage("lang", col("lang_nb") === "ru")))
+    val keptIds = funnel.filter(col("verdict") === "kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds == (0 until 40).filter(_ % 4 == 1).map(_.toLong).toSet)
+  }
+
   test("naive bayes model merges exactly: train(A∪B) == merge(train(A), train(B))") {
     val docs = graft.sources.Tables.table(spark, "/root/testdata/sf0.001",
       "documents").select("text", "lang", "doc_id")
