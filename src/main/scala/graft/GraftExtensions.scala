@@ -232,6 +232,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "blocks kept only next to good content; blocks joined by \\n"),
       (args: Seq[Expression]) => HtmlMainText(args.head)))
     ext.injectFunction((
+      FunctionIdentifier("html_markdown"),
+      info("html_markdown",
+        "html_markdown(str) - structured HTML to Markdown: headings, " +
+          "lists, tables, fenced code blocks, emphasis/links/images; " +
+          "script/style/title/comment content excluded"),
+      (args: Seq[Expression]) => HtmlMarkdown(args.head)))
+    ext.injectFunction((
       FunctionIdentifier("html_blocks"),
       info("html_blocks",
         "html_blocks(str) - classification blocks behind html_main_text: " +

@@ -656,6 +656,281 @@ object WebTextUtil {
     }
   }
 
+  /** [[htmlMarkdown]] nesting caps: hostile pages nest lists/quotes
+    * arbitrarily deep; indentation and stack growth clamp here (content
+    * is still converted, just without further indent). */
+  val MaxMdDepth = 32
+
+  /** Structured HTML -> Markdown, one left-to-right pass (no DOM).
+    * LLM pipelines increasingly keep document STRUCTURE that
+    * [[mainText]] flattens; this kernel preserves it under the
+    * documented contract:
+    *
+    *   - h1..h6 -> "#"*n headings; p -> paragraphs; br -> hard break
+    *   - ul/ol/li -> "-" / "k." items, nested lists indented two
+    *     spaces per level (capped at [[MaxMdDepth]]); one structure =
+    *     one tight block (items joined by single newlines), separate
+    *     structures separated by blank lines
+    *   - pre -> fenced code block: inner tags dropped, entities
+    *     decoded, whitespace PRESERVED verbatim (leading/trailing
+    *     newlines trimmed); inline code -> backticks
+    *   - table/tr/th/td -> "| a | b |" rows; a first row containing a
+    *     th gets a "| --- |" separator row sized to its cell count
+    *   - b/strong -> **, i/em -> *, a[href] -> [text](href),
+    *     img -> ![alt](src); markers are tag-driven, so unbalanced
+    *     hostile input yields unbalanced markers, never a crash
+    *   - blockquote -> "> " per nesting level, applied per line
+    *   - script/style/title/comment content excluded; all other tags
+    *     drop word-separating (the [[htmlText]] rule)
+    *
+    * Inline whitespace collapses exactly as [[htmlText]]; blocks join
+    * with blank lines. Linear in the input (every scan is span-bounded),
+    * allocation bounded by input length. */
+  def htmlMarkdown(html: String): String = {
+    // (text, group): group 0 = regular block (always blank-line
+    // separated); >0 = tight group id (list items / table rows of ONE
+    // structure join with single newlines)
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    val sb = new java.lang.StringBuilder(128)
+    var pendingSpace = false
+    var blockPrefix = ""
+    var group = 0      // current tight group id (0 = none)
+    var nextGroup = 1
+    var quoteDepth = 0
+    // list stack: 'u' or 'o' paired with the running item counter
+    val listKind = new Array[Char](MaxMdDepth)
+    val listCount = new Array[Int](MaxMdDepth)
+    var listDepth = 0
+    // table state
+    var inTable = false
+    var inRow = false
+    var rowHadTh = false
+    var firstRow = true
+    var inCell = false
+    val cells = scala.collection.mutable.ArrayBuffer.empty[String]
+    val linkHrefs = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    def emit(c: Int): Unit = {
+      if (isWs(c.toChar) && c <= 0xffff) pendingSpace = sb.length() > 0
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.appendCodePoint(c)
+      }
+    }
+    def raw(s: String): Unit = {
+      if (pendingSpace && sb.length() > 0) sb.append(' ')
+      pendingSpace = false
+      sb.append(s)
+    }
+    def flushBlock(): Unit = {
+      if (sb.length() > 0 || blockPrefix.nonEmpty) {
+        var text = blockPrefix + sb.toString
+        if (quoteDepth > 0) {
+          val q = "> " * math.min(quoteDepth, MaxMdDepth)
+          text = text.split("\n", -1).map(q + _).mkString("\n")
+        }
+        blocks += ((text, group))
+      }
+      sb.setLength(0)
+      blockPrefix = ""
+      pendingSpace = false
+    }
+    def flushCell(): Unit = {
+      if (inCell) { cells += sb.toString; sb.setLength(0)
+        pendingSpace = false; inCell = false }
+    }
+    def flushRow(): Unit = {
+      flushCell()
+      if (inRow) {
+        if (cells.nonEmpty) {
+          blocks += ((cells.mkString("| ", " | ", " |"), group))
+          if (firstRow && rowHadTh)
+            blocks += ((Seq.fill(cells.size)("---")
+              .mkString("| ", " | ", " |"), group))
+          firstRow = false
+        }
+        cells.clear(); inRow = false; rowHadTh = false
+      }
+    }
+    var i = 0
+    while (i < html.length) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (startsAt(html, i, "<!--")) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) html.length else e + 3
+          pendingSpace = sb.length() > 0
+        } else if (startsAt(html, i, "<script")) {
+          var j = i + 7
+          while (j < html.length && html.charAt(j) != '>') j += 1
+          i = if (j < html.length) skipRawElement(html, j + 1, "</script")
+              else html.length
+          pendingSpace = sb.length() > 0
+        } else if (startsAt(html, i, "<style")) {
+          var j = i + 6
+          while (j < html.length && html.charAt(j) != '>') j += 1
+          i = if (j < html.length) skipRawElement(html, j + 1, "</style")
+              else html.length
+          pendingSpace = sb.length() > 0
+        } else if (startsAt(html, i, "<title")) {
+          var j = i + 6
+          while (j < html.length && html.charAt(j) != '>') j += 1
+          i = if (j < html.length) skipRawElement(html, j + 1, "</title")
+              else html.length
+          pendingSpace = sb.length() > 0
+        } else {
+          var k = i + 1
+          val closing = k < html.length && html.charAt(k) == '/'
+          if (closing) k += 1
+          val nameStart = k
+          while (k < html.length &&
+            Character.isLetterOrDigit(html.charAt(k))) k += 1
+          val name = html.substring(nameStart, k)
+            .toLowerCase(java.util.Locale.ROOT)
+          var j = i + 1
+          while (j < html.length && html.charAt(j) != '>') j += 1
+          val tagEnd = j // span [i, tagEnd) holds the attributes
+          name match {
+            case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" =>
+              flushBlock()
+              if (!closing) {
+                blockPrefix = "#" * (name.charAt(1) - '0') + " "
+              }
+            case "p" => flushBlock()
+            case "br" => raw("\n")
+            case "blockquote" =>
+              flushBlock()
+              quoteDepth = math.max(0,
+                quoteDepth + (if (closing) -1 else 1))
+            case "ul" | "ol" =>
+              if (!closing) {
+                if (listDepth == 0) { flushBlock(); group = nextGroup
+                  nextGroup += 1 }
+                else flushBlock() // item text before a nested list
+                if (listDepth < MaxMdDepth) {
+                  listKind(listDepth) = name.charAt(0)
+                  listCount(listDepth) = 0
+                }
+                listDepth += 1
+              } else if (listDepth > 0) {
+                flushBlock()
+                listDepth -= 1
+                if (listDepth == 0) group = 0
+              }
+            case "li" =>
+              flushBlock()
+              if (!closing && listDepth > 0) {
+                val d = math.min(listDepth, MaxMdDepth) - 1
+                listCount(d) += 1
+                blockPrefix = "  " * d +
+                  (if (listKind(d) == 'o') s"${listCount(d)}. " else "- ")
+              }
+            case "pre" if !closing =>
+              flushBlock()
+              // raw span to </pre>: inner tags dropped, entities
+              // decoded, whitespace preserved
+              val body = new java.lang.StringBuilder(128)
+              var t = if (tagEnd < html.length) tagEnd + 1 else html.length
+              var done = false
+              while (!done && t < html.length) {
+                val ch = html.charAt(t)
+                if (ch == '<') {
+                  if (startsAt(html, t, "</pre")) {
+                    var g = t + 5
+                    while (g < html.length && html.charAt(g) != '>') g += 1
+                    t = if (g < html.length) g + 1 else html.length
+                    done = true
+                  } else {
+                    var g = t + 1
+                    while (g < html.length && html.charAt(g) != '>') g += 1
+                    t = if (g < html.length) g + 1 else html.length
+                  }
+                } else if (ch == '&') {
+                  val (code, n2) = entity(html, t)
+                  if (code >= 0) { body.appendCodePoint(code); t = n2 }
+                  else { body.append('&'); t += 1 }
+                } else { body.append(ch); t += 1 }
+              }
+              var s0 = 0
+              var e0 = body.length()
+              while (s0 < e0 && (body.charAt(s0) == '\n' ||
+                body.charAt(s0) == '\r')) s0 += 1
+              while (e0 > s0 && (body.charAt(e0 - 1) == '\n' ||
+                body.charAt(e0 - 1) == '\r' ||
+                body.charAt(e0 - 1) == ' ')) e0 -= 1
+              blocks += (("```\n" + body.substring(s0, e0) + "\n```", 0))
+              i = t
+              // the pre span consumed its own input; skip the shared
+              // tag advance below
+              pendingSpace = false
+              // continue the outer loop without the common i update
+              // (handled via early jump)
+              // NOTE: fallthrough prevented by setting j so that the
+              // generic advance lands on t
+              j = i - 1
+            case "code" => raw("`")
+            case "b" | "strong" => raw("**")
+            case "i" | "em" => raw("*")
+            case "a" =>
+              if (!closing) {
+                val href = attrInTag(html, i + 2, tagEnd, "href")
+                if (href != null && href.nonEmpty) {
+                  linkHrefs += href; raw("[")
+                } else linkHrefs += null
+              } else if (linkHrefs.nonEmpty) {
+                val href = linkHrefs.remove(linkHrefs.length - 1)
+                if (href != null) { sb.append("]("); sb.append(href)
+                  sb.append(')') }
+              }
+            case "img" if !closing =>
+              val src = attrInTag(html, i + 4, tagEnd, "src")
+              val alt = attrInTag(html, i + 4, tagEnd, "alt")
+              if (src != null && src.nonEmpty)
+                raw("![" + (if (alt == null) "" else alt) + "](" + src + ")")
+            case "table" =>
+              if (!closing) { flushBlock(); inTable = true; firstRow = true
+                group = nextGroup; nextGroup += 1 }
+              else { flushRow(); inTable = false; group = 0 }
+            case "tr" =>
+              flushRow()
+              if (!closing && inTable) inRow = true
+            case "td" | "th" =>
+              if (!closing && inRow) {
+                flushCell() // unclosed previous cell
+                inCell = true
+                if (name == "th") rowHadTh = true
+                pendingSpace = false
+              } else if (closing) flushCell()
+            case _ => pendingSpace = sb.length() > 0
+          }
+          i = if (j < html.length) j + 1 else html.length
+        }
+      } else if (c == '&') {
+        val (code, next) = entity(html, i)
+        if (code >= 0) { emit(code); i = next }
+        else { emit('&'); i += 1 }
+      } else { emit(c); i += 1 }
+    }
+    flushRow()
+    flushBlock()
+    // join: same nonzero tight group -> single newline, else blank line
+    val outSb = new java.lang.StringBuilder(256)
+    var b = 0
+    while (b < blocks.length) {
+      if (b > 0) {
+        val tight = blocks(b - 1)._2 != 0 &&
+          blocks(b - 1)._2 == blocks(b)._2
+        outSb.append(if (tight) "\n" else "\n\n")
+      }
+      outSb.append(blocks(b)._1)
+      b += 1
+    }
+    outSb.toString
+  }
+
+  def htmlMarkdownU(html: UTF8String): UTF8String =
+    UTF8String.fromString(htmlMarkdown(html.toString))
+
   /** Main-content text: kept blocks joined by '\n'. */
   def mainText(html: String): String =
     htmlBlocks(html).iterator.filter(_.kept).map(_.text).mkString("\n")
@@ -1044,6 +1319,29 @@ case class HtmlMainText(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd structured HTML -> Markdown
+  * ([[WebTextUtil.htmlMarkdown]]'s contract): headings, lists, tables,
+  * fenced code blocks, inline emphasis/links preserved as markdown. */
+case class HtmlMarkdown(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"html_markdown expects STRING, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    WebTextUtil.htmlMarkdownU(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WebTextUtil.htmlMarkdownU($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlMarkdown =
+    copy(child = newChild)
+}
+
 /** Codegen'd block segmentation: `html_blocks(str)` ->
   * ARRAY<STRUCT<text, link_len, kept>> — the classification units
   * behind [[HtmlMainText]], for per-block quality pipelines. */
@@ -1188,6 +1486,9 @@ object web {
 
   def html_main_text(c: Column): Column =
     GraftBridge.column(HtmlMainText(GraftBridge.expression(c)))
+
+  def html_markdown(c: Column): Column =
+    GraftBridge.column(HtmlMarkdown(GraftBridge.expression(c)))
 
   def html_blocks(c: Column): Column =
     GraftBridge.column(HtmlBlocks(GraftBridge.expression(c)))

@@ -1408,6 +1408,57 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM documents"""),
     ),
 
+    // Structured HTML -> Markdown: planted pages sweep the whole
+    // structural surface — headings, paragraphs with inline emphasis/
+    // code/links, unordered + ordered lists (incl. nesting), fenced
+    // code blocks with preserved whitespace and decoded entities,
+    // tables with header separators, blockquotes, images — and the
+    // oracle states the exact markdown closed-form (newlines planted
+    // via replace('~', chr(10))). Structure is what html_main_text
+    // flattens; LLM pipelines increasingly keep it.
+    "q_text_markdown" -> QueryDef(
+      (s, dir) => {
+        val id = col("doc_id").cast("string")
+        val m = col("doc_id") % 2
+        val pageA = concat(
+          lit("<html><head><title>T</title></head><body><h1>Title "), id,
+          lit("</h1><p>Intro <b>bold</b> and <i>soft</i> text num "), id,
+          lit("</p><ul><li>first "), id,
+          lit("</li><li>second <code>x="), id,
+          lit("</code></li></ul><ol><li>one</li><li>two</li></ol>" +
+            "<pre><code>let x = "), id,
+          lit(";\nprint(x)</code></pre><table><tr><th>k</th><th>v</th>" +
+            "</tr><tr><td>a</td><td>"), id,
+          lit("</td></tr></table><blockquote>quoted "), id,
+          lit("</blockquote><p>Ends <a href=\"/d?a=1&amp;b=2\">link "), id,
+          lit("</a>.</p></body></html>"))
+        val pageB = concat(
+          lit("<html><body><h2>Sub "), id,
+          lit("</h2><ul><li>a"), id,
+          lit("<ul><li>a1</li></ul></li><li>b</li></ul><p>see " +
+            "<img src=\"/i"), id,
+          lit(".png\" alt=\"pic "), id,
+          lit("\"> here</p></body></html>"))
+        docs(s, dir).select(col("doc_id"),
+          graft.functions.web.html_markdown(
+            when(m === 1, pageB).otherwise(pageA)).as("md"))
+      },
+      Some("""SELECT doc_id,
+          replace(CASE WHEN doc_id % 2 = 1
+            THEN '## Sub ' || doc_id || '~~- a' || doc_id ||
+              '~  - a1~- b~~see ![pic ' || doc_id || '](/i' || doc_id ||
+              '.png) here'
+            ELSE '# Title ' || doc_id ||
+              '~~Intro **bold** and *soft* text num ' || doc_id ||
+              '~~- first ' || doc_id || '~- second `x=' || doc_id ||
+              '`~~1. one~2. two~~```~let x = ' || doc_id ||
+              ';~print(x)~```~~| k | v |~| --- | --- |~| a | ' || doc_id ||
+              ' |~~> quoted ' || doc_id || '~~Ends [link ' || doc_id ||
+              '](/d?a=1&b=2).'
+          END, '~', chr(10)) AS md
+        FROM documents"""),
+    ),
+
     // Link extraction -> canonical edges: planted pages carry three
     // anchors in all three attribute spellings (double-quoted with an
     // &amp; entity and shouting host/default port, single-quoted after

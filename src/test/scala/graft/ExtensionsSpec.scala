@@ -116,6 +116,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getString(15) == "noindex")
   }
 
+  test("round-12 registrations are callable from SQL") {
+    val r = spark.sql(
+      "SELECT html_markdown('<h2>T</h2><ul><li>a</li><li>b</li></ul>') AS a," +
+        " header_get(map('Content-Type', 'text/html'), 'content-type') AS b," +
+        " header_get(map('X', '1'), 'absent') AS c"
+    ).collect().head
+    assert(r.getString(0) == "## T\n\n- a\n- b")
+    assert(r.getString(1) == "text/html")
+    assert(r.isNullAt(2))
+  }
+
   test("array kernels are callable from SQL and match the Scala API") {
     val sh = spark.sql(
       "SELECT word_shingles('a b c d', 3) AS s").collect().head.getSeq[String](0)

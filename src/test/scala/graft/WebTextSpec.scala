@@ -130,6 +130,53 @@ class WebTextSpec extends AnyFunSuite {
     assert(a("<a href='/x'>tail runs out") == Seq(("/x", "tail runs out")))
   }
 
+  test("html_markdown: headings, lists, tables, code, inline, hostile") {
+    val md = WebTextUtil.htmlMarkdown _
+    // block structure: headings + paragraphs + blank-line separation
+    assert(md("<h1>Top</h1><p>Body text</p><h3>Sub</h3>") ==
+      "# Top\n\nBody text\n\n### Sub")
+    // lists: markers, ordered counters, nesting indents, tight joins,
+    // and two ADJACENT lists stay separate structures
+    assert(md("<ul><li>a<ul><li>a1</li><li>a2</li></ul></li><li>b</li></ul>" +
+      "<ol><li>one</li><li>two</li></ol>") ==
+      "- a\n  - a1\n  - a2\n- b\n\n1. one\n2. two")
+    // fenced code: inner tags dropped, entities decoded, whitespace
+    // preserved; inline code backticked
+    assert(md("<pre><code>if (a &lt; b) {\n  go()\n}</code></pre>" +
+      "<p>call <code>go()</code> now</p>") ==
+      "```\nif (a < b) {\n  go()\n}\n```\n\ncall `go()` now")
+    // tables: header separator sized to the th row, data rows tight
+    assert(md("<table><tr><th>k</th><th>v</th></tr>" +
+      "<tr><td>a</td><td>1</td></tr><tr><td>b</td><td>2</td></tr></table>") ==
+      "| k | v |\n| --- | --- |\n| a | 1 |\n| b | 2 |")
+    // headerless table: no separator row
+    assert(md("<table><tr><td>a</td><td>1</td></tr></table>") ==
+      "| a | 1 |")
+    // inline: emphasis, links, images, hard breaks, blockquote per line
+    assert(md("<p><b>B</b> <em>E</em> <a href=\"/x?a=1&amp;b=2\">go</a> " +
+      "<img src='/i.png' alt='pic'></p>") ==
+      "**B** *E* [go](/x?a=1&b=2) ![pic](/i.png)")
+    assert(md("<blockquote>line one<br>line two</blockquote>") ==
+      "> line one\n> line two")
+    assert(md("<blockquote><blockquote>deep</blockquote></blockquote>") ==
+      "> > deep")
+    // script/style/title excluded; unknown tags word-separate
+    assert(md("<title>T</title><script>var a=1;</script>" +
+      "<p>only<span>this</span></p>") == "only this")
+    // hrefless anchor contributes no link syntax
+    assert(md("<p><a name='top'>plain</a></p>") == "plain")
+    // hostile: never throws; nesting caps hold; linear time on floods
+    val deep = "<ul><li>" * 100 + "x" + "</li></ul>" * 100
+    md(deep)
+    val t0 = System.nanoTime()
+    md(("<p>word</p>" * 20000) + "<pre>" + ("a\n" * 20000))
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 2000, s"looks quadratic: $ms ms")
+    for (h <- Seq("", "<", "<table><td>", "<pre>", "</pre>", "<li>loose</li>",
+      "</ul></ol></blockquote>", "<a href='/x'>unclosed <b>bold",
+      "<table><tr><th>h</th>", "&#xZZ;<h7>not a heading</h7>")) md(h)
+  }
+
   test("html_meta: key sources, first-wins, charset, hostile") {
     val m = (h: String) => WebTextUtil.htmlMeta(h).toMap
     val page = "<head><meta charset='UTF-8'>" +
