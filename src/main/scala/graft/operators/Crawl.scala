@@ -193,6 +193,45 @@ object Crawl {
     if (auditAll) ranked else ranked.where(col("selected"))
   }
 
+  /** Link-mass-prioritized frontier: the discovery loop closed with a
+    * PRIORITY. Crawled pages' anchors form the link graph, PageRank
+    * assigns every discovered URL its link mass, and the politeness
+    * frontier spends each host's budget on the highest-mass URLs first —
+    * the classic crawl-ordering result (Cho/Garcia-Molina/Page 1998:
+    * importance-ordered crawling finds high-quality pages far earlier
+    * than breadth-first or random order).
+    *
+    * `pages`: one row per crawled page (urlCol = the page's own URL,
+    * htmlCol = its HTML). Edges are canonical page URL -> canonical
+    * anchor target (unparseable ends and self-loops drop, duplicates
+    * collapse); ranks come from [[graft.assembly.Refinement.pageRank]]
+    * (micro-quantized — engine-exact, so the oracle replays every
+    * iteration); candidates are the distinct link targets.
+    *
+    * Scale shape: edge extraction is scan-stage row-local (html_links +
+    * url_canonical fused into the scan), the rank is `iters` key joins
+    * over the edge list with truncated lineage, and the selection
+    * inherits [[frontierSample]]'s shape — including the salted
+    * giant-domain mode via `auditAll = false`. */
+  def rankedFrontier(
+      pages: DataFrame, urlCol: String, htmlCol: String, agent: String,
+      robots: DataFrame, budgets: DataFrame, defaultBudget: Long,
+      iters: Int = 2, auditAll: Boolean = true): DataFrame = {
+    val edges = pages
+      .select(web.url_canonical(col(urlCol)).as("src"),
+        explode(web.html_links(col(htmlCol))).as("raw"))
+      .select(col("src"), web.url_canonical(col("raw")).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+    val pr = graft.assembly.Refinement.pageRank(edges, iters)
+    val cands = edges.select(col("dst").as("url")).distinct()
+      .join(pr.withColumnRenamed("node", "url"), Seq("url"), "left")
+      .select(col("url"), coalesce(col("pr"), lit(0d)).as("score"))
+    frontierSample(cands, "url", agent, robots, budgets, defaultBudget,
+      scoreCol = Some("score"), auditAll = auditAll)
+  }
+
   /** The flagship end-to-end crawl→training-data pipeline — the crawl
     * twin of [[Curate.curationPipeline]] — composing the audited stages
     * in the order a production run executes them:

@@ -1787,6 +1787,79 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM r WHERE rnk <= budget"""),
     ),
 
+    // Link-mass-prioritized frontier: planted pages each anchor two hub
+    // URLs (per-id rotation) and one pool URL whose key is the QUADRATIC
+    // residue (id*id)%10 — so pool pages split into two in-degree
+    // classes (N/10 vs 2N/10) and PageRank separates them. The frontier
+    // then spends pool.example.com's budget of 4 on the four high-mass
+    // URLs exactly; the oracle replays edge extraction, both
+    // micro-quantized power iterations, and the per-domain rank.
+    "q_crawl_rank_frontier" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val id = col("doc_id").cast("string")
+        val html = concat(
+          lit("<html><body><a href=\"https://hub"),
+          (col("doc_id") % 3).cast("string"),
+          lit(".example.com/h\">one</a><a href=\"https://hub"),
+          ((col("doc_id") + 1) % 3).cast("string"),
+          lit(".example.com/h\">two</a><a href=\"https://pool" +
+            ".example.com/p/"),
+          ((col("doc_id") * col("doc_id")) % 10).cast("string"),
+          lit("\">three</a></body></html>"))
+        val pages = docs(s, dir).select(
+          concat(lit("https://site"), id, lit(".example.com/a")).as("url"),
+          html.as("html"))
+        val robots = Seq.empty[(String, String)]
+          .toDF("domain", "robots_txt")
+        val budgets = Seq(("pool.example.com", 4L)).toDF("domain", "budget")
+        graft.operators.Crawl.rankedFrontier(pages, "url", "html",
+          "graftbot", robots, budgets, defaultBudget = 2L, iters = 2)
+      },
+      Some("""WITH e0 AS (
+          SELECT 'https://site' || doc_id || '.example.com/a' AS src,
+            unnest(['https://hub' || (doc_id % 3) || '.example.com/h',
+              'https://hub' || ((doc_id + 1) % 3) || '.example.com/h',
+              'https://pool.example.com/p/' || ((doc_id * doc_id) % 10)])
+              AS dst
+          FROM documents),
+        edges AS (SELECT DISTINCT src, dst FROM e0),
+        nodes AS (SELECT DISTINCT node FROM (
+          SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+        outd AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+        p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+        i1 AS (SELECT e.dst AS node, sum(p.pr // o.deg) AS s
+          FROM edges e JOIN p0 p ON p.node = e.src
+          JOIN outd o ON o.node = e.src GROUP BY 1),
+        p1 AS (SELECT n.node,
+            150000 + CAST(round(0.85 * coalesce(i1.s, 0)) AS BIGINT) AS pr
+          FROM nodes n LEFT JOIN i1 ON i1.node = n.node),
+        i2 AS (SELECT e.dst AS node, sum(p.pr // o.deg) AS s
+          FROM edges e JOIN p1 p ON p.node = e.src
+          JOIN outd o ON o.node = e.src GROUP BY 1),
+        p2 AS (SELECT n.node,
+            150000 + CAST(round(0.85 * coalesce(i2.s, 0)) AS BIGINT) AS pr
+          FROM nodes n LEFT JOIN i2 ON i2.node = n.node),
+        cands AS (SELECT DISTINCT dst AS url FROM edges),
+        sc AS (SELECT c.url, CAST(p.pr AS DOUBLE) / 1e6 AS score
+          FROM cands c JOIN p2 p ON p.node = c.url),
+        dom AS (SELECT url, score,
+            CASE WHEN url LIKE 'https://pool.example.com/%'
+              THEN 'pool.example.com'
+              ELSE 'hub' || substr(url, 12, 1) || '.example.com' END
+              AS domain
+          FROM sc),
+        r AS (SELECT url, domain, score,
+            CAST(row_number() OVER (PARTITION BY domain
+              ORDER BY score DESC, url ASC) AS BIGINT) AS rnk,
+            CAST(CASE WHEN domain = 'pool.example.com' THEN 4 ELSE 2 END
+              AS BIGINT) AS budget
+          FROM dom)
+        SELECT url, domain, score, rnk, budget,
+          (rnk <= budget) AS selected
+        FROM r"""),
+    ),
+
     // Recrawl selection from sitemap lastmod vs the fetch log — the
     // decision lastmod exists for: modified (declared newer than the
     // last fetch), fresh (declared older), aged out (no parseable

@@ -110,6 +110,49 @@ class PlanSpec extends AnyFunSuite {
       s"frontier rank must partition by domain:\n$p3")
   }
 
+  test("round-12 plans: delta scale mode windows per (domain, salt); " +
+    "crawl pipeline broadcasts bench, windows per key, no cartesian") {
+    import spark.implicits._
+    val cands = Seq(("http://a.com/x", 1L)).toDF("url", "score")
+    val robots = Seq(("a.com", "User-agent: *")).toDF("domain", "robots_txt")
+    val budgets = Seq(("a.com", 5L)).toDF("domain", "budget")
+    val spent = Seq(("a.com", 1L)).toDF("domain", "n_selected")
+    val done = Seq("http://a.com/y").toDF("url")
+    // the scaled delta ranks in TWO windows — the salted prune
+    // (domain, salt) and the exact per-domain rank — and neither is
+    // global
+    val p1 = plan(graft.operators.Crawl.frontierDelta(cands, "url", "bot",
+      robots, budgets, 10L, spent, done, Some("score"), auditAll = false))
+    val domainWindows =
+      "windowspecdefinition\\(domain".r.findAllIn(p1).size
+    assert(domainWindows >= 2,
+      s"expected salted + exact domain-partitioned windows:\n$p1")
+    assert(!p1.contains("windowspecdefinition()"),
+      s"unpartitioned window crept into the delta rank:\n$p1")
+    // the composed crawl pipeline: benchmark probe broadcasts, the URL
+    // dedup and packing windows are key-partitioned, and nothing plans
+    // as a cartesian product
+    val chunk = graft.functions.codecs.compress_bytes(concat(
+      lit("WARC/1.0\r\nWARC-Target-URI: http://a.com/p\r\n\r\n" +
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n").cast("binary"),
+      encode(concat(lit("<p>body "), col("doc_id").cast("string"),
+        lit("</p>")), "UTF-8")), lit("gzip"))
+    val chunks = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), chunk.as("chunk"))
+    val bench = Tables.table(spark, dir, "documents")
+      .filter(col("doc_id") % 7 === 0).select("doc_id", "text")
+    val p2 = plan(graft.operators.Crawl.crawlPipeline(
+      chunks, "doc_id", "chunk", bench))
+    assert(p2.contains("BroadcastHashJoin"),
+      s"bench/model sides should broadcast:\n$p2")
+    assert(!p2.contains("CartesianProduct"),
+      s"cartesian product crept into the pipeline:\n$p2")
+    assert(p2.contains("windowspecdefinition(url"),
+      s"URL dedup window must partition by canonical url:\n$p2")
+    assert(p2.contains("windowspecdefinition(shard"),
+      s"packing window must partition by shard:\n$p2")
+  }
+
   test("decontamination probes a BROADCAST bench side — never a shuffle join") {
     val docs = Tables.table(spark, dir, "documents").select("doc_id", "text")
     val bench = docs.filter(col("doc_id") % 7 === 0)
