@@ -193,6 +193,41 @@ object Crawl {
     if (auditAll) ranked else ranked.where(col("selected"))
   }
 
+  /** Sitemap-driven discovery — the acquisition loop sitemaps exist
+    * for, composed from the audited kernels: each host's robots.txt
+    * declares its sitemaps (RFC 9309 `Sitemap:` lines,
+    * group-independent), the declared-and-fetched documents enumerate
+    * URLs, and the result feeds the politeness frontier as candidates
+    * scored by the publisher's own declared `<priority>` (absent
+    * priorities take the sitemaps.org default 0.5). A URL listed by
+    * several sitemaps keeps its highest declared priority
+    * ([[frontierSample]]'s canonical-dedup max); robots Disallow rules
+    * still gate every candidate — a sitemap cannot smuggle a
+    * disallowed path past the politeness contract.
+    *
+    * `robots`: (domain, robots_txt). `sitemaps`: (sitemap_url, xml) —
+    * the fetched sitemap documents, joined on the EXACT declared URL.
+    * Scale shape: robots/sitemap parsing is scan-stage row-local, the
+    * declared->fetched join is sitemap-cardinality (tiny next to the
+    * URL universe), and selection inherits [[frontierSample]]'s shape
+    * including the salted giant-domain mode. */
+  def sitemapDiscovery(
+      robots: DataFrame, sitemaps: DataFrame, agent: String,
+      budgets: DataFrame, defaultBudget: Long,
+      auditAll: Boolean = true): DataFrame = {
+    val declared = robots.select(
+      explode(crawl.robots_sitemaps(col("robots_txt"))).as("sitemap_url"))
+      .distinct()
+    val cands = declared
+      .join(sitemaps.select(col("sitemap_url"), col("xml")),
+        Seq("sitemap_url"))
+      .select(explode(crawl.sitemap_entries(col("xml"))).as("e"))
+      .select(col("e.loc").as("url"),
+        coalesce(col("e.priority"), lit(0.5)).as("score"))
+    frontierSample(cands, "url", agent, robots, budgets, defaultBudget,
+      scoreCol = Some("score"), auditAll = auditAll)
+  }
+
   /** Link-mass-prioritized frontier: the discovery loop closed with a
     * PRIORITY. Crawled pages' anchors form the link graph, PageRank
     * assigns every discovered URL its link mass, and the politeness

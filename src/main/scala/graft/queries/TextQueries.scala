@@ -1787,6 +1787,52 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         FROM r WHERE rnk <= budget"""),
     ),
 
+    // Sitemap-driven discovery: per-host robots.txt declares a sitemap,
+    // the fetched urlset carries four entries — priorities 0.3 / 0.9 /
+    // absent (sitemaps.org default 0.5) and a /private path the host's
+    // own Disallow must still gate — and the frontier spends each
+    // host's default budget of 2 on the highest-priority URLs. The
+    // declared-priority ordering, the default, and the robots gate are
+    // all replayed relationally.
+    "q_crawl_discovery" -> QueryDef(
+      (s, dir) => {
+        val id = col("doc_id").cast("string")
+        val robots = docs(s, dir).select(
+          concat(lit("site"), id, lit(".example.com")).as("domain"),
+          concat(lit("User-agent: *\nDisallow: /private\n" +
+            "Sitemap: https://site"), id,
+            lit(".example.com/sm.xml")).as("robots_txt"))
+        val base = concat(lit("https://site"), id, lit(".example.com"))
+        val xml = concat(
+          lit("<?xml version=\"1.0\"?><urlset><url><loc>"), base,
+          lit("/p/0</loc><priority>0.3</priority></url><url><loc>"), base,
+          lit("/p/1</loc><priority>0.9</priority></url><url><loc>"), base,
+          lit("/p/2</loc></url><url><loc>"), base,
+          lit("/private/3</loc><priority>1.0</priority></url></urlset>"))
+        val sitemaps = docs(s, dir).select(
+          concat(base, lit("/sm.xml")).as("sitemap_url"), xml.as("xml"))
+        val budgets = graft.sources.Tables.table(s, dir, "documents")
+          .limit(0).select(lit("x").as("domain"), lit(1L).as("budget"))
+        graft.operators.Crawl.sitemapDiscovery(robots, sitemaps,
+          "graftbot", budgets, defaultBudget = 2L)
+      },
+      Some("""WITH u AS (
+          SELECT doc_id, unnest(generate_series(0, 2)) AS j
+          FROM documents),
+        r AS (SELECT
+            'https://site' || doc_id || '.example.com/p/' || j AS url,
+            'site' || doc_id || '.example.com' AS domain,
+            CASE j WHEN 0 THEN 0.3 WHEN 1 THEN 0.9 ELSE 0.5 END AS score
+          FROM u),
+        rk AS (SELECT url, domain, score,
+            CAST(row_number() OVER (PARTITION BY domain
+              ORDER BY score DESC, url ASC) AS BIGINT) AS rnk
+          FROM r)
+        SELECT url, domain, score, rnk, CAST(2 AS BIGINT) AS budget,
+          (rnk <= 2) AS selected
+        FROM rk"""),
+    ),
+
     // Link-mass-prioritized frontier: planted pages each anchor two hub
     // URLs (per-id rotation) and one pool URL whose key is the QUADRATIC
     // residue (id*id)%10 — so pool pages split into two in-degree
