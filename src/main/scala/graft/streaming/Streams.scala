@@ -451,7 +451,12 @@ object Streams {
     * foreachBatch's at-least-once contract, the same shape as the other
     * streaming sinks here. Batch law preserved: earlier batches' picks
     * are never revisited, so a later-arriving higher-score URL wins only
-    * future budget (`frontierDelta`'s documented stream semantics). */
+    * future budget (`frontierDelta`'s documented stream semantics).
+    * The per-drain state reread is bounded by the politeness contract
+    * itself: the sink holds only SELECTED rows, and selection is capped
+    * at each host's budget — so state is budget-cardinality (hosts ×
+    * budget), not discovery-cardinality, no matter how many URLs the
+    * stream discovers. */
   def streamingFrontier(
       spark: org.apache.spark.sql.SparkSession,
       candsDir: String,
