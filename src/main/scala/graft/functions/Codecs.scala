@@ -36,6 +36,52 @@ import scala.util.control.NonFatal
   * fallback for the classically-broken servers — explicit only; the
   * zlib-wrapped case is also reachable via sniff), and "auto" (sniff).
   */
+/** Per-thread reusable zlib machinery (optimization guide §1.2 step 2:
+  * per-task work). `new Inflater()`/`new Deflater()` run a JNI
+  * inflateInit/deflateInit allocating a fresh native window per call —
+  * measured as a dominant per-row cost on small payloads when every
+  * codegen'd (de)compression allocated its own. One instance of each
+  * flavor lives per task thread, `reset()` between uses (reset restores
+  * the exact post-construction state, so semantics are unchanged);
+  * `end()` is never called — the handful of retained native windows per
+  * executor thread is bounded and tiny. Single-threaded use only (an
+  * expression eval never suspends mid-row), which Spark's task model
+  * guarantees. */
+object ZlibPool {
+  private val infWrapped =
+    ThreadLocal.withInitial[java.util.zip.Inflater](
+      () => new java.util.zip.Inflater())
+  private val infRaw =
+    ThreadLocal.withInitial[java.util.zip.Inflater](
+      () => new java.util.zip.Inflater(true))
+  private val defWrapped =
+    ThreadLocal.withInitial[java.util.zip.Deflater](
+      () => new java.util.zip.Deflater())
+  private val defRaw =
+    ThreadLocal.withInitial[java.util.zip.Deflater](
+      () => new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true))
+  private val crc32 =
+    ThreadLocal.withInitial[java.util.zip.CRC32](
+      () => new java.util.zip.CRC32())
+
+  /** A reset inflater; `nowrap = true` for raw deflate streams. */
+  def inflater(nowrap: Boolean): java.util.zip.Inflater = {
+    val i = if (nowrap) infRaw.get() else infWrapped.get()
+    i.reset(); i
+  }
+
+  /** A reset deflater; `nowrap = true` writes raw deflate (the gzip
+    * member body — same parameters GZIPOutputStream uses, so compressed
+    * bytes are identical). */
+  def deflater(nowrap: Boolean): java.util.zip.Deflater = {
+    val d = if (nowrap) defRaw.get() else defWrapped.get()
+    d.reset(); d
+  }
+
+  def crc(): java.util.zip.CRC32 = { val c = crc32.get(); c.reset(); c }
+}
+
 object CodecsUtil {
 
   /** Decompressed-output cap: a compression bomb (a few KB declaring GBs)
@@ -95,7 +141,7 @@ object CodecsUtil {
     try {
       c match {
         case "zlib" =>
-          val inf = new java.util.zip.Inflater()
+          val inf = ZlibPool.inflater(nowrap = false)
           inf.setInput(b)
           val out = new java.io.ByteArrayOutputStream(math.min(
             maxOut.toLong, b.length.toLong * 4).toInt.max(64))
@@ -109,21 +155,32 @@ object CodecsUtil {
             // needsInput()==false forever (executor-thread wedge).
             // (finished+needsInput is the legal empty-payload case.)
             if (n == 0 && !inf.finished() &&
-              (inf.needsInput() || inf.needsDictionary())) {
-              inf.end(); return null
-            }
-            if (out.size().toLong + n > maxOut) { inf.end(); return null }
+              (inf.needsInput() || inf.needsDictionary())) return null
+            if (out.size().toLong + n > maxOut) return null
             out.write(buf, 0, n)
           }
-          inf.end()
           out.toByteArray
-        case "gzip" =>
-          drain(new java.util.zip.GZIPInputStream(
-            new java.io.ByteArrayInputStream(b)), maxOut)
+        case "gzip" => gunzip(b, maxOut)
         case "zstd" =>
-          val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
-            new java.io.ByteArrayInputStream(b))
-          try drain(in, maxOut) finally in.close()
+          // one-shot JNI when the frame declares its content size (what
+          // Zstd.compress writes) — skips the per-row native stream
+          // context; anything else (unknown size, multi-frame, error)
+          // falls back to the streaming path with identical results
+          val oneShot: Array[Byte] =
+            try {
+              val sz = com.github.luben.zstd.Zstd.decompressedSize(b)
+              if (sz > 0 && sz <= maxOut) {
+                val dst = new Array[Byte](sz.toInt)
+                val n = com.github.luben.zstd.Zstd.decompress(dst, b)
+                if (n == sz) dst else null
+              } else null
+            } catch { case NonFatal(_) => null }
+          if (oneShot != null) oneShot
+          else {
+            val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+              new java.io.ByteArrayInputStream(b))
+            try drain(in, maxOut) finally in.close()
+          }
         case "lz4" =>
           drain(new net.jpountz.lz4.LZ4FrameInputStream(
             new java.io.ByteArrayInputStream(b)), maxOut)
@@ -151,7 +208,7 @@ object CodecsUtil {
   /** Raw (nowrap) deflate with the same truncation/FDICT/bomb guards as
     * the zlib branch. */
   private def inflateRaw(b: Array[Byte], maxOut: Int): Array[Byte] = {
-    val inf = new java.util.zip.Inflater(true)
+    val inf = ZlibPool.inflater(nowrap = true)
     inf.setInput(b)
     val out = new java.io.ByteArrayOutputStream(math.min(
       maxOut.toLong, b.length.toLong * 4).toInt.max(64))
@@ -165,7 +222,91 @@ object CodecsUtil {
         out.write(buf, 0, n)
       }
       out.toByteArray
-    } catch { case NonFatal(_) => null } finally inf.end()
+    } catch { case NonFatal(_) => null }
+  }
+
+  /** End offset of the gzip member header starting at `off`, or -1 when
+    * the bytes there are not a complete well-formed header (magic, CM=8,
+    * optional FEXTRA/FNAME/FCOMMENT/FHCRC fields; FHCRC verified like
+    * GZIPInputStream does). */
+  private def gzipHeaderEnd(b: Array[Byte], off: Int): Int = {
+    if (off + 10 > b.length) return -1
+    if ((b(off) & 0xff) != 0x1f || (b(off + 1) & 0xff) != 0x8b ||
+      (b(off + 2) & 0xff) != 8) return -1
+    val flg = b(off + 3) & 0xff
+    var p = off + 10
+    if ((flg & 4) != 0) { // FEXTRA
+      if (p + 2 > b.length) return -1
+      p += 2 + ((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8))
+      if (p > b.length) return -1
+    }
+    if ((flg & 8) != 0) { // FNAME
+      while (p < b.length && b(p) != 0) p += 1
+      if (p >= b.length) return -1
+      p += 1
+    }
+    if ((flg & 16) != 0) { // FCOMMENT
+      while (p < b.length && b(p) != 0) p += 1
+      if (p >= b.length) return -1
+      p += 1
+    }
+    if ((flg & 2) != 0) { // FHCRC: CRC16 of the header bytes so far
+      if (p + 2 > b.length) return -1
+      val c = ZlibPool.crc()
+      c.update(b, off, p - off)
+      val want = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+      if ((c.getValue & 0xffff).toInt != want) return -1
+      p += 2
+    }
+    if (p >= b.length) -1 else p
+  }
+
+  private def readUIntLE(b: Array[Byte], p: Int): Long =
+    ((b(p) & 0xffL)) | ((b(p + 1) & 0xffL) << 8) |
+      ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+
+  /** gzip decompression matching java.util.zip.GZIPInputStream semantics
+    * — multi-member concatenation, per-member CRC32 + ISIZE verification
+    * (mismatch/truncation anywhere fails the WHOLE payload to null), and
+    * a malformed next-member header after a complete member treated as
+    * trailing garbage (ignored) — but with the per-thread pooled raw
+    * inflater instead of a fresh native stream per row. */
+  private def gunzip(b: Array[Byte], maxOut: Int): Array[Byte] = {
+    if (b == null) return null
+    val out = new java.io.ByteArrayOutputStream(math.min(
+      maxOut.toLong, b.length.toLong * 4).toInt.max(64))
+    val buf = new Array[Byte](8192)
+    var off = 0
+    var first = true
+    try {
+      while (true) {
+        val p = gzipHeaderEnd(b, off)
+        if (p < 0) return if (first) null else out.toByteArray
+        val inf = ZlibPool.inflater(nowrap = true)
+        inf.setInput(b, p, b.length - p)
+        val crc = new java.util.zip.CRC32()
+        var memberLen = 0L
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n == 0 && !inf.finished() &&
+            (inf.needsInput() || inf.needsDictionary())) return null
+          if (out.size().toLong + n > maxOut) return null
+          crc.update(buf, 0, n)
+          memberLen += n
+          out.write(buf, 0, n)
+        }
+        val trailer = p + inf.getBytesRead.toInt
+        // truncated trailer = truncated stream (GZIPInputStream EOFs)
+        if (trailer + 8 > b.length) return null
+        if (readUIntLE(b, trailer) != crc.getValue ||
+          readUIntLE(b, trailer + 4) != (memberLen & 0xffffffffL))
+          return null
+        off = trailer + 8
+        first = false
+        if (off >= b.length) return out.toByteArray
+      }
+      null // unreachable
+    } catch { case NonFatal(_) => null }
   }
 
   def decompressText(b: Array[Byte], codec: UTF8String): UTF8String = {
@@ -182,14 +323,40 @@ object CodecsUtil {
       codec match {
         case "zlib" => graft.sources.Content.deflate(b)
         case "gzip" =>
+          // hand-rolled GZIPOutputStream equivalent (same 10-byte header,
+          // same default-level raw deflate, same CRC32+ISIZE trailer —
+          // byte-identical output) over the pooled deflater: the stream
+          // class allocates a fresh native deflater per row
           val bos = new java.io.ByteArrayOutputStream(b.length / 2 + 64)
-          val out = new java.util.zip.GZIPOutputStream(bos)
-          out.write(b); out.close()
+          bos.write(0x1f); bos.write(0x8b); bos.write(8)
+          var i = 0
+          while (i < 7) { bos.write(0); i += 1 }
+          val d = ZlibPool.deflater(nowrap = true)
+          d.setInput(b); d.finish()
+          val buf = new Array[Byte](8192)
+          while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+          val crc = new java.util.zip.CRC32()
+          crc.update(b)
+          val t = crc.getValue
+          bos.write((t & 0xff).toInt); bos.write(((t >> 8) & 0xff).toInt)
+          bos.write(((t >> 16) & 0xff).toInt)
+          bos.write(((t >> 24) & 0xff).toInt)
+          bos.write(b.length & 0xff); bos.write((b.length >> 8) & 0xff)
+          bos.write((b.length >> 16) & 0xff)
+          bos.write((b.length >> 24) & 0xff)
           bos.toByteArray
         case "zstd" => com.github.luben.zstd.Zstd.compress(b, 3)
         case "lz4" =>
           val bos = new java.io.ByteArrayOutputStream(b.length / 2 + 64)
-          val out = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+          // 64 KB blocks, not the class default 4 MB: the frame writer
+          // allocates (and zeroes) TWO block-sized arrays per call, so the
+          // default costs ~8 MB of allocation per row regardless of
+          // payload size — the single largest per-row cost this kernel
+          // had. Output bytes differ (block-size bit in the frame header)
+          // but decompress to the same payload; nothing gates on the
+          // compressed image.
+          val out = new net.jpountz.lz4.LZ4FrameOutputStream(bos,
+            net.jpountz.lz4.LZ4FrameOutputStream.BLOCKSIZE.SIZE_64KB)
           out.write(b); out.close()
           bos.toByteArray
         case "snappy" =>
@@ -248,25 +415,23 @@ object CodecsUtil {
         }
         if ((flg & 2) != 0) p += 2 // FHCRC
         if (p >= b.length) return result
-        val inf = new java.util.zip.Inflater(true)
+        val inf = ZlibPool.inflater(nowrap = true)
         inf.setInput(b, p, b.length - p)
         val out = new java.io.ByteArrayOutputStream(8192)
         val buf = new Array[Byte](8192)
-        try {
-          while (!inf.finished()) {
-            val n = inf.inflate(buf)
-            // raw deflate has no FDICT flag, but guard the dictionary
-            // request anyway — same wedge shape as the zlib loop above
-            if (n == 0 && !inf.finished() &&
-              (inf.needsInput() || inf.needsDictionary())) return result
-            if (totalOut + out.size() + n > MaxOutput) return result
-            out.write(buf, 0, n)
-          }
-          val consumed = inf.getBytesRead.toInt
-          totalOut += out.size()
-          members += out.toByteArray
-          off = p + consumed + 8 // CRC32 + ISIZE trailer
-        } finally inf.end()
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          // raw deflate has no FDICT flag, but guard the dictionary
+          // request anyway — same wedge shape as the zlib loop above
+          if (n == 0 && !inf.finished() &&
+            (inf.needsInput() || inf.needsDictionary())) return result
+          if (totalOut + out.size() + n > MaxOutput) return result
+          out.write(buf, 0, n)
+        }
+        val consumed = inf.getBytesRead.toInt
+        totalOut += out.size()
+        members += out.toByteArray
+        off = p + consumed + 8 // CRC32 + ISIZE trailer
       }
       result
     } catch { case NonFatal(_) => result }

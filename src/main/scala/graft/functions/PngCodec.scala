@@ -106,16 +106,15 @@ object PngCodecUtil {
       }
       y += 1
     }
-    val deflater = new java.util.zip.Deflater()
-    val zipped =
-      try {
-        deflater.setInput(raw)
-        deflater.finish()
-        val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
-        val buf = new Array[Byte](8192)
-        while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
-        out.toByteArray
-      } finally deflater.end()
+    val deflater = graft.functions.ZlibPool.deflater(nowrap = false)
+    val zipped = {
+      deflater.setInput(raw)
+      deflater.finish()
+      val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+      out.toByteArray
+    }
     val bos = new java.io.ByteArrayOutputStream(zipped.length + 128)
     bos.write(Signature, 0, 8)
     def chunk(tag: String, data: Array[Byte], off: Int, len: Int): Unit = {
@@ -219,22 +218,20 @@ object PngCodecUtil {
     val rawLen = h.toLong * (1 + stride)
     if (rawLen > MaxSamples + h) return null
     val raw = new Array[Byte](rawLen.toInt)
-    val inflater = new java.util.zip.Inflater()
-    try {
-      inflater.setInput(idat.toByteArray)
-      var got = 0
-      var n = -1
-      while (got < raw.length && n != 0 && !inflater.finished()) {
-        n = inflater.inflate(raw, got, raw.length - got)
-        got += n
-      }
-      if (got < raw.length) return null // truncated pixel stream
-      // over-long streams are rejected too: a conformant encoder's
-      // deflate ends exactly at the last scanline byte
-      val probe = new Array[Byte](1)
-      if (!inflater.finished() && inflater.inflate(probe, 0, 1) > 0)
-        return null
-    } finally inflater.end()
+    val inflater = graft.functions.ZlibPool.inflater(nowrap = false)
+    inflater.setInput(idat.toByteArray)
+    var got = 0
+    var n = -1
+    while (got < raw.length && n != 0 && !inflater.finished()) {
+      n = inflater.inflate(raw, got, raw.length - got)
+      got += n
+    }
+    if (got < raw.length) return null // truncated pixel stream
+    // over-long streams are rejected too: a conformant encoder's
+    // deflate ends exactly at the last scanline byte
+    val probe = new Array[Byte](1)
+    if (!inflater.finished() && inflater.inflate(probe, 0, 1) > 0)
+      return null
     // unfilter in place, then project to luma
     var y = 0
     while (y < h) {

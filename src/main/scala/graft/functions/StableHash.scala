@@ -23,15 +23,24 @@ object HashUtil {
     }
     acc
   }
+  // MessageDigest.getInstance does a provider lookup + fresh instance per
+  // call; this hash runs once per raw statement row, so keep one MD5 per
+  // task thread (digest() leaves the instance reset for the next row)
+  private val tlMd5 =
+    ThreadLocal.withInitial[java.security.MessageDigest](
+      () => java.security.MessageDigest.getInstance("MD5"))
+
   /** Stable 64-bit content hash: first 8 bytes of MD5 of the UTF-8 string,
     * as a signed big-endian long. This is the engine's `mk_hash` analog —
     * the reference derives mk_hash from an MD5 of the statement matches-key
     * (INDRA `stmt.get_hash`, used via preassemble_db.py:662-669).
     */
   def md5Long(s: UTF8String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val d = md.digest(s.getBytes)
-    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+    val d = tlMd5.get().digest(s.getBytes)
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
   }
 }
 

@@ -11,17 +11,16 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 object Content {
 
   def deflate(bytes: Array[Byte]): Array[Byte] = {
-    val d = new java.util.zip.Deflater()
+    val d = graft.functions.ZlibPool.deflater(nowrap = false)
     d.setInput(bytes); d.finish()
     val out = new java.io.ByteArrayOutputStream()
     val buf = new Array[Byte](8192)
     while (!d.finished()) out.write(buf, 0, d.deflate(buf))
-    d.end()
     out.toByteArray
   }
 
   def inflate(bytes: Array[Byte]): Array[Byte] = {
-    val inf = new java.util.zip.Inflater()
+    val inf = graft.functions.ZlibPool.inflater(nowrap = false)
     inf.setInput(bytes)
     val out = new java.io.ByteArrayOutputStream()
     val buf = new Array[Byte](8192)
@@ -30,7 +29,6 @@ object Content {
       if (n == 0 && inf.needsInput()) sys.error("truncated zlib stream")
       out.write(buf, 0, n)
     }
-    inf.end()
     out.toByteArray
   }
 
