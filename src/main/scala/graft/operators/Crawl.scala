@@ -317,7 +317,13 @@ object Crawl {
       minMainLen: Int = 200, minCluster: Long = 3,
       n: Int = 5, k: Int = 12, r: Int = 3,
       dedupThreshold: Double = 0.6, contamFrac: Double = 0.5,
-      packBudget: Long = 512L, packShards: Int = 8): DataFrame = {
+      packBudget: Long = 512L, packShards: Int = 8,
+      materialize: Boolean = true): DataFrame = {
+    // `materialize = false` keeps the whole composition in ONE logical
+    // plan (no lineage truncation) so plan audits can pin the composed
+    // shape; production keeps the boundaries (see `kept` below)
+    def mat(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(false) else df
     val pages = graft.sources.Content.httpPages(chunks, idCol, chunkCol)
       .withColumn("url", web.url_canonical(
         graft.functions.codecs.header_get(col("warc_headers"),
@@ -341,20 +347,37 @@ object Crawl {
     val s404 = Curate.soft404Flags(main, idCol, "domain", "title", "main",
         minMainLen, minCluster)
       .where(!col("soft404"))
+    // `kept` fans out to four consumers (minhash pairs, the two
+    // connected-components runs, contamination, the final pack join) and
+    // every consumer would otherwise re-execute the ENTIRE upstream chain
+    // — WARC/HTTP ingest, main-content extraction, soft-404, quality —
+    // because nothing before this point is a materialization boundary
+    // (114 Exchanges in the un-checkpointed plan, the ingest scan
+    // replayed per consumer). One lazy local checkpoint of the
+    // four narrow survivor columns truncates the plan (guide §3.3);
+    // ingest runs once.
     val kept = TextAnalysis.qualityStats(s404, "main", stopwords)
       .withColumn("lang_pred", TextAnalysis.langId(col("main"), stopwords))
       .where(col("n_tokens") >= minTokens &&
         col("lang_pred") === lang && col("ttr") >= minTtr)
       .select(col(idCol), col("url"), col("main"),
         col("n_tokens").cast("long").as("n_tokens"))
+      .transform(mat)
+    // pairs feeds dedupCorpus AND leakageSafeSplit (two CC runs, each
+    // eagerly materializing its edge set) — checkpoint the tiny pair list
     val pairs = Dedup.minhashNearDups(kept.select(idCol, "main"), idCol,
       "main", n = n, k = k, r = r, threshold = dedupThreshold)
+      .transform(mat)
     val deduped = Dedup.dedupCorpus(kept, idCol, pairs)
+    // survivors minus benchmark-contaminated, narrowed to the pack
+    // columns: consumed by the split input and the pack join
     val clean = deduped.join(
       Curate.contaminated(deduped.select(idCol, "main"),
         bench.select(col(idCol), col("text").as("main")), idCol,
         "main", n = n, minFrac = contamFrac).select(col("doc_id").as(idCol)),
       Seq(idCol), "left_anti")
+      .select(col(idCol), col("url"), col("n_tokens"))
+      .transform(mat)
     val split = Curate.leakageSafeSplit(clean.select(col(idCol)), idCol,
       pairs)
     Curate.packSequences(

@@ -126,20 +126,23 @@ object Curate {
         explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .select(col("doc_id"),
         (TextAnalysis.rollingHash(col("tok")) % buckets).as("f"))
-    val cf = feats(corpus)
-    val tf = feats(target)
-    val rc = cf.groupBy("f").agg(count(lit(1)).as("rc"))
-    val tc = tf.groupBy("f").agg(count(lit(1)).as("tc"))
-    val nr = cf.groupBy().agg(count(lit(1)).as("nr"))
-    val nt = tf.groupBy().agg(count(lit(1)).as("nt"))
+    // one tokenize pass per side: everything else derives from the
+    // checkpointed per-(doc, feature) counts — without the boundary the
+    // corpus explode ran three times (rc, nr, dc) and the target's twice
+    val dc = feats(corpus).groupBy("doc_id", "f")
+      .agg(count(lit(1)).as("cnt")).localCheckpoint(false)
+    val tcd = feats(target).groupBy("f")
+      .agg(count(lit(1)).as("tc")).localCheckpoint(false)
+    val rc = dc.groupBy("f").agg(sum(col("cnt")).as("rc"))
+    val nr = dc.groupBy().agg(sum(col("cnt")).as("nr"))
+    val nt = tcd.groupBy().agg(sum(col("tc")).as("nt"))
     val b = lit(buckets).cast("double")
-    val w = rc.join(tc, Seq("f"), "left")
+    val w = rc.join(tcd, Seq("f"), "left")
       .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
       .select(col("f"),
         round((log((coalesce(col("tc"), lit(0L)) + lit(1.0)) / (col("nt") + b)) -
                log((col("rc") + lit(1.0)) / (col("nr") + b))) * lit(1000000.0), 0)
           .cast("long").as("w_micro"))
-    val dc = cf.groupBy("doc_id", "f").agg(count(lit(1)).as("cnt"))
     val scored = dc.join(broadcast(w), Seq("f"))
       .groupBy("doc_id")
       .agg(sum(col("cnt") * col("w_micro")).as("score_micro"),
@@ -566,18 +569,29 @@ object Curate {
       stopwords: Seq[String] = Nil,
       minTokens: Long = 30, lang: String = "en", minTtr: Double = 0.2,
       n: Int = 3, k: Int = 12, r: Int = 3,
-      dedupThreshold: Double = 0.6, contamFrac: Double = 0.5): DataFrame = {
+      dedupThreshold: Double = 0.6, contamFrac: Double = 0.5,
+      materialize: Boolean = true): DataFrame = {
+    // `materialize = false` keeps one un-truncated logical plan for plan
+    // audits; production keeps the fan-out boundaries (see `kept` below)
+    def mat(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(false) else df
     val stats = TextAnalysis.qualityStats(docs, textCol, stopwords)
       .withColumn("lang_pred",
         TextAnalysis.langId(col(textCol), stopwords))
+    // materialization boundaries at the two fan-out points (same
+    // rationale as Crawl.crawlPipeline): `kept` feeds the pair generator,
+    // both connected-components runs and the contamination check — an
+    // un-checkpointed plan re-runs the quality/lang-id scan per consumer
     val kept = stats
       .filter(col("n_tokens") >= minTokens &&
         col("lang_pred") === lang && col("ttr") >= minTtr)
       .select(col(idCol), col(textCol),
         col("n_tokens").cast("long").as("n_tokens"))
+      .transform(mat)
     val pairs = Dedup.minhashNearDups(
       kept.select(idCol, textCol), idCol, textCol,
       n = n, k = k, r = r, threshold = dedupThreshold)
+      .transform(mat)
     val deduped = Dedup.dedupCorpus(kept, idCol, pairs)
     val clean = deduped.join(
       contaminated(deduped.select(idCol, textCol), bench, idCol, textCol,
@@ -639,9 +653,18 @@ object Curate {
     * boundary- and sampling-invariant. */
   private[operators] def rangedCumsum(
       df: DataFrame, order: Seq[Column], value: Column, out: String,
-      buckets: Int = 64): DataFrame = {
-    val ranged = df.repartitionByRange(buckets, order: _*)
+      buckets: Int = 64, materialize: Boolean = true): DataFrame = {
+    // `ranged` feeds BOTH the data-leg window and the bucket-totals
+    // aggregation, and exchange reuse is not guaranteed to collapse the
+    // two range exchanges — without a boundary the WHOLE input chain
+    // (for NB calibration/AUC, an entire scoring DAG) executes once per
+    // branch, range-sampling pass included. The lazy checkpoint stores
+    // exactly the post-shuffle rows once. `materialize = false` keeps one
+    // un-truncated plan for the global-order plan audits (which pin the
+    // range exchange); production materializes.
+    val ranged0 = df.repartitionByRange(buckets, order: _*)
       .withColumn("_bucket", spark_partition_id())
+    val ranged = if (materialize) ranged0.localCheckpoint(false) else ranged0
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_bucket").orderBy(order: _*)
     val local = ranged.withColumn("_lcum", sum(value).over(w))
@@ -649,8 +672,14 @@ object Curate {
       .orderBy("_bucket")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         -1)
-    // bucket totals: <= `buckets` rows, so ITS unpartitioned window is fine
-    val offsets = local.groupBy("_bucket").agg(sum(value).as("_n"))
+    // bucket totals: <= `buckets` rows, so ITS unpartitioned window is fine.
+    // Aggregated from `ranged`, NOT from `local`: both consumers then sit
+    // on the IDENTICAL range-exchange subtree, which ReuseExchange
+    // collapses to one shuffle — aggregating over `local` would hang the
+    // totals off the window output and re-execute the whole input chain
+    // (sampling pass included) a second time (guide §2.4: two operations
+    // keyed the same way share one exchange).
+    val offsets = ranged.groupBy("_bucket").agg(sum(value).as("_n"))
       .withColumn("_off", coalesce(sum(col("_n")).over(wOff), lit(0L)))
       .select("_bucket", "_off")
     local.join(broadcast(offsets), "_bucket")
@@ -671,7 +700,8 @@ object Curate {
     * single-partition window.
     *
     * Returns the input columns plus (shuffle_key, pos), pos 1-based. */
-  def seededShuffle(df: DataFrame, idCol: String, seed: String): DataFrame = {
+  def seededShuffle(df: DataFrame, idCol: String, seed: String,
+      materialize: Boolean = true): DataFrame = {
     // mix32 after the polynomial hash is load-bearing: the rolling hash is
     // AFFINE in a changed seed prefix (a near-constant additive shift mod
     // p), so without the finalizer two seeds yield nearly the SAME order —
@@ -679,7 +709,8 @@ object Curate {
     val key = TextAnalysis.mix32(TextAnalysis.rollingHash(
       concat(lit(seed), lit("-"), col(idCol).cast("string"))))
     rangedCumsum(df.withColumn("shuffle_key", key),
-      Seq(col("shuffle_key").asc, col(idCol).asc), lit(1L), "pos")
+      Seq(col("shuffle_key").asc, col(idCol).asc), lit(1L), "pos",
+      materialize = materialize)
   }
 
   /** Weighted sampling WITHOUT replacement — k rows with inclusion
@@ -722,8 +753,11 @@ object Curate {
       headPct: Int, midPct: Int): DataFrame = {
     require(headPct > 0 && midPct >= 0 && headPct + midPct <= 100,
       s"bad percents: head=$headPct mid=$midPct")
-    val n = df.agg(count(lit(1)).as("_n"))
-    rangedCumsum(df, Seq(col(scoreCol).desc, col(idCol).asc),
+    // three consumers (count + the cumsum's two legs) — checkpoint so the
+    // scoring DAG feeding this (e.g. a bigram-LM pass) runs once
+    val d = df.localCheckpoint(false)
+    val n = d.agg(count(lit(1)).as("_n"))
+    rangedCumsum(d, Seq(col(scoreCol).desc, col(idCol).asc),
         lit(1L), "ppl_rank")
       .crossJoin(broadcast(n))
       .withColumn("bucket",
@@ -787,11 +821,12 @@ object Curate {
     * Returns (idCol, tokensCol, scoreCol, cum_tokens, selected). */
   def tokenBudgetSelect(
       df: DataFrame, idCol: String, tokensCol: String, scoreCol: String,
-      budget: Long): DataFrame = {
+      budget: Long, materialize: Boolean = true): DataFrame = {
     rangedCumsum(
       df.select(col(idCol), col(tokensCol).cast("long").as(tokensCol),
         col(scoreCol)),
-      Seq(col(scoreCol).desc, col(idCol).asc), col(tokensCol), "cum_tokens")
+      Seq(col(scoreCol).desc, col(idCol).asc), col(tokensCol), "cum_tokens",
+      materialize = materialize)
       .withColumn("selected",
         col("cum_tokens") - col(tokensCol) < budget)
   }

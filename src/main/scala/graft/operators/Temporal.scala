@@ -322,12 +322,21 @@ object Temporal {
     val B = "__range_bin"
     val binnedPoints = points
       .withColumn(B, floor(micros(col(pointTs)) / binUs))
+    // SHUFFLE_HASH (build = the exploded interval side): the bin key is
+    // deliberately low-cardinality, so a broadcast hash join here would
+    // concentrate the entire candidate fan-out (the real cost of a range
+    // join) into the probe side's SCAN tasks — unsplittable by AQE and
+    // single-task on small inputs. Shuffling both sides on the bin
+    // spreads candidate generation over the full shuffle parallelism and
+    // keeps hot bins AQE-skew-splittable; the shuffled bytes are the
+    // pre-fan-out rows, the cheap side of the operator.
     val explodedIntervals = intervals
       .withColumn(
         B,
         explode(sequence(
           floor(micros(col(startCol)) / binUs),
           floor(micros(col(endCol)) / binUs))))
+      .hint("shuffle_hash")
     binnedPoints
       .join(
         explodedIntervals,
@@ -366,7 +375,9 @@ object Temporal {
         floor(micros(col(s)) / binUs),
         floor(micros(col(e)) / binUs)))
     val lx = left.withColumn(BL, bins(lStart, lEnd))
-    val rx = right.withColumn(BR, bins(rStart, rEnd))
+    // same SHUFFLE_HASH rationale as [[rangeJoin]]: distribute the
+    // candidate fan-out over shuffle partitions instead of the scan tasks
+    val rx = right.withColumn(BR, bins(rStart, rEnd)).hint("shuffle_hash")
     lx.join(
         rx,
         col(BL) === col(BR) &&

@@ -948,13 +948,20 @@ object TextAnalysis {
     * scores — [[nbClassScores]]'s output — keep ties engine-exact).
     *
     * Returns one row: (n_pos, n_neg, u2, auc) with auc = u2/(2*np*nn). */
-  def rocAuc(scored: DataFrame, scoreCol: String, posCol: String): DataFrame = {
-    val hist = scored
+  def rocAuc(scored: DataFrame, scoreCol: String, posCol: String,
+      materialize: Boolean = true): DataFrame = {
+    // checkpoint the histogram (<= #distinct scores rows): the cumsum
+    // below fans out to two consumers, and without a boundary each would
+    // re-execute the whole scoring DAG that produced `scored`.
+    // `materialize = false` keeps one un-truncated plan for plan audits.
+    val hist0 = scored
       .groupBy(col(scoreCol).as("s"))
       .agg(
         sum(when(col(posCol), 1L).otherwise(0L)).as("np"),
         sum(when(col(posCol), 0L).otherwise(1L)).as("nn"))
-    Curate.rangedCumsum(hist, Seq(col("s").asc), col("nn"), "_cum_nn")
+    val hist = if (materialize) hist0.localCheckpoint(false) else hist0
+    Curate.rangedCumsum(hist, Seq(col("s").asc), col("nn"), "_cum_nn",
+        materialize = materialize)
       .withColumn("cum_nn", col("_cum_nn") - col("nn"))
       .agg(
         sum(col("np")).as("n_pos"),
@@ -982,9 +989,13 @@ object TextAnalysis {
       scored: DataFrame, idCol: String, scoreCol: String, posCol: String,
       bins: Int): DataFrame = {
     require(bins > 0, s"bins must be positive (got $bins)")
-    val n = scored.agg(count(lit(1)).as("_n"))
+    // the scored relation feeds both the total-count scalar and the rank
+    // cumsum; checkpoint the (narrow) rows so the scoring DAG that
+    // produced them runs once, not once per consumer
+    val s = scored.localCheckpoint(false)
+    val n = s.agg(count(lit(1)).as("_n"))
     Curate.rangedCumsum(
-        scored, Seq(col(scoreCol).asc, col(idCol).asc), lit(1L), "_rank")
+        s, Seq(col(scoreCol).asc, col(idCol).asc), lit(1L), "_rank")
       .crossJoin(broadcast(n))
       .withColumn("bin",
         floor((col("_rank") - 1) * bins / col("_n")).cast("long"))

@@ -182,7 +182,11 @@ object AssemblyQueries extends QueryPack {
     // principal left-join chain — one partial-aggregated groupBy here
     "q_principal_stats" -> QueryDef(
       (s, dir) => {
+        // three fixture branches each run the k-regexp over the whole
+        // events scan; repartition so none of them is a one-task stage
+        // (single-row-group input, guide §2.5)
         val ev = Tables.events(s, dir)
+          .repartition(s.sparkContext.defaultParallelism)
         val k = regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
         val readings = ev.select(
           col("event_id").as("rid"),
@@ -456,11 +460,17 @@ object AssemblyQueries extends QueryPack {
               map(lit("HGNC"),
                 concat(lit("S"), (col("l_suppkey") % 20).cast("string")))
                 .as("db_refs")).as("obj"))).as("raw_json"))
-        val oldParsed = Preassembly.parse(raw.filter(!col("is_new")))
+        // the old run's parse feeds BOTH links (the anti-join side) and
+        // its source counts; without a materialization boundary the whole
+        // window + to_json + from_json + matches-key subtree evaluates
+        // once per consumer. Checkpoint only the three columns both
+        // consumers need — kilobytes per 100k rows, not the parsed structs
+        val oldKeyed = Preassembly.parse(raw.filter(!col("is_new")))
+          .select("raw_stmt_id", "mk_hash", "src").localCheckpoint(false)
         val delta = graft.streaming.Streams.newRawStatements(
-          raw, Preassembly.links(oldParsed))
+          raw, oldKeyed.select("raw_stmt_id", "mk_hash"))
         val merged = graft.streaming.Streams.mergeSourceCounts(
-          Preassembly.sourceCounts(oldParsed),
+          Preassembly.sourceCounts(oldKeyed),
           Preassembly.sourceCounts(Preassembly.parse(delta)))
         merged.select(col("mk_hash"),
           explode(col("src_json")).as(Seq("src", "cnt")))
@@ -505,7 +515,11 @@ object AssemblyQueries extends QueryPack {
           .when(cat === 2,
             lit("""{"type":"Activation","subj":{"name":"C3\\\y"},"obj":{"name":"B2"}}"""))
           .otherwise(lit("""{"type":"Activation","subj":{"name":"D3"""))
+        // single-row-group input: without a repartition the whole parse
+        // (incl. the strict try_parse_json legs) runs in ONE scan task
+        // (guide §2.5, unsplittable-input remedy)
         val raw = Tables.table(s, dir, "orders")
+          .repartition(s.sparkContext.defaultParallelism)
           .select(col("o_orderkey").as("raw_stmt_id"), cat.as("category"),
             json.as("raw_json"))
         // parse once: valid and rejected are two filters over the same

@@ -141,8 +141,11 @@ class PlanSpec extends AnyFunSuite {
       .select(col("doc_id"), chunk.as("chunk"))
     val bench = Tables.table(spark, dir, "documents")
       .filter(col("doc_id") % 7 === 0).select("doc_id", "text")
+    // materialize = false: the production path truncates lineage at its
+    // fan-out boundaries (so ingest runs once, not once per consumer);
+    // the audit wants the one composed plan those segments add up to
     val p2 = plan(graft.operators.Crawl.crawlPipeline(
-      chunks, "doc_id", "chunk", bench))
+      chunks, "doc_id", "chunk", bench, materialize = false))
     assert(p2.contains("BroadcastHashJoin"),
       s"bench/model sides should broadcast:\n$p2")
     assert(!p2.contains("CartesianProduct"),
@@ -324,15 +327,19 @@ class PlanSpec extends AnyFunSuite {
     // drag the whole corpus through ONE task. The plan must show the
     // distributed range sort, and at most one SinglePartition exchange —
     // the <=64-row bucket-totals branch, never the data path.
+    // materialize = false: production truncates lineage at the shared
+    // range exchange (so the input chain runs once, not once per leg);
+    // the audit wants the one composed plan those segments add up to
     for (df <- Seq(
         graft.operators.Curate.seededShuffle(
           Tables.table(spark, dir, "documents").select("doc_id"),
-          "doc_id", "epoch1"),
+          "doc_id", "epoch1", materialize = false),
         graft.operators.Curate.tokenBudgetSelect(
           Tables.table(spark, dir, "documents")
             .select(col("doc_id"), col("n_chars").as("toks"),
               col("doc_id").cast("double").as("score")),
-          "doc_id", "toks", "score", budget = 1000L))) {
+          "doc_id", "toks", "score", budget = 1000L,
+          materialize = false))) {
       val p = plan(df)
       assert(p.contains("rangepartitioning"),
         s"distributed range sort missing:\n$p")
@@ -443,7 +450,8 @@ class PlanSpec extends AnyFunSuite {
     // rocAuc: the cumulative pass range-partitions (Exchange rangepartitioning)
     import spark.implicits._
     val auc = graft.operators.TextAnalysis.rocAuc(
-      Seq((1L, true), (2L, false)).toDF("s", "y"), "s", "y")
+      Seq((1L, true), (2L, false)).toDF("s", "y"), "s", "y",
+      materialize = false)
     val aucp = plan(auc)
     assert(aucp.contains("rangepartitioning"),
       s"AUC cumsum not range-partitioned:\n$aucp")
