@@ -73,7 +73,11 @@ object Pipeline {
     val exploded = stmts.withColumn("block_key", explode(col("keys")))
     val dfs = exploded.groupBy("stype", "block_key")
       .agg(count(lit(1)).as("block_df"))
+    // four consumers below (cold, hot pairs, hot singletons twice) — the
+    // boundary stops each from re-running the keyset agg + explode + df
+    // join chain
     val marked = exploded.join(dfs, Seq("stype", "block_key"))
+      .localCheckpoint(false)
 
     val cold = marked.filter(col("block_df") <= hotKeyThreshold).drop("block_df")
     // secondary blocks: every sorted pair of a statement's hot keys

@@ -99,13 +99,23 @@ object Preassembly {
   }
 
   /** One row per unique statement: lowest-raw-id payload wins.
-    * Input needs (raw_stmt_id, mk_hash) plus payload columns. */
+    * Input needs (raw_stmt_id, mk_hash) plus payload columns.
+    *
+    * min_by aggregation, not a row_number window: the window shuffles and
+    * sorts EVERY parsed payload (the stmt struct dominates row width),
+    * while the aggregate keeps one candidate row per hash per map
+    * partition before the exchange — the shuffle carries ~|distinct
+    * hashes| payloads instead of |raw statements| (guide §2.3, aggregate
+    * before you shuffle). raw_stmt_id is unique, so the winner is
+    * deterministic and identical to the window's. */
   def dedup(parsed: DataFrame): DataFrame = {
-    val w = Window.partitionBy("mk_hash").orderBy(col("raw_stmt_id").asc)
+    val payload = parsed.columns.filter(_ != "mk_hash")
     parsed
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+      .groupBy("mk_hash")
+      .agg(min_by(
+        struct(payload.map(col): _*), col("raw_stmt_id")).as("_win"))
+      .select(col("mk_hash") +: payload.map(c => col(s"_win.$c").as(c)): _*)
+      .select(parsed.columns.map(col): _*)
   }
 
   /** Per-statement agent enumeration shared by the pa_agents / pa_mods /

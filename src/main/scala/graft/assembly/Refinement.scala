@@ -104,7 +104,9 @@ object Refinement {
 
   def ontologyRefinementEdges(
       uniq: DataFrame, agents: DataFrame, ontology: DataFrame): DataFrame = {
-    val sigs = signatures(uniq, agents, ontology)
+    // both join sides below read the signature table — the boundary stops
+    // the (agents + ontology join + combo expansion) chain running twice
+    val sigs = signatures(uniq, agents, ontology).localCheckpoint(false)
     val general = sigs.select(
       col("mk_hash").as("anc"), col("stype"), col("sig"))
     val specific = sigs.select(

@@ -183,10 +183,8 @@ object AssemblyQueries extends QueryPack {
     "q_principal_stats" -> QueryDef(
       (s, dir) => {
         // three fixture branches each run the k-regexp over the whole
-        // events scan; repartition so none of them is a one-task stage
-        // (single-row-group input, guide §2.5)
-        val ev = Tables.events(s, dir)
-          .repartition(s.sparkContext.defaultParallelism)
+        // events scan; parallelized so none of them is a one-task stage
+        val ev = Tables.parallelized(Tables.events(s, dir))
         val k = regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
         val readings = ev.select(
           col("event_id").as("rid"),
@@ -442,6 +440,9 @@ object AssemblyQueries extends QueryPack {
         val stype = when(col("l_returnflag") === "A", "Phosphorylation")
           .when(col("l_returnflag") === "N", "Activation")
           .otherwise("Inhibition")
+        // checkpointed: `raw` is consumed by the old-run parse AND as the
+        // anti-join left of the delta — without the boundary the window +
+        // JSON synthesis over lineitem executes once per consumer
         val raw = li.select(
           col("raw_stmt_id"),
           (col("l_orderkey") % 5 === 0).as("is_new"),
@@ -460,6 +461,7 @@ object AssemblyQueries extends QueryPack {
               map(lit("HGNC"),
                 concat(lit("S"), (col("l_suppkey") % 20).cast("string")))
                 .as("db_refs")).as("obj"))).as("raw_json"))
+          .localCheckpoint(false)
         // the old run's parse feeds BOTH links (the anti-join side) and
         // its source counts; without a materialization boundary the whole
         // window + to_json + from_json + matches-key subtree evaluates
@@ -515,11 +517,9 @@ object AssemblyQueries extends QueryPack {
           .when(cat === 2,
             lit("""{"type":"Activation","subj":{"name":"C3\\\y"},"obj":{"name":"B2"}}"""))
           .otherwise(lit("""{"type":"Activation","subj":{"name":"D3"""))
-        // single-row-group input: without a repartition the whole parse
-        // (incl. the strict try_parse_json legs) runs in ONE scan task
-        // (guide §2.5, unsplittable-input remedy)
-        val raw = Tables.table(s, dir, "orders")
-          .repartition(s.sparkContext.defaultParallelism)
+        // parallelized: without it the whole parse (incl. the strict
+        // try_parse_json legs) runs in ONE scan task (guide §2.5)
+        val raw = Tables.parallelized(Tables.table(s, dir, "orders"))
           .select(col("o_orderkey").as("raw_stmt_id"), cat.as("category"),
             json.as("raw_json"))
         // parse once: valid and rejected are two filters over the same

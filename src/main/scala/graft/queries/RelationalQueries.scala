@@ -586,7 +586,9 @@ object RelationalQueries extends QueryPack {
     // fixed input) and emits that verdict alongside the exact count,
     // which DuckDB reproduces exactly — rows+schema+hash all check.
     "q_approx_distinct" -> QueryDef(
-      (s, dir) => Tables.table(s, dir, "lineitem")
+      // parallelized: the single-row-group fixture otherwise runs the
+      // expand + partial distinct aggregation in ONE scan task
+      (s, dir) => Tables.parallelized(Tables.table(s, dir, "lineitem"))
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
@@ -630,7 +632,8 @@ object RelationalQueries extends QueryPack {
     // 1000 -> eps 1/1000, widened 2x) and emits the verdict alongside the
     // exact median, which DuckDB reproduces exactly
     "q_approx_quantiles" -> QueryDef(
-      (s, dir) => Tables.table(s, dir, "orders")
+      // parallelized: percentile partial aggregation is scan-stage work
+      (s, dir) => Tables.parallelized(Tables.table(s, dir, "orders"))
         .groupBy("o_orderpriority")
         .agg(
           expr("approx_percentile(o_totalprice, 0.5, 1000)").as("ap50"),

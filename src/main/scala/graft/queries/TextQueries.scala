@@ -12,20 +12,15 @@ import graft.sources.Tables
   */
 object TextQueries extends QueryPack {
 
-  // The driver's documents.parquet is a single small file with ONE row
-  // group — an unsplittable input, so every scan stage over it is one
-  // task no matter the core count, and nearly every consumer below does
-  // its heavy per-row work (tokenize+explode+partial-agg, codec round
-  // trips, pixel decode, char machines) IN the scan stage. Guide §2.5's
-  // remedy for unsplittable input is a repartition right after the read:
-  // one tiny shuffle of the raw rows buys full-width parallelism for all
-  // downstream map work. Scale-adaptive (defaultParallelism follows the
-  // session's core count), and at real scale multi-file inputs split
-  // naturally — this floor just stops a test-sized file from serializing
-  // the plan. Projections/filters still push below the exchange.
+  // parallelized (Tables.parallelized): the driver's documents.parquet is
+  // a single small file with ONE row group — an unsplittable input, so
+  // every scan stage over it is one task no matter the core count, and
+  // nearly every consumer below does its heavy per-row work
+  // (tokenize+explode+partial-agg, codec round trips, pixel decode, char
+  // machines) IN the scan stage. Projections/filters still push below
+  // the inserted exchange; a no-op on naturally-split inputs.
   private def docs(s: SparkSession, dir: String) =
-    Tables.table(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+    Tables.parallelized(Tables.table(s, dir, "documents"))
 
   /** documents ∪ exact copies of every 10th doc (ids shifted +100000). */
   private def corpusExact(s: SparkSession, dir: String): DataFrame = {

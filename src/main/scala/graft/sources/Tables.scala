@@ -15,6 +15,27 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scale-adaptive remedy for unsplittable input (guide §2.5): when the
+    * scan yields far fewer partitions than the session's parallelism (a
+    * single-row-group parquet file, a lone .gz — every scan stage then
+    * runs as ONE task no matter the core count), repartition right after
+    * the read so downstream map-heavy work spreads. A no-op whenever the
+    * input already splits (any real multi-file dataset), so at scale this
+    * never inserts the (there, catastrophic) full-input shuffle. */
+  def parallelized(df: DataFrame): DataFrame = {
+    val have = df.rdd.getNumPartitions
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (have * 2 < want) {
+      // hash-repartition on the leading column (the tables' unique id),
+      // not round-robin: a keyless repartition(n) first pays a local sort
+      // of its input per map task (sortBeforeRepartition, SPARK-23207),
+      // and hashing one column instead of the row keeps column pruning
+      // alive through the exchange
+      import org.apache.spark.sql.functions.{xxhash64, col}
+      df.repartition(want, xxhash64(col(df.columns.head)))
+    } else df
+  }
+
   /** TSV.gz with explicit schema and `\N` nulls — the format of the
     * reference's principal dumps (indra_db/readonly_dumping/readonly_dumping.py:574-578).
     */
