@@ -31,5 +31,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (env-overridable): under 8g a long multi-query run keeps
+  // the G1 old gen ~full (shared readonly cache + per-query transients),
+  // so measured queries compete with near-continuous concurrent GC and
+  // cached blocks spill to disk mid-chain — classic guide §5 memory
+  // pressure, visible as 2-5× chain-vs-forked inflation on heavy queries.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

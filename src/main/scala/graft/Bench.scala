@@ -190,7 +190,7 @@ object Bench {
       getClass.getProtectionDomain.getCodeSource.getLocation.toURI).getPath
     val cp = s"$classes:/opt/spark/jars/*"
     val javaBin = System.getProperty("java.home") + "/bin/java"
-    val xmx = s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"
+    val xmx = s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}"
     val pb = new ProcessBuilder(javaBin, xmx,
       "--add-opens=java.base/java.lang=ALL-UNNAMED",
       "--add-opens=java.base/java.nio=ALL-UNNAMED",

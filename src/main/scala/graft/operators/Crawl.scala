@@ -345,7 +345,7 @@ object Crawl {
       web.html_title(col("text")).as("title"),
       web.html_main_text(col("text")).as("main"))
     val s404 = Curate.soft404Flags(main, idCol, "domain", "title", "main",
-        minMainLen, minCluster)
+        minMainLen, minCluster, materialize = materialize)
       .where(!col("soft404"))
     // `kept` fans out to four consumers (minhash pairs, the two
     // connected-components runs, contamination, the final pack join) and

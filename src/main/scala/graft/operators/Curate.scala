@@ -71,10 +71,15 @@ object Curate {
       n: Int = 3,
       bits: Int = 4096,
       nHash: Int = 3): DataFrame = {
+    // cs feeds THREE consumers (bloom-probe leg, exact leg, n_shingles
+    // totals) and bs two (position set, exact semi-join): materialize each
+    // slim (id, hash) relation once or the tokenize + shingle explode +
+    // distinct subtree re-executes per consumer (guide §3.3 — Spark has no
+    // automatic common-subtree reuse across DataFrame fan-out)
     val cs = Dedup.shingleSet(corpus, idCol, textCol, n)
-      .select("doc_id", "sh_hash")
+      .select("doc_id", "sh_hash").localCheckpoint(false)
     val bs = Dedup.shingleSet(bench, idCol, textCol, n)
-      .select("sh_hash").distinct()
+      .select("sh_hash").distinct().localCheckpoint(false)
     def posOf(j: Int): Column =
       pmod(col("sh_hash") * (131L * j + 7L) + (97L * j + 3L),
         lit(1000000007L)) % bits
@@ -874,19 +879,28 @@ object Curate {
   def soft404Flags(
       df: DataFrame, idCol: String, domainCol: String, titleCol: String,
       textCol: String, minMainLen: Int = 200,
-      minCluster: Long = 3): DataFrame = {
+      minCluster: Long = 3, materialize: Boolean = true): DataFrame = {
+    // the input feeds the fingerprint pass AND the flag join, and the
+    // fingerprinted rows feed the cluster count AND the final join —
+    // without boundaries the caller's upstream (in the crawl pipeline:
+    // the whole WARC/HTTP ingest + main-content chain) re-executes per
+    // consumer (guide §3.3). `materialize = false` keeps one un-truncated
+    // plan for plan audits.
+    def mat(d: DataFrame): DataFrame =
+      if (materialize) d.localCheckpoint(false) else d
+    val dfm = mat(df)
     // null text tokenizes as "" (one empty token), so a failed
     // dechunk/decompress layer — exactly the prime soft-404 candidate —
     // still gets a fingerprint row: every input row must come back with
     // flags, and same-domain null/empty bodies cluster together (many
     // decode-failed pages on one host ARE a template signal)
-    val toks = df.select(col(idCol).as("doc_id"),
+    val toks = dfm.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.tokens(coalesce(col(textCol), lit("")))).as("tok"))
-    val sh = Dedup.simhash(toks)
-      .withColumnRenamed("doc_id", idCol)
+    val sh = mat(Dedup.simhash(toks)
+      .withColumnRenamed("doc_id", idCol))
     // left joins as the second line of defense: a doc the fingerprint
     // pass somehow missed still surfaces, with template_dup = false
-    val keyed = df.join(sh, Seq(idCol), "left")
+    val keyed = dfm.join(sh, Seq(idCol), "left")
     val clusters = keyed.where(col("simhash").isNotNull)
       .groupBy(col(domainCol), col("simhash"))
       .agg(count(lit(1)).as("cluster_n"))

@@ -156,8 +156,13 @@ object TextAnalysis {
   def lmTrain(corpus: DataFrame, idCol: String, textCol: String)
       : (DataFrame, DataFrame) = {
     val bg = bigrams(corpus, idCol, textCol)
-    (bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2")),
-      bg.groupBy("w1").agg(count(lit(1)).as("c1")))
+    // the bigram table is materialized (it is the model a serving system
+    // persists) and the context counts DERIVE from it — c1(w1) = Σ_w2
+    // c2(w1, w2) exactly — so the corpus tokenize + explode runs once
+    // instead of once per model table (guide §3.3)
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .localCheckpoint(false)
+    (c2, c2.groupBy("w1").agg(sum(col("c2")).as("c1")))
   }
 
   /** Per-document mean bigram log-likelihood under an add-one-smoothed
@@ -222,11 +227,18 @@ object TextAnalysis {
       docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // tf feeds both the postings join and docFreq, and dl feeds both the
+    // length join and the corpus stats — without materialization
+    // boundaries the corpus tokenize subtree executes once per consumer
+    // (guide §3.3). dl stays computed from docs, NOT derived from tf: a
+    // zero-token document has no tf rows but still counts in n_docs/avgdl.
     val terms = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
     val tf = terms.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val dl = docs.select(
       col(idCol), size(tokens(col(textCol))).cast("long").as("dl"))
+      .localCheckpoint(false)
     val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = dl.agg(
       count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
@@ -824,16 +836,24 @@ object TextAnalysis {
     * when it is small); classStats is |labels| rows, always broadcast. */
   def nbTrain(labeled: DataFrame, textCol: String, labelCol: String)
       : (DataFrame, DataFrame) = {
+    // both model relations are materialized: scoring consumes tokenCounts
+    // twice (per-term log-probs + classStats' token totals) and classStats
+    // three times (priors, smoothing denominators, n_total), and without
+    // the boundaries every consumer re-executes the training tokenize +
+    // count subtree (guide §3.3). The model is exactly what a serving
+    // system would persist anyway — vocab×labels and |labels| rows.
     val terms = labeled.select(
       col(labelCol).as("label"),
       explode(tokens(lower(col(textCol)))).as("term"))
     val tokenCounts =
       terms.groupBy("label", "term").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
     val classStats = labeled
       .groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("n_docs"))
       .join(tokenCounts.groupBy("label").agg(sum(col("c")).as("tot")),
         "label")
+      .localCheckpoint(false)
     (tokenCounts, classStats)
   }
 
@@ -1027,10 +1047,15 @@ object TextAnalysis {
       df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val terms = df
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    // tf feeds the df aggregation AND the scoring join: materialized so
+    // the tokenize + (doc, term) count runs once (guide §3.3)
     val tf = terms.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // corpus size as a broadcast one-row join, not an eager count: the
-    // whole operator stays one Catalyst plan (no driver-side scan)
+    // whole operator stays one Catalyst plan (no driver-side scan). Stays
+    // computed from df (id column only — pruned scan), NOT from tf: a
+    // zero-token document still counts in N.
     val nDocs = df.select(countDistinct(col(idCol)).as("n_docs"))
     val idfMicro = round(
       log((col("n_docs").cast("double") + 1d) /

@@ -182,10 +182,16 @@ object AssemblyQueries extends QueryPack {
     // principal left-join chain — one partial-aggregated groupBy here
     "q_principal_stats" -> QueryDef(
       (s, dir) => {
-        // three fixture branches each run the k-regexp over the whole
-        // events scan; parallelized so none of them is a one-task stage
+        // three fixture branches share the events scan + k-regexp:
+        // materialize the slim keyed projection once (parallelized so it
+        // is not a one-task stage) or each of principalStats' three join
+        // legs re-runs the scan + regexp over the whole table (guide §3.3)
+        val k0 = regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
         val ev = Tables.parallelized(Tables.events(s, dir))
-        val k = regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+          .select(col("event_id"), col("event_type"), col("value"),
+            k0.as("_k"))
+          .localCheckpoint(false)
+        val k = col("_k")
         val readings = ev.select(
           col("event_id").as("rid"),
           floor(col("event_id") / 7).cast("long").as("tcid"),

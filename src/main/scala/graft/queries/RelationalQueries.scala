@@ -587,14 +587,26 @@ object RelationalQueries extends QueryPack {
     // which DuckDB reproduces exactly — rows+schema+hash all check.
     "q_approx_distinct" -> QueryDef(
       // parallelized: the single-row-group fixture otherwise runs the
-      // expand + partial distinct aggregation in ONE scan task
-      (s, dir) => Tables.parallelized(Tables.table(s, dir, "lineitem"))
-        .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"))
-        .select(col("l_returnflag"), col("exact_parts"),
-          (abs(col("approx_parts") - col("exact_parts")) <=
-            col("exact_parts") * lit(0.06)).as("within_rsd")),
+      // partial distinct aggregation in ONE scan task.
+      // The sketch and the exact count aggregate SEPARATELY and join on
+      // the 3-row group key: fused in one agg, the distinct rewrite
+      // groups by (flag, partkey) and allocates the rsd-0.02 HLL++ buffer
+      // (4 KB of registers) PER fine group — ~200k groups of pure buffer
+      // churn for a 3-group answer. Split, the HLL keeps 3 buffers and
+      // the exact side shuffles bare longs; the join is a broadcast over
+      // 3 rows and the results are value-identical.
+      (s, dir) => {
+        val li = Tables.parallelized(Tables.table(s, dir, "lineitem"))
+        val approx = li.groupBy("l_returnflag")
+          .agg(approx_count_distinct(col("l_partkey"), 0.02)
+            .as("approx_parts"))
+        val exact = li.groupBy("l_returnflag")
+          .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+        approx.join(exact, Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("exact_parts"),
+            (abs(col("approx_parts") - col("exact_parts")) <=
+              col("exact_parts") * lit(0.06)).as("within_rsd"))
+      },
       Some("""SELECT l_returnflag,
               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
               TRUE AS within_rsd

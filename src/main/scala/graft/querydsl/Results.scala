@@ -40,8 +40,20 @@ object Results {
       types: TypeRegistry,
       evLimit: Int = 10,
       evFilter: Option[EvFilter] = None,
-      withRefs: Boolean = false): DataFrame = {
-    val sel = QueryCompiler.compile(q, ro, types).select("mk_hash")
+      withRefs: Boolean = false): DataFrame =
+    statementsFromSel(QueryCompiler.compile(q, ro, types).select("mk_hash"),
+      ro, evLimit, evFilter, withRefs)
+
+  /** [[statements]] over an already-compiled hash selection — the shared
+    * leg for callers that reuse `sel` across several subplans (the result
+    * envelope pre-filters its payload and agent legs with the same
+    * selection, guide §3.2: reduce the big side before it aggregates). */
+  private def statementsFromSel(
+      sel: DataFrame,
+      ro: ReadonlyTables,
+      evLimit: Int,
+      evFilter: Option[EvFilter],
+      withRefs: Boolean): DataFrame = {
     val w = Window.partitionBy("mk_hash").orderBy(col("sid").asc)
     val evRows = ro.fastRawPaLink.join(sel, Seq("mk_hash"), "left_semi")
     // evidence filters run BEFORE the ev_limit window (query.py:476-490)
@@ -68,8 +80,9 @@ object Results {
     * reference's annotations.agents.raw_text splice (`_get_raw_texts`,
     * query.py:3106-3118: one entry per agent position, TEXT ref or null).
     */
-  private def agentArrays(ro: ReadonlyTables): DataFrame =
+  private def agentArrays(ro: ReadonlyTables, sel: DataFrame): DataFrame =
     ro.paAgents
+      .join(sel, Seq("mk_hash"), "left_semi")
       .groupBy("mk_hash", "ag_num")
       .agg(min(col("db_id")).as("name"),
         min(when(col("db_name") === "TEXT", col("db_id"))).as("raw_text"))
@@ -122,7 +135,15 @@ object Results {
       types: TypeRegistry,
       evLimit: Int = 10,
       evFilter: Option[EvFilter] = None): DataFrame = {
-    val ev = statements(q, ro, types, evLimit, evFilter, withRefs = true)
+    // compile the hash selection ONCE and materialize it (it is the
+    // query's small result set): it feeds the evidence semi-join AND
+    // pre-filters the payload dedup and the agent-array aggregation,
+    // which otherwise dedup/aggregate the ENTIRE link and agent tables
+    // before meeting a handful of selected hashes (guide §3.2 — drop
+    // non-matching big-side rows before the exchange)
+    val sel = QueryCompiler.compile(q, ro, types).select("mk_hash")
+      .localCheckpoint(false)
+    val ev = statementsFromSel(sel, ro, evLimit, evFilter, withRefs = true)
     val collected = ev.groupBy("mk_hash").agg(
       array_sort(collect_list(struct(
         col("rn"), col("sid"), col("src"), col("pmid"), col("trid"),
@@ -131,9 +152,11 @@ object Results {
       count(lit(1)).as("n_returned"))
     val payload =
       if (ro.fastRawPaLink.columns.contains("pa_json"))
-        ro.fastRawPaLink.select("mk_hash", "pa_json").dropDuplicates("mk_hash")
-      else ro.fastRawPaLink.select(col("mk_hash"),
-        lit(null).cast("string").as("pa_json")).dropDuplicates("mk_hash")
+        ro.fastRawPaLink.join(sel, Seq("mk_hash"), "left_semi")
+          .select("mk_hash", "pa_json").dropDuplicates("mk_hash")
+      else ro.fastRawPaLink.join(sel, Seq("mk_hash"), "left_semi")
+        .select(col("mk_hash"),
+          lit(null).cast("string").as("pa_json")).dropDuplicates("mk_hash")
     // per-evidence splice (query.py:594-625): text_refs under UPPER keys
     // (DOI reassembled from its stored decomposition, functions/Ids), the
     // raw-text agent annotations, the prior raw-statement id, and the
@@ -156,7 +179,7 @@ object Results {
       .join(ro.sourceMeta.select(
         "mk_hash", "ev_count", "belief", "src_json", "type_num"), "mk_hash")
       .join(payload, Seq("mk_hash"), "left")
-      .join(agentArrays(ro), Seq("mk_hash"), "left")
+      .join(agentArrays(ro, sel), Seq("mk_hash"), "left")
       .select(col("mk_hash"), col("n_returned"),
         col("belief"), col("ev_count"), col("src_json"), col("pa_json"),
         typeName(types).as("stype"),
