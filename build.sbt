@@ -31,10 +31,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g default (env-overridable): under 8g a long multi-query run keeps
-  // the G1 old gen ~full (shared readonly cache + per-query transients),
-  // so measured queries compete with near-continuous concurrent GC and
-  // cached blocks spill to disk mid-chain — classic guide §5 memory
-  // pressure, visible as 2-5× chain-vs-forked inflation on heavy queries.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 8g: measured as the better default — a 16g heap was tried against the
+  // chain-inflation findings (old gen ~full under 8g) and made the same
+  // query subset ~18% SLOWER (longer G1 young pauses dominate the saved
+  // concurrent-GC work at this heap-to-live-set ratio); keep 8g and leave
+  // SPARK_DRIVER_MEM as the override for bigger fixtures.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // a multi-hundred-query run compiles thousands of generated classes;
+  // the default 240m code cache fills mid-run and JIT flushing then
+  // re-profiles hot codegen'd kernels inside timed regions (reserve is
+  // address space only — committed code-cache memory grows on demand)
+  "-XX:ReservedCodeCacheSize=512m",
 )
