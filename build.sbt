@@ -28,15 +28,24 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap sized to TASK-THREAD CONCURRENCY, not a constant: local[N] runs N
+// concurrent tasks in this one heap, and execution memory is split per
+// task — a fixed 8g that is comfortable for 8 threads starves 32 (the
+// round-12 full-suite ground truth: sort/parse-heavy queries 5-25x slower
+// at local[32] than local[8] on the same code and data, classic
+// spill/GC-thrash; an 8g-vs-16g A/B on a 19-query mini-chain had said
+// otherwise and was invalidated by the full suite). 0.75 GB per task
+// thread, floor 8g: 8 cores -> 8g (the config that measured healthy),
+// 32 cores -> 24g. SPARK_DRIVER_MEM stays the explicit override.
+def graftHeap: String = sys.env.getOrElse("SPARK_DRIVER_MEM", {
+  val cpus = sys.env.get("SPARK_GRAFT_CPUS")
+    .flatMap(c => scala.util.Try(c.trim.toInt).toOption).getOrElse(32)
+  s"${math.max(8, (cpus * 3 + 3) / 4)}g"
+})
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 8g: measured as the better default — a 16g heap was tried against the
-  // chain-inflation findings (old gen ~full under 8g) and made the same
-  // query subset ~18% SLOWER (longer G1 young pauses dominate the saved
-  // concurrent-GC work at this heap-to-live-set ratio); keep 8g and leave
-  // SPARK_DRIVER_MEM as the override for bigger fixtures.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx$graftHeap",
   // a multi-hundred-query run compiles thousands of generated classes;
   // the default 240m code cache fills mid-run and JIT flushing then
   // re-profiles hot codegen'd kernels inside timed regions (reserve is

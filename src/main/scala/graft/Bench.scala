@@ -29,6 +29,39 @@ object Bench {
   private def occ(s: String, pat: String): Int =
     (pat + " (\\d+)").r.findAllMatchIn(s).map(_.group(1)).toSet.size
 
+  /** One query's reported numbers. spill/peak come from task metrics of the
+    * same run whose seconds are reported (the median run). */
+  private case class QRes(name: String, sec: Double, rows: Long,
+    shuffles: Int, broadcasts: Int, spillMb: Double = 0.0, peakMb: Double = 0.0)
+
+  /** Per-query memory observability (round-12 verdict: the 32-core collapse
+    * was invisible from the artifacts — make spill and peak execution
+    * memory attributable per query from the bench_detail line alone). */
+  private final class TaskMetricsListener
+      extends org.apache.spark.scheduler.SparkListener {
+    private val spill = new java.util.concurrent.atomic.AtomicLong
+    private val peak = new java.util.concurrent.atomic.AtomicLong
+    def reset(): Unit = { spill.set(0L); peak.set(0L) }
+    def snapshot: (Long, Long) = (spill.get, peak.get)
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        peak.accumulateAndGet(m.peakExecutionMemory, (a, b) => math.max(a, b))
+      }
+    }
+  }
+
+  /** Default bench heap, shared with build.sbt's javaOptions: 0.75 GB per
+    * local task thread, floor 8g (the round-12 ground truth — a constant 8g
+    * starves 32 concurrent tasks while 8 run comfortably). */
+  private def defaultHeap: String = {
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS")
+      .flatMap(c => scala.util.Try(c.trim.toInt).toOption).getOrElse(32)
+    s"${math.max(8, (cpus * 3 + 3) / 4)}g"
+  }
+
   // every emitted JSON line is also teed to target/bench.json (parent
   // runs only — a forked single-query child would clobber it): the round
   // artifact's stdout tail is truncation-prone and sbt prefixes each
@@ -63,15 +96,17 @@ object Bench {
     else String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
 
   private def emit(
-      results: Seq[(String, Double, Long, Int, Int)], mode: String,
+      results: Seq[QRes], mode: String,
       forkedTop: Seq[(String, Double)] = Seq.empty,
       stressCompact: String = ""): Unit = {
-    val qs = results.map { case (k, sec, _, _, _) => s""""$k":${fmt(sec)}""" }
+    val qs = results.map(r => s""""${r.name}":${fmt(r.sec)}""")
       .mkString("{", ",", "}")
-    val plans = results.map { case (k, _, rows, sh, bc) =>
-      s""""$k":{"rows":$rows,"shuffles":$sh,"broadcasts":$bc}"""
+    val plans = results.map { r =>
+      s""""${r.name}":{"rows":${r.rows},"shuffles":${r.shuffles}""" +
+        s""","broadcasts":${r.broadcasts},"spill_mb":${fmt(r.spillMb)}""" +
+        s""","peak_mem_mb":${fmt(r.peakMb)}}"""
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = results.map(_.sec).filter(_ >= 0).sum
     // full detail first — a reader of the complete stdout gets every
     // timing and every plan signature
     outLine(s"""{"diag":"bench_detail","mode":"$mode","queries":$qs,"plans":$plans,"sf":"$sfDir"}""")
@@ -81,9 +116,9 @@ object Bench {
     // trimmed to the most expensive queries (fewer when the stress
     // section also rides on this line). The driver contract (one
     // {"metric":...} line with a "queries" map) is this line.
-    val top = results.filter(_._2 >= 0).sortBy(-_._2)
+    val top = results.filter(_.sec >= 0).sortBy(-_.sec)
       .take(if (stressCompact.isEmpty) 40 else 15)
-    val qsTop = top.map { case (k, sec, _, _, _) => s""""$k":${fmt(sec)}""" }
+    val qsTop = top.map(r => s""""${r.name}":${fmt(r.sec)}""")
       .mkString("{", ",", "}")
     val fk =
       if (forkedTop.isEmpty) ""
@@ -113,12 +148,18 @@ object Bench {
     // freshly-moved pages — measured as a uniform ~+0.3 s tide across the
     // whole suite. The per-QUERY call keeps the full GC, as every prior
     // round did.
+    // blocking unpersist (round-12 advice): the eviction runs OUTSIDE the
+    // timed region, so waiting for block removal costs nothing measured —
+    // while a fire-and-forget unpersist may still be releasing blocks when
+    // the timed run starts
     def dropLitter(gc: Boolean = true): Unit = {
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!blessed.contains(id)) rdd.unpersist(blocking = false)
+        if (!blessed.contains(id)) rdd.unpersist(blocking = true)
       }
       if (gc) System.gc()
     }
+    val metrics = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(metrics)
     val fns = SparkEntry.queries
     val results = selectedNames.map { name =>
       val fn = fns(name)
@@ -128,18 +169,25 @@ object Bench {
       // computing payloads (decode, to_json, window columns). The Dataset
       // is rebuilt per call so a timed run never reuses a warmup's
       // materialized AQE stages; pmod keeps the ANSI sum from overflowing
-      def run(): (Double, Long, String) =
+      def run(): (Double, Long, String, Double, Double) =
         try {
           val df = fn(spark, dir)
           val agg = df
             .select(pmod(xxhash64(struct(df.columns.map(col): _*)),
               lit(1000000007L)).as("h"))
             .agg(count(lit(1)).as("n"), sum(col("h")))
+          metrics.reset()
           val t0 = System.nanoTime()
           val rows = agg.collect().head.getLong(0)
           val sec = (System.nanoTime() - t0) / 1e9
-          (sec, rows, agg.queryExecution.executedPlan.toString)
-        } catch { case _: Throwable => (-1.0, -1L, "") }
+          // metric attribution happens after the timer stops; the drain is
+          // bounded and usually instant (the bus is quiet once collect
+          // returns)
+          org.apache.spark.GraftSparkHooks.drainListenerBus(spark.sparkContext)
+          val (spill, peak) = metrics.snapshot
+          (sec, rows, agg.queryExecution.executedPlan.toString,
+            spill / 1048576.0, peak / 1048576.0)
+        } catch { case _: Throwable => (-1.0, -1L, "", 0.0, 0.0) }
       // evict litter before EVERY execution, not once per query: a
       // checkpoint-heavy query's warmup/previous run leaves its own
       // materialized blocks resident, and runs 2-4 then execute under
@@ -148,7 +196,7 @@ object Bench {
       // eviction runs OUTSIDE the timed region; the timed computation —
       // rebuild + full materialization from parquet — is unchanged.
       dropLitter() // per-query: full clean incl. GC, as prior rounds
-      def cleanRun(): (Double, Long, String) =
+      def cleanRun(): (Double, Long, String, Double, Double) =
         { dropLitter(gc = false); run() }
       (1 to warmups).foreach(_ => cleanRun()) // steady state, not codegen + JIT
       // median of three measured runs: single-shot timings swing 2-8× on
@@ -157,11 +205,12 @@ object Bench {
       // failure would skew the "median" to the faster real sample and two
       // would report -1 as if it were a timing
       val runs = Seq(cleanRun(), cleanRun(), cleanRun()).filter(_._1 >= 0)
-      val (sec, rows, plan) =
-        if (runs.isEmpty) (-1.0, -1L, "")
+      val (sec, rows, plan, spillMb, peakMb) =
+        if (runs.isEmpty) (-1.0, -1L, "", 0.0, 0.0)
         else runs.sortBy(_._1).apply(runs.size / 2)
-      (name, sec, rows,
-        occ(plan, "ShuffleQueryStage"), occ(plan, "BroadcastQueryStage"))
+      QRes(name, sec, rows,
+        occ(plan, "ShuffleQueryStage"), occ(plan, "BroadcastQueryStage"),
+        spillMb, peakMb)
     }
     // forked attribution for the chain's five most expensive queries:
     // chain position inflates heavy parse queries with identical plans
@@ -171,8 +220,8 @@ object Bench {
     val forkedTop =
       if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY") ||
           sys.env.contains("SPARK_GRAFT_BENCH_NOFORK")) Seq.empty
-      else results.filter(_._2 >= 0).sortBy(-_._2).take(5)
-        .map(r => r._1 -> forkOne(r._1)._2)
+      else results.filter(_.sec >= 0).sortBy(-_.sec).take(5)
+        .map(r => r.name -> forkOne(r.name).sec)
     // scale dress rehearsal (see graft.Stress): skipped in single-query
     // child forks and under SPARK_GRAFT_STRESS=0
     val stressCompact =
@@ -199,14 +248,16 @@ object Bench {
     emit(selectedNames.map(forkOne), "forked")
 
   /** Fork one single-query child and parse its detail line. */
-  private def forkOne(name: String): (String, Double, Long, Int, Int) = {
+  private def forkOne(name: String): QRes = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val classes = new java.io.File(
       getClass.getProtectionDomain.getCodeSource.getLocation.toURI).getPath
     val cp = s"$classes:/opt/spark/jars/*"
     val javaBin = System.getProperty("java.home") + "/bin/java"
-    val xmx = s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"
+    // same concurrency-scaled default as build.sbt gives the parent: the
+    // child runs the identical local[$SPARK_GRAFT_CPUS] task-thread count
+    val xmx = s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}"
     val pb = new ProcessBuilder(javaBin, xmx,
       "-XX:ReservedCodeCacheSize=512m",
       "--add-opens=java.base/java.lang=ALL-UNNAMED",
@@ -238,8 +289,12 @@ object Bench {
       val rows = (p \ "rows") match { case JInt(v) => v.toLong; case _ => -1L }
       def i(f: String) =
         (p \ f) match { case JInt(v) => v.toInt; case _ => 0 }
-      (name, sec, rows, i("shuffles"), i("broadcasts"))
+      def d(f: String) =
+        (p \ f) match { case JDouble(v) => v; case JInt(v) => v.toDouble
+                        case _ => 0.0 }
+      QRes(name, sec, rows, i("shuffles"), i("broadcasts"),
+        d("spill_mb"), d("peak_mem_mb"))
     }
-    parsed.getOrElse((name, -1.0, -1L, 0, 0))
+    parsed.getOrElse(QRes(name, -1.0, -1L, 0, 0))
   }
 }

@@ -101,20 +101,22 @@ object Preassembly {
   /** One row per unique statement: lowest-raw-id payload wins.
     * Input needs (raw_stmt_id, mk_hash) plus payload columns.
     *
-    * min_by aggregation, not a row_number window: the window shuffles and
-    * sorts EVERY parsed payload (the stmt struct dominates row width),
-    * while the aggregate keeps one candidate row per hash per map
-    * partition before the exchange — the shuffle carries ~|distinct
-    * hashes| payloads instead of |raw statements| (guide §2.3, aggregate
-    * before you shuffle). raw_stmt_id is unique, so the winner is
-    * deterministic and identical to the window's. */
+    * row_number window, restored after two measured alternatives lost
+    * (round-12/13): min_by(struct(payload)) carries the payload struct in
+    * its aggregation buffer — plans as a SortAggregate pair (payloads
+    * sorted per map partition AND after the exchange) with no partial
+    * reduction on near-unique hashes (q_pa_mods 1.40s -> 2.1s); the
+    * narrow groupBy(mk_hash).agg(min(raw_stmt_id)) + left-semi join back
+    * is hash-aggregable but RE-EXECUTES the parse subtree for the probe
+    * side — the upstream window + to_json + from_json dominate, so two
+    * passes cost more than one payload sort (measured 3.0s). The window
+    * parses once and shuffles each payload once; its sort is the price. */
   def dedup(parsed: DataFrame): DataFrame = {
-    val payload = parsed.columns.filter(_ != "mk_hash")
+    val w = Window.partitionBy("mk_hash").orderBy("raw_stmt_id")
     parsed
-      .groupBy("mk_hash")
-      .agg(min_by(
-        struct(payload.map(col): _*), col("raw_stmt_id")).as("_win"))
-      .select(col("mk_hash") +: payload.map(c => col(s"_win.$c").as(c)): _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
       .select(parsed.columns.map(col): _*)
   }
 

@@ -321,9 +321,12 @@ object Crawl {
       materialize: Boolean = true): DataFrame = {
     // `materialize = false` keeps the whole composition in ONE logical
     // plan (no lineage truncation) so plan audits can pin the composed
-    // shape; production keeps the boundaries (see `kept` below)
+    // shape; production keeps the boundaries (see `kept` below).
+    // BlockScope.boundary: `kept` is corpus-sized — at cluster scale
+    // spark.graft.checkpoint.reliable switches to a fault-tolerant
+    // checkpoint instead of executor-local blocks with truncated lineage
     def mat(df: DataFrame): DataFrame =
-      if (materialize) df.localCheckpoint(false) else df
+      if (materialize) graft.core.BlockScope.boundary(df) else df
     val pages = graft.sources.Content.httpPages(chunks, idCol, chunkCol)
       .withColumn("url", web.url_canonical(
         graft.functions.codecs.header_get(col("warc_headers"),

@@ -700,13 +700,15 @@ object Dedup {
     // consumed by the hot-bucket count AND its anti-join, and the capped
     // result by both self-join sides — without the boundaries the caller's
     // tokenize + 32-vote fingerprint aggregation re-executes 4× (guide
-    // §3.3; lshCandidates already does the same for band signatures)
-    val sh = simhashes.localCheckpoint(false)
+    // §3.3; lshCandidates already does the same for band signatures).
+    // BlockScope.boundary: these two are CORPUS-sized — at cluster scale
+    // set spark.graft.checkpoint.reliable for a fault-tolerant boundary
+    val sh = graft.core.BlockScope.boundary(simhashes)
     val bytes = (0 until 4).map(i => (i, 255L << (8 * i))).toDF("byte_idx", "byte_mask")
     val keyed0 = sh.join(broadcast(bytes))
       .withColumn("byte_val", col("simhash").bitwiseAND(col("byte_mask")))
-    val keyed = capBucketDf(keyed0, Seq("byte_idx", "byte_val"), maxBucket)
-      .localCheckpoint(false)
+    val keyed = graft.core.BlockScope.boundary(
+      capBucketDf(keyed0, Seq("byte_idx", "byte_val"), maxBucket))
     keyed.as("x").join(keyed.as("y"),
         col("x.byte_idx") === col("y.byte_idx") &&
           col("x.byte_val") === col("y.byte_val") &&
@@ -902,12 +904,13 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, minDf: Long): DataFrame = {
     // the exploded line rows feed the document-frequency aggregation AND
     // the anti-join + reassembly: materialized so the split + hash pass
-    // runs once (guide §3.3; lineDedupDelta's batchPairs convention)
-    val lines = df
+    // runs once (guide §3.3; lineDedupDelta's batchPairs convention).
+    // BlockScope.boundary: corpus-sized (every line of every document) —
+    // spark.graft.checkpoint.reliable makes it fault-tolerant at scale
+    val lines = graft.core.BlockScope.boundary(df
       .select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-      .withColumn("lh", TextAnalysis.rollingHash(col("line")))
-      .localCheckpoint(false)
+      .withColumn("lh", TextAnalysis.rollingHash(col("line"))))
     val hot = lines
       .groupBy("lh").agg(countDistinct(col("doc_id")).as("line_df"))
       .filter(col("line_df") >= minDf)

@@ -602,7 +602,13 @@ object RelationalQueries extends QueryPack {
             .as("approx_parts"))
         val exact = li.groupBy("l_returnflag")
           .agg(countDistinct(col("l_partkey")).as("exact_parts"))
-        approx.join(exact, Seq("l_returnflag"))
+        // null-safe group-key equality (round-12 advice): a plain equi-join
+        // would silently drop a NULL l_returnflag group that the fused
+        // aggregate (and the oracle's GROUP BY) keeps; <=> is still a
+        // hash-join key, so the plan stays a 3-row broadcast join (the
+        // rename disambiguates the self-join's key columns)
+        approx.join(exact.withColumnRenamed("l_returnflag", "rf"),
+            col("l_returnflag") <=> col("rf"))
           .select(col("l_returnflag"), col("exact_parts"),
             (abs(col("approx_parts") - col("exact_parts")) <=
               col("exact_parts") * lit(0.06)).as("within_rsd"))

@@ -140,9 +140,12 @@ object Results {
     // pre-filters the payload dedup and the agent-array aggregation,
     // which otherwise dedup/aggregate the ENTIRE link and agent tables
     // before meeting a handful of selected hashes (guide §3.2 — drop
-    // non-matching big-side rows before the exchange)
-    val sel = QueryCompiler.compile(q, ro, types).select("mk_hash")
-      .localCheckpoint(false)
+    // non-matching big-side rows before the exchange). boundary():
+    // registered with the serving request's BlockScope so the blocks are
+    // unpersisted when the request completes (round-12 verdict item 4 —
+    // a long-lived HttpApi leaked one checkpointed selection per request)
+    val sel = graft.core.BlockScope.boundary(
+      QueryCompiler.compile(q, ro, types).select("mk_hash"))
     val ev = statementsFromSel(sel, ro, evLimit, evFilter, withRefs = true)
     val collected = ev.groupBy("mk_hash").agg(
       array_sort(collect_list(struct(
@@ -349,21 +352,20 @@ object Results {
     // rows feeds the group agg AND the complex-coverage join, and groups
     // feeds three consumers — materialize each once (lazily) instead of
     // re-running the compile + semi-join + dedup shuffles per consumer.
-    // Storage is reclaimed by the ContextCleaner when the frames are GC'd
-    // (per-request blocks in a long-lived service are transient, and
-    // MEMORY_AND_DISK evicts under pressure)
-    val rows = ro.agentInteractions
+    // boundary(): serving requests unpersist these when they complete
+    // (BlockScope); outside a scope the ContextCleaner reclaims GC'd
+    // frames as before, and MEMORY_AND_DISK evicts under pressure
+    val rows = graft.core.BlockScope.boundary(ro.agentInteractions
       .join(sel, Seq("mk_hash"), "left_semi")
       .select("mk_hash", "agent_str", "agent_count", "type_num", "ev_count",
         "belief")
-      .dropDuplicates("mk_hash", "agent_str", "agent_count")
-      .localCheckpoint(false)
-    val groups = rows.groupBy("agent_str", "agent_count")
-      .agg(sum("ev_count").as("total_ev"), max("belief").as("max_belief"),
-        count(lit(1)).as("n_hashes"),
-        max(when(col("type_num") =!= complexTypeNum, 1).otherwise(0))
-          .as("has_other"))
-      .localCheckpoint(false)
+      .dropDuplicates("mk_hash", "agent_str", "agent_count"))
+    val groups = graft.core.BlockScope.boundary(
+      rows.groupBy("agent_str", "agent_count")
+        .agg(sum("ev_count").as("total_ev"), max("belief").as("max_belief"),
+          count(lit(1)).as("n_hashes"),
+          max(when(col("type_num") =!= complexTypeNum, 1).otherwise(0))
+            .as("has_other")))
     val cjoin = rows.filter(col("type_num") === complexTypeNum)
       .join(groups.select("agent_str", "agent_count", "total_ev"),
         Seq("agent_str", "agent_count"))

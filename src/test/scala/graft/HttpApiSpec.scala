@@ -41,6 +41,33 @@ class HttpApiSpec extends AnyFunSuite {
     assert(get("/health") == (200, """{"status":"ok"}"""))
   }
 
+  test("block manager returns to baseline after N statement requests") {
+    // round-12 verdict item 4: every statements request creates a
+    // checkpointed hash selection; BlockScope must unpersist it when the
+    // response is written, or a long-lived service leaks one per request.
+    // Warm BOTH routes once (the readonly cache and lazily-persisted
+    // shared tables — e.g. agentInteractions on the agents route — count
+    // as baseline, not leak), then measure N requests.
+    assert(get("/statements/from_agents?agent=P5&medscan=true&limit=3")._1
+      == 200)
+    assert(get("/agents/from_agents?agent=P5&medscan=true&limit=3")._1
+      == 200)
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    (1 to 5).foreach { _ =>
+      val (code, _) =
+        get("/statements/from_agents?agent=P5&medscan=true&limit=3")
+      assert(code == 200)
+      val (code2, _) =
+        get("/agents/from_agents?agent=P5&medscan=true&limit=3")
+      assert(code2 == 200)
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size <= baseline,
+      s"checkpoint blocks leaked: baseline $baseline, now " +
+        s"${spark.sparkContext.getPersistentRDDs.size}: " +
+        spark.sparkContext.getPersistentRDDs.values
+          .map(_.toString).mkString(" | "))
+  }
+
   test("from_agents GET matches the direct service dispatch") {
     val (code, body) = get("/hashes/from_agents?agent=P5&medscan=true&limit=5")
     assert(code == 200)
