@@ -220,11 +220,20 @@ object Preassembly {
     * matches_key functional in the hash, total evidence count). Prefer this
     * over dedup-then-join when the full parsed payload isn't needed — the
     * parse subtree evaluates once instead of twice. */
+  /** matches_key rides in the GROUP KEY, not a min() buffer: mk_hash is
+    * stable_hash64(matches_key), so the two group-by forms are identical
+    * (the key is functionally determined by its hash — the reference's own
+    * matches-hash identity). A min(string) aggregation buffer is not
+    * fixed-width, which forces the whole aggregate to a SortAggregate
+    * pair — every parsed row sorted per map partition and again after the
+    * exchange; with the string in the key the plan is a HashAggregate
+    * pair whose partial stage reduces |raw rows| to |distinct hashes|
+    * before the shuffle (guide §2.3). */
   def uniqueStatements(parsed: DataFrame): DataFrame =
-    parsed.groupBy("mk_hash").agg(
+    parsed.groupBy("mk_hash", "matches_key").agg(
       min("raw_stmt_id").as("raw_stmt_id"),
-      min("matches_key").as("matches_key"),
       count(lit(1)).as("ev_count"))
+      .select("mk_hash", "raw_stmt_id", "matches_key", "ev_count")
 
   /** raw -> pa links (the raw_unique_links table,
     * principal_schema.py:762-779). */

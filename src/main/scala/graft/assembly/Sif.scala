@@ -99,23 +99,43 @@ object Sif {
     }
     // top-priority grounding per agent position; a position whose ONLY
     // rows are NAME/TEXT has no grounding and drops out of the agent list
-    // (the reference skips NAME rows when collecting agents, :367-369)
-    val grounded = otherMeta
+    // (the reference skips NAME rows when collecting agents, :367-369).
+    //
+    // ONE exchange for the whole agent side (guide §2.4 — operations keyed
+    // the same way share a partitioning): the grounding min_by, the NAME
+    // aggregation and the per-statement collect_list previously cost two
+    // (mk_hash, ag_num) exchanges, a join, and an mk_hash exchange — four
+    // sequential stage barriers that made the query core-count-invariant
+    // at ~1.5s. Unioning the (disjoint) otherMeta/nameMeta rows and
+    // repartitioning by mk_hash ONCE lets both groupBys and their join-free
+    // fusion ride the same partitioning: hash(mk_hash) satisfies the
+    // (mk_hash, ag_num) clustering, so no further exchange is needed.
+    // min_by ignores null ordering keys, so NAME rows (null rank) never
+    // win the grounding and ranked rows never contribute to the name —
+    // exactly the old filter + left-join semantics (otherMeta excludes
+    // NAME/TEXT by construction, ReadonlyBuilder).
+    val agentRows = otherMeta
       .select(col("mk_hash"), col("ag_num"), col("db_name"), col("db_id"))
       .withColumn("rank", rank)
       .filter(col("rank").isNotNull)
+      .unionByName(nameMeta
+        .select(col("mk_hash"), col("ag_num"), lit("NAME").as("db_name"),
+          col("db_id"))
+        .withColumn("rank", lit(null).cast("int")))
+    val perPos = agentRows
+      .repartition(col("mk_hash"))
       .groupBy("mk_hash", "ag_num")
-      .agg(min_by(struct(col("db_name"), col("db_id")),
-        struct(col("rank"), col("db_id"))).as("g"))
+      .agg(
+        min_by(struct(col("db_name"), col("db_id")),
+          when(col("rank").isNotNull, struct(col("rank"), col("db_id"))))
+          .as("g"),
+        min(when(col("db_name") === "NAME", col("db_id"))).as("name"))
+      .filter(col("g").isNotNull)
       .select(col("mk_hash"), col("ag_num"), col("g.db_name").as("ns"),
-        fixId(col("g.db_name"), col("g.db_id")).as("id"))
-    val names = nameMeta
-      .groupBy("mk_hash", "ag_num")
-      .agg(min(col("db_id")).as("name"))
+        fixId(col("g.db_name"), col("g.db_id")).as("id"), col("name"))
     // ordered agent list per statement; positions are unique after the
     // grouping above, so the struct sort IS the ag_num sort
-    val ags = grounded
-      .join(names, Seq("mk_hash", "ag_num"), "left")
+    val ags = perPos
       .groupBy("mk_hash")
       .agg(array_sort(collect_list(
         struct(col("ag_num"), col("ns"), col("id"), col("name")))).as("ags"))

@@ -736,10 +736,16 @@ object Dedup {
     * window, and nothing is ever all-pairs: cost is O(total tokens × n)
     * map-side plus one corpus-wide shuffle keyed on the gram. */
   def duplicatedSpans(
-      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val d = df
-      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) >= n)
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    duplicatedSpansFromToks(
+      df.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("toks")), n)
+
+  /** [[duplicatedSpans]] over pre-tokenized (doc_id, toks) rows — the
+    * shared core that lets [[exactSubstrDedup]] tokenize the corpus once
+    * for all three of its passes. */
+  private def duplicatedSpansFromToks(tokArr: DataFrame, n: Int): DataFrame = {
+    val d = tokArr.filter(size(col("toks")) >= n)
     val grams = d
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(1), size(col("toks")) - n + 1)).as("pos"))
@@ -766,13 +772,20 @@ object Dedup {
     * rebuild is one doc-keyed aggregation over surviving tokens. */
   def exactSubstrDedup(
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val covered = duplicatedSpans(df, idCol, textCol, n)
+    // tokenize the corpus ONCE: the token arrays feed the gram window,
+    // the per-token explode AND the total count — previously three full
+    // regex-tokenize passes over every document (guide §3.3 / the house
+    // fan-out boundary). The gram window's shuffle is the operator's
+    // honest core and is unchanged.
+    val tokArr = graft.core.BlockScope.boundary(
+      df.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("toks")))
+    val covered = duplicatedSpansFromToks(tokArr, n)
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + n - 1)).as("pos"))
       .distinct()
-    val toks = df
-      .select(col(idCol).as("doc_id"),
-        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("p0", "tok")))
+    val toks = tokArr
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
     val rebuilt = toks
       .join(covered, Seq("doc_id", "pos"), "left_anti")
@@ -782,8 +795,8 @@ object Dedup {
           array_sort(collect_list(struct(col("pos"), col("tok")))),
           _.getField("tok")), " ").as("text_deduped"),
         count(lit(1)).as("kept_tokens"))
-    df.select(col(idCol).as("doc_id"),
-        size(TextAnalysis.tokens(col(textCol))).cast("long").as("total_tokens"))
+    tokArr.select(col("doc_id"),
+        size(col("toks")).cast("long").as("total_tokens"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("text_deduped"), lit("")).as("text_deduped"),
