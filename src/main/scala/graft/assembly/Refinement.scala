@@ -248,8 +248,15 @@ object Refinement {
       .union(edges.select(col("peer").as("node"), col("node").as("peer")))
       .distinct()
       .localCheckpoint(true).toDF("node", "peer")
-    var labels = sym.select(col("node")).distinct()
-      .withColumn("component", col("node"))
+    // seed each label with min(self, neighbors) — the first propagation
+    // round folded into initialization for the cost of the node-distinct
+    // aggregation the init paid anyway. Clique-shaped clusters (the common
+    // near-dup case) then converge in ONE confirming round instead of a
+    // change round plus a confirming round; the invariant (labels are
+    // monotonically decreasing upper bounds of the final min-reachable
+    // component) is unchanged, so the fixpoint is identical.
+    var labels = sym.groupBy("node")
+      .agg(least(col("node"), min(col("peer"))).as("component"))
       .localCheckpoint(true).toDF("node", "component")
     var i = 0
     while (i < maxIter) {

@@ -205,6 +205,73 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+object ShingleHashKernel {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** poly_hash of each n-token window WITHOUT building the window strings.
+    * The rolling hash is linear — h(a ++ b) = (h(a) * 31^|b| + h(b)) mod p
+    * with |.| counted in code points — so each token is folded once into a
+    * (hash, 31^len) pair and every window hash composes from those pairs
+    * through the joining-space step: O(text + windows*n) multiplies and
+    * zero allocation, versus the shingle-string path's O(windows*n*tokLen)
+    * char scans plus one string per window. Value-identical to
+    * poly_hash(word_shingles(text, n)[i]) by linearity (tokenization is
+    * the same trim + whitespace-run split).
+    */
+  def shingleHashes(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val P = 1000000007L
+    val toks = text.toString.trim.split("\\s+")
+    val count = toks.length - n + 1
+    if (count <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val m = toks.length
+    val h = new Array[Long](m)
+    val pw = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val t = toks(i)
+      var acc = 0L
+      var pow = 1L
+      var j = 0
+      while (j < t.length) {
+        val cp = t.codePointAt(j)
+        acc = (acc * 31L + cp) % P
+        pow = (pow * 31L) % P
+        j += Character.charCount(cp)
+      }
+      h(i) = acc; pw(i) = pow; i += 1
+    }
+    val out = new Array[Any](count)
+    i = 0
+    while (i < count) {
+      var acc = h(i)
+      var j = 1
+      while (j < n) {
+        // the single joining space (code point 32), then the next token:
+        // acc*pw < p^2 < 2^60, no overflow
+        acc = (acc * 31L + 32L) % P
+        acc = (acc * pw(i + j) + h(i + j)) % P
+        j += 1
+      }
+      out(i) = java.lang.Long.valueOf(acc)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ShingleHashKernel.shingleHashes(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleHashKernel.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+}
+
 object vectors {
   import org.apache.spark.sql.GraftBridge
 
@@ -219,6 +286,9 @@ object vectors {
 
   def word_shingles(text: Column, n: Int): Column =
     GraftBridge.column(WordShingles(GraftBridge.expression(text), n))
+
+  def shingle_hashes(text: Column, n: Int): Column =
+    GraftBridge.column(WordShingleHashes(GraftBridge.expression(text), n))
 
   def hadamard_rotate(v: Column, dim: Int): Column = {
     require(dim > 0 && (dim & (dim - 1)) == 0,

@@ -36,8 +36,12 @@ object Curate {
       idCol: String,
       textCol: String,
       n: Int = 3): DataFrame = {
-    val cs = Dedup.shingleSet(corpus, idCol, textCol, n)
-    val bs = Dedup.shingleSet(bench, idCol, textCol, n)
+    // shingleHashes clusters by doc_id, so the per-doc dedup, the
+    // broadcast-join probe AND the per-doc overlap aggregation all ride
+    // ONE exchange of 8-byte hashes (previously: a (doc_id, string)
+    // distinct exchange plus a second doc_id exchange for the counts)
+    val cs = Dedup.shingleHashes(corpus, idCol, textCol, n)
+    val bs = Dedup.shingleHashes(bench, idCol, textCol, n)
       .select("sh_hash").distinct()
     cs.join(broadcast(bs.withColumn("hit", lit(1L))), Seq("sh_hash"), "left")
       .groupBy("doc_id")
@@ -76,9 +80,9 @@ object Curate {
     // slim (id, hash) relation once or the tokenize + shingle explode +
     // distinct subtree re-executes per consumer (guide §3.3 — Spark has no
     // automatic common-subtree reuse across DataFrame fan-out)
-    val cs = Dedup.shingleSet(corpus, idCol, textCol, n)
-      .select("doc_id", "sh_hash").localCheckpoint(false)
-    val bs = Dedup.shingleSet(bench, idCol, textCol, n)
+    val cs = Dedup.shingleHashes(corpus, idCol, textCol, n)
+      .localCheckpoint(false)
+    val bs = Dedup.shingleHashes(bench, idCol, textCol, n)
       .select("sh_hash").distinct().localCheckpoint(false)
     def posOf(j: Int): Column =
       pmod(col("sh_hash") * (131L * j + 7L) + (97L * j + 3L),

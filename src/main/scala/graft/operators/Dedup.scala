@@ -49,6 +49,22 @@ object Dedup {
       .distinct()
       .withColumn("sh_hash", TextAnalysis.rollingHash(col("shingle")))
 
+  /** [[shingleSet]] narrowed to the (doc_id, sh_hash) pair every dedup
+    * consumer actually uses, with two shuffle savings (guide §2.3/§2.4):
+    * the shingle is HASHED BEFORE the per-doc dedup, so the dedup exchange
+    * carries an 8-byte hash instead of the n-gram string (hash identity is
+    * already the algebra everywhere downstream — index joins, signatures
+    * and the oracle all compare sh_hash); and the dedup is clustered by
+    * doc_id, so doc-keyed consumers (minhash signatures, per-doc sizes,
+    * overlap counts) ride the same exchange instead of paying their own. */
+  def shingleHashes(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(graft.functions.vectors.shingle_hashes(col(textCol), n))
+          .as("sh_hash"))
+      .repartition(col("doc_id"))
+      .dropDuplicates("doc_id", "sh_hash")
+
   /** k MinHash values per doc over its shingle hashes, using the affine
     * family h_i(x) = (a_i x + b_i) mod p. Output: (doc_id, i, minh).
     * One groupBy + a compiled single-pass signature kernel
@@ -148,7 +164,7 @@ object Dedup {
     // sides of the index self-join, sizes, and the hot patch — the
     // shingle explode + distinct runs ONCE (the string column is dropped
     // first: nothing downstream of hashing needs it)
-    val sh = shingleSet(df, idCol, textCol, n).select("doc_id", "sh_hash")
+    val sh = shingleHashes(df, idCol, textCol, n)
       .localCheckpoint(false)
     val hot = hotBuckets(sh, Seq("sh_hash"), maxDf).select("sh_hash")
     val capped = sh.join(broadcast(hot), Seq("sh_hash"), "left_anti")
@@ -212,7 +228,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 12, r: Int = 3,
       threshold: Double = 0.6, maxBucket: Long = 1000): DataFrame = {
-    val sh = shingleSet(df, idCol, textCol, n).select("doc_id", "sh_hash")
+    val sh = shingleHashes(df, idCol, textCol, n)
       .localCheckpoint(false)
     val cands = lshCandidates(minhash(sh, k), r, maxBucket)
     jaccard(cands, sh)
@@ -385,7 +401,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 12, r: Int = 3,
       threshold: Double = 0.8, maxBucket: Long = 1000): DataFrame = {
-    val sh = shingleSet(df, idCol, textCol, n).select("doc_id", "sh_hash")
+    val sh = shingleHashes(df, idCol, textCol, n)
       .localCheckpoint(false)
     val cands = lshCandidates(minhash(sh, k), r, maxBucket)
     jaccard(cands, sh)
@@ -408,7 +424,7 @@ object Dedup {
       db: String, buckets: Int,
       n: Int = 3, k: Int = 12, r: Int = 3): Unit = {
     val spark = df.sparkSession
-    val sh = shingleSet(df, idCol, textCol, n).select("doc_id", "sh_hash")
+    val sh = shingleHashes(df, idCol, textCol, n)
       .localCheckpoint(false)
     graft.assembly.Deploy.saveBucketed(
       spark, bandSignatures(minhash(sh, k), r), db, "band_sigs", buckets,
@@ -623,8 +639,8 @@ object Dedup {
     // joins, verification union) — materialize it once, slimmed to
     // (doc_id, sh_hash). Downstream joins stay plan-transparent, so the
     // bucket-pruning semi join below remains visible/assertable.
-    val newSh = shingleSet(newDocs, idCol, textCol, n)
-      .select("doc_id", "sh_hash").localCheckpoint(false)
+    val newSh = shingleHashes(newDocs, idCol, textCol, n)
+      .localCheckpoint(false)
     val newSigs = bandSignatures(minhash(newSh, k), r).localCheckpoint(false)
     // a re-ingested id (present in old AND new) means an updated doc: the
     // new version REPLACES the old rows — without this, union'd shingle

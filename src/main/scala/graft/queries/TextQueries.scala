@@ -664,7 +664,7 @@ comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1)"""
         val newBatch = corpusNear(s, dir).filter(col("doc_id") >= 100000)
         // the old corpus' index/shingles are PERSISTED artifacts in the
         // incremental scenario — materialize once, as a parquet read would
-        val oldSh = Dedup.shingleSet(old, "doc_id", "text", 3)
+        val oldSh = Dedup.shingleHashes(old, "doc_id", "text", 3)
           .localCheckpoint(false)
         val oldSigs = Dedup.bandSignatures(Dedup.minhash(oldSh, 12), 3)
           .localCheckpoint(false)

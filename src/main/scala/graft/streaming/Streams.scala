@@ -356,8 +356,8 @@ object Streams {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(pairsOutDir)
-        val batchSh = Dedup.shingleSet(batch, "doc_id", "text", n)
-          .select("doc_id", "sh_hash").localCheckpoint(false)
+        val batchSh = Dedup.shingleHashes(batch, "doc_id", "text", n)
+          .localCheckpoint(false)
         Dedup.appendIndex(batchSh, indexDb, indexBuckets, k, r)
         // in-stream LSM compaction (opt-in): foreachBatch serializes
         // micro-batches, so the rewrite never races a probe of this stream

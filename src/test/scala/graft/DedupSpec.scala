@@ -20,6 +20,28 @@ class DedupSpec extends AnyFunSuite {
     docs.unionByName(copies)
   }
 
+  test("fused shingle_hashes kernel == word_shingles + poly_hash, per position") {
+    import spark.implicits._
+    // whitespace runs, leading/trailing space, tabs, sub-n docs, empty
+    // and blank text, surrogate-pair code points, repeated windows
+    val texts = Seq(
+      "  the   quick brown\tfox jumps over the lazy dog  ",
+      "one two", "single", "", "   ",
+      "unicode κόσμος emoji 😀 mix 漢字 ok end",
+      "a b a b a b").toDF("text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val rows = texts.select(
+        graft.functions.vectors.shingle_hashes(col("text"), n).as("fused"),
+        transform(graft.functions.vectors.word_shingles(col("text"), n),
+          s => graft.functions.exprs.poly_hash(s)).as("viaStrings"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          s"n=$n fused=${r.getSeq[Long](0)} strings=${r.getSeq[Long](1)}")
+      }
+    }
+  }
+
   test("exact dedup finds exactly the planted copies") {
     val expected = docs.filter(col("doc_id") % 10 === 0).count()
     val dups = Dedup.exact(withExactCopies, "doc_id", "text").collect()
